@@ -1,0 +1,100 @@
+"""Vectorized scalar kernels used inside map_batches stages.
+
+These re-express the reference's per-record lazy conversions
+(AllStringJacksonServiceRecord.java:39-78) as Arrow-columnar kernels:
+null-literal normalization, string -> typed parsing with the Marketo
+timestamp formats, per-row sha256 content fingerprints, and the stable
+key hash used for bucket partitioning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from embulk_input_marketo_ray.types import MARKETO_TS_FORMAT, arrow_type_for
+
+# CsvTokenizer.java:490-514 + AllStringJacksonServiceRecord.java:39-42:
+# the literal string "null" and the empty (unquoted) value are null.
+NULL_LITERALS = ("", "null")
+
+
+def normalize_nulls(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Map the "" / "null" literals of an all-string column to real nulls."""
+    mask = pc.is_in(col, value_set=pa.array(NULL_LITERALS, type=pa.string()))
+    return pc.if_else(mask, pa.scalar(None, type=pa.string()), col)
+
+
+def parse_typed(col: pa.ChunkedArray | pa.Array, marketo_type: str):
+    """String column -> typed column per the Marketo dataType.
+
+    Vectorized analog of the per-record visitor projection
+    (AllStringJacksonServiceRecord.java:44-78, MarketoUtils.java:230-267):
+    Long.parseLong / Double.parseDouble / Boolean.parseBoolean /
+    timestamp-format parse, applied with pyarrow.compute kernels.
+    """
+    col = normalize_nulls(col)
+    fmt = MARKETO_TS_FORMAT.get(marketo_type)
+    if fmt is not None:
+        # strptime with %z yields tz-aware; engine convention is naive UTC.
+        parsed = pc.strptime(col, format=fmt, unit="us")
+        if pa.types.is_timestamp(parsed.type) and parsed.type.tz is not None:
+            parsed = parsed.cast(pa.timestamp("us"))
+        return parsed
+    target = arrow_type_for(marketo_type)
+    if pa.types.is_boolean(target):
+        # Boolean.parseBoolean semantics: case-insensitive "true" is
+        # true, everything else false (nulls stay null).
+        lowered = pc.utf8_lower(col)
+        return pc.equal(lowered, pa.scalar("true"))
+    if pa.types.is_integer(target):
+        # Marketo integers may arrive as "42" or "42.0"; parse via float
+        # then truncate, mirroring lenient Long.parseLong fallback paths.
+        try:
+            return pc.cast(col, target)
+        except pa.ArrowInvalid:
+            return pc.cast(pc.cast(col, pa.float64()), target, safe=False)
+    return pc.cast(col, target)
+
+
+def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-row sha256 hex digest of a string/binary column.
+
+    The per-row invariant of the engine (BASELINE.json:input_hint):
+    lake ``content`` rows must hash-match the oracle's. There is no
+    Arrow sha256 kernel, so this is a tight Python loop over zero-copy
+    buffers — the only intentionally row-wise kernel in the engine;
+    it is parallelized across blocks by map_batches.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    _sha = hashlib.sha256
+    out = [
+        _sha(v.as_buffer()).hexdigest() if v.is_valid else None for v in col.cast(pa.binary())
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def stable_key_hash(table: pa.Table, key_columns: list[str], num_buckets: int) -> np.ndarray:
+    """Deterministic hash-bucket id per row over a composite string key.
+
+    Used for the single wide stage (LWW merge shuffle): bucket =
+    hash(repo \\x00 path) % num_buckets. Stable across processes and
+    runs (required for deterministic partition ids in the exactly-once
+    manifest): polars' seeded xxhash over the joined key, vectorized
+    and zero-copy from Arrow. (pandas' hash_array was observed to be
+    process-dependent on Arrow-backed string arrays — do not use it
+    here.) Determinism holds within one polars build, which a cluster
+    image guarantees.
+    """
+    import polars as pl
+
+    joined = table.column(key_columns[0]).cast(pa.string())
+    for k in key_columns[1:]:
+        joined = pc.binary_join_element_wise(joined, table.column(k).cast(pa.string()), "\x00")
+    arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+    hashed = pl.from_arrow(arr).hash(seed=42).to_numpy()
+    return (hashed % np.uint64(num_buckets)).astype(np.int32)

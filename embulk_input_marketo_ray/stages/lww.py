@@ -1,0 +1,92 @@
+"""Last-writer-wins upsert / tombstone merge, hash-bucketed.
+
+The single wide stage of the CDC engine (SURVEY.md §2.4 J4 / §2.7 D5):
+a hash shuffle on the composite upsert key ``(repo, path)`` with commit
+order (``commit_seq``) as the monotonic version. This generalizes the
+reference's incremental-import ordering + dedup story — the
+non-overlapping +1 s slice rule (MarketoUtils.java:100-113) and the
+declared-but-vestigial ``uid_column`` identity
+(delegate/MarketoBaseBulkExtractInputPlugin.java:78-89) — into an
+explicit idempotent merge, so replayed / duplicated events converge to
+the same lake state (exactly-once).
+
+Scale design:
+- **Partial combine before the shuffle** (``add_bucket_and_partial_lww``
+  runs inside ``map_batches``): each block is collapsed to its newest
+  event per key first, so the all-to-all exchange moves at most one row
+  per (key, block) instead of every event. Tombstones survive the
+  partial (they must reach the final merge to delete older versions).
+- **Bucketed, not per-key, groups**: the shuffle key is
+  ``bucket = hash(repo, path) % num_buckets`` — a bounded number of
+  groups, each merged with one vectorized kernel, instead of millions
+  of tiny per-key ``map_groups`` calls. ``num_buckets`` bounds peak
+  per-group memory (bucket ~ dataset/num_buckets) and is the unit of
+  output partitioning / resume; skewed hot repos spread across buckets
+  because the hash includes ``path``.
+- Ordering never relies on cross-block order (W7): correctness depends
+  only on the per-key ``commit_seq`` sort inside the merge kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from embulk_input_marketo_ray.functions.scalar import stable_key_hash
+
+LAKE_KEY = ["repo", "path"]
+BUCKET_COLUMN = "bucket"
+
+
+def _composite_key(table: pa.Table, key_columns: list[str]) -> np.ndarray:
+    joined = table.column(key_columns[0]).cast(pa.string())
+    for k in key_columns[1:]:
+        joined = pc.binary_join_element_wise(joined, table.column(k).cast(pa.string()), "\x00")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    return np.asarray(joined, dtype=object)
+
+
+def lww_merge(
+    table: pa.Table,
+    key_columns: list[str] = LAKE_KEY,
+    seq_column: str = "commit_seq",
+    op_column: str | None = "op",
+    drop_tombstones: bool = True,
+) -> pa.Table:
+    """Keep the newest row per key; optionally drop tombstoned keys.
+
+    Vectorized: one Arrow sort on ``seq_column`` + a hash-based
+    keep-last over the composite key (pandas ``duplicated``, O(n)).
+    Ties on ``commit_seq`` are exact replayed duplicates by
+    construction, so either copy is correct.
+    """
+    if table.num_rows == 0:
+        return table
+    order = pc.sort_indices(table, sort_keys=[(seq_column, "ascending")])
+    table = table.take(order)
+    keys = _composite_key(table, key_columns)
+    keep = ~pd.Series(keys).duplicated(keep="last").to_numpy()
+    if drop_tombstones and op_column is not None:
+        is_upsert = pc.equal(table.column(op_column), pa.scalar("upsert"))
+        keep &= np.asarray(is_upsert.combine_chunks(), dtype=bool)
+    return table.filter(pa.array(keep))
+
+
+def add_bucket_and_partial_lww(
+    batch: pa.Table,
+    num_buckets: int,
+    key_columns: list[str] = LAKE_KEY,
+    seq_column: str = "commit_seq",
+) -> pa.Table:
+    """Per-block combiner + bucket assignment (runs pre-shuffle).
+
+    Collapses the block to its newest event per key (tombstones kept —
+    ``drop_tombstones=False`` — so deletes still reach the final merge)
+    and appends the deterministic shuffle/partition bucket id.
+    """
+    batch = lww_merge(batch, key_columns, seq_column, op_column=None)
+    buckets = stable_key_hash(batch, key_columns, num_buckets)
+    return batch.append_column(BUCKET_COLUMN, pa.array(buckets, type=pa.int32()))

@@ -1,0 +1,81 @@
+"""Typed projection + schema evolution + content fingerprint.
+
+One vectorized ``map_batches`` stage (actor pool, so the resolved
+evolution schedule is built once per worker) that re-expresses:
+
+- the all-string -> typed lazy projection
+  (AllStringJacksonServiceRecord.java:44-78, visitor shape
+  MarketoUtils.java:230-267) via pyarrow.compute casts/strptime;
+- null-literal normalization ("" / "null" -> null,
+  CsvTokenizer.java:490-514);
+- the ``mk_`` column-name prefix (MarketoUtils.java:95-98);
+- in-flight schema evolution (FIXTURES.md F2): dynamic attribute
+  columns added / widened per the evolution log. Every batch is
+  projected to the FINAL resolved schema (missing-at-that-seq values
+  are null; widened columns parse to the widened type), because Arrow
+  block concat and the downstream groupby require schema-aligned
+  blocks (SURVEY.md §7.3 "Schema evolution mid-stream");
+- the per-row ``content_sha256`` invariant (BASELINE.json:input_hint).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from embulk_input_marketo_ray.functions.scalar import parse_typed, sha256_column
+from embulk_input_marketo_ray.types import arrow_type_for, prefixed, widen
+
+BASE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+COMPANION_COLUMNS = ["commit_seq", "event_ts", "op"]
+ATTR_PREFIX = "attr_"
+
+
+def resolve_final_fields(evolution_log: list[dict]) -> dict[str, str]:
+    """Fold the evolution log (add_column / widen_type events in
+    effective_seq order) into {column_name: final_marketo_type}.
+
+    The widening follows the int -> float -> string lattice of the
+    Marketo type table (model/MarketoField.java:73-116)."""
+    fields: dict[str, str] = {}
+    for ev in sorted(evolution_log, key=lambda e: e["effective_seq"]):
+        if ev["kind"] == "add_column":
+            fields[ev["column"]] = ev["to_type"]
+        elif ev["kind"] == "widen_type":
+            cur = fields.get(ev["column"], ev["from_type"])
+            fields[ev["column"]] = widen(cur, ev["to_type"])
+        else:
+            raise ValueError(f"unknown evolution kind {ev['kind']!r}")
+    return fields
+
+
+class ChangeEventNormalizer:
+    """Actor-pool batch transform: raw change events -> typed lake rows."""
+
+    def __init__(self, evolution_log: list[dict], prefix: str = "mk") -> None:
+        self.fields = resolve_final_fields(evolution_log)
+        self.prefix = prefix
+
+    def final_schema(self) -> pa.Schema:
+        cols = [(c, pa.string()) for c in BASE_COLUMNS]
+        cols += [("commit_seq", pa.int64()), ("event_ts", pa.timestamp("us")), ("op", pa.string())]
+        cols.append(("content_sha256", pa.string()))
+        cols += [
+            (prefixed(name, self.prefix), arrow_type_for(mtype))
+            for name, mtype in sorted(self.fields.items())
+        ]
+        return pa.schema(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, pa.ChunkedArray | pa.Array] = {}
+        for c in BASE_COLUMNS + COMPANION_COLUMNS:
+            out[c] = batch.column(c)
+        out["content_sha256"] = sha256_column(batch.column("content"))
+        n = batch.num_rows
+        for name, mtype in sorted(self.fields.items()):
+            src = ATTR_PREFIX + name
+            if src in batch.column_names:
+                col = parse_typed(batch.column(src), mtype)
+            else:  # column not yet present in this block's source schema
+                col = pa.nulls(n, type=arrow_type_for(mtype))
+            out[prefixed(name, self.prefix)] = col
+        return pa.table(out)

@@ -1,0 +1,177 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Engine additions beyond the reference (per the build brief): language
+identification (n-gram heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (rolling hash). All are vectorized
+``map_batches`` stages; the stateful ones (compiled regexes, n-gram
+profiles) are callable classes so the setup happens once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: runs of letters, runs of digits, or a single
+# non-space symbol (a simplification of the GPT-2 pattern).
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Append ``n_tokens_ws`` (whitespace tokens) and ``n_tokens_bpe``
+    (BPE-ish regex tokens) — fully Arrow-vectorized."""
+    text = batch.column(text_column)
+    ws = pc.count_substring_regex(text, pattern=r"\S+")
+    bpe = pc.count_substring_regex(text, pattern=_BPE_ISH)
+    return batch.append_column("n_tokens_ws", ws.cast(pa.int64())).append_column(
+        "n_tokens_bpe", bpe.cast(pa.int64())
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the of and a to in is was he for it with as his on be at by had".split()
+)
+
+
+class QualityScorer:
+    """Actor-pool stage: per-document quality heuristics.
+
+    Emits ``n_chars``, ``n_words``, ``mean_word_len``, ``punct_ratio``,
+    ``stopword_ratio`` and a composite ``quality_ok`` flag. Regexes are
+    compiled once per actor in ``__init__``.
+    """
+
+    def __init__(self, text_column: str = "text") -> None:
+        self.text_column = text_column
+        self.stop_pattern = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_column)
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        n_words = pc.count_substring_regex(text, pattern=r"\S+").cast(pa.int64())
+        n_punct = pc.count_substring_regex(text, pattern=r"[^\w\s]").cast(pa.int64())
+        n_stop = pc.count_substring_regex(text, pattern=self.stop_pattern).cast(pa.int64())
+        safe_words = pc.max_element_wise(n_words, pa.scalar(1, type=pa.int64()))
+        safe_chars = pc.max_element_wise(n_chars, pa.scalar(1, type=pa.int64()))
+        mean_word_len = pc.divide(n_chars.cast(pa.float64()), safe_words.cast(pa.float64()))
+        punct_ratio = pc.divide(n_punct.cast(pa.float64()), safe_chars.cast(pa.float64()))
+        stop_ratio = pc.divide(n_stop.cast(pa.float64()), safe_words.cast(pa.float64()))
+        ok = pc.and_(
+            pc.and_(pc.greater_equal(n_words, pa.scalar(5, type=pa.int64())),
+                    pc.less(punct_ratio, pa.scalar(0.3))),
+            pc.less(mean_word_len, pa.scalar(15.0)),
+        )
+        for name, col in [
+            ("n_chars", n_chars),
+            ("n_words", n_words),
+            ("mean_word_len", mean_word_len),
+            ("punct_ratio", punct_ratio),
+            ("stopword_ratio", stop_ratio),
+            ("quality_ok", ok),
+        ]:
+            batch = batch.append_column(name, col)
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+# Tiny trigram/charset profiles; good enough to separate the synthetic
+# corpus's language mix deterministically. Real models would load in
+# __init__ the same way (the actor-pool shape is the point).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "fr": [" le ", " la ", " les ", " est ", " une "],
+    "es": [" el ", " los ", " que ", " una ", " es "],
+}
+
+
+class LangId:
+    """Actor-pool stage: marker-phrase language scoring -> ``lang_pred``."""
+
+    def __init__(self, text_column: str = "text") -> None:
+        self.text_column = text_column
+        self.langs = sorted(_LANG_MARKERS)
+        self.patterns = {
+            lang: "|".join(re.escape(m) for m in _LANG_MARKERS[lang]) for lang in self.langs
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(batch.column(self.text_column))
+        scores = np.stack(
+            [
+                np.asarray(
+                    pc.count_substring_regex(text, pattern=self.patterns[lang]).cast(pa.int64())
+                )
+                for lang in self.langs
+            ],
+            axis=1,
+        )
+        best = scores.argmax(axis=1)
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[scores.max(axis=1) == 0] = "unknown"
+        return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash)
+# ---------------------------------------------------------------------------
+
+
+class Fingerprinter:
+    """Actor-pool stage: winnowing-style rolling-hash fingerprint.
+
+    Computes a polynomial rolling hash over a sliding character window
+    and keeps the minimum hash per stride block; the fingerprint column
+    is the hex of the combined minima. Deterministic; vectorized with
+    numpy over the byte array of each document.
+    """
+
+    def __init__(self, text_column: str = "text", window: int = 16, stride: int = 64) -> None:
+        self.text_column = text_column
+        self.window = window
+        self.stride = stride
+        base = np.uint64(1000003)
+        self.powers = base ** np.arange(window, dtype=np.uint64)
+        self.base_w = base ** np.uint64(window)
+
+    def _fingerprint(self, raw: bytes) -> int:
+        w = self.window
+        if len(raw) < w:
+            raw = raw + b"\x00" * (w - len(raw))
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+        n = len(arr) - w + 1
+        # rolling hashes for every window start (vectorized via cumulative trick)
+        idx = np.arange(n)[:, None] + np.arange(w)[None, :]
+        hashes = (arr[idx] * self.powers[None, :]).sum(axis=1)
+        # winnow: min hash per stride block, xor-combined
+        nblocks = (n + self.stride - 1) // self.stride
+        out = np.uint64(0)
+        for b in range(nblocks):
+            blk = hashes[b * self.stride : (b + 1) * self.stride]
+            out ^= np.uint64(blk.min())
+        return int(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_column).cast(pa.binary())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fps = [
+            f"{self._fingerprint(v.as_py()):016x}" if v.is_valid else None for v in col
+        ]
+        return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))

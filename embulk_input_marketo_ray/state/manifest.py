@@ -1,0 +1,82 @@
+"""Per-partition commit manifest for the exactly-once Parquet sink.
+
+The reference has no mid-run checkpoint (Embulk "Resume supported: no",
+reference README.md:25) — its resume story is byte-range download resume
+(MarketoServiceImpl.java:113-133) plus run-level watermark carry-forward.
+At Ray scale we replace that with a per-partition manifest: each output
+partition (hash bucket of the upsert key) writes to a temp file, is
+atomically renamed into place, and is recorded in ``manifest.json``
+together with row count and a content fingerprint (per-partition lineage
+metrics, SURVEY.md §2.5 A4). A re-run skips partitions already present
+in the manifest, which makes replay idempotent = exactly-once.
+
+Partition ids are deterministic (bucket index of a fixed hash), so a
+retried or resumed run regenerates byte-identical partition content.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class PartitionManifest:
+    """Atomic record of committed output partitions.
+
+    Layout under ``out_dir``::
+
+        part-<pid>.parquet      committed partition data (os.replace'd)
+        _tmp/part-<pid>.parquet in-flight writes (ignored by readers)
+        manifest.json           {"partitions": {pid: {rows, lineage...}}}
+
+    ``manifest.json`` is only ever replaced atomically, so a crash
+    between data rename and manifest write leaves a stale-but-ignored
+    data file; the re-run overwrites it deterministically.
+    """
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        self.tmp_dir = os.path.join(out_dir, "_tmp")
+        self.path = os.path.join(out_dir, "manifest.json")
+
+    def prepare(self) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        os.makedirs(self.tmp_dir, exist_ok=True)
+
+    def load(self) -> dict:
+        if not os.path.exists(self.path):
+            return {"partitions": {}}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def committed_ids(self) -> set[str]:
+        return set(self.load()["partitions"].keys())
+
+    def data_path(self, pid: str) -> str:
+        return os.path.join(self.out_dir, f"part-{pid}.parquet")
+
+    def tmp_path(self, pid: str) -> str:
+        return os.path.join(self.tmp_dir, f"part-{pid}.parquet")
+
+    def promote(self, pid: str) -> None:
+        """Atomically move a finished tmp partition file into place."""
+        os.replace(self.tmp_path(pid), self.data_path(pid))
+
+    def commit(self, stats_by_pid: dict[str, dict]) -> None:
+        """Merge partition stats into the manifest and write it atomically.
+
+        Called once on the driver after all partitions of a run have been
+        promoted — the manifest write is the commit point; the watermark
+        checkpoint advances only after this returns (W4).
+        """
+        state = self.load()
+        state["partitions"].update(stats_by_pid)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+    def committed_files(self) -> list[str]:
+        return [self.data_path(pid) for pid in sorted(self.load()["partitions"].keys())]

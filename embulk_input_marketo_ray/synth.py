@@ -1,0 +1,211 @@
+"""Deterministic synthetic change-event table generator.
+
+Produces the engine's primary input per ``BASELINE.json:input_hint``:
+a Parquet table of source-code-repository change events with base
+columns ``(repo, path, commit, lang, content)`` plus engine companion
+columns ``commit_seq`` (monotonic version — the watermark /
+incremental column, analog of the ``createdAt`` default at reference
+``delegate/MarketoBaseBulkExtractInputPlugin.java:78-84``),
+``event_ts``, and ``op`` in {upsert, delete} (tombstones), plus
+all-string dynamic attribute columns that appear mid-stream per a
+schema-evolution log (the describe-driven dynamic-schema analog,
+FIXTURES.md F1/F2).
+
+Required properties (FIXTURES.md F1), all seed-deterministic:
+- Zipf-skewed repo distribution (hot-key handling exercise).
+- Multiple versions of the same (repo, path) across watermark slices.
+- Deletes followed by re-creates.
+- Events exactly on slice boundaries (half-open +1 s rule proof,
+  MarketoUtils.java:100-113).
+- Duplicated replayed events (exactly-once check).
+
+Generation is vectorized (numpy / pandas string ops); content strings
+carry a deterministic payload so the sha256 invariant is meaningful.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE_TS = datetime(2024, 1, 1)  # event_ts = BASE_TS + commit_seq seconds
+
+LANG_FOR_EXT = {"py": "py", "java": "java", "ts": "ts", "go": "go", "rs": "rs", "md": "md"}
+_EXTS = list(LANG_FOR_EXT)
+
+# Schema-evolution log (FIXTURES.md F2): dynamic attribute columns that
+# become active at effective_seq, expressed in Marketo dataTypes
+# (model/MarketoField.java:73-116). `score` later widens integer->float.
+def evolution_log(n_events: int) -> list[dict]:
+    return [
+        {"effective_seq": 0, "kind": "add_column", "column": "score", "from_type": None, "to_type": "integer"},
+        {"effective_seq": n_events // 4, "kind": "add_column", "column": "revenue", "from_type": None, "to_type": "currency"},
+        {"effective_seq": n_events // 3, "kind": "add_column", "column": "active", "from_type": None, "to_type": "boolean"},
+        {"effective_seq": n_events // 2, "kind": "widen_type", "column": "score", "from_type": "integer", "to_type": "float"},
+        {"effective_seq": (2 * n_events) // 3, "kind": "add_column", "column": "updated", "from_type": None, "to_type": "datetime"},
+    ]
+
+
+def _commit_hexes(seqs: np.ndarray) -> np.ndarray:
+    """40-hex commit ids, deterministic in commit_seq."""
+    return np.array(
+        [hashlib.sha1(f"commit:{s}".encode()).hexdigest() for s in seqs], dtype=object
+    )
+
+
+def generate_change_events(
+    out_dir: str,
+    n_events: int,
+    seed: int = 42,
+    n_repos: int | None = None,
+    n_paths_per_repo: int = 64,
+    delete_rate: float = 0.05,
+    duplicate_rate: float = 0.02,
+    n_files: int = 8,
+    force: bool = False,
+) -> str:
+    """Write the change-event table as ``n_files`` Parquet files under
+    ``out_dir`` (commit_seq-ordered within and across files). Returns
+    ``out_dir``. Idempotent: skips generation if the _SUCCESS marker
+    matches the requested parameters.
+    """
+    params = {
+        "n_events": n_events, "seed": seed, "n_repos": n_repos,
+        "n_paths_per_repo": n_paths_per_repo, "delete_rate": delete_rate,
+        "duplicate_rate": duplicate_rate, "n_files": n_files, "v": 3,
+    }
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not force and os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return out_dir
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    if n_repos is None:
+        n_repos = max(8, n_events // 2000)
+
+    # Zipf-ish repo popularity (monorepos are hot keys)
+    weights = 1.0 / np.arange(1, n_repos + 1) ** 1.1
+    weights /= weights.sum()
+    repo_idx = rng.choice(n_repos, size=n_events, p=weights)
+    path_idx = rng.integers(0, n_paths_per_repo, size=n_events)
+
+    seqs = np.arange(n_events, dtype=np.int64)
+    repo = pd.array([f"org/repo-{i:05d}" for i in range(n_repos)], dtype=object)[repo_idx]
+    ext_idx = (repo_idx * 7 + path_idx) % len(_EXTS)
+    exts = np.array(_EXTS, dtype=object)[ext_idx]
+    path = (
+        pd.Series([f"src/m{i % 13:02d}/f_{i:04d}." for i in range(n_paths_per_repo)], dtype=object)[
+            path_idx
+        ].to_numpy()
+        + exts
+    )
+    lang = np.array([LANG_FOR_EXT[e] for e in _EXTS], dtype=object)[ext_idx]
+
+    op = np.where(rng.random(n_events) < delete_rate, "delete", "upsert").astype(object)
+    # deterministic content payload: key + version + filler derived from seq
+    filler = np.array(
+        [hashlib.md5(f"pad:{s & 1023}".encode()).hexdigest() * 6 for s in range(1024)],
+        dtype=object,
+    )[seqs & 1023]
+    content = (
+        pd.Series(repo, dtype=object)
+        + "|" + pd.Series(path, dtype=object)
+        + "|v" + pd.Series(seqs).astype(str)
+        + "|" + pd.Series(filler, dtype=object)
+    ).to_numpy()
+    content[op == "delete"] = ""
+
+    # dynamic attrs (all-string, with "" / "null" literals sprinkled —
+    # CsvTokenizer.java:490-514 null semantics)
+    evo = evolution_log(n_events)
+    active_from = {e["column"]: e["effective_seq"] for e in evo if e["kind"] == "add_column"}
+    widen_at = {e["column"]: e["effective_seq"] for e in evo if e["kind"] == "widen_type"}
+
+    def with_null_literals(values: np.ndarray, start: int) -> np.ndarray:
+        out = values.astype(object)
+        r = rng.random(n_events)
+        out[r < 0.02] = "null"
+        out[(r >= 0.02) & (r < 0.04)] = ""
+        out[seqs < start] = None
+        return out
+
+    score_int = rng.integers(0, 100, size=n_events)
+    score_vals = score_int.astype(str).astype(object)
+    wseq = widen_at.get("score")
+    if wseq is not None:  # widened rows carry float-formatted strings
+        fmask = seqs >= wseq
+        score_vals[fmask] = np.char.mod("%.1f", score_int[fmask] + 0.5).astype(object)
+    attr_score = with_null_literals(score_vals, active_from["score"])
+    attr_revenue = with_null_literals(
+        np.char.mod("%.2f", rng.random(n_events) * 1e5).astype(object), active_from["revenue"]
+    )
+    attr_active = with_null_literals(
+        np.where(rng.random(n_events) < 0.5, "true", "false").astype(object),
+        active_from["active"],
+    )
+    attr_updated = with_null_literals(
+        pd.Series(seqs % 86400).map(
+            lambda s: (BASE_TS + timedelta(seconds=int(s))).strftime("%Y-%m-%dT%H:%M:%S+0000")
+        ).to_numpy(dtype=object),
+        active_from["updated"],
+    )
+
+    event_ts = np.datetime64(BASE_TS, "us") + seqs * np.timedelta64(1_000_000, "us")
+
+    table = pa.table(
+        {
+            "repo": pa.array(repo, type=pa.string()),
+            "path": pa.array(path, type=pa.string()),
+            "commit": pa.array(_commit_hexes(seqs), type=pa.string()),
+            "lang": pa.array(lang, type=pa.string()),
+            "content": pa.array(content, type=pa.string()),
+            "commit_seq": pa.array(seqs, type=pa.int64()),
+            "event_ts": pa.array(event_ts, type=pa.timestamp("us")),
+            "op": pa.array(op, type=pa.string()),
+            "attr_score": pa.array(attr_score, type=pa.string()),
+            "attr_revenue": pa.array(attr_revenue, type=pa.string()),
+            "attr_active": pa.array(attr_active, type=pa.string()),
+            "attr_updated": pa.array(attr_updated, type=pa.string()),
+        }
+    )
+
+    # duplicated replayed events: re-append exact copies of a sample
+    # (same commit_seq/commit) — replay must be idempotent (D5).
+    n_dup = int(n_events * duplicate_rate)
+    if n_dup:
+        dup_idx = rng.choice(n_events, size=n_dup, replace=False)
+        dup_idx.sort()
+        table = pa.concat_tables([table, table.take(pa.array(dup_idx))])
+        table = table.take(pa.compute.sort_indices(table, sort_keys=[("commit_seq", "ascending")]))
+
+    # write n_files commit_seq-contiguous chunks (slice-aligned reads)
+    n = table.num_rows
+    per = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = table.slice(i * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(out_dir, f"events_{i:04d}.parquet"))
+
+    with open(os.path.join(out_dir, "evolution.json"), "w") as f:
+        json.dump(evo, f)
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return out_dir
+
+
+def load_evolution_log(events_dir: str) -> list[dict]:
+    with open(os.path.join(events_dir, "evolution.json")) as f:
+        return json.load(f)
+
+
+def default_events_dir(n_events: int, seed: int = 42) -> str:
+    return f"/tmp/graft_change_events/n{n_events}_s{seed}"

@@ -1,0 +1,178 @@
+"""End-to-end CDC replay: golden oracle, exactly-once, resume, multi-window.
+
+The oracle is a single-process pandas replay (FIXTURES.md "Expected-output
+oracles"): apply events in commit_seq order, LWW per (repo, path), drop
+tombstoned keys; compare the engine's lake on the row multiset of
+(repo, path, sha256(content)), the final schema, and the watermark.
+"""
+
+import hashlib
+import json
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from embulk_input_marketo_ray.pipelines.cdc_replay import ReplayConfig, replay
+from embulk_input_marketo_ray.sinks.exactly_once import read_lake_table
+from embulk_input_marketo_ray.state.manifest import PartitionManifest
+from embulk_input_marketo_ray.synth import (
+    BASE_TS,
+    generate_change_events,
+    load_evolution_log,
+)
+
+N_EVENTS = 4000
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events"))
+    generate_change_events(d, N_EVENTS, seed=7, n_repos=12, n_files=4)
+    return d
+
+
+def oracle_lake(events_dir, from_ts, to_ts):
+    """Pandas replay of the window [from_ts, to_ts] inclusive."""
+    import glob
+
+    df = pd.concat(pd.read_parquet(f) for f in sorted(glob.glob(f"{events_dir}/events_*.parquet")))
+    df = df[(df.event_ts >= from_ts) & (df.event_ts <= to_ts)]
+    df = df.sort_values("commit_seq", kind="stable")
+    df = df.drop_duplicates(["repo", "path"], keep="last")
+    df = df[df.op == "upsert"]
+    df["content_sha256"] = df.content.map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    return df
+
+
+def lake_multiset(table):
+    df = table.select(["repo", "path", "content_sha256"]).to_pandas()
+    return sorted(map(tuple, df.itertuples(index=False)))
+
+
+def cfg_for(events_dir, lake_dir, fetch_days=100, **kw):
+    return ReplayConfig(
+        events_dir=events_dir,
+        lake_dir=lake_dir,
+        evolution_log=load_evolution_log(events_dir),
+        from_ts=BASE_TS,
+        job_start=BASE_TS + timedelta(seconds=N_EVENTS + 100),
+        fetch_days=fetch_days,
+        num_buckets=8,
+        extractor_concurrency=(1, 2),
+        normalizer_concurrency=(1, 2),
+        **kw,
+    )
+
+
+def test_replay_matches_oracle(events_dir, tmp_path):
+    lake = str(tmp_path / "lake")
+    report = replay(cfg_for(events_dir, lake))
+    assert not report["skipped"]
+    assert report["events_in"] > 0
+
+    to_ts = datetime.fromisoformat(report["to"])
+    expected = oracle_lake(events_dir, BASE_TS, to_ts)
+    got = read_lake_table(lake)
+    assert lake_multiset(got) == sorted(
+        map(tuple, expected[["repo", "path", "content_sha256"]].itertuples(index=False))
+    )
+    # evolved final schema present and typed
+    names = got.column_names
+    for c in ["mk_score", "mk_revenue", "mk_active", "mk_updated", "content_sha256"]:
+        assert c in names
+    import pyarrow as pa
+
+    assert got.schema.field("mk_score").type == pa.float64()  # widened int->float
+    assert got.schema.field("mk_revenue").type == pa.float64()
+    assert got.schema.field("mk_active").type == pa.bool_()
+    assert pa.types.is_timestamp(got.schema.field("mk_updated").type)
+
+
+def test_replay_is_idempotent_exactly_once(events_dir, tmp_path):
+    lake = str(tmp_path / "lake")
+    replay(cfg_for(events_dir, lake))
+    first = lake_multiset(read_lake_table(lake))
+    fp1 = {p: s["fingerprint"] for p, s in PartitionManifest(lake).load()["partitions"].items()}
+
+    # wipe the checkpoint (simulate lost watermark) and replay the same window
+    os.remove(os.path.join(lake, "_state", "checkpoint.json"))
+    replay(cfg_for(events_dir, lake))
+    second = lake_multiset(read_lake_table(lake))
+    fp2 = {p: s["fingerprint"] for p, s in PartitionManifest(lake).load()["partitions"].items()}
+    assert first == second
+    assert fp1 == fp2
+
+
+def test_skip_run_when_watermark_in_future(events_dir, tmp_path):
+    lake = str(tmp_path / "lake")
+    cfg = cfg_for(events_dir, lake)
+    cfg.from_ts = cfg.job_start + timedelta(days=1)
+    report = replay(cfg)
+    assert report["skipped"]
+
+
+def test_crash_resume_converges(events_dir, tmp_path):
+    lake_crash = str(tmp_path / "lake_crash")
+    lake_ok = str(tmp_path / "lake_ok")
+
+    # clean run for the expected state
+    replay(cfg_for(events_dir, lake_ok))
+    expected = lake_multiset(read_lake_table(lake_ok))
+
+    # crashing run: two buckets fail -> whole run fails, nothing committed
+    with pytest.raises(Exception):
+        replay(cfg_for(events_dir, lake_crash, fail_buckets=frozenset({2, 5})))
+    manifest = PartitionManifest(lake_crash)
+    assert manifest.committed_ids() == set()
+    # watermark must NOT have advanced (W4)
+    ck = os.path.join(lake_crash, "_state", "checkpoint.json")
+    assert not os.path.exists(ck)
+
+    # resume without faults -> converges to the clean state
+    report = replay(cfg_for(events_dir, lake_crash))
+    assert lake_multiset(read_lake_table(lake_crash)) == expected
+    assert os.path.exists(ck)
+    assert report["events_in"] > 0
+
+
+def test_resume_skips_committed_buckets(events_dir, tmp_path):
+    lake = str(tmp_path / "lake")
+    replay(cfg_for(events_dir, lake))
+    manifest = PartitionManifest(lake)
+    committed = manifest.committed_ids()
+    assert committed
+    mtimes = {p: os.path.getmtime(manifest.data_path(p)) for p in committed}
+
+    # same window again after dropping the checkpoint: all buckets already
+    # carry this watermark -> all skipped, no partition rewritten
+    os.remove(os.path.join(lake, "_state", "checkpoint.json"))
+    report = replay(cfg_for(events_dir, lake))
+    assert report["buckets_skipped"] == len(committed)
+    assert report["buckets_written"] == 0
+    assert {p: os.path.getmtime(manifest.data_path(p)) for p in committed} == mtimes
+
+
+def test_multi_window_incremental_upsert(events_dir, tmp_path):
+    """Two sequential windows == one big window (incremental correctness)."""
+    lake_inc = str(tmp_path / "lake_inc")
+    lake_full = str(tmp_path / "lake_full")
+
+    # incremental: a first window clamped to ~half the events ("Lock down
+    # to date"), then a second run from the advanced checkpoint. The next
+    # run restarts AT the previous to_date (from := to, W4), so the
+    # boundary second is pulled twice — LWW idempotence must absorb it.
+    cfg1 = cfg_for(events_dir, lake_inc)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    r1 = replay(cfg1)
+    assert not r1["skipped"]
+
+    cfg2 = cfg_for(events_dir, lake_inc)  # checkpoint supplies from_ts
+    r2 = replay(cfg2)
+    assert not r2["skipped"]
+    assert datetime.fromisoformat(r2["from"]) > BASE_TS
+
+    replay(cfg_for(events_dir, lake_full))
+    assert lake_multiset(read_lake_table(lake_inc)) == lake_multiset(read_lake_table(lake_full))
