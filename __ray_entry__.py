@@ -1,44 +1,202 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship CDC replay pipeline; ``queries()`` exposes
+one callable per implemented operator (SURVEY.md §2); ``oracle_sql()``
+carries the DuckDB-equivalent SQL with IDENTICAL column names. Ray is
+initialised by the driver before this module is imported — nothing here
+calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
+from datetime import timedelta
 from typing import Any
+
+# fixed-size synthetic change-event tables (deterministic, cached in /tmp)
+CDC_N_SMALL = 6_000  # entry() smoke scale
+CDC_N_QUERY = 20_000  # queries()/oracle correctness scale
+
+_CDC_EVENTS_QUERY_DIR = f"/tmp/graft_change_events/n{CDC_N_QUERY}_s42"
+
+
+def _run_replay(n_events: int, num_buckets: int = 16):
+    from embulk_input_marketo_ray.pipelines.cdc_replay import ReplayConfig, replay
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake
+    from embulk_input_marketo_ray.synth import (
+        BASE_TS,
+        default_events_dir,
+        generate_change_events,
+        load_evolution_log,
+    )
+
+    events_dir = default_events_dir(n_events)
+    generate_change_events(events_dir, n_events)
+    lake_dir = tempfile.mkdtemp(prefix="graft_lake_")
+    cfg = ReplayConfig(
+        events_dir=events_dir,
+        lake_dir=lake_dir,
+        evolution_log=load_evolution_log(events_dir),
+        from_ts=BASE_TS,
+        job_start=BASE_TS + timedelta(seconds=n_events + 50),
+        fetch_days=100,
+        num_buckets=num_buckets,
+    )
+    replay(cfg)
+    return read_lake(lake_dir)
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: CDC replay -> exactly-once upserted lake."""
+    return _run_replay(CDC_N_SMALL)
+
+
+def _q_cdc_replay(sf_dir: str):
+    """Flagship as a correctness query (fixed scale, independent of sf:
+    the input is the engine's own change-event table, not a testdata
+    table; the oracle reads the same parquet path)."""
+    lake = _run_replay(CDC_N_QUERY)
+    return lake.select_columns(["repo", "path", "commit_seq", "content_sha256"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from embulk_input_marketo_ray.pipelines import queries as qmod
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    class q:
+        """Each query is wrapped so the shuffle strategy is set BEFORE
+        the query creates its Dataset (the plan snapshots DataContext
+        at dataset-creation time)."""
+
+    for _name in dir(qmod):
+        if _name.startswith("q_"):
+            def _wrap(fn=getattr(qmod, _name)):
+                def run(sf_dir: str):
+                    qmod._ensure_hash_shuffle()
+                    return fn(sf_dir)
+
+                return run
+
+            setattr(q, _name, staticmethod(_wrap()))
+
+    return {
+        "cdc_replay": _q_cdc_replay,
+        "watermark_slice": q.q_watermark_slice,
+        "lww_latest": q.q_lww_latest,
+        "dedup_first": q.q_dedup_first,
+        "incremental_counts": q.q_incremental_counts,
+        "enrich_join": q.q_enrich_join,
+        "semi_join": q.q_semi_join,
+        "included_fields": q.q_included_fields,
+        "preview_limit": q.q_preview_limit,
+        "doc_dedup_exact": q.q_doc_dedup_exact,
+        "doc_tokens": q.q_doc_tokens,
+        "doc_quality": q.q_doc_quality,
+        "ann_topk": q.q_ann_topk,
+        # rows-only (non-SQL-expressible) operators
+        "doc_langid": q.q_doc_langid,
+        "doc_fingerprint": q.q_doc_fingerprint,
+        "doc_simhash": q.q_doc_simhash,
+        "doc_minhash_dup_pairs": q.q_doc_minhash_dup_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from embulk_input_marketo_ray.pipelines.queries import (
+        ANN_NUM_QUERIES,
+        ANN_TOP_K,
+        SLICE_FROM,
+        SLICE_TO,
+    )
+
+    cdc_to = f"TIMESTAMP '2024-01-01' + INTERVAL {CDC_N_QUERY + 50} SECONDS"
+    return {
+        "cdc_replay": f"""
+            WITH e AS (
+              SELECT * FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              WHERE event_ts >= TIMESTAMP '2024-01-01' AND event_ts <= {cdc_to}
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+              FROM e
+            )
+            SELECT repo, path, commit_seq, sha256(content) AS content_sha256
+            FROM ranked WHERE rn = 1 AND op = 'upsert'
+        """,
+        "watermark_slice": f"""
+            SELECT event_id, ts, user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '{SLICE_FROM}' AND ts <= TIMESTAMP '{SLICE_TO}'
+        """,
+        "lww_latest": """
+            SELECT user_id, event_type, max(event_id) AS last_event_id
+            FROM events GROUP BY user_id, event_type
+        """,
+        "dedup_first": """
+            SELECT user_id, event_type, min(event_id) AS first_event_id
+            FROM events GROUP BY user_id, event_type
+        """,
+        "incremental_counts": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS n_events,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        """,
+        "enrich_join": """
+            SELECT n.n_name AS nation, count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "semi_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+        """,
+        "included_fields": """
+            SELECT c_custkey AS mk_c_custkey, c_name AS mk_c_name,
+                   c_nationkey AS mk_c_nationkey
+            FROM customer
+        """,
+        "preview_limit": """
+            SELECT event_id, user_id, event_type FROM events
+            ORDER BY event_id LIMIT 15
+        """,
+        "doc_dedup_exact": """
+            SELECT sha256(text) AS text_sha256, min(doc_id) AS doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY sha256(text)
+        """,
+        "doc_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                     AS n_tokens_bpe
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '\S+')) AS n_words,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+            FROM documents
+        """,
+        "ann_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id < {ANN_NUM_QUERIES}
+            ),
+            s AS (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS cos
+              FROM q CROSS JOIN embeddings e
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {ANN_TOP_K}
+        """,
+    }

@@ -75,10 +75,21 @@ def replay(cfg: ReplayConfig) -> dict:
     t0 = time.perf_counter()
     # keyed repartition (the sink's bucket co-location guarantee)
     # requires the hash shuffle strategy
+    import ray
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
-    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # One aggregator actor per shuffle partition oversubscribes small
+    # clusters (64 actors on 32 CPUs was observed 30x slower than 8);
+    # each aggregator handles many partitions, so cap the pool to a
+    # fraction of cluster CPUs. Partition->bucket mapping is unaffected.
+    total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ctx.max_hash_shuffle_aggregators = max(2, min(cfg.num_buckets, total_cpus // 2))
+    # aggregators are concat-bound; the default 0.0625 cpu/partition
+    # reservation starves map stages on small nodes (see queries.py)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
 
     ckpt = WatermarkCheckpoint(cfg.lake_dir + "/_state")
     from_ts = ckpt.from_date(cfg.from_ts)
@@ -101,13 +112,21 @@ def replay(cfg: ReplayConfig) -> dict:
     normalizer = ChangeEventNormalizer(cfg.evolution_log)
     target_schema = normalizer.final_schema()
 
+    from embulk_input_marketo_ray.state.metrics import MetricsActor
+
+    metrics = MetricsActor.remote()
+
     ds = read_change_events(cfg.events_dir, slices)
     ds = ds.map_batches(
         PagedExtractor,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.extractor_concurrency,
-        fn_constructor_kwargs={"page_size": cfg.page_size, **cfg.extractor_kwargs},
+        fn_constructor_kwargs={
+            "page_size": cfg.page_size,
+            "metrics": metrics,
+            **cfg.extractor_kwargs,
+        },
     )
     ds = ds.map_batches(
         ChangeEventNormalizer,
@@ -173,7 +192,9 @@ def replay(cfg: ReplayConfig) -> dict:
     )
     ckpt.advance(to_ts)  # ConfigDiff analog: from := to, only after commit
 
-    events_in = int(sum(r["events_in"] for r in stats_rows))
+    counters = ray.get(metrics.get.remote())
+    events_read = int(counters.get("events_read", 0))
+    merged_in = int(sum(r["events_in"] for r in stats_rows))
     rows_out = int(sum(r["rows"] for r in stats_rows))
     wall = time.perf_counter() - t0
     return {
@@ -183,8 +204,9 @@ def replay(cfg: ReplayConfig) -> dict:
         "slices": len(slices),
         "buckets_written": len(stats_rows),
         "buckets_skipped": len(done_pids),
-        "events_in": events_in,
+        "events_read": events_read,
+        "events_in": merged_in,  # post partial-combine, pre final merge
         "rows_out": rows_out,
         "wall_s": wall,
-        "events_per_s": events_in / wall if wall > 0 else 0.0,
+        "events_per_s": events_read / wall if wall > 0 else 0.0,
     }

@@ -1,0 +1,428 @@
+"""Driver-facing query catalog: one entry per implemented operator.
+
+Each function takes ``sf_dir`` (a testdata directory of parquet tables)
+and returns a Dataset / pyarrow Table. ``__ray_entry__.queries()``
+exposes them; ``__ray_entry__.oracle_sql()`` carries the matching
+ANSI-SQL strings (column names deliberately identical). Oracle-checked
+queries avoid float aggregates so value-hash comparisons are exact.
+
+Operator -> SURVEY.md §2 mapping is noted per function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+from embulk_input_marketo_ray.stages.lww import BUCKET_COLUMN, lww_merge
+from embulk_input_marketo_ray.functions.scalar import stable_key_hash
+
+
+def _ensure_hash_shuffle() -> None:
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ctx.max_hash_shuffle_aggregators = max(2, total_cpus // 2)
+    # Aggregators are concat-bound; with the default 0.0625 cpu/partition
+    # two chained shuffles reserve every CPU on a small node and the map
+    # stages deadlock. Keep the reservation nominal.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ---------------------------------------------------------------------------
+# generic keep-one-per-key (the LWW / dedup machinery on any Dataset)
+# ---------------------------------------------------------------------------
+
+
+def keep_one_per_key(
+    ds: "ray.data.Dataset",
+    key_columns: list[str],
+    seq_column: str,
+    keep: str = "last",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed exact dedup: newest (``keep='last'``) or oldest
+    (``'first'``) row per composite key, ordered by ``seq_column``.
+
+    Shape (SURVEY.md §2.4 J4 / §2.7 D5): per-batch partial combine ->
+    keyed hash repartition (each key wholly in one partition) -> one
+    vectorized merge per partition. Never per-key map_groups.
+    """
+    _ensure_hash_shuffle()
+    desc = keep == "first"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        merged = _keep(batch)
+        buckets = stable_key_hash(merged, key_columns, num_buckets)
+        return merged.append_column(BUCKET_COLUMN, pa.array(buckets, type=pa.int32()))
+
+    def _keep(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return table
+        import pandas as pd
+
+        order = pc.sort_indices(table, sort_keys=[(seq_column, "descending" if desc else "ascending")])
+        table = table.take(order)
+        joined = table.column(key_columns[0]).cast(pa.string())
+        for k in key_columns[1:]:
+            joined = pc.binary_join_element_wise(joined, table.column(k).cast(pa.string()), "\x00")
+        arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+        mask = ~pd.Series(np.asarray(arr, dtype=object)).duplicated(keep="last").to_numpy()
+        return table.filter(pa.array(mask))
+
+    def final(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        return _keep(block).drop_columns([BUCKET_COLUMN])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.repartition(num_buckets, keys=[BUCKET_COLUMN])
+    return ds.map_batches(final, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_map(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    fn,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Robust per-group apply: keyed hash repartition + in-block group
+    slicing. Replaces ``groupby().map_groups`` (whose Ray 2.49
+    sort-based path can split one group across two UDF calls). ``fn``
+    receives one whole group as a pyarrow Table and must handle the
+    empty table (used for empty partitions)."""
+    _ensure_hash_shuffle()
+    shuffled = ds.repartition(num_partitions, keys=keys)
+
+    def apply(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return fn(block)
+        block = block.sort_by([(k, "ascending") for k in keys])
+        joined = block.column(keys[0]).cast(pa.string())
+        for k in keys[1:]:
+            joined = pc.binary_join_element_wise(joined, block.column(k).cast(pa.string()), "\x00")
+        vals = np.asarray(
+            joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined,
+            dtype=object,
+        )
+        starts = np.flatnonzero(np.r_[True, vals[1:] != vals[:-1]])
+        ends = np.r_[starts[1:], len(vals)]
+        return pa.concat_tables(
+            [fn(block.slice(int(s), int(e - s))) for s, e in zip(starts, ends)]
+        )
+
+    return shuffled.map_batches(apply, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# reference-operator queries over the testdata tables
+# ---------------------------------------------------------------------------
+
+# W2/M11: watermark-slice read with predicate pushdown (S1 read analog)
+SLICE_FROM = "2024-01-08T00:00:00"
+SLICE_TO = "2024-01-15T00:00:00"
+
+
+def q_watermark_slice(sf_dir: str):
+    """Inclusive [from, to] watermark window, pushed into the read."""
+    import datetime as dt
+
+    lo = dt.datetime.fromisoformat(SLICE_FROM)
+    hi = dt.datetime.fromisoformat(SLICE_TO)
+    return ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=((pads.field("ts") >= lo) & (pads.field("ts") <= hi)),
+    )
+
+
+def q_lww_latest(sf_dir: str):
+    """J4/D5: last-writer-wins per (user_id, event_type), event_id as version."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    out = keep_one_per_key(ds, ["user_id", "event_type"], "event_id", keep="last")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "last_event_id": t.column("event_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_dedup_first(sf_dir: str):
+    """T6/D4: per-object dedup by id — keep the FIRST event per key."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    out = keep_one_per_key(ds, ["user_id", "event_type"], "event_id", keep="first")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "first_event_id": t.column("event_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_incremental_counts(sf_dir: str):
+    """A1/A4: per-window lineage counts (day x event_type)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        return batch.append_column("day", day)
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow")
+    return ds.groupby(["event_type", "day"]).aggregate(
+        Count(alias_name="n_events"),
+        Min("event_id", alias_name="min_event_id"),
+        Max("event_id", alias_name="max_event_id"),
+    )
+
+
+def q_enrich_join(sf_dir: str):
+    """J1/J2/M8: broadcast-small-side enrichment join (orders x customer x nation)."""
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    custkeys = np.asarray(cust.column("c_custkey"))
+    order_ix = np.argsort(custkeys)
+    lookup_ref = ray.put(
+        {
+            "custkeys": custkeys[order_ix],
+            "nationkeys": np.asarray(cust.column("c_nationkey"))[order_ix],
+            "nation_names": np.asarray(nation.column("n_name")).astype(object),
+            "nation_ids": np.asarray(nation.column("n_nationkey")),
+        }
+    )
+
+    class Enrich:
+        def __init__(self):  # broadcast fetched once per actor
+            self.lk = ray.get(lookup_ref)
+            order = np.argsort(self.lk["nation_ids"])
+            self.names_by_id = self.lk["nation_names"][order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch.column("o_custkey"))
+            pos = np.searchsorted(self.lk["custkeys"], ck)
+            nk = self.lk["nationkeys"][pos]
+            names = self.names_by_id[nk]
+            return batch.append_column("nation", pa.array(names, type=pa.string()))
+
+    ds = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    ds = ds.map_batches(Enrich, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.groupby("nation").aggregate(Count(alias_name="n_orders"))
+
+
+def q_semi_join(sf_dir: str):
+    """J3: semi-join via broadcast key set (orders of customers in nations 0-4)."""
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    keys = pc.filter(
+        cust.column("c_custkey"), pc.less(cust.column("c_nationkey"), pa.scalar(5))
+    )
+    key_set = pa.array(np.asarray(keys))
+    ds = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("o_custkey"), value_set=key_set)),
+        batch_format="pyarrow",
+    )
+
+
+def q_included_fields(sf_dir: str):
+    """M5/M6: case-insensitive keep-list projection + mk_ column prefix."""
+    include = ["C_CUSTKEY", "c_name", "C_NATIONKEY"]  # case-insensitive, like the reference
+    all_cols = pq.read_schema(_t(sf_dir, "customer")).names
+    wanted = [c for c in all_cols if c.lower() in {i.lower() for i in include}]
+    ds = ray.data.read_parquet(_t(sf_dir, "customer"), columns=wanted)
+    return ds.map_batches(
+        lambda t: t.rename_columns([f"mk_{c}" for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
+def q_preview_limit(sf_dir: str):
+    """M9/O1: preview = first 15 records in id order."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"])
+    return ds.sort("event_id").limit(15)
+
+
+# ---------------------------------------------------------------------------
+# training-data operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dedup_exact(sf_dir: str):
+    """Exact dedup: min doc_id per sha256(text) + multiplicity."""
+    from embulk_input_marketo_ray.stages.dedup import add_content_hash
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(add_content_hash, batch_format="pyarrow")
+    ds = ds.select_columns(["doc_id", "text_sha256"])
+    return ds.groupby("text_sha256").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+
+
+def q_doc_tokens(sf_dir: str):
+    """Token counting: whitespace + BPE-ish regex, Arrow-vectorized."""
+    from embulk_input_marketo_ray.stages.text import token_counts
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(token_counts, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens_ws", "n_tokens_bpe"])
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality counters (integer outputs only, for exact oracle hashing)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counters(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+                "n_words": pc.count_substring_regex(text, pattern=r"\S+").cast(pa.int64()),
+                "n_punct": pc.count_substring_regex(text, pattern=r"[^\w\s]").cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(counters, batch_format="pyarrow")
+
+
+ANN_NUM_QUERIES = 3
+ANN_TOP_K = 5
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: query matrix broadcast once (ray.put),
+    per-batch numpy matmul, global top-k by groupby over query id."""
+    qt = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qmask = pc.less(qt.column("vec_id"), pa.scalar(ANN_NUM_QUERIES))
+    qt = qt.filter(qmask)
+    qm = np.stack(qt.column("embedding").to_pylist()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qids = np.asarray(qt.column("vec_id"))
+    qref = ray.put((qids, qm))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qm = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
+            cos = emb @ self.qm.T  # (batch, n_queries)
+            n, q = cos.shape
+            return pa.table(
+                {
+                    "query_id": pa.array(np.repeat(self.qids, n), type=pa.int64()),
+                    "neighbor_id": pa.array(
+                        np.tile(np.asarray(batch.column("vec_id")), q), type=pa.int64()
+                    ),
+                    "cos": pa.array(cos.T.reshape(-1), type=pa.float64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    scored = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+
+    def topk(block: pa.Table) -> pa.Table:
+        # block = all candidates of >=1 query ids (hash-partitioned)
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("query_id", "ascending"),
+                ("cos", "descending"),
+                ("neighbor_id", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        qid = np.asarray(t.column("query_id"))
+        rank = np.arange(len(qid), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, qid[1:] != qid[:-1]])
+        rank = rank - np.repeat(rank[starts], np.diff(np.r_[starts, len(qid)])) + 1
+        t = t.append_column("rank", pa.array(rank, type=pa.int64()))
+        return t.filter(pa.array(rank <= ANN_TOP_K)).select(["query_id", "neighbor_id", "rank"])
+
+    _ensure_hash_shuffle()
+    shuffled = scored.repartition(ANN_NUM_QUERIES, keys=["query_id"])
+    return shuffled.map_batches(topk, batch_size=None, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL) operators
+# ---------------------------------------------------------------------------
+
+
+def q_doc_langid(sf_dir: str):
+    from embulk_input_marketo_ray.stages.text import LangId
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from embulk_input_marketo_ray.stages.text import Fingerprinter
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def q_doc_simhash(sf_dir: str):
+    from embulk_input_marketo_ray.stages.dedup import SimHasher
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "simhash": t.column("simhash").cast(pa.int64(), safe=False)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_doc_minhash_dup_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates, verified by signature overlap.
+
+    shingle->minhash (actor pool) -> band explosion -> groupby band
+    buckets -> candidate (doc_id, dup_of) pairs, deduplicated.
+    """
+    from embulk_input_marketo_ray.stages.dedup import (
+        MinHasher,
+        explode_lsh_bands,
+        lsh_bucket_to_pairs,
+    )
+
+    _ensure_hash_shuffle()
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
+    bands = ds.map_batches(
+        explode_lsh_bands, batch_format="pyarrow", fn_kwargs={"num_bands": 16}
+    )
+    pairs = grouped_map(bands, ["band", "band_hash"], lsh_bucket_to_pairs, num_partitions=16)
+    # same pair may surface from several bands -> exact dedup
+    return keep_one_per_key(pairs, ["doc_id", "dup_of"], "doc_id", keep="first")

@@ -58,6 +58,7 @@ class PagedExtractor:
         backoff_max_s: float = 0.0,
         fault_rate: float = 0.0,
         rate_limit: tuple[int, float] | None = None,
+        metrics=None,
     ) -> None:
         self.page_size = min(page_size, MAX_BATCH_SIZE)
         self.max_retries = max_retries
@@ -65,6 +66,7 @@ class PagedExtractor:
         self.backoff_max_s = backoff_max_s
         self.fault_rate = fault_rate
         self.rate_limit = rate_limit  # (calls, per_seconds)
+        self.metrics = metrics  # optional MetricsActor handle
         # once-per-actor init (T1): acquire token, reset counters
         self.token = self._acquire_token()
         self.token_pages = 0
@@ -134,4 +136,6 @@ class PagedExtractor:
             self._fetch_page(cursor=self.records + off)
             self.pages += 1
         self.records += n
+        if self.metrics is not None:  # one fire-and-forget call per batch
+            self.metrics.inc.remote("events_read", n)
         return batch
