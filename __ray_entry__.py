@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q.q_doc_fingerprint,
         "doc_simhash": q.q_doc_simhash,
         "doc_minhash_dup_pairs": q.q_doc_minhash_dup_pairs,
+        "token_paged_source": q.q_token_paged_source,
+        "offset_paged_source": q.q_offset_paged_source,
+        "lead_by_list_join": q.q_lead_by_list_join,
+        "csv_parse": q.q_csv_parse,
     }
 
 

@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline CDC replay + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline replay seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "events": N, "events_per_s": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+--scaling: runs the benchmark twice in fresh processes at 8 and 32
+CPUs on the SAME input and prints throughputs + scaling efficiency
+(the sandbox evidence for the two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from datetime import timedelta
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries timed against GRAFT_SF_DIR (each fully consumed via count)
+BENCH_QUERIES = [
+    "watermark_slice",
+    "lww_latest",
+    "dedup_first",
+    "incremental_counts",
+    "enrich_join",
+    "semi_join",
+    "included_fields",
+    "doc_dedup_exact",
+    "doc_tokens",
+    "doc_quality",
+    "ann_topk",
+    "doc_minhash_dup_pairs",
+    "doc_simhash",
+    "doc_langid",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _n_events(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    # scale the synthetic change-event table to the sf's lineitem size
+    return pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from embulk_input_marketo_ray.pipelines.cdc_replay import ReplayConfig, replay
+    from embulk_input_marketo_ray.synth import (
+        BASE_TS,
+        default_events_dir,
+        generate_change_events,
+        load_evolution_log,
+    )
+
+    n = _n_events(SF_DIR) * int(os.environ.get("GRAFT_EVENTS_MULTIPLIER", "1"))
+    events_dir = default_events_dir(n)
+    # file count fixed (not CPU-derived) so both scaling runs read the
+    # identical layout; 64 files keeps the read parallel at 32 CPUs
+    generate_change_events(events_dir, n, n_files=64)
+
+    def mkcfg(lake: str) -> ReplayConfig:
+        return ReplayConfig(
+            events_dir=events_dir,
+            lake_dir=lake,
+            evolution_log=load_evolution_log(events_dir),
+            from_ts=BASE_TS,
+            job_start=BASE_TS + timedelta(seconds=n + 50),
+            fetch_days=100,
+            num_buckets=max(64, NUM_CPUS * 2),
+            # the fused ingest stage is the CPU-dominant stage: let the
+            # autoscaling pool reach every CPU; backpressure sizes it down
+            extractor_concurrency=(2, NUM_CPUS),
+            normalizer_concurrency=(2, NUM_CPUS),
+        )
+
+    # warm-up: full pass untimed (worker startup, actor pools, page cache)
+    warm_lake = "/tmp/graft_bench_lake_warm"
+    shutil.rmtree(warm_lake, ignore_errors=True)
+    replay(mkcfg(warm_lake))
+
+    # timed headline run (fresh lake)
+    lake = "/tmp/graft_bench_lake"
+    shutil.rmtree(lake, ignore_errors=True)
+    report = replay(mkcfg(lake))
+    headline = report["wall_s"]
+
+    # per-query timings (skipped in scaling subprocesses)
+    query_secs: dict[str, float] = {}
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            res = qs[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()  # consume the full pipeline
+            query_secs[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "cdc_replay_end_to_end",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "events": report["events_read"],
+        "events_per_s": round(report["events_per_s"], 1),
+        "rows_out": report["rows_out"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes. The input is 4x the
+    per-round bench size so compute dominates the fixed per-run costs
+    (actor/aggregator startup, manifest commit) — the scaling criterion
+    measures the engine, not the constant overhead."""
+
+    def run_at(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_EVENTS_MULTIPLIER=os.environ.get("GRAFT_EVENTS_MULTIPLIER", "4"),
+            GRAFT_SKIP_QUERIES="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run_at(lo), run_at(hi)
+    thr_lo, thr_hi = r_lo["events_per_s"], r_hi["events_per_s"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "cdc_replay_scaling",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "events_per_s_8": thr_lo,
+        "events_per_s_32": thr_hi,
+        "cpus": [lo, hi],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"],
+        "events": r_lo["events"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -116,30 +116,36 @@ def replay(cfg: ReplayConfig) -> dict:
 
     metrics = MetricsActor.remote()
 
+    # One fused actor pool for the narrow stages (paged-fetch protocol ->
+    # typed normalize -> partial LWW + bucket). Fusing avoids two extra
+    # actor-pool spin-ups and two object-store round trips of the full
+    # stream per run; the stages remain separately testable classes.
+    class IngestStage:
+        def __init__(self, evolution_log, page_size, metrics, num_buckets, extractor_kwargs):
+            self.extractor = PagedExtractor(
+                page_size=page_size, metrics=metrics, **extractor_kwargs
+            )
+            self.normalizer = ChangeEventNormalizer(evolution_log)
+            self.num_buckets = num_buckets
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = self.extractor(batch)
+            batch = self.normalizer(batch)
+            return add_bucket_and_partial_lww(batch, self.num_buckets)
+
     ds = read_change_events(cfg.events_dir, slices)
     ds = ds.map_batches(
-        PagedExtractor,
+        IngestStage,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.extractor_concurrency,
         fn_constructor_kwargs={
+            "evolution_log": cfg.evolution_log,
             "page_size": cfg.page_size,
             "metrics": metrics,
-            **cfg.extractor_kwargs,
+            "num_buckets": cfg.num_buckets,
+            "extractor_kwargs": cfg.extractor_kwargs,
         },
-    )
-    ds = ds.map_batches(
-        ChangeEventNormalizer,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.normalizer_concurrency,
-        fn_constructor_kwargs={"evolution_log": cfg.evolution_log},
-    )
-    ds = ds.map_batches(
-        add_bucket_and_partial_lww,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        fn_kwargs={"num_buckets": cfg.num_buckets},
     )
     if len(done_buckets):
         skip = pa.array(done_buckets)

@@ -405,6 +405,50 @@ def q_doc_simhash(sf_dir: str):
     )
 
 
+def q_token_paged_source(sf_dir: str):
+    """S4: token-cursor paged source (fixture server) with mid-stream
+    token expiry + rate-limit + bad-JSON injections, all retried."""
+    from embulk_input_marketo_ray.sources.paged import read_token_paged
+
+    return read_token_paged(2000, fail_plan={1: "602", 3: "606", 5: "badjson"})
+
+
+def q_offset_paged_source(sf_dir: str):
+    """S5: offset-window paged source, windows fanned out in parallel."""
+    from embulk_input_marketo_ray.sources.paged import read_offset_paged
+
+    return read_offset_paged(3000, fail_plan={0: "606"})
+
+
+def q_lead_by_list_join(sf_dir: str):
+    """J1/S3: parent-driven nested fetch-join, children tagged listId,
+    concurrency capped at 2 like the reference's export-job limit."""
+    from embulk_input_marketo_ray.sources.fetch_join import read_children_of, sanitize_ids
+
+    parents = sanitize_ids([" 11 ", "22", "33", "22"])
+    return read_children_of(parents, children_per_parent=200, max_concurrent_jobs=2)
+
+
+def q_csv_parse(sf_dir: str):
+    """M1-M3: CSV payload parse (RFC4180 + null literals) as a batch
+    stage: one synthetic bulk-extract CSV blob per partition."""
+    import ray.data as rd
+
+    from embulk_input_marketo_ray.sources.csv_source import records_to_table
+
+    def make_csv(i: int) -> str:
+        rows = [f'{j},"name_{i}_{j}","v""q",null,' for j in range(i * 100, i * 100 + 100)]
+        return "id,name,quoted,n1,n2\n" + "\n".join(rows) + "\n"
+
+    blobs = rd.from_items([{"payload": make_csv(i)} for i in range(8)])
+
+    def parse(batch: pa.Table):
+        for payload in batch.column("payload").to_pylist():
+            yield records_to_table(payload)
+
+    return blobs.map_batches(parse, batch_format="pyarrow", batch_size=None)
+
+
 def q_doc_minhash_dup_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates, verified by signature overlap.
 

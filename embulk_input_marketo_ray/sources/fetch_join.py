@@ -1,0 +1,95 @@
+"""Parent-driven nested fetch-join (SURVEY.md §2.4 J1/J2, §2.1 S3).
+
+The reference's lead-by-list / lead-by-program targets fetch each
+parent's children and tag every child with the parent id — an index
+nested-loop join with the parent list as the (small) driving side
+(MarketoServiceImpl.java:135-153, flatMap at MarketoUtils.java:181-222,
+column augmentation at delegate/LeadWithListInputPlugin.java:74-88).
+Program-members bulk export caps concurrent export jobs at 2
+(delegate/ProgramMembersBulkExtractInputPlugin.java:74-78).
+
+Ray Data shape: ``from_items(parent_ids)`` -> actor-pool ``map_batches``
+whose pool size enforces the API's concurrency cap; each actor streams
+its parents' children as Arrow batches with the parent-id column
+appended (M8: constant-value `Table.append_column` per parent).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from embulk_input_marketo_ray.sources.paged import (
+    FixtureServer,
+    iter_token_pages,
+)
+
+PARENT_ID_COLUMN = "listId"  # MarketoUtils.java:58-60 (LIST_ID_COLUMN_NAME)
+
+
+class ChildFetcher:
+    """Actor: holds one protocol client; fetches children per parent.
+
+    The actor-pool ``concurrency`` passed at the call site is the
+    engine analog of ``number_concurrent_export_job <= 2``.
+    """
+
+    def __init__(self, children_per_parent: int = 450, parent_column: str = PARENT_ID_COLUMN):
+        self.children_per_parent = children_per_parent
+        self.parent_column = parent_column
+
+    def __call__(self, batch: pa.Table):
+        for parent_id in batch.column("parent_id").to_pylist():
+            server = FixtureServer(n_records=self.children_per_parent)
+            for page in iter_token_pages(server):
+                # M8: annotate each child with its parent id
+                tagged = page.append_column(
+                    self.parent_column,
+                    pa.array([parent_id] * page.num_rows, type=pa.int64()),
+                )
+                yield tagged
+
+
+def read_children_of(
+    parent_ids: list[int],
+    children_per_parent: int = 450,
+    max_concurrent_jobs: int = 2,
+    parent_column: str = PARENT_ID_COLUMN,
+) -> "ray.data.Dataset":
+    """All children of all parents, each row tagged with its parent id."""
+    specs = ray.data.from_items([{"parent_id": p} for p in parent_ids])
+    # one parent per task so the pool cap = concurrent "export jobs"
+    specs = specs.repartition(max(len(parent_ids), 1))
+    return specs.map_batches(
+        ChildFetcher,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=max_concurrent_jobs,
+        fn_constructor_kwargs={
+            "children_per_parent": children_per_parent,
+            "parent_column": parent_column,
+        },
+    )
+
+
+def sanitize_ids(raw_ids: list[str]) -> list[int]:
+    """Id-list sanitation (M10, delegate/MarketoBaseInputPluginDelegate.java:110-161):
+    trim, drop blanks, reject non-numeric with a clear error, dedupe
+    preserving order; error if nothing valid remains."""
+    seen: set[int] = set()
+    out: list[int] = []
+    for raw in raw_ids:
+        s = raw.strip()
+        if not s:
+            continue
+        if not s.lstrip("-").isdigit():
+            raise ValueError(f"Invalid id: '{s}', id must be a number")
+        v = int(s)
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    if not out:
+        raise ValueError("No valid ids in the id list")
+    return out

@@ -1,0 +1,232 @@
+"""Token- and offset-paged REST sources (SURVEY.md §2.1 S4/S5/S6).
+
+Re-expresses the reference's ``RecordPagingIterable`` protocol
+(rest/RecordPagingIterable.java:13-179, rest/MarketoRestClient.java:397-466)
+as Ray Data sources over a deterministic fixture server:
+
+- **response envelope**: ``{requestId, success, nextPageToken?,
+  moreResult?, errors[], result[]}`` (model/MarketoResponse.java:9-82);
+- **token paging**: follow ``nextPageToken`` until ``moreResult`` is
+  false; page size hard-capped at 300 (rest/MarketoRestClient.java:55,
+  426-466). Inherently sequential (cursor chain) -> ONE streaming task
+  that yields an Arrow batch per page (the Dataset downstream still
+  pipelines);
+- **offset paging**: ``offset += len(result)`` until a short page;
+  ``max_return=200`` (rest/MarketoRestClient.java:397-425). Offsets are
+  precomputable -> parallel fan-out over offset windows;
+- **error semantics**: expired token (code 602) renews and retries,
+  rate limit (606) waits and retries, invalid-JSON pages retry, per
+  rest/MarketoBaseRestClient.java:246-300.
+
+The fixture server mirrors the shape of the reference's JSON fixtures
+(fixtures/lists_response.json etc., FIXTURES.md F6) and injects each
+error class deterministically.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+TOKEN_PAGE_SIZE = 300  # MAX_BATCH_SIZE, rest/MarketoRestClient.java:55
+OFFSET_PAGE_SIZE = 200  # MAX_RETURN, rest/MarketoRestClient.java:57
+
+
+class MarketoApiError(RuntimeError):
+    def __init__(self, code: int, message: str) -> None:
+        super().__init__(f"[{code}] {message}")
+        self.code = code
+
+
+RETRYABLE_CODES = {502, 604, 606, 608, 611, 615, 713, 1029}
+TOKEN_CODES = {601, 602}
+
+
+@dataclass
+class FixtureServer:
+    """Deterministic in-memory 'Marketo': n_records campaign-like rows,
+    served in envelope pages with injected protocol errors.
+
+    ``fail_plan`` maps page-index -> one of '602', '606', 'badjson';
+    each injected failure occurs once, then the retry succeeds
+    (mirroring the transient classes the reference retries)."""
+
+    n_records: int = 1000
+    fail_plan: dict[int, str] = field(default_factory=dict)
+    valid_token: str = "tok-0"
+    calls: int = 0
+    _fired: set = field(default_factory=set)
+
+    def issue_token(self) -> str:
+        self.valid_token = f"tok-{self.calls}"
+        return self.valid_token
+
+    def _record(self, i: int) -> dict:
+        return {
+            "id": i,
+            "name": f"Campaign_{i:05d}",
+            "type": "batch" if i % 3 else "trigger",
+            "workspaceName": f"ws{i % 7}",
+        }
+
+    def _maybe_fail(self, page_index: int, token: str) -> str | None:
+        self.calls += 1
+        if token != self.valid_token:
+            raise MarketoApiError(602, "Access token expired")
+        plan = self.fail_plan.get(page_index)
+        if plan and (page_index, plan) not in self._fired:
+            self._fired.add((page_index, plan))
+            if plan == "602":
+                self.valid_token = f"tok-renew-{self.calls}"  # invalidate
+                raise MarketoApiError(602, "Access token expired")
+            if plan == "606":
+                raise MarketoApiError(606, "Max rate limit exceeded")
+            if plan == "badjson":
+                return "{not json"
+        return None
+
+    def token_page(self, token: str, next_page_token: str | None, batch_size: int) -> str:
+        """One token-paged call; returns the raw JSON envelope."""
+        start = int(next_page_token or 0)
+        page_index = start // max(batch_size, 1)
+        bad = self._maybe_fail(page_index, token)
+        if bad is not None:
+            return bad
+        end = min(start + min(batch_size, TOKEN_PAGE_SIZE), self.n_records)
+        more = end < self.n_records
+        env = {
+            "requestId": f"req{self.calls:x}",
+            "success": True,
+            "result": [self._record(i) for i in range(start, end)],
+            "moreResult": more,
+        }
+        if more:
+            env["nextPageToken"] = str(end)
+        return json.dumps(env)
+
+    def offset_page(self, token: str, offset: int, max_return: int) -> str:
+        page_index = offset // max(max_return, 1)
+        bad = self._maybe_fail(page_index, token)
+        if bad is not None:
+            return bad
+        end = min(offset + min(max_return, OFFSET_PAGE_SIZE), self.n_records)
+        env = {
+            "requestId": f"req{self.calls:x}",
+            "success": True,
+            "result": [self._record(i) for i in range(offset, end)],
+        }
+        return json.dumps(env)
+
+
+RECORD_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("name", pa.string()),
+        ("type", pa.string()),
+        ("workspaceName", pa.string()),
+    ]
+)
+
+
+def _records_to_table(records: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(records, schema=RECORD_SCHEMA)
+
+
+class _PagedClient:
+    """Protocol state shared by both sources: token, retry, rate wait.
+
+    Mirrors MarketoBaseRestClient: renew-then-retry on 601/602
+    (:265-274), wait-then-retry on 606 (:276-283), retry invalid JSON
+    (:246-300); bounded retries."""
+
+    def __init__(self, server: FixtureServer, max_retries: int = 7) -> None:
+        self.server = server
+        self.max_retries = max_retries
+        self.token = server.issue_token()
+        self.retries = 0
+
+    def call(self, fn, *args) -> dict:
+        attempt = 0
+        while True:
+            try:
+                raw = fn(self.token, *args)
+                env = json.loads(raw)  # invalid JSON -> retry
+                if not env.get("success", False):
+                    raise MarketoApiError(608, "API unavailable")
+                return env
+            except (MarketoApiError, json.JSONDecodeError) as e:
+                attempt += 1
+                self.retries += 1
+                if attempt > self.max_retries:
+                    raise
+                if isinstance(e, MarketoApiError):
+                    if e.code in TOKEN_CODES:
+                        self.token = self.server.issue_token()
+                    elif e.code not in RETRYABLE_CODES:
+                        raise
+
+
+def iter_token_pages(server: FixtureServer, batch_size: int = TOKEN_PAGE_SIZE):
+    """Sequential token-cursor stream; yields one Arrow table per page."""
+    client = _PagedClient(server)
+    next_token: str | None = None
+    while True:
+        env = client.call(server.token_page, next_token, batch_size)
+        if env["result"]:
+            yield _records_to_table(env["result"])
+        if not env.get("moreResult", False):
+            return
+        next_token = env["nextPageToken"]
+
+
+def read_token_paged(
+    n_records: int, fail_plan: dict[int, str] | None = None, batch_size: int = TOKEN_PAGE_SIZE
+) -> "ray.data.Dataset":
+    """Token-paged source as a Dataset: the cursor chain is sequential,
+    so a single spec row fans into a generator task that streams pages;
+    downstream stages pipeline on the per-page batches."""
+
+    def gen(_batch):
+        server = FixtureServer(n_records=n_records, fail_plan=fail_plan or {})
+        yield from iter_token_pages(server, batch_size)
+
+    return ray.data.range(1).map_batches(gen, batch_size=None)
+
+
+def read_offset_paged(
+    n_records: int,
+    fail_plan: dict[int, str] | None = None,
+    max_return: int = OFFSET_PAGE_SIZE,
+    window_pages: int = 8,
+) -> "ray.data.Dataset":
+    """Offset-paged source: offsets are precomputable, so windows of
+    ``window_pages`` pages fan out as parallel tasks (S5: 'offset
+    windows are precomputable -> parallel'); each task walks its
+    window with full retry/renew protocol state."""
+    window = max_return * window_pages
+    starts = list(range(0, n_records, window))
+    specs = ray.data.from_items([{"start": s} for s in starts])
+
+    def fetch(batch: pa.Table):
+        server = FixtureServer(n_records=n_records, fail_plan=fail_plan or {})
+        client = _PagedClient(server)
+        for start in batch.column("start").to_pylist():
+            offset = start
+            stop = min(start + window, n_records)
+            while offset < stop:
+                env = client.call(server.offset_page, offset, max_return)
+                got = len(env["result"])
+                if not got:
+                    break
+                yield _records_to_table(env["result"])
+                offset += got
+                if got < max_return:  # short page = end of data
+                    break
+
+    return specs.map_batches(fetch, batch_format="pyarrow", batch_size=None)

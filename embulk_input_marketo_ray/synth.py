@@ -152,12 +152,16 @@ def generate_change_events(
         np.where(rng.random(n_events) < 0.5, "true", "false").astype(object),
         active_from["active"],
     )
-    attr_updated = with_null_literals(
-        pd.Series(seqs % 86400).map(
-            lambda s: (BASE_TS + timedelta(seconds=int(s))).strftime("%Y-%m-%dT%H:%M:%S+0000")
-        ).to_numpy(dtype=object),
-        active_from["updated"],
+    # 86400 distinct second-of-day timestamps -> build the string pool
+    # once and fancy-index (a per-row strftime loop is ~20s at 2M rows)
+    ts_pool = np.array(
+        [
+            (BASE_TS + timedelta(seconds=s)).strftime("%Y-%m-%dT%H:%M:%S+0000")
+            for s in range(86400)
+        ],
+        dtype=object,
     )
+    attr_updated = with_null_literals(ts_pool[seqs % 86400], active_from["updated"])
 
     event_ts = np.datetime64(BASE_TS, "us") + seqs * np.timedelta64(1_000_000, "us")
 

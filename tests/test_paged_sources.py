@@ -1,0 +1,87 @@
+"""Pagination protocol tests, mirroring the reference's
+rest/MarketoRestClientTest.java:327-372 (token pages post nextPageToken,
+offset paging stops on short page) and
+rest/MarketoBaseRestClientTest.java:66-335 (602 renew, 606 wait,
+invalid-JSON retry)."""
+
+import pytest
+
+from embulk_input_marketo_ray.sources.paged import (
+    FixtureServer,
+    MarketoApiError,
+    _PagedClient,
+    iter_token_pages,
+    read_offset_paged,
+    read_token_paged,
+)
+
+
+def test_token_pages_follow_cursor_until_exhausted():
+    server = FixtureServer(n_records=750)
+    pages = list(iter_token_pages(server))
+    assert [p.num_rows for p in pages] == [300, 300, 150]
+    ids = [i for p in pages for i in p.column("id").to_pylist()]
+    assert ids == list(range(750))
+
+
+def test_token_page_size_capped_at_300():
+    server = FixtureServer(n_records=500)
+    pages = list(iter_token_pages(server, batch_size=1000))
+    assert [p.num_rows for p in pages] == [300, 200]
+
+
+def test_expired_token_renewed_mid_stream():
+    server = FixtureServer(n_records=900, fail_plan={1: "602"})
+    pages = list(iter_token_pages(server))
+    assert sum(p.num_rows for p in pages) == 900
+
+
+def test_rate_limit_and_bad_json_retried():
+    server = FixtureServer(n_records=700, fail_plan={0: "606", 2: "badjson"})
+    pages = list(iter_token_pages(server))
+    assert sum(p.num_rows for p in pages) == 700
+
+
+def test_retry_budget_exhausted_raises():
+    server = FixtureServer(n_records=100)
+    client = _PagedClient(server, max_retries=2)
+
+    def always_rate_limited(token, *a):
+        raise MarketoApiError(606, "rate limited")
+
+    with pytest.raises(MarketoApiError):
+        client.call(always_rate_limited)
+    assert client.retries == 3
+
+
+def test_non_retryable_error_propagates():
+    server = FixtureServer(n_records=100)
+    client = _PagedClient(server)
+
+    def fatal(token, *a):
+        raise MarketoApiError(603, "Access denied")
+
+    with pytest.raises(MarketoApiError) as ei:
+        client.call(fatal)
+    assert ei.value.code == 603
+    assert client.retries == 1  # counted, not retried
+
+
+def test_token_paged_dataset_streams_all_records():
+    ds = read_token_paged(1000, fail_plan={1: "602"})
+    assert ds.count() == 1000
+    ids = sorted(r["id"] for r in ds.take_all())
+    assert ids == list(range(1000))
+
+
+def test_offset_paged_dataset_parallel_windows():
+    ds = read_offset_paged(3300, fail_plan={0: "606"})
+    assert ds.count() == 3300
+    ids = sorted(r["id"] for r in ds.take_all())
+    assert ids == list(range(3300))
+
+
+def test_offset_short_page_terminates():
+    # 450 records with max_return 200 -> pages 200/200/50, stop
+    ds = read_offset_paged(450)
+    assert ds.count() == 450

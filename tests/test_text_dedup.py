@@ -1,0 +1,123 @@
+"""Unit tests for the training-data text / dedup kernels."""
+
+import numpy as np
+import pyarrow as pa
+
+from embulk_input_marketo_ray.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    add_content_hash,
+    exact_dedup_keep_first,
+    explode_lsh_bands,
+    lsh_bucket_to_pairs,
+    ngram_jaccard,
+)
+from embulk_input_marketo_ray.stages.text import (
+    Fingerprinter,
+    LangId,
+    QualityScorer,
+    token_counts,
+)
+
+
+def _docs():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+                "der Hund und die Katze und das Pferd ist gut",
+                "completely different words entirely here now folks",
+            ],
+        }
+    )
+
+
+def test_token_counts():
+    out = token_counts(pa.table({"text": ["a b  c", "", "x,y"]}))
+    assert out.column("n_tokens_ws").to_pylist() == [3, 0, 1]
+    assert out.column("n_tokens_bpe").to_pylist() == [3, 0, 3]  # x , y
+
+
+def test_quality_scorer():
+    out = QualityScorer()(_docs())
+    rows = out.to_pylist()
+    assert rows[0]["n_words"] == 9
+    assert rows[0]["quality_ok"]
+    assert 0 <= rows[0]["stopword_ratio"] <= 1
+
+
+def test_langid_picks_marker_language():
+    out = LangId()(_docs()).to_pylist()
+    assert out[0]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "unknown"
+
+
+def test_fingerprint_deterministic_and_identity():
+    f = Fingerprinter()
+    out1 = f(_docs()).column("fingerprint").to_pylist()
+    out2 = Fingerprinter()(_docs()).column("fingerprint").to_pylist()
+    assert out1 == out2
+    assert out1[0] == out1[1]  # identical docs -> identical fingerprint
+    assert out1[0] != out1[3]
+
+
+def test_exact_dedup_keep_first():
+    hashed = add_content_hash(_docs())
+    out = exact_dedup_keep_first(hashed)
+    ids = sorted(out.column("doc_id").to_pylist())
+    assert ids == [1, 3, 4]  # doc 2 collapsed into doc 1
+
+
+def test_minhash_identical_docs_identical_signatures():
+    mh = MinHasher(num_perm=32)
+    out = mh(_docs())
+    sigs = np.asarray(out.column("minhash").combine_chunks().flatten()).reshape(4, 32)
+    assert (sigs[0] == sigs[1]).all()
+    assert (sigs[0] != sigs[3]).mean() > 0.8  # unrelated docs disagree
+
+
+def test_minhash_near_dup_high_overlap():
+    a = "the quick brown fox jumps over the lazy dog again and again every day"
+    b = "the quick brown fox jumps over the lazy dog again and again every night"
+    mh = MinHasher(num_perm=64)
+    sa, sb = mh.signature(a), mh.signature(b)
+    assert (sa == sb).mean() > 0.5
+    assert ngram_jaccard(a, b) > 0.5
+
+
+def test_lsh_band_explosion_and_pairs():
+    mh = MinHasher(num_perm=32)
+    t = mh(_docs())
+    bands = explode_lsh_bands(t, num_bands=8)
+    assert bands.num_rows == 4 * 8
+    # docs 1 and 2 are identical -> every band collides
+    import pandas as pd
+
+    df = bands.to_pandas()
+    both = df[df.doc_id.isin([1, 2])].groupby(["band", "band_hash"]).doc_id.nunique()
+    assert (both == 2).sum() == 8
+    one_bucket = pa.table(
+        {"doc_id": pa.array([2, 1], type=pa.int64()),
+         "band": pa.array([0, 0], type=pa.int32()),
+         "band_hash": ["h", "h"]}
+    )
+    pairs = lsh_bucket_to_pairs(one_bucket)
+    assert pairs.to_pylist() == [{"doc_id": 2, "dup_of": 1}]
+
+
+def test_simhash_properties():
+    sh = SimHasher()
+    out = sh(_docs()).column("simhash").to_pylist()
+    assert out[0] == out[1]
+    h0, h3 = int(out[0]), int(out[3])
+    assert bin(h0 ^ h3).count("1") > 10  # unrelated docs far apart
+    assert sh.simhash("") == 0
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert ngram_jaccard("", "") == 1.0
