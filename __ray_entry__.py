@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "offset_paged_source": q.q_offset_paged_source,
         "lead_by_list_join": q.q_lead_by_list_join,
         "csv_parse": q.q_csv_parse,
+        "ann_lsh_topk": q.q_ann_lsh_topk,
+        "embedding_near_dup": q.q_embedding_near_dup,
+        "multimodal_pipeline": q.q_multimodal_pipeline,
+        "activity_static_schema": q.q_activity_static_schema,
     }
 
 

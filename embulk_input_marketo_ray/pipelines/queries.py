@@ -405,6 +405,84 @@ def q_doc_simhash(sf_dir: str):
     )
 
 
+def q_ann_lsh_topk(sf_dir: str):
+    """Approximate (LSH-bucketed) ANN — the scale path for q_ann_topk."""
+    from embulk_input_marketo_ray.stages.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_t(sf_dir, "embeddings"))
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via LSH buckets."""
+    from embulk_input_marketo_ray.stages.similarity import embedding_near_dup_pairs
+
+    # testdata embeddings are near-orthogonal (max off-diag cosine ~0.5);
+    # a production near-dup threshold would be ~0.95
+    return embedding_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.45)
+
+
+def q_multimodal_pipeline(sf_dir: str):
+    """Decode -> resize -> audio-featurize over a synthetic media table
+    (decode stubbed, Ray plumbing real; small batches for big rows)."""
+    import ray.data as rd
+
+    from embulk_input_marketo_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        AudioFeaturizer,
+        ImageDecoder,
+        ImageResizer,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(256))
+    ds = ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )
+    ds = ds.map_batches(
+        ImageResizer, batch_format="pyarrow", batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )
+    ds = ds.map_batches(
+        AudioFeaturizer, batch_format="pyarrow", batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )
+    return ds.select_columns(["media_id", "media_type", "decode_ok"])
+
+
+def q_activity_static_schema(sf_dir: str):
+    """F4: activity-style all-string payload -> static typed schema with
+    canonical-JSON attributes + invalid-record (dead-letter) filter."""
+    import ray.data as rd
+
+    from embulk_input_marketo_ray.stages.static_schema import (
+        ACTIVITY_FIELDS,
+        apply_static_schema,
+        filter_invalid_records,
+    )
+
+    rows = []
+    for i in range(2000):
+        rows.append(
+            {
+                "marketoGUID": f"guid{i:06d}",
+                "leadId": str(i % 97),
+                "activityDate": f"2024-02-{(i % 28) + 1:02d}T07:00:00+0000",
+                "activityTypeId": str(i % 12),
+                "campaignId": "null" if i % 5 == 0 else str(i % 40),
+                "primaryAttributeValueId": str(i),
+                "primaryAttributeValue": f"v{i}",
+                "attributes": f'{{"Source Type":"List import","n":{i}}}',
+                "reasons": '[{"code":"1003"}]' if i % 50 == 0 else None,
+            }
+        )
+    ds = rd.from_items(rows)
+    ds = ds.map_batches(filter_invalid_records, batch_format="pyarrow")
+    return ds.map_batches(
+        apply_static_schema, batch_format="pyarrow", fn_kwargs={"fields": ACTIVITY_FIELDS}
+    )
+
+
 def q_token_paged_source(sf_dir: str):
     """S4: token-cursor paged source (fixture server) with mid-stream
     token expiry + rate-limit + bad-JSON injections, all retried."""

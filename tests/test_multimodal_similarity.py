@@ -1,0 +1,130 @@
+"""Multimodal plumbing + LSH similarity + static schema tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from embulk_input_marketo_ray.stages.multimodal import (
+    AudioFeaturizer,
+    FrameSampler,
+    ImageDecoder,
+    ImageResizer,
+    synth_media_table,
+)
+from embulk_input_marketo_ray.stages.static_schema import (
+    ACTIVITY_FIELDS,
+    apply_static_schema,
+    filter_invalid_records,
+)
+
+
+def test_media_synth_deterministic():
+    a, b = synth_media_table(20), synth_media_table(20)
+    assert a.equals(b)
+
+
+def test_image_decode_resize_roundtrip():
+    t = synth_media_table(10)
+    dec = ImageDecoder()(t)
+    assert dec.column("decode_ok").to_pylist() == [True] * 10
+    side = ImageDecoder.THUMB
+    assert len(dec.column("pixels")[0]) == side * side * 3
+    small = ImageResizer(factor=2)(dec)
+    assert len(small.column("pixels_small")[0]) == (side // 2) ** 2 * 3
+    # deterministic decode: same payload -> same pixels
+    dec2 = ImageDecoder()(t)
+    assert dec.column("pixels").to_pylist() == dec2.column("pixels").to_pylist()
+
+
+def test_image_decoder_strict_raises_without_codec():
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(strict=True)
+
+
+def test_frame_sampler_explodes_rows():
+    t = synth_media_table(5)
+    out = FrameSampler(k=4)(t)
+    assert out.column_names == ["media_id", "frame_index", "frame"]
+    counts = {}
+    for m in out.column("media_id").to_pylist():
+        counts[m] = counts.get(m, 0) + 1
+    assert all(1 <= c <= 4 for c in counts.values())
+    assert len(counts) == 5
+
+
+def test_audio_features_fixed_width():
+    out = AudioFeaturizer()(synth_media_table(6))
+    assert len(out.column("audio_features")[0]) == AudioFeaturizer.N_FEATURES
+
+
+def test_static_activity_schema():
+    batch = pa.table(
+        {
+            "marketoGUID": ["g1", "g2"],
+            "leadId": ["5", "6"],
+            "activityDate": ["2024-03-01T10:00:00+0000", "null"],
+            "activityTypeId": ["12", "12"],
+            "attributes": ['{"b": 1, "a": 2}', "not json"],
+            "extraColumn": ["x", "y"],  # closed-world: dropped
+        }
+    )
+    out = apply_static_schema(batch, ACTIVITY_FIELDS)
+    assert set(out.column_names) == set(ACTIVITY_FIELDS)
+    assert pa.types.is_timestamp(out.schema.field("activityDate").type)
+    assert out.column("activityDate").to_pylist()[1] is None
+    # canonical JSON: sorted keys; invalid json -> null
+    assert out.column("attributes").to_pylist() == ['{"a":2,"b":1}', None]
+    # missing source columns -> typed nulls
+    assert out.column("campaignId").null_count == 2
+
+
+def test_invalid_record_filter():
+    batch = pa.table(
+        {
+            "id": [1, 2, 3],
+            "reasons": [None, '[{"code":"1004"}]', None],
+        }
+    )
+    out = filter_invalid_records(batch)
+    assert out.column("id").to_pylist() == [1, 3]
+    assert "reasons" not in out.column_names
+
+
+def test_ann_lsh_recall_against_exact(ray_session):
+    """LSH ANN must recover most of the exact brute-force top-k
+    (deterministic seeds -> stable recall)."""
+    import __ray_entry__ as mod
+
+    qs = mod.queries()
+    sf = "/root/testdata/sf0.001"
+    exact = qs["ann_topk"](sf).to_pandas()
+    approx = qs["ann_lsh_topk"](sf).to_pandas()
+    ek = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    ak = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    assert len(ek & ak) / len(ek) >= 0.6
+
+
+def test_embedding_near_dup_finds_known_pair(ray_session):
+    import __ray_entry__ as mod
+
+    nd = mod.queries()["embedding_near_dup"]("/root/testdata/sf0.01").to_pandas()
+    assert {tuple(r) for r in nd[["vec_id", "dup_of"]].values} >= {(300, 53)}
+
+
+def test_lsh_identical_vectors_collide():
+    from embulk_input_marketo_ray.stages.similarity import LshBucketer
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    emb = np.stack([base, base, -base])
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb]),
+        }
+    )
+    out = LshBucketer(dim=16, n_planes=8, n_tables=2)(t).to_pandas()
+    for tbl, g in out.groupby("lsh_table"):
+        by_id = g.set_index("vec_id").lsh_bucket
+        assert by_id[0] == by_id[1]  # identical vectors share every bucket
+        assert by_id[0] != by_id[2]  # opposite vector lands elsewhere
