@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": q.q_semi_join,
         "included_fields": q.q_included_fields,
         "preview_limit": q.q_preview_limit,
+        "distinct_values": q.q_distinct_values,
         "doc_dedup_exact": q.q_doc_dedup_exact,
         "doc_tokens": q.q_doc_tokens,
         "doc_quality": q.q_doc_quality,
@@ -170,6 +171,9 @@ def oracle_sql() -> dict[str, str]:
         "preview_limit": """
             SELECT event_id, user_id, event_type FROM events
             ORDER BY event_id LIMIT 15
+        """,
+        "distinct_values": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
         """,
         "doc_dedup_exact": """
             SELECT sha256(text) AS text_sha256, min(doc_id) AS doc_id,

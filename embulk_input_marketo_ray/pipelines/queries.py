@@ -261,6 +261,13 @@ def q_included_fields(sf_dir: str):
     )
 
 
+def q_distinct_values(sf_dir: str):
+    """A3: ordered distinct collection (program-id analog) via unique."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    out = ds.unique("event_type")
+    return pa.table({"event_type": pa.array(sorted(out), type=pa.string())})
+
+
 def q_preview_limit(sf_dir: str):
     """M9/O1: preview = first 15 records in id order."""
     ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"])
@@ -547,4 +554,34 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
     )
     pairs = grouped_map(bands, ["band", "band_hash"], lsh_bucket_to_pairs, num_partitions=16)
     # same pair may surface from several bands -> exact dedup
-    return keep_one_per_key(pairs, ["doc_id", "dup_of"], "doc_id", keep="first")
+    pairs = keep_one_per_key(pairs, ["doc_id", "dup_of"], "doc_id", keep="first")
+
+    # verify candidates with exact n-gram Jaccard. The doc texts are
+    # broadcast once via ray.put — fine while the corpus fits the object
+    # store; the 100 TB path replaces this with a hash-partitioned join
+    # of pairs against the documents table on doc_id.
+    import pyarrow.parquet as _pq
+
+    dt = _pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(dt.column("doc_id").to_pylist(), dt.column("text").to_pylist())))
+
+    class VerifyJaccard:
+        def __init__(self):
+            from embulk_input_marketo_ray.stages.dedup import ngram_jaccard
+
+            self.texts = ray.get(texts_ref)
+            self.jaccard = ngram_jaccard
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("jaccard", pa.array([], type=pa.float64()))
+            sims = [
+                self.jaccard(self.texts.get(a, ""), self.texts.get(b, ""))
+                for a, b in zip(
+                    batch.column("doc_id").to_pylist(), batch.column("dup_of").to_pylist()
+                )
+            ]
+            out = batch.append_column("jaccard", pa.array(sims, type=pa.float64()))
+            return out.filter(pc.greater_equal(out.column("jaccard"), pa.scalar(0.5)))
+
+    return pairs.map_batches(VerifyJaccard, batch_format="pyarrow", concurrency=(1, 2))

@@ -1,0 +1,138 @@
+"""Target dispatch registry — the plugin-of-plugins surface (U1).
+
+The reference dispatches a ``target`` config value to one of 8 input
+delegates (MarketoInputPluginDelegate.java:55-102). Here each target is
+a builder ``(config: dict) -> ray.data.Dataset`` composed from the
+engine's sources and stages, so a user of the reference can address the
+same 8 logical tables:
+
+| target | reference delegate | engine composition |
+|---|---|---|
+| lead | LeadBulkExtractInputPlugin | CDC replay lake (dynamic mk_ schema, watermark slices) |
+| activity | ActivityBulkExtractInputPlugin | csv/all-string payloads -> static ACTIVITY schema + dead-letter filter |
+| campaign | CampaignInputPlugin | token-paged source, static CAMPAIGN-shaped records |
+| program | ProgramInputPlugin | offset-paged source (query_by rules validated at plan time) |
+| all_lead_with_list_id | LeadWithListInputPlugin | parent-driven fetch-join tagged listId |
+| all_lead_with_program_id | LeadWithProgramInputPlugin | same, tagged programId |
+| custom_object | CustomObjectInputPlugin | offset+token hybrid source over an id range |
+| program_members | ProgramMembersBulkExtractInputPlugin | per-program fetch, <=2 concurrent export jobs |
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import ray.data
+
+
+def _lead(config: dict) -> "ray.data.Dataset":
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake
+
+    if "lake_dir" in config:
+        return read_lake(config["lake_dir"])
+    from datetime import timedelta
+
+    from embulk_input_marketo_ray.pipelines.cdc_replay import ReplayConfig, replay
+    from embulk_input_marketo_ray.synth import (
+        BASE_TS,
+        default_events_dir,
+        generate_change_events,
+        load_evolution_log,
+    )
+
+    n = int(config.get("n_events", 6000))
+    events_dir = config.get("events_dir") or default_events_dir(n)
+    generate_change_events(events_dir, n)
+    import tempfile
+
+    lake_dir = config.get("out_dir") or tempfile.mkdtemp(prefix="graft_lead_lake_")
+    replay(
+        ReplayConfig(
+            events_dir=events_dir,
+            lake_dir=lake_dir,
+            evolution_log=load_evolution_log(events_dir),
+            from_ts=BASE_TS,
+            job_start=BASE_TS + timedelta(seconds=n + 50),
+            fetch_days=int(config.get("fetch_days", 100)),
+            num_buckets=int(config.get("num_buckets", 16)),
+        )
+    )
+    return read_lake(lake_dir)
+
+
+def _activity(config: dict) -> "ray.data.Dataset":
+    from embulk_input_marketo_ray.pipelines.queries import q_activity_static_schema
+
+    return q_activity_static_schema(config.get("sf_dir", ""))
+
+
+def _campaign(config: dict) -> "ray.data.Dataset":
+    from embulk_input_marketo_ray.sources.paged import read_token_paged
+
+    return read_token_paged(int(config.get("n_records", 1000)))
+
+
+def _program(config: dict) -> "ray.data.Dataset":
+    query_by = config.get("query_by", "date_range")
+    if query_by not in ("date_range", "tag"):
+        raise ValueError(f"program query_by must be date_range or tag, got {query_by!r}")
+    if query_by == "tag" and not (config.get("tag_type") and config.get("tag_value")):
+        # ProgramInputPlugin.java:83-133 validation rules
+        raise ValueError("query_by=tag requires tag_type and tag_value")
+    from embulk_input_marketo_ray.sources.paged import read_offset_paged
+
+    return read_offset_paged(int(config.get("n_records", 1000)))
+
+
+def _lead_with_list(config: dict) -> "ray.data.Dataset":
+    from embulk_input_marketo_ray.sources.fetch_join import read_children_of, sanitize_ids
+
+    parents = sanitize_ids([str(x) for x in config.get("list_ids", ["1", "2"])])
+    return read_children_of(parents, parent_column="listId")
+
+
+def _lead_with_program(config: dict) -> "ray.data.Dataset":
+    from embulk_input_marketo_ray.sources.fetch_join import read_children_of, sanitize_ids
+
+    parents = sanitize_ids([str(x) for x in config.get("program_ids", ["1", "2"])])
+    return read_children_of(parents, parent_column="programId")
+
+
+def _custom_object(config: dict) -> "ray.data.Dataset":
+    if not config.get("custom_object_api_name"):
+        raise ValueError("custom_object requires custom_object_api_name")
+    from embulk_input_marketo_ray.sources.paged import read_custom_objects
+
+    return read_custom_objects(
+        int(config.get("from_value", 1)), int(config.get("to_value", 700))
+    )
+
+
+def _program_members(config: dict) -> "ray.data.Dataset":
+    from embulk_input_marketo_ray.sources.fetch_join import read_children_of, sanitize_ids
+
+    parents = sanitize_ids([str(x) for x in config.get("program_ids", ["1", "2", "3"])])
+    # number_concurrent_export_job <= 2
+    cap = min(int(config.get("number_concurrent_export_job", 2)), 2)
+    return read_children_of(parents, parent_column="programId", max_concurrent_jobs=cap)
+
+
+TARGETS: dict[str, Callable[[dict], Any]] = {
+    "lead": _lead,
+    "activity": _activity,
+    "campaign": _campaign,
+    "program": _program,
+    "all_lead_with_list_id": _lead_with_list,
+    "all_lead_with_program_id": _lead_with_program,
+    "custom_object": _custom_object,
+    "program_members": _program_members,
+}
+
+
+def build_target(target: str, config: dict | None = None) -> "ray.data.Dataset":
+    """Dispatch like the reference: unknown targets fail with the list
+    of valid ones (MarketoInputPluginDelegate.java:57-71)."""
+    if target not in TARGETS:
+        raise ValueError(f"unknown target {target!r}; valid: {sorted(TARGETS)}")
+    return TARGETS[target](config or {})

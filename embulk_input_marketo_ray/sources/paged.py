@@ -199,6 +199,38 @@ def read_token_paged(
     return ray.data.range(1).map_batches(gen, batch_size=None)
 
 
+def read_custom_objects(
+    id_from: int,
+    id_to: int,
+    fail_plan: dict[int, str] | None = None,
+    chunk_size: int = 300,
+    batch_size: int = TOKEN_PAGE_SIZE,
+) -> "ray.data.Dataset":
+    """S6: offset+token hybrid source (custom objects).
+
+    The reference enumerates the id range in 300-id chunks passed as
+    ``filterValues``, with nested token pages per chunk
+    (rest/MarketoRestClient.java:508-572). Chunks are precomputable ->
+    parallel fan-out; the nested token pagination runs inside the UDF.
+    """
+    chunks = [
+        (lo, min(lo + chunk_size - 1, id_to)) for lo in range(id_from, id_to + 1, chunk_size)
+    ]
+    specs = ray.data.from_items([{"lo": lo, "hi": hi} for lo, hi in chunks])
+
+    import pyarrow.compute as pc
+
+    def fetch(batch: pa.Table):
+        for lo, hi in zip(batch.column("lo").to_pylist(), batch.column("hi").to_pylist()):
+            # each chunk is its own record space served token-paged
+            server = FixtureServer(n_records=hi - lo + 1, fail_plan=fail_plan or {})
+            for page in iter_token_pages(server, batch_size):
+                ids = pc.add(page.column("id"), pa.scalar(lo, type=pa.int64()))
+                yield page.set_column(page.schema.get_field_index("id"), "id", ids)
+
+    return specs.map_batches(fetch, batch_format="pyarrow", batch_size=None)
+
+
 def read_offset_paged(
     n_records: int,
     fail_plan: dict[int, str] | None = None,
