@@ -37,6 +37,9 @@ def _ensure_hash_shuffle() -> None:
     # two chained shuffles reserve every CPU on a small node and the map
     # stages deadlock. Keep the reservation nominal.
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    # default 200 shuffle partitions drowns small groupbys in per-partition
+    # overhead; 2 partitions/CPU is plenty for work stealing
+    ctx.default_hash_shuffle_parallelism = max(8, total_cpus * 2)
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -548,7 +551,7 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
 
     _ensure_hash_shuffle()
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    ds = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
     bands = ds.map_batches(
         explode_lsh_bands, batch_format="pyarrow", fn_kwargs={"num_bands": 16}
     )

@@ -88,19 +88,39 @@ class MinHasher:
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+        self._tok_cache: dict[str, int] = {}
+
+    # rolling-combine multipliers (odd -> full-period under uint64 wrap)
+    _COMBINE = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], dtype=np.uint64)
+
+    def _token_hash(self, tok: str) -> int:
+        # per-actor memo: corpora have Zipf vocabularies, so the cache
+        # hit rate makes token hashing ~a dict lookup
+        h = self._tok_cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            self._tok_cache[tok] = h
+        return h
 
     def shingles(self, text: str) -> np.ndarray:
+        """k-gram shingle hashes: hash each TOKEN once (memoized), then
+        combine adjacent token hashes arithmetically — no per-shingle
+        string join/digest (the hot-path cost at corpus scale)."""
         toks = _WORD.findall(text.lower())
         k = self.shingle_size
-        if len(toks) < k:
-            grams = [" ".join(toks)] if toks else [""]
-        else:
-            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        return np.fromiter(
-            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") for g in set(grams)),
-            dtype=np.uint64,
-            count=len(set(grams)),
-        )
+        th = np.fromiter((self._token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+        if len(th) < k:
+            if len(th) == 0:
+                return np.array([np.uint64(0)], dtype=np.uint64)
+            combined = np.uint64(0)
+            for i, v in enumerate(th):
+                combined += v * self._COMBINE[i % k]
+            return np.array([combined], dtype=np.uint64)
+        n = len(th) - k + 1
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            out += th[j : j + n] * self._COMBINE[j % len(self._COMBINE)]
+        return np.unique(out)
 
     def signature(self, text: str) -> np.ndarray:
         h = self.shingles(text)
