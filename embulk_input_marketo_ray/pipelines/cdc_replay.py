@@ -196,7 +196,9 @@ def replay(cfg: ReplayConfig) -> dict:
             for r in stats_rows
         }
     )
-    ckpt.advance(to_ts)  # ConfigDiff analog: from := to, only after commit
+    # ConfigDiff analog: from := to, only after commit; report_duration
+    # carried like the program target (ProgramInputPlugin.java:181-201)
+    ckpt.advance(to_ts, report_duration=to_ts - from_ts)
 
     counters = ray.get(metrics.get.remote())
     events_read = int(counters.get("events_read", 0))

@@ -54,6 +54,16 @@ def test_state_survives_across_batches():
     assert ex.token == tok  # acquired once per actor (T1)
 
 
+def test_rate_limiter_enforces_quota():
+    import time
+
+    ex = PagedExtractor(rate_limit=(3, 0.2))  # 3 calls per 200 ms
+    t0 = time.monotonic()
+    ex(_batch(1500))  # 5 pages -> must cross at least one window boundary
+    assert time.monotonic() - t0 >= 0.15
+    assert ex.pages == 5
+
+
 def test_token_renewed_after_ttl():
     import embulk_input_marketo_ray.stages.extractor as mod
 
