@@ -62,9 +62,31 @@ def _lead(config: dict) -> "ray.data.Dataset":
 
 
 def _activity(config: dict) -> "ray.data.Dataset":
-    from embulk_input_marketo_ray.pipelines.queries import q_activity_static_schema
+    """Static-schema activity stream, deduped by ``marketoGUID``.
 
-    return q_activity_static_schema(config.get("sf_dir", ""))
+    The reference DECLARES ``uid_column=marketoGUID``
+    (delegate/ActivityBulkExtractInputPlugin.java:34-35,53-54) but never
+    consumes it (SURVEY.md §2.3 T6); here the identity is enforced:
+    exact dedup on the uid keeps the first occurrence."""
+    from embulk_input_marketo_ray.pipelines.queries import (
+        keep_one_per_key,
+        q_activity_static_schema,
+    )
+
+    ds = q_activity_static_schema(config.get("sf_dir", ""))
+    if config.get("dedup_by_uid", True):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def add_seq(batch: pa.Table) -> pa.Table:
+            # activityDate is the watermark; use it as the keep-first order
+            seq = batch.column("activityDate").cast(pa.int64())
+            return batch.append_column("_seq", seq)
+
+        ds = ds.map_batches(add_seq, batch_format="pyarrow")
+        ds = keep_one_per_key(ds, ["marketoGUID"], "_seq", keep="first", num_buckets=16)
+        ds = ds.drop_columns(["_seq"])
+    return ds
 
 
 def _campaign(config: dict) -> "ray.data.Dataset":
