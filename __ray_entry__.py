@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q.q_doc_fingerprint,
         "doc_simhash": q.q_doc_simhash,
         "doc_minhash_dup_pairs": q.q_doc_minhash_dup_pairs,
+        "doc_dup_clusters": q.q_doc_dup_clusters,
         "token_paged_source": q.q_token_paged_source,
         "offset_paged_source": q.q_offset_paged_source,
         "lead_by_list_join": q.q_lead_by_list_join,

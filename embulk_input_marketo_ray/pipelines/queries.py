@@ -493,6 +493,15 @@ def q_activity_static_schema(sf_dir: str):
     )
 
 
+def q_doc_dup_clusters(sf_dir: str):
+    """MinHash+LSH pairs -> connected components (cluster_id = min
+    doc_id); the canonical-document selection step of near-dedup."""
+    from embulk_input_marketo_ray.stages.dedup import resolve_dup_clusters
+
+    pairs = q_doc_minhash_dup_pairs(sf_dir).select_columns(["doc_id", "dup_of"])
+    return resolve_dup_clusters(pairs)
+
+
 def q_token_paged_source(sf_dir: str):
     """S4: token-cursor paged source (fixture server) with mid-stream
     token expiry + rate-limit + bad-JSON injections, all retried."""

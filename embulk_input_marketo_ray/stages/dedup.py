@@ -185,6 +185,84 @@ def lsh_bucket_to_pairs(group: pa.Table, id_column: str = "doc_id") -> pa.Table:
     )
 
 
+def resolve_dup_clusters(pairs: "object", driver_pair_limit: int = 2_000_000) -> "object":
+    """Candidate near-dup pairs -> connected components.
+
+    Input dataset columns ``(doc_id, dup_of)``; output ``(doc_id,
+    cluster_id)`` for every node appearing in a pair, ``cluster_id`` =
+    min doc_id of the component.
+
+    Two paths, per the standard trade-off:
+
+    - pair set provably small (``count() <= driver_pair_limit``, the
+      normal case — near-dup edges are sparse relative to the corpus):
+      exact union-find on the driver, O(E a(E));
+    - larger: iterative min-label propagation, each round one
+      distributed pass over the (distributed) edge list against a
+      broadcast label dict (labels = one row per DUP NODE, orders of
+      magnitude smaller than the corpus; assumption documented here).
+    """
+    import ray
+    import ray.data
+
+    n_pairs = pairs.count()
+    edge_rows = None
+    if n_pairs <= driver_pair_limit:
+        edge_rows = pairs.take_all()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edge_rows:
+            ra, rb = find(int(r["doc_id"])), find(int(r["dup_of"]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return ray.data.from_items(
+            [{"doc_id": x, "cluster_id": find(x)} for x in sorted(parent)]
+        )
+
+    # distributed propagation path
+    labels: dict[int, int] = {}
+    for r in pairs.iter_rows():
+        a, b = int(r["doc_id"]), int(r["dup_of"])
+        labels[a] = min(labels.get(a, a), b, a)
+        labels[b] = min(labels.get(b, b), a, b)
+    for _ in range(16):
+        ref = ray.put(labels)
+
+        def propagate(batch: pa.Table) -> pa.Table:
+            lab = ray.get(ref)
+            out_n, out_l = [], []
+            for a, b in zip(batch.column("doc_id").to_pylist(), batch.column("dup_of").to_pylist()):
+                la, lb = lab.get(a, a), lab.get(b, b)
+                m = min(la, lb, lab.get(la, la), lab.get(lb, lb))
+                if m < la:
+                    out_n.append(a)
+                    out_l.append(m)
+                if m < lb:
+                    out_n.append(b)
+                    out_l.append(m)
+            return pa.table(
+                {"node": pa.array(out_n, type=pa.int64()), "label": pa.array(out_l, type=pa.int64())}
+            )
+
+        updates = pairs.map_batches(propagate, batch_format="pyarrow")
+        changed = False
+        for r in updates.iter_rows():
+            if r["label"] < labels.get(r["node"], r["node"]):
+                labels[r["node"]] = r["label"]
+                changed = True
+        if not changed:
+            break
+    return ray.data.from_items(
+        [{"doc_id": k, "cluster_id": v} for k, v in sorted(labels.items())]
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

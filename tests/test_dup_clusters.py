@@ -1,0 +1,37 @@
+"""Connected-component resolution of near-dup candidate pairs."""
+
+import ray.data
+import pytest
+
+from embulk_input_marketo_ray.stages.dedup import resolve_dup_clusters
+
+
+def _pairs(rows):
+    return ray.data.from_items([{"doc_id": a, "dup_of": b} for a, b in rows])
+
+
+def test_union_find_transitive_chain():
+    # 1-2, 2-3, 3-4 form one component; 10-11 another
+    out = resolve_dup_clusters(_pairs([(2, 1), (3, 2), (4, 3), (11, 10)]))
+    got = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_id_is_component_min():
+    out = resolve_dup_clusters(_pairs([(9, 7), (7, 5), (20, 9)]))
+    got = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert set(got.values()) == {5}
+
+
+def test_distributed_propagation_path_matches_union_find():
+    rows = [(2, 1), (3, 2), (4, 3), (11, 10), (12, 11), (30, 4)]
+    exact = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_dup_clusters(_pairs(rows)).take_all()
+    }
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_dup_clusters(_pairs(rows), driver_pair_limit=0).take_all()
+    }
+    assert exact == prop
+    assert exact[30] == 1  # deep chain resolves to global min
