@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "included_fields": q.q_included_fields,
         "preview_limit": q.q_preview_limit,
         "distinct_values": q.q_distinct_values,
+        "union_slices": q.q_union_slices,
+        "json_extract": q.q_json_extract,
         "doc_dedup_exact": q.q_doc_dedup_exact,
         "doc_tokens": q.q_doc_tokens,
         "doc_quality": q.q_doc_quality,
@@ -175,6 +177,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_values": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "union_slices": """
+            SELECT event_id, ts, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-02' AND ts <= TIMESTAMP '2024-01-04'
+            UNION ALL
+            SELECT event_id, ts, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-12'
+        """,
+        "json_extract": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+            FROM events
         """,
         "doc_dedup_exact": """
             SELECT sha256(text) AS text_sha256, min(doc_id) AS doc_id,

@@ -264,6 +264,39 @@ def q_included_fields(sf_dir: str):
     )
 
 
+def q_union_slices(sf_dir: str):
+    """D1: union of per-slice record streams (two disjoint windows)."""
+    import datetime as dt
+
+    def window(lo, hi):
+        return ray.data.read_parquet(
+            _t(sf_dir, "events"),
+            columns=["event_id", "ts", "event_type"],
+            filter=(
+                (pads.field("ts") >= dt.datetime.fromisoformat(lo))
+                & (pads.field("ts") <= dt.datetime.fromisoformat(hi))
+            ),
+        )
+
+    a = window("2024-01-02T00:00:00", "2024-01-04T00:00:00")
+    b = window("2024-01-10T00:00:00", "2024-01-12T00:00:00")
+    return a.union(b)
+
+
+def q_json_extract(sf_dir: str):
+    """F6: JSON-typed column access — pull a key out of the props JSON
+    (vectorized regex on the canonical payload; a full parse is only
+    needed for nested shapes)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, [0]).cast(pa.int64())
+        return pa.table({"event_id": batch.column("event_id"), "k_value": k})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
 def q_distinct_values(sf_dir: str):
     """A3: ordered distinct collection (program-id analog) via unique."""
     ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
