@@ -61,6 +61,10 @@ class ReplayConfig:
     extractor_concurrency: int | tuple[int, int] = (1, 4)
     normalizer_concurrency: int | tuple[int, int] = (1, 4)
     batch_size: int = 32768
+    # bytes per Ray Data block; lower for very wide content rows so a
+    # batch x pool fits worker heaps (SURVEY.md §7.3 "very wide records")
+    target_max_block_size: int | None = None
+    collect_stats: bool = True
     fail_buckets: frozenset = field(default_factory=frozenset)
     extractor_kwargs: dict = field(default_factory=dict)
 
@@ -90,6 +94,8 @@ def replay(cfg: ReplayConfig) -> dict:
     # aggregators are concat-bound; the default 0.0625 cpu/partition
     # reservation starves map stages on small nodes (see queries.py)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    if cfg.target_max_block_size is not None:
+        ctx.target_max_block_size = cfg.target_max_block_size
 
     ckpt = WatermarkCheckpoint(cfg.lake_dir + "/_state")
     from_ts = ckpt.from_date(cfg.from_ts)
@@ -176,6 +182,16 @@ def replay(cfg: ReplayConfig) -> dict:
     )
     stats_rows = stats.take_all()  # small: <= num_buckets lineage rows
 
+    if cfg.collect_stats:
+        # per-stage wall/cpu/row throughput (ds.stats) for this run,
+        # persisted next to the checkpoint — the "throughput metrics
+        # emitted per stage" artifact
+        import os
+
+        os.makedirs(cfg.lake_dir + "/_state", exist_ok=True)
+        with open(cfg.lake_dir + "/_state/last_run_stats.txt", "w") as f:
+            f.write(stats.stats())
+
     pids = [r["pid"] for r in stats_rows]
     if len(set(pids)) != len(pids):
         raise RuntimeError(
@@ -201,6 +217,7 @@ def replay(cfg: ReplayConfig) -> dict:
     ckpt.advance(to_ts, report_duration=to_ts - from_ts)
 
     counters = ray.get(metrics.get.remote())
+    ray.kill(metrics)
     events_read = int(counters.get("events_read", 0))
     merged_in = int(sum(r["events_in"] for r in stats_rows))
     rows_out = int(sum(r["rows"] for r in stats_rows))
@@ -218,3 +235,16 @@ def replay(cfg: ReplayConfig) -> dict:
         "wall_s": wall,
         "events_per_s": events_read / wall if wall > 0 else 0.0,
     }
+
+
+def replay_until_caught_up(cfg: ReplayConfig, max_windows: int = 100) -> list[dict]:
+    """Binlog-tail shape: run incremental windows back-to-back until the
+    watermark reaches the job start (a skip-run, W5). Each window is its
+    own committed, resumable unit; the checkpoint chains them."""
+    reports = []
+    for _ in range(max_windows):
+        report = replay(cfg)
+        reports.append(report)
+        if report["skipped"]:
+            break
+    return reports
