@@ -21,7 +21,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min
 
-from embulk_input_marketo_ray.stages.lww import BUCKET_COLUMN, lww_merge
+from embulk_input_marketo_ray.stages.lww import BUCKET_COLUMN
 from embulk_input_marketo_ray.functions.scalar import stable_key_hash
 
 

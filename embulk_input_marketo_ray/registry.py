@@ -76,7 +76,6 @@ def _activity(config: dict) -> "ray.data.Dataset":
     ds = q_activity_static_schema(config.get("sf_dir", ""))
     if config.get("dedup_by_uid", True):
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         def add_seq(batch: pa.Table) -> pa.Table:
             # activityDate is the watermark; use it as the keep-first order

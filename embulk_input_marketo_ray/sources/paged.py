@@ -28,7 +28,6 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
-import numpy as np
 import pyarrow as pa
 
 import ray
