@@ -61,6 +61,10 @@ class ReplayConfig:
     extractor_concurrency: int | tuple[int, int] = (1, 4)
     normalizer_concurrency: int | tuple[int, int] = (1, 4)
     batch_size: int = 32768
+    # reference configs: case-insensitive dynamic-field keep-list and
+    # output column prefix (included_fields / column_prefix)
+    included_fields: list[str] | None = None
+    column_prefix: str = "mk"
     # bytes per Ray Data block; lower for very wide content rows so a
     # batch x pool fits worker heaps (SURVEY.md §7.3 "very wide records")
     target_max_block_size: int | None = None
@@ -115,7 +119,9 @@ def replay(cfg: ReplayConfig) -> dict:
     }
     done_buckets = np.array(sorted(int(p) for p in done_pids), dtype=np.int32)
 
-    normalizer = ChangeEventNormalizer(cfg.evolution_log)
+    normalizer = ChangeEventNormalizer(
+        cfg.evolution_log, prefix=cfg.column_prefix, included_fields=cfg.included_fields
+    )
     target_schema = normalizer.final_schema()
 
     from embulk_input_marketo_ray.state.metrics import MetricsActor
@@ -127,11 +133,22 @@ def replay(cfg: ReplayConfig) -> dict:
     # actor-pool spin-ups and two object-store round trips of the full
     # stream per run; the stages remain separately testable classes.
     class IngestStage:
-        def __init__(self, evolution_log, page_size, metrics, num_buckets, extractor_kwargs):
+        def __init__(
+            self,
+            evolution_log,
+            page_size,
+            metrics,
+            num_buckets,
+            extractor_kwargs,
+            prefix="mk",
+            included_fields=None,
+        ):
             self.extractor = PagedExtractor(
                 page_size=page_size, metrics=metrics, **extractor_kwargs
             )
-            self.normalizer = ChangeEventNormalizer(evolution_log)
+            self.normalizer = ChangeEventNormalizer(
+                evolution_log, prefix=prefix, included_fields=included_fields
+            )
             self.num_buckets = num_buckets
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -151,6 +168,8 @@ def replay(cfg: ReplayConfig) -> dict:
             "metrics": metrics,
             "num_buckets": cfg.num_buckets,
             "extractor_kwargs": cfg.extractor_kwargs,
+            "prefix": cfg.column_prefix,
+            "included_fields": cfg.included_fields,
         },
     )
     if len(done_buckets):

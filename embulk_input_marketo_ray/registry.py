@@ -47,15 +47,18 @@ def _lead(config: dict) -> "ray.data.Dataset":
     import tempfile
 
     lake_dir = config.get("out_dir") or tempfile.mkdtemp(prefix="graft_lead_lake_")
+    from_ts = config.get("from_date", BASE_TS)
     replay(
         ReplayConfig(
             events_dir=events_dir,
             lake_dir=lake_dir,
             evolution_log=load_evolution_log(events_dir),
-            from_ts=BASE_TS,
+            from_ts=from_ts if from_ts >= BASE_TS else BASE_TS,
             job_start=BASE_TS + timedelta(seconds=n + 50),
             fetch_days=int(config.get("fetch_days", 100)),
             num_buckets=int(config.get("num_buckets", 16)),
+            included_fields=config.get("included_fields"),
+            column_prefix=config.get("column_prefix", "mk"),
         )
     )
     return read_lake(lake_dir)

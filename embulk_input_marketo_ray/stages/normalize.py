@@ -49,10 +49,25 @@ def resolve_final_fields(evolution_log: list[dict]) -> dict[str, str]:
 
 
 class ChangeEventNormalizer:
-    """Actor-pool batch transform: raw change events -> typed lake rows."""
+    """Actor-pool batch transform: raw change events -> typed lake rows.
 
-    def __init__(self, evolution_log: list[dict], prefix: str = "mk") -> None:
-        self.fields = resolve_final_fields(evolution_log)
+    ``included_fields`` is the case-insensitive keep-list over the
+    dynamic (described) fields — the ``included_fields`` config of the
+    reference (delegate/LeadServiceResponseMapperBuilder.java:47-76);
+    base/companion columns are always kept. ``prefix`` is the
+    ``column_prefix`` config (default ``mk``)."""
+
+    def __init__(
+        self,
+        evolution_log: list[dict],
+        prefix: str = "mk",
+        included_fields: list[str] | None = None,
+    ) -> None:
+        fields = resolve_final_fields(evolution_log)
+        if included_fields is not None:
+            keep = {f.lower() for f in included_fields}
+            fields = {n: t for n, t in fields.items() if n.lower() in keep}
+        self.fields = fields
         self.prefix = prefix
 
     def final_schema(self) -> pa.Schema:

@@ -1,0 +1,60 @@
+"""Embulk-style config front door: validation rules + end-to-end runs."""
+
+import pytest
+
+from embulk_input_marketo_ray.config import run_from_config, validate_config
+
+
+def test_target_required():
+    with pytest.raises(ValueError, match="target"):
+        validate_config({})
+
+
+def test_lead_requires_from_date():
+    with pytest.raises(ValueError, match="from_date"):
+        validate_config({"target": "lead"})
+
+
+def test_future_from_date_rejected():
+    with pytest.raises(ValueError, match="before the job start"):
+        validate_config(
+            {"target": "lead", "from_date": "2030-01-01", "job_start": "2024-01-01"}
+        )
+
+
+def test_fetch_days_positive_and_batch_size_capped():
+    with pytest.raises(ValueError, match="fetch_days"):
+        validate_config({"target": "campaign", "fetch_days": 0})
+    cfg = validate_config({"target": "campaign", "batch_size": 5000})
+    assert cfg["batch_size"] == 300
+
+
+def test_date_formats_accepted():
+    for v in ("2024-01-02", "2024-01-02T03:04:05", "2024-01-02 03:04:05"):
+        assert validate_config({"target": "lead", "from_date": v})["from_date"].year == 2024
+    with pytest.raises(ValueError, match="unparseable"):
+        validate_config({"target": "lead", "from_date": "02/01/2024"})
+
+
+def test_run_from_config_campaign():
+    ds = run_from_config({"target": "campaign", "n_records": 350})
+    assert ds.count() == 350
+
+
+def test_run_from_config_lead_with_included_fields_and_prefix(tmp_path):
+    ds = run_from_config(
+        {
+            "target": "lead",
+            "from_date": "2024-01-01",
+            "n_events": 2500,
+            "num_buckets": 4,
+            "included_fields": ["SCORE", "revenue"],  # case-insensitive (M6)
+            "column_prefix": "mkt",
+            "out_dir": str(tmp_path / "lake"),
+        }
+    )
+    names = set(ds.schema().names)
+    assert {"mkt_score", "mkt_revenue"} <= names
+    # excluded dynamic fields are gone; base columns unaffected
+    assert not any(n.endswith("_active") or n.endswith("_updated") for n in names)
+    assert {"repo", "path", "content_sha256"} <= names
