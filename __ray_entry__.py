@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preview_limit": q.q_preview_limit,
         "distinct_values": q.q_distinct_values,
         "union_slices": q.q_union_slices,
+        "session_windows": q.q_session_windows,
         "json_extract": q.q_json_extract,
         "doc_dedup_exact": q.q_doc_dedup_exact,
         "doc_tokens": q.q_doc_tokens,
@@ -189,6 +190,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
             FROM events
+        """,
+        "session_windows": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            tagged AS (
+              SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM ordered
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                   min(event_id) AS first_event_id
+            FROM tagged GROUP BY user_id, session_no
         """,
         "doc_dedup_exact": """
             SELECT sha256(text) AS text_sha256, min(doc_id) AS doc_id,

@@ -68,6 +68,15 @@ class ReplayConfig:
     # bytes per Ray Data block; lower for very wide content rows so a
     # batch x pool fits worker heaps (SURVEY.md §7.3 "very wide records")
     target_max_block_size: int | None = None
+    # "disk": two-phase fragment shuffle (per-task bucket fragments ->
+    # per-bucket merge) — no aggregator actors; preferred, and safe
+    # because LWW is idempotent under duplicated fragment rows.
+    # "hash": Ray's hash-shuffle keyed repartition.
+    shuffle: str = "disk"
+    # where "disk" shuffle fragments live; default under the lake. A
+    # tmpfs path (/dev/shm/...) lifts the disk-bandwidth cap when the
+    # scratch fits memory (on a cluster: per-node NVMe spill volumes).
+    shuffle_scratch_dir: str | None = None
     collect_stats: bool = True
     fail_buckets: frozenset = field(default_factory=frozenset)
     extractor_kwargs: dict = field(default_factory=dict)
@@ -181,35 +190,90 @@ def replay(cfg: ReplayConfig) -> dict:
 
         ds = ds.map_batches(drop_committed, batch_format="pyarrow")
 
-    writer = BucketMergeWriter(
-        cfg.lake_dir, watermark_to, target_schema, fail_buckets=cfg.fail_buckets
-    )
+    # The single wide stage. Two implementations:
+    #
+    # - "disk" (default): two-phase fragment shuffle. Phase A streams the
+    #   narrow stages and spills each block's rows into per-bucket
+    #   parquet fragments (pure task parallelism — Ray 2.49's
+    #   hash-shuffle submit path serializes on aggregator acceptance and
+    #   left a 32-CPU node half idle). Phase B merges each bucket's
+    #   fragments (+ prior lake state) and writes atomically. Duplicated
+    #   fragments from retried tasks are harmless: the LWW merge is
+    #   idempotent under duplicated rows.
+    # - "hash": keyed repartition so every bucket lands wholly in one
+    #   block, then merge+write per bucket inside the block.
+    #   (groupby().map_groups is deliberately avoided in BOTH paths: its
+    #   sort-based path in Ray 2.49 can split one group across two UDF
+    #   calls, which would clobber a write-per-group sink.)
+    import os
+    import shutil as _shutil
 
-    # The single wide stage: hash-partition on the bucket id so every
-    # bucket lands wholly in exactly one block, then merge+write per
-    # bucket inside that block. (groupby().map_groups is deliberately
-    # avoided: its sort-based path in Ray 2.49 can split one group
-    # across two UDF calls, which would clobber a write-per-group sink.)
-    # sort=False: Ray 2.49's hash-shuffle finalize can't sort an empty
-    # partition (empty-schema block); the writer sorts its own block.
-    shuffled = ds.repartition(cfg.num_buckets, keys=[BUCKET_COLUMN])
-    def merge_and_write(block: pa.Table) -> pa.Table:
-        return writer(block)
+    if cfg.shuffle == "disk":
+        from embulk_input_marketo_ray.sinks.exactly_once import (
+            FragmentMerger,
+            FragmentWriter,
+        )
 
-    stats = shuffled.map_batches(
-        merge_and_write, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
-    stats_rows = stats.take_all()  # small: <= num_buckets lineage rows
+        shuffle_dir = cfg.shuffle_scratch_dir or os.path.join(cfg.lake_dir, "_shuffle")
+        _shutil.rmtree(shuffle_dir, ignore_errors=True)  # scratch of crashed runs
+        frag_stats = ds.map_batches(
+            FragmentWriter,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 64),
+            fn_constructor_kwargs={"shuffle_dir": shuffle_dir, "num_buckets": cfg.num_buckets},
+        )
+        frag_rows = frag_stats.take_all()  # small: blocks x touched buckets
+        buckets_present = sorted({r["bucket"] for r in frag_rows})
+        specs = ray.data.from_items([{"bucket": b} for b in buckets_present])
+        if buckets_present:
+            specs = specs.repartition(len(buckets_present))
+        stats = specs.map_batches(
+            FragmentMerger,
+            batch_size=None,
+            batch_format="pyarrow",
+            concurrency=(1, 32),
+            fn_constructor_kwargs={
+                "lake_dir": cfg.lake_dir,
+                "shuffle_dir": shuffle_dir,
+                "watermark_to": watermark_to,
+                "target_schema": target_schema,
+                "fail_buckets": cfg.fail_buckets,
+            },
+        )
+        stats_rows = stats.take_all()
+        _shutil.rmtree(shuffle_dir, ignore_errors=True)
+        stage_stats_text = (
+            "== Phase A (read -> ingest -> fragment spill) ==\n"
+            + frag_stats.stats()
+            + "\n== Phase B (per-bucket merge + commit) ==\n"
+            + stats.stats()
+        )
+    else:
+        writer = BucketMergeWriter(
+            cfg.lake_dir, watermark_to, target_schema, fail_buckets=cfg.fail_buckets
+        )
+        # sort=False: Ray 2.49's hash-shuffle finalize can't sort an
+        # empty partition (empty-schema block); the writer sorts its own.
+        shuffled = ds.repartition(cfg.num_buckets, keys=[BUCKET_COLUMN])
+
+        def merge_and_write(block: pa.Table) -> pa.Table:
+            return writer(block)
+
+        stats = shuffled.map_batches(
+            merge_and_write, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        stats_rows = stats.take_all()  # small: <= num_buckets lineage rows
+        stage_stats_text = stats.stats()
 
     if cfg.collect_stats:
         # per-stage wall/cpu/row throughput (ds.stats) for this run,
         # persisted next to the checkpoint — the "throughput metrics
         # emitted per stage" artifact
-        import os
-
         os.makedirs(cfg.lake_dir + "/_state", exist_ok=True)
         with open(cfg.lake_dir + "/_state/last_run_stats.txt", "w") as f:
-            f.write(stats.stats())
+            f.write(stage_stats_text)
 
     pids = [r["pid"] for r in stats_rows]
     if len(set(pids)) != len(pids):

@@ -264,6 +264,49 @@ def q_included_fields(sf_dir: str):
     )
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_session_windows(sf_dir: str):
+    """Gap-based sessionization per user (the streaming-window custom
+    operator): events more than SESSION_GAP_MIN minutes apart start a
+    new session. Partitioned by user via the keyed-repartition
+    grouped_map (each user's events wholly in one group, sorted by ts
+    inside the kernel — per-key order only, W7); vectorized numpy
+    diff/cumsum inside the group."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.timestamp("us")),
+                "n_events": pa.array([], type=pa.int64()),
+                "first_event_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = np.asarray(g.column("ts").cast(pa.int64()))  # us
+        gaps = np.diff(ts) > SESSION_GAP_MIN * 60 * 1_000_000
+        session_idx = np.concatenate([[0], np.cumsum(gaps)])
+        starts = np.flatnonzero(np.r_[True, gaps])
+        counts = np.diff(np.r_[starts, len(ts)])
+        eid = np.asarray(g.column("event_id"))
+        uid = g.column("user_id")[0]
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(starts), uid.as_py()), type=pa.int64()),
+                "session_start": g.column("ts").take(pa.array(starts)),
+                "n_events": pa.array(counts, type=pa.int64()),
+                "first_event_id": pa.array(eid[starts], type=pa.int64()),
+            }
+        )
+
+    return grouped_map(ds, ["user_id"], sessions, num_partitions=32)
+
+
 def q_union_slices(sf_dir: str):
     """D1: union of per-slice record streams (two disjoint windows)."""
     import datetime as dt

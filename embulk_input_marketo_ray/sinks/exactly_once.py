@@ -164,6 +164,72 @@ class BucketMergeWriter:
         )
 
 
+class FragmentWriter:
+    """Phase A of the disk shuffle: each ingest block is split by bucket
+    and appended as one parquet fragment per (block, bucket) under
+    ``lake/_shuffle/bucket=<b>/``.
+
+    No aggregator actors, no all-to-all object transfer: the exchange
+    rides the filesystem (object-store-to-disk on one node; a shared
+    FS / per-node spill volume on a cluster). Retried tasks may write
+    duplicate fragments — harmless, because the LWW merge is idempotent
+    under duplicated rows (same (key, seq) collapses to the same row).
+    """
+
+    def __init__(self, shuffle_dir: str, num_buckets: int) -> None:
+        self.shuffle_dir = shuffle_dir
+        self.num_buckets = num_buckets
+        for b in range(num_buckets):
+            os.makedirs(os.path.join(shuffle_dir, f"bucket={b:05d}"), exist_ok=True)
+
+    def __call__(self, block: pa.Table) -> pa.Table:
+        import uuid
+
+        if block.num_rows == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int32()),
+                             "rows": pa.array([], type=pa.int64())})
+        block = block.sort_by(BUCKET_COLUMN)
+        values = block.column(BUCKET_COLUMN)
+        values = np.asarray(values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values)
+        uniq, starts = np.unique(values, return_index=True)
+        ends = np.append(starts[1:], len(values))
+        frag = uuid.uuid4().hex[:12]
+        out_b, out_n = [], []
+        for b, s, e in zip(uniq, starts, ends):
+            part = block.slice(int(s), int(e - s)).drop_columns([BUCKET_COLUMN])
+            path = os.path.join(self.shuffle_dir, f"bucket={int(b):05d}", f"frag-{frag}.parquet")
+            pq.write_table(part, path)
+            out_b.append(int(b))
+            out_n.append(part.num_rows)
+        return pa.table({"bucket": pa.array(out_b, type=pa.int32()),
+                         "rows": pa.array(out_n, type=pa.int64())})
+
+
+class FragmentMerger:
+    """Phase B: one task per bucket reads its fragments (+ the existing
+    committed lake partition), LWW-merges, writes atomically."""
+
+    def __init__(self, lake_dir: str, shuffle_dir: str, watermark_to: str,
+                 target_schema: pa.Schema, fail_buckets: frozenset = frozenset()) -> None:
+        self.writer = BucketMergeWriter(lake_dir, watermark_to, target_schema, fail_buckets)
+        self.shuffle_dir = shuffle_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import glob as _glob
+
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            files = sorted(_glob.glob(os.path.join(self.shuffle_dir, f"bucket={b:05d}", "*.parquet")))
+            if not files:
+                continue
+            events = pa.concat_tables([pq.read_table(f) for f in files])
+            out.append(self.writer._write_one(int(b), events.append_column(
+                BUCKET_COLUMN, pa.array(np.full(events.num_rows, b, dtype=np.int32)))))
+        if not out:
+            return _EMPTY_STATS
+        return pa.concat_tables(out)
+
+
 def read_lake(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """Read the committed lake partitions (manifest-listed files only)."""
     files = PartitionManifest(lake_dir).committed_files()
