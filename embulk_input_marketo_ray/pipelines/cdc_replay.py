@@ -68,11 +68,13 @@ class ReplayConfig:
     # bytes per Ray Data block; lower for very wide content rows so a
     # batch x pool fits worker heaps (SURVEY.md §7.3 "very wide records")
     target_max_block_size: int | None = None
-    # "disk": two-phase fragment shuffle (per-task bucket fragments ->
-    # per-bucket merge) — no aggregator actors; preferred, and safe
-    # because LWW is idempotent under duplicated fragment rows.
-    # "hash": Ray's hash-shuffle keyed repartition.
-    shuffle: str = "disk"
+    # "hash" (default): Ray's hash-shuffle keyed repartition — fastest
+    # at small/medium inputs. "disk": two-phase fragment shuffle
+    # (per-task bucket fragments -> per-bucket merge) — no aggregator
+    # actors, so it wins when the hash path's aggregator acceptance
+    # serializes (multi-million-event windows); safe because LWW is
+    # idempotent under duplicated fragment rows.
+    shuffle: str = "hash"
     # where "disk" shuffle fragments live; default under the lake. A
     # tmpfs path (/dev/shm/...) lifts the disk-bandwidth cap when the
     # scratch fits memory (on a cluster: per-node NVMe spill volumes).
@@ -208,6 +210,8 @@ def replay(cfg: ReplayConfig) -> dict:
     import os
     import shutil as _shutil
 
+    if cfg.shuffle not in ("disk", "hash"):
+        raise ValueError(f"shuffle must be 'disk' or 'hash', got {cfg.shuffle!r}")
     if cfg.shuffle == "disk":
         from embulk_input_marketo_ray.sinks.exactly_once import (
             FragmentMerger,

@@ -91,6 +91,19 @@ def test_replay_matches_oracle(events_dir, tmp_path):
     assert pa.types.is_timestamp(got.schema.field("mk_updated").type)
 
 
+def test_disk_shuffle_matches_hash_shuffle(events_dir, tmp_path):
+    """Both sink shuffle implementations produce identical lakes."""
+    lake_hash = str(tmp_path / "lake_hash")
+    lake_disk = str(tmp_path / "lake_disk")
+    replay(cfg_for(events_dir, lake_hash, shuffle="hash"))
+    replay(cfg_for(events_dir, lake_disk, shuffle="disk"))
+    assert lake_multiset(read_lake_table(lake_hash)) == lake_multiset(
+        read_lake_table(lake_disk)
+    )
+    # disk-shuffle scratch is cleaned up after commit
+    assert not os.path.exists(os.path.join(lake_disk, "_shuffle"))
+
+
 def test_replay_is_idempotent_exactly_once(events_dir, tmp_path):
     lake = str(tmp_path / "lake")
     replay(cfg_for(events_dir, lake))
