@@ -128,9 +128,67 @@ class MinHasher:
         vals = (self.a[None, :] * h[:, None] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0)
 
+    def _signatures_vectorized(self, col) -> np.ndarray:
+        """Whole-batch signatures with no per-token Python iteration:
+        Arrow regex split (C) -> pandas factorize (C) -> memoized hash
+        of UNIQUE tokens only -> flat shingle combine + per-doc
+        ``minimum.reduceat`` (numpy)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lower = pc.utf8_lower(pc.coalesce(col, pa.scalar("")))
+        toks = pc.split_pattern_regex(lower, pattern=r"\W+")
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets)
+        n_docs = len(col)
+
+        import pandas as pd
+
+        words = np.asarray(flat, dtype=object)
+        nonempty = words != ""
+        codes, uniques = pd.factorize(words, use_na_sentinel=False)
+        uniq_hash = np.fromiter(
+            (self._token_hash(u) for u in uniques), dtype=np.uint64, count=len(uniques)
+        )
+        th = uniq_hash[codes]
+        th[~nonempty] = np.uint64(0)
+
+        # doc boundaries over the flat token array, dropping empty splits
+        # by compacting: keep nonempty tokens, remap offsets
+        keep_idx = np.flatnonzero(nonempty)
+        th = th[keep_idx]
+        new_offsets = np.searchsorted(keep_idx, offsets)
+
+        k = self.shingle_size
+        n_flat = len(th)
+        # flat shingle hashes at every position with >= k tokens left
+        if n_flat >= k:
+            sh = np.zeros(n_flat - k + 1, dtype=np.uint64)
+            for j in range(k):
+                sh += th[j : j + n_flat - k + 1] * self._COMBINE[j % len(self._COMBINE)]
+        else:
+            sh = np.zeros(0, dtype=np.uint64)
+
+        sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        starts = new_offsets[:-1]
+        ends = new_offsets[1:]
+        for d in range(n_docs):
+            s, e = starts[d], ends[d]
+            n_tok = e - s
+            if n_tok >= k:
+                h = np.unique(sh[s : e - k + 1])
+            elif n_tok > 0:  # short doc: single combined shingle
+                combined = np.uint64(0)
+                for i in range(n_tok):
+                    combined += th[s + i] * self._COMBINE[i % k]
+                h = np.array([combined], dtype=np.uint64)
+            else:
+                h = np.array([np.uint64(0)], dtype=np.uint64)
+            vals = (self.a[None, :] * h[:, None] + self.b[None, :]) % _MERSENNE
+            sigs[d] = vals.min(axis=0)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_column).to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        sigs = self._signatures_vectorized(batch.column(self.text_column))
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1), type=pa.uint64()), self.num_perm
         )
