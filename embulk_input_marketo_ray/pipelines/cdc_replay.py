@@ -98,6 +98,14 @@ def replay(cfg: ReplayConfig) -> dict:
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
+    import logging
+
+    # empty shuffle partitions produce empty-schema bundles that trip a
+    # benign-but-noisy "RefBundle with a different schema" warning
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
     ctx = DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     # One aggregator actor per shuffle partition oversubscribes small
