@@ -104,7 +104,6 @@ def run_bench() -> dict:
             # the fused ingest stage is the CPU-dominant stage: let the
             # autoscaling pool reach every CPU; backpressure sizes it down
             extractor_concurrency=(2, NUM_CPUS),
-            normalizer_concurrency=(2, NUM_CPUS),
         )
 
     # warm-up: full pass untimed (worker startup, actor pools, page cache)

@@ -55,11 +55,11 @@ class ReplayConfig:
     max_range_days: int = 30  # MARKETO_MAX_RANGE_EXTRACT
     num_buckets: int = 32
     page_size: int = 300
-    # autoscaling (min, max) pools: a FIXED pool that reserves every CPU
-    # starves the read/shuffle tasks and stalls the pipeline — let Ray
-    # size the pools under backpressure instead.
+    # autoscaling (min, max) pool for the single fused ingest stage
+    # (extract -> normalize -> partial LWW): a FIXED pool that reserves
+    # every CPU starves the read/shuffle tasks and stalls the pipeline —
+    # let Ray size the pool under backpressure instead.
     extractor_concurrency: int | tuple[int, int] = (1, 4)
-    normalizer_concurrency: int | tuple[int, int] = (1, 4)
     batch_size: int = 32768
     # reference configs: case-insensitive dynamic-field keep-list and
     # output column prefix (included_fields / column_prefix)
@@ -107,6 +107,17 @@ def replay(cfg: ReplayConfig) -> dict:
     ).setLevel(logging.ERROR)
 
     ctx = DataContext.get_current()
+    # replay() tunes the global DataContext for its own datasets; save
+    # the touched fields and restore them on exit so the tuning doesn't
+    # leak into unrelated datasets created later in the same session
+    _saved_ctx = {
+        "shuffle_strategy": ctx.shuffle_strategy,
+        "max_hash_shuffle_aggregators": ctx.max_hash_shuffle_aggregators,
+        "hash_shuffle_operator_actor_num_cpus_per_partition_override": (
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+        ),
+        "target_max_block_size": ctx.target_max_block_size,
+    }
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     # One aggregator actor per shuffle partition oversubscribes small
     # clusters (64 actors on 32 CPUs was observed 30x slower than 8);
@@ -119,6 +130,15 @@ def replay(cfg: ReplayConfig) -> dict:
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
     if cfg.target_max_block_size is not None:
         ctx.target_max_block_size = cfg.target_max_block_size
+    try:
+        return _replay_inner(cfg, ctx, t0)
+    finally:
+        for k, v in _saved_ctx.items():
+            setattr(ctx, k, v)
+
+
+def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
+    import ray
 
     ckpt = WatermarkCheckpoint(cfg.lake_dir + "/_state")
     from_ts = ckpt.from_date(cfg.from_ts)

@@ -228,9 +228,14 @@ def q_enrich_join(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ck = np.asarray(batch.column("o_custkey"))
-            pos = np.searchsorted(self.lk["custkeys"], ck)
+            # membership-guarded lookup: an o_custkey absent from the
+            # customer table maps to null instead of a wrong neighbor
+            # (and can't index past the end of the sorted key array)
+            pos = np.clip(np.searchsorted(self.lk["custkeys"], ck), 0, len(self.lk["custkeys"]) - 1)
+            matched = self.lk["custkeys"][pos] == ck
             nk = self.lk["nationkeys"][pos]
-            names = self.names_by_id[nk]
+            names = self.names_by_id[nk].astype(object)
+            names[~matched] = None
             return batch.append_column("nation", pa.array(names, type=pa.string()))
 
     ds = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])

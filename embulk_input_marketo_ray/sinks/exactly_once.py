@@ -92,16 +92,33 @@ class BucketMergeWriter:
         self.target_schema = target_schema
         self.fail_buckets = fail_buckets
 
-    def _unify(self, table: pa.Table) -> pa.Table:
-        """Cast a (possibly older-schema) lake partition to the current
-        evolved schema: add missing columns as typed nulls, widen types."""
+    def _union_schema(self, lake_schema: pa.Schema) -> pa.Schema:
+        """Union of the current target schema and the committed lake
+        partition's schema. If a later run narrows ``included_fields``
+        (or an evolution-log column disappears), columns already
+        committed to the lake are PRESERVED — projecting to the current
+        target alone would silently delete committed data from every
+        rewritten bucket and leave the lake schema-inconsistent across
+        touched/untouched partitions."""
+        fields = list(self.target_schema)
+        present = set(self.target_schema.names)
+        for f in lake_schema:
+            if f.name not in present:
+                fields.append(f)
+        return pa.schema(fields)
+
+    def _unify(self, table: pa.Table, schema: pa.Schema | None = None) -> pa.Table:
+        """Cast a (possibly older-schema) table to ``schema`` (default:
+        the current evolved target schema): add missing columns as typed
+        nulls, widen types."""
+        schema = schema or self.target_schema
         cols = []
-        for field in self.target_schema:
+        for field in schema:
             if field.name in table.column_names:
                 cols.append(table.column(field.name).cast(field.type))
             else:
                 cols.append(pa.nulls(table.num_rows, type=field.type))
-        return pa.Table.from_arrays(cols, schema=self.target_schema)
+        return pa.Table.from_arrays(cols, schema=schema)
 
     def __call__(self, block: pa.Table) -> pa.Table:
         """Process one hash-partition block, which may contain SEVERAL
@@ -136,9 +153,16 @@ class BucketMergeWriter:
         if os.path.exists(lake_path):
             # prior windows' committed state; synthetic op/seq columns are
             # restored from the stored commit_seq (kept in the lake).
-            lake = self._unify(pq.read_table(lake_path))
+            # Unify BOTH sides toward the union of the stored lake schema
+            # and the new target schema so a narrowed included_fields run
+            # never deletes committed columns.
+            stored = pq.read_table(lake_path)
+            union = self._union_schema(stored.schema)
+            lake = self._unify(stored, union)
             lake_in = lake.num_rows
-            merged_input = pa.concat_tables([self._unify(events), lake], promote_options="none")
+            merged_input = pa.concat_tables(
+                [self._unify(events, union), lake], promote_options="none"
+            )
         else:
             lake_in = 0
             merged_input = self._unify(events)

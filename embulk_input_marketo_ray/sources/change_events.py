@@ -25,9 +25,24 @@ from embulk_input_marketo_ray.state.watermark import DateRange
 
 
 def _slice_filter(slices: list[DateRange], ts_column: str):
+    """Union of slice predicates covering the window exactly once.
+
+    The reference's slices are inclusive at SECOND granularity with +1 s
+    gaps (its API timestamps are second-granular); this engine's
+    ``event_ts`` is microsecond-granular, so an inclusive [from, to]
+    per-slice filter would silently drop sub-second events falling in
+    the 1 s gap between adjacent slices. Interior slices are therefore
+    read HALF-OPEN ``[from, next.from)`` — adjacent slices tile the
+    window with no gap — and only the final slice keeps the reference's
+    inclusive upper bound.
+    """
     expr = None
-    for s in slices:
-        e = (pads.field(ts_column) >= s.from_ts) & (pads.field(ts_column) <= s.to_ts)
+    for i, s in enumerate(slices):
+        lo = pads.field(ts_column) >= s.from_ts
+        if i + 1 < len(slices):
+            e = lo & (pads.field(ts_column) < slices[i + 1].from_ts)
+        else:
+            e = lo & (pads.field(ts_column) <= s.to_ts)
         expr = e if expr is None else (expr | e)
     return expr
 

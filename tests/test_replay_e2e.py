@@ -62,7 +62,6 @@ def cfg_for(events_dir, lake_dir, fetch_days=100, **kw):
         fetch_days=fetch_days,
         num_buckets=8,
         extractor_concurrency=(1, 2),
-        normalizer_concurrency=(1, 2),
         **kw,
     )
 

@@ -80,3 +80,41 @@ def test_replay_over_heterogeneous_files(het_events_dir, tmp_path):
     early_winners = gdf[gdf.commit_seq < N // 2]
     assert early_winners.mk_updated.isna().all()
     assert gdf[gdf.commit_seq >= (2 * N) // 3].mk_updated.notna().any()
+
+
+def test_narrowed_included_fields_preserves_committed_columns(tmp_path):
+    """A second incremental run with a NARROWED included_fields must not
+    delete already-committed mk_ columns from rewritten buckets: the
+    sink unifies toward the union of stored lake schema and the new
+    target schema."""
+    d = str(tmp_path / "events")
+    generate_change_events(d, N, seed=17, n_repos=8, n_files=4)
+    lake = str(tmp_path / "lake")
+
+    def cfg_for(job_end_s, included):
+        return ReplayConfig(
+            events_dir=d,
+            lake_dir=lake,
+            evolution_log=load_evolution_log(d),
+            from_ts=BASE_TS,
+            job_start=BASE_TS + timedelta(seconds=job_end_s),
+            fetch_days=100,
+            num_buckets=4,
+            included_fields=included,
+        )
+
+    # window 1 (clamped to mid-stream): full dynamic schema
+    r1 = replay(cfg_for(job_end_s=N // 2, included=None))
+    assert not r1["skipped"]
+    full_cols = set(read_lake_table(lake).column_names)
+    assert "mk_score" in full_cols
+
+    # window 2: narrowed keep-list drops 'score' from the TARGET schema
+    r2 = replay(cfg_for(job_end_s=N + 50, included=["revenue"]))
+    assert not r2["skipped"]
+    got = read_lake_table(lake)
+    # committed column survives in rewritten partitions
+    assert "mk_score" in got.column_names
+    gdf = got.to_pandas()
+    # window-1 winners whose newest version predates window 2 keep it
+    assert gdf.mk_score.notna().any()

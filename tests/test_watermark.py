@@ -64,3 +64,36 @@ def test_checkpoint_advances_only_on_call(tmp_path):
     assert ck.load()["runs"] == 1
     ck.advance(to + timedelta(days=30))
     assert ck.load()["runs"] == 2
+
+
+def test_slice_filter_keeps_subsecond_boundary_events(tmp_path):
+    """Microsecond-granular events falling inside the reference's 1 s
+    inter-slice gap must still be read: interior slices are half-open
+    [from, next.from), only the final slice is inclusive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_input_marketo_ray.sources.change_events import read_change_events
+
+    end0 = D0 + timedelta(days=30)  # slice 0 ends here; slice 1 starts +1 s
+    ts = [
+        D0,  # slice 0 start
+        end0,  # slice 0 inclusive end (second-granular)
+        end0 + timedelta(microseconds=400_000),  # inside the 1 s gap
+        end0 + timedelta(seconds=1),  # slice 1 start
+        D0 + timedelta(days=40),  # final slice, interior
+    ]
+    table = pa.table(
+        {
+            "event_ts": pa.array(ts, type=pa.timestamp("us")),
+            "event_id": pa.array(range(len(ts)), type=pa.int64()),
+        }
+    )
+    pq.write_table(table, tmp_path / "events_0.parquet")
+    slices = slice_range(D0, D0 + timedelta(days=40))
+    assert len(slices) == 2
+    got = read_change_events(str(tmp_path), slices)
+    assert sorted(r["event_id"] for r in got.take_all()) == [0, 1, 2, 3, 4]
+    # and an event past the window end stays excluded
+    got2 = read_change_events(str(tmp_path), slice_range(D0, D0 + timedelta(days=35)))
+    assert sorted(r["event_id"] for r in got2.take_all()) == [0, 1, 2, 3]
