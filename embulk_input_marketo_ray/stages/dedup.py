@@ -195,13 +195,26 @@ class MinHasher:
         return batch.append_column("minhash", sig_col)
 
 
+# per-permutation-slot multipliers for the vectorized band hash: a
+# universal (multiply-sum mod 2^64) hash of the band's signature slice.
+# Equality of band slices implies equality of hashes; a false collision
+# between DIFFERENT slices is ~2^-64 per pair and is removed downstream
+# by the exact verification step, so no byte-level digest is needed.
+_BAND_MULT = np.random.default_rng(0xBA9D).integers(
+    1, np.iinfo(np.uint64).max, size=4096, dtype=np.uint64
+) | np.uint64(1)
+
+
 def explode_lsh_bands(
     batch: pa.Table, num_bands: int, id_column: str = "doc_id"
 ) -> pa.Table:
     """(doc, signature) -> one row per (band, band_hash) — the LSH keys.
 
     Downstream: ``groupby(["band", "band_hash"])`` co-locates candidate
-    duplicates; band_hash is a stable blake2b of the band's slice.
+    duplicates. Fully vectorized: the band hash is a multiply-sum over
+    the band's signature slice (no per-row digest loop — the former
+    blake2b-per-row version was the row-at-a-time bottleneck at corpus
+    scale).
     """
     sigs = np.asarray(batch.column("minhash").combine_chunks().flatten()).reshape(
         batch.num_rows, -1
@@ -209,21 +222,16 @@ def explode_lsh_bands(
     num_perm = sigs.shape[1]
     rows_per_band = num_perm // num_bands
     ids = np.asarray(batch.column(id_column))
-    out_ids, out_band, out_hash = [], [], []
-    for b in range(num_bands):
-        chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-        hashes = [
-            hashlib.blake2b(chunk[i].tobytes(), digest_size=8).hexdigest()
-            for i in range(chunk.shape[0])
-        ]
-        out_ids.append(ids)
-        out_band.append(np.full(len(ids), b, dtype=np.int32))
-        out_hash.append(np.array(hashes, dtype=object))
+    # (n_docs, num_bands, rows_per_band) * multipliers -> sum over slot axis
+    chunks = sigs[:, : num_bands * rows_per_band].reshape(len(ids), num_bands, rows_per_band)
+    mult = _BAND_MULT[: num_bands * rows_per_band].reshape(num_bands, rows_per_band)
+    hashes = (chunks * mult[None, :, :]).sum(axis=2, dtype=np.uint64)  # (n_docs, num_bands)
+    bands = np.broadcast_to(np.arange(num_bands, dtype=np.int32), hashes.shape)
     return pa.table(
         {
-            id_column: pa.array(np.concatenate(out_ids)),
-            "band": pa.array(np.concatenate(out_band), type=pa.int32()),
-            "band_hash": pa.array(np.concatenate(out_hash), type=pa.string()),
+            id_column: pa.array(np.repeat(ids, num_bands)),
+            "band": pa.array(bands.reshape(-1), type=pa.int32()),
+            "band_hash": pa.array(hashes.reshape(-1), type=pa.uint64()),
         }
     )
 
@@ -327,29 +335,83 @@ def resolve_dup_clusters(pairs: "object", driver_pair_limit: int = 2_000_000) ->
 
 
 class SimHasher:
-    """Actor-pool stage: 64-bit SimHash over word-token hashes."""
+    """Actor-pool stage: 64-bit SimHash over word-token hashes.
+
+    ``__call__`` is batch-vectorized with the same machinery as
+    ``MinHasher._signatures_vectorized``: Arrow regex split (C) ->
+    pandas factorize (C) -> blake2b of UNIQUE tokens only (memoized
+    per actor across batches — Zipf vocabularies make this ~a dict
+    lookup) -> per-doc bit votes via one ``add.reduceat``.
+    ``simhash()`` keeps the per-document reference implementation for
+    tests/oracles.
+    """
 
     def __init__(self, text_column: str = "text") -> None:
         self.text_column = text_column
+        self._tok_cache: dict[str, int] = {}
+        self._bit_idx = np.arange(64, dtype=np.uint64)
+
+    def _token_hash(self, tok: str) -> int:
+        h = self._tok_cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            self._tok_cache[tok] = h
+        return h
 
     def simhash(self, text: str) -> int:
+        """Per-document reference kernel (used by tests + the oracle)."""
         toks = _WORD.findall(text.lower())
         if not toks:
             return 0
         hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") for t in toks),
-            dtype=np.uint64,
-            count=len(toks),
+            (self._token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
+        bits = ((hs[:, None] >> self._bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
         vote = bits.sum(axis=0) * 2 - len(hs)
-        return int(((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return int(((vote > 0).astype(np.uint64) << self._bit_idx).sum())
+
+    def _simhash_vectorized(self, col) -> np.ndarray:
+        import pandas as pd
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lower = pc.utf8_lower(pc.coalesce(col, pa.scalar("")))
+        toks = pc.split_pattern_regex(lower, pattern=r"\W+")
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets)
+        n_docs = len(col)
+
+        words = np.asarray(flat, dtype=object)
+        nonempty = words != ""
+        codes, uniques = pd.factorize(words, use_na_sentinel=False)
+        uniq_hash = np.fromiter(
+            (self._token_hash(u) for u in uniques), dtype=np.uint64, count=len(uniques)
+        )
+        # bit matrix of UNIQUE token hashes only: (n_uniq, 64)
+        ubits = ((uniq_hash[:, None] >> self._bit_idx[None, :]) & np.uint64(1)).astype(np.int32)
+
+        keep_idx = np.flatnonzero(nonempty)
+        kept_codes = codes[keep_idx]
+        new_offsets = np.searchsorted(keep_idx, offsets)
+        n_tok = np.diff(new_offsets)
+
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if len(kept_codes) == 0:
+            return out
+        flat_bits = ubits[kept_codes]  # (n_flat, 64) int32
+        # reduceat needs strictly valid start indices; empty docs repeat
+        # a boundary -> their "sum" is one spurious row, masked out below
+        starts = np.minimum(new_offsets[:-1], len(kept_codes) - 1)
+        ones = np.add.reduceat(flat_bits, starts, axis=0)  # (n_docs, 64)
+        votes = 2 * ones - n_tok[:, None]
+        sim = ((votes > 0).astype(np.uint64) << self._bit_idx[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[n_tok > 0] = sim[n_tok > 0]
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_column).to_pylist()
-        out = np.array([self.simhash(t or "") for t in texts], dtype=np.uint64)
+        out = self._simhash_vectorized(batch.column(self.text_column))
         return batch.append_column("simhash", pa.array(out, type=pa.uint64()))
 
 

@@ -150,15 +150,14 @@ class Fingerprinter:
         self.base_w = base ** np.uint64(window)
 
     def _fingerprint(self, raw: bytes) -> int:
+        """Per-document reference kernel (used by tests + the oracle)."""
         w = self.window
         if len(raw) < w:
             raw = raw + b"\x00" * (w - len(raw))
         arr = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
         n = len(arr) - w + 1
-        # rolling hashes for every window start (vectorized via cumulative trick)
         idx = np.arange(n)[:, None] + np.arange(w)[None, :]
         hashes = (arr[idx] * self.powers[None, :]).sum(axis=1)
-        # winnow: min hash per stride block, xor-combined
         nblocks = (n + self.stride - 1) // self.stride
         out = np.uint64(0)
         for b in range(nblocks):
@@ -166,11 +165,75 @@ class Fingerprinter:
             out ^= np.uint64(blk.min())
         return int(out)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch.column(self.text_column).cast(pa.binary())
+    def _fingerprints_vectorized(self, col) -> list[str | None]:
+        """Whole-batch fingerprints with no per-row Python loop and no
+        O(len x window) index matrix: one flat rolling hash over the
+        batch's concatenated (zero-padded) byte stream.
+
+        The window hash ``sum_j d[i+j] * base^j`` is computed for every
+        global position at once as ``(S[i+w] - S[i]) * base^{-i}``
+        (prefix sums of ``d[t] * base^t``; base is odd, hence invertible
+        mod 2^64, and uint64 arithmetic wraps exactly). Winnowing minima
+        and the per-doc xor combine are ``minimum.reduceat`` /
+        ``bitwise_xor.reduceat`` over per-doc block boundaries.
+        """
+        w, stride = self.window, self.stride
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        fps = [
-            f"{self._fingerprint(v.as_py()):016x}" if v.is_valid else None for v in col
+        arr = col.cast(pa.large_binary())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n_docs = len(arr)
+        if n_docs == 0:
+            return []
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + n_docs + 1
         ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offs)
+        valid = np.ones(n_docs, dtype=bool)
+        if arr.null_count:
+            valid = np.asarray(arr.is_valid())
+        # re-pack with per-doc zero padding up to the window size (short
+        # docs hash as if padded with NULs — the reference semantics)
+        plens = np.maximum(lens, w)
+        poff = np.concatenate([[0], np.cumsum(plens)])
+        total = int(poff[-1])
+        packed = np.zeros(total, dtype=np.uint8)
+        doc_of_byte = np.repeat(np.arange(n_docs), lens)
+        within = np.arange(int(lens.sum())) - np.repeat(offs[:-1] - offs[0], lens)
+        packed[poff[doc_of_byte] + within] = data[offs[0] : offs[-1]]
+
+        base = np.uint64(1000003)
+        inv_base = np.uint64(pow(1000003, -1, 1 << 64))
+        powg = np.empty(total, dtype=np.uint64)
+        powg[0] = 1
+        np.cumprod(np.full(total - 1, base, dtype=np.uint64), out=powg[1:])
+        invpowg = np.empty(total, dtype=np.uint64)
+        invpowg[0] = 1
+        np.cumprod(np.full(total - 1, inv_base, dtype=np.uint64), out=invpowg[1:])
+        S = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(packed.astype(np.uint64) * powg, out=S[1:])
+        # window hash at every global start that stays inside one doc
+        n_starts = total - w + 1
+        h_all = (S[w : w + n_starts] - S[:n_starts]) * invpowg[:n_starts]
+        m = plens - w + 1  # valid window starts per doc (>= 1)
+        doc_of_start = np.repeat(np.arange(n_docs), plens)[:n_starts]
+        within_start = (np.arange(n_starts) - poff[doc_of_start]).astype(np.int64)
+        h = h_all[within_start <= (plens[doc_of_start] - w)]
+
+        # winnow: min per stride block per doc, xor across blocks per doc
+        nblocks = -(-m // stride)
+        boff = np.concatenate([[0], np.cumsum(nblocks)])
+        vstart = np.concatenate([[0], np.cumsum(m)])[:-1]
+        k = np.arange(int(boff[-1])) - np.repeat(boff[:-1], nblocks)
+        bounds = np.repeat(vstart, nblocks) + k * stride
+        mins = np.minimum.reduceat(h, bounds)
+        fps = np.bitwise_xor.reduceat(mins, boff[:-1])
+        return [
+            f"{int(v):016x}" if ok else None for v, ok in zip(fps, valid)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = self._fingerprints_vectorized(batch.column(self.text_column))
         return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))

@@ -121,3 +121,30 @@ def test_ngram_jaccard_bounds():
     assert ngram_jaccard("a b c d", "a b c d") == 1.0
     assert ngram_jaccard("a b c d", "x y z w") == 0.0
     assert ngram_jaccard("", "") == 1.0
+
+
+def test_simhash_vectorized_matches_reference_kernel():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "Gamma", "delta42", "x", "the quick", "punct!,;"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 40)))) for _ in range(80)]
+    texts += ["", "a", None]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    sh = SimHasher()
+    assert sh(t).column("simhash").to_pylist() == [sh.simhash(x or "") for x in texts]
+
+
+def test_fingerprint_vectorized_matches_reference_kernel():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "Gamma", "delta42", "punct!,;"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 40)))) for _ in range(60)]
+    texts += ["", "a", "long doc " * 200, None]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    f = Fingerprinter()
+    expect = [
+        f"{f._fingerprint((x or '').encode()):016x}" if x is not None else None for x in texts
+    ]
+    assert f(t).column("fingerprint").to_pylist() == expect
