@@ -352,10 +352,27 @@ def q_distinct_values(sf_dir: str):
     return pa.table({"event_type": pa.array(sorted(out), type=pa.string())})
 
 
+PREVIEW_N = 15
+
+
 def q_preview_limit(sf_dir: str):
-    """M9/O1: preview = first 15 records in id order."""
+    """M9/O1: preview = first 15 records in id order.
+
+    No global sort: each block emits its local top-15 (vectorized
+    partial sort), the driver merges the <= 15 x n_blocks survivors —
+    O(n) scan + tiny driver merge instead of an all-to-all sort."""
     ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"])
-    return ds.sort("event_id").limit(15)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= PREVIEW_N:
+            return batch
+        order = pc.sort_indices(batch, sort_keys=[("event_id", "ascending")])
+        return batch.take(order.slice(0, PREVIEW_N))
+
+    parts = ds.map_batches(local_top, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(parts)
+    order = pc.sort_indices(merged, sort_keys=[("event_id", "ascending")])
+    return merged.take(order.slice(0, PREVIEW_N))
 
 
 # ---------------------------------------------------------------------------
@@ -598,6 +615,21 @@ def q_offset_paged_source(sf_dir: str):
     return read_offset_paged(3000, fail_plan={0: "606"})
 
 
+CUSTOM_OBJECT_FROM = 1
+CUSTOM_OBJECT_TO = 700
+
+
+def q_custom_object_source(sf_dir: str):
+    """S6: offset+token hybrid source over an id range (custom object).
+
+    Chunks of 300 ids fan out in parallel; nested token pagination per
+    chunk with full retry protocol (rest/MarketoRestClient.java:508-572).
+    """
+    from embulk_input_marketo_ray.sources.paged import read_custom_objects
+
+    return read_custom_objects(CUSTOM_OBJECT_FROM, CUSTOM_OBJECT_TO, fail_plan={0: "606"})
+
+
 def q_lead_by_list_join(sf_dir: str):
     """J1/S3: parent-driven nested fetch-join, children tagged listId,
     concurrency capped at 2 like the reference's export-job limit."""
@@ -649,32 +681,10 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
     # same pair may surface from several bands -> exact dedup
     pairs = keep_one_per_key(pairs, ["doc_id", "dup_of"], "doc_id", keep="first")
 
-    # verify candidates with exact n-gram Jaccard. The doc texts are
-    # broadcast once via ray.put — fine while the corpus fits the object
-    # store; the 100 TB path replaces this with a hash-partitioned join
-    # of pairs against the documents table on doc_id.
-    import pyarrow.parquet as _pq
+    # verify candidates with exact n-gram Jaccard via a hash-partitioned
+    # pairs x documents join (the 100 TB path — no whole-corpus driver
+    # dict / broadcast; shuffle payload ∝ candidate set)
+    from embulk_input_marketo_ray.stages.dedup import verify_pairs_jaccard
 
-    dt = _pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(dt.column("doc_id").to_pylist(), dt.column("text").to_pylist())))
-
-    class VerifyJaccard:
-        def __init__(self):
-            from embulk_input_marketo_ray.stages.dedup import ngram_jaccard
-
-            self.texts = ray.get(texts_ref)
-            self.jaccard = ngram_jaccard
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch.append_column("jaccard", pa.array([], type=pa.float64()))
-            sims = [
-                self.jaccard(self.texts.get(a, ""), self.texts.get(b, ""))
-                for a, b in zip(
-                    batch.column("doc_id").to_pylist(), batch.column("dup_of").to_pylist()
-                )
-            ]
-            out = batch.append_column("jaccard", pa.array(sims, type=pa.float64()))
-            return out.filter(pc.greater_equal(out.column("jaccard"), pa.scalar(0.5)))
-
-    return pairs.map_batches(VerifyJaccard, batch_format="pyarrow", concurrency=(1, 2))
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return verify_pairs_jaccard(pairs, docs, threshold=0.5)

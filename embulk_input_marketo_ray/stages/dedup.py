@@ -251,7 +251,9 @@ def lsh_bucket_to_pairs(group: pa.Table, id_column: str = "doc_id") -> pa.Table:
     )
 
 
-def resolve_dup_clusters(pairs: "object", driver_pair_limit: int = 2_000_000) -> "object":
+def resolve_dup_clusters(
+    pairs: "object", driver_pair_limit: int = 2_000_000, max_rounds: int = 16
+) -> "object":
     """Candidate near-dup pairs -> connected components.
 
     Input dataset columns ``(doc_id, dup_of)``; output ``(doc_id,
@@ -263,16 +265,21 @@ def resolve_dup_clusters(pairs: "object", driver_pair_limit: int = 2_000_000) ->
     - pair set provably small (``count() <= driver_pair_limit``, the
       normal case — near-dup edges are sparse relative to the corpus):
       exact union-find on the driver, O(E a(E));
-    - larger: iterative min-label propagation, each round one
-      distributed pass over the (distributed) edge list against a
-      broadcast label dict (labels = one row per DUP NODE, orders of
-      magnitude smaller than the corpus; assumption documented here).
+    - larger: fully distributed min-label propagation. Each round joins
+      the (distributed) edge list with the current label table on the
+      neighbor endpoint and takes the per-node min — no driver
+      materialization and no broadcast dict anywhere; per-round state
+      is one (node, label) row per DUP NODE (orders of magnitude
+      smaller than the corpus). Convergence is detected by the label
+      sum (labels only decrease, so an unchanged sum means a fixed
+      point); components of diameter > ``max_rounds`` would come out
+      non-minimal — near-dup clusters are dense and shallow in
+      practice, and ``max_rounds`` bounds the join rounds.
     """
-    import ray
     import ray.data
+    from ray.data.aggregate import Min, Sum
 
     n_pairs = pairs.count()
-    edge_rows = None
     if n_pairs <= driver_pair_limit:
         edge_rows = pairs.take_all()
         parent: dict[int, int] = {}
@@ -291,42 +298,192 @@ def resolve_dup_clusters(pairs: "object", driver_pair_limit: int = 2_000_000) ->
             [{"doc_id": x, "cluster_id": find(x)} for x in sorted(parent)]
         )
 
-    # distributed propagation path
-    labels: dict[int, int] = {}
-    for r in pairs.iter_rows():
-        a, b = int(r["doc_id"]), int(r["dup_of"])
-        labels[a] = min(labels.get(a, a), b, a)
-        labels[b] = min(labels.get(b, b), a, b)
-    for _ in range(16):
-        ref = ray.put(labels)
+    # distributed min-label propagation
+    import ray.data as rd
 
-        def propagate(batch: pa.Table) -> pa.Table:
-            lab = ray.get(ref)
-            out_n, out_l = [], []
-            for a, b in zip(batch.column("doc_id").to_pylist(), batch.column("dup_of").to_pylist()):
-                la, lb = lab.get(a, a), lab.get(b, b)
-                m = min(la, lb, lab.get(la, la), lab.get(lb, lb))
-                if m < la:
-                    out_n.append(a)
-                    out_l.append(m)
-                if m < lb:
-                    out_n.append(b)
-                    out_l.append(m)
+    from embulk_input_marketo_ray.pipelines.queries import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    # a Dataset snapshots the DataContext at CREATION time; if the
+    # caller built `pairs` before the hash-shuffle tuning above, joins
+    # on its descendants fail (sparse partitions under the untuned
+    # strategy surface as schema-less blocks inside the join). Re-wrap
+    # the executed blocks so every derived dataset carries the tuned
+    # context — refs only, no driver materialization.
+    pairs = rd.from_arrow_refs(pairs.to_arrow_refs())
+    num_partitions = 16
+
+    def both_directions(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id").combine_chunks() if isinstance(
+            batch.column("doc_id"), pa.ChunkedArray
+        ) else batch.column("doc_id")
+        b = batch.column("dup_of").combine_chunks() if isinstance(
+            batch.column("dup_of"), pa.ChunkedArray
+        ) else batch.column("dup_of")
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+            }
+        )
+
+    edges = pairs.map_batches(both_directions, batch_format="pyarrow").materialize()
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "label": pc.min_element_wise(batch.column("node"), batch.column("nbr")),
+            }
+        )
+
+    labels = (
+        edges.map_batches(seed, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label"))
+
+    def as_nbr_label(batch: pa.Table) -> pa.Table:
+        # rename the label key so the join key name is unambiguous on
+        # both sides (a right key sharing a LEFT column name trips
+        # acero's field resolution inside Ray's hash join)
+        return pa.table({"nbr": batch.column("node"), "nbr_label": batch.column("label")})
+
+    for _ in range(max_rounds):
+        cand = edges.join(
+            labels.map_batches(as_nbr_label, batch_format="pyarrow"),
+            "inner",
+            num_partitions=num_partitions,
+            on=("nbr",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        )
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column("node"), "label": batch.column("nbr_label")})
+
+        cand = cand.map_batches(project, batch_format="pyarrow")
+        labels = (
+            labels.union(cand)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new_sum = labels.aggregate(Sum("label"))
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("node"), "cluster_id": batch.column("label")}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def drop_schemaless_blocks(ds: "object", fallback_schema: pa.Schema) -> "object":
+    """Remove the schema-less EMPTY blocks that Ray 2.49's keyed hash
+    repartition emits for empty partitions — ``Dataset.join`` fails on
+    them ("No match for key field ... on left side"). Block-level only:
+    one tiny remote per block reads ``num_rows``; data never touches
+    the driver. If every block is empty, a typed empty block with
+    ``fallback_schema`` is substituted so downstream schemas resolve."""
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    def _rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    refs = ds.to_arrow_refs()
+    counts = ray.get([_rows.remote(r) for r in refs])
+    keep = [r for r, c in zip(refs, counts) if c > 0]
+    if not keep:
+        return rd.from_arrow(fallback_schema.empty_table())
+    return rd.from_arrow_refs(keep)
+
+
+def verify_pairs_jaccard(
+    pairs: "object",
+    documents: "object",
+    threshold: float = 0.5,
+    num_partitions: int = 16,
+    ngram: int = 3,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> "object":
+    """Exact n-gram-Jaccard verification of candidate pairs via a
+    hash-partitioned join — the 100 TB path (no driver-built text dict,
+    no whole-corpus broadcast): pairs x documents on ``doc_id`` attaches
+    the left text, a second keyed join on ``dup_of`` attaches the right
+    text, then a per-batch kernel computes the exact similarity. The
+    shuffle payload is one text copy per candidate-pair side, which is
+    proportional to the (sparse) candidate set, not the corpus."""
+    pairs = drop_schemaless_blocks(
+        pairs, pa.schema([(id_column, pa.int64()), ("dup_of", pa.int64())])
+    )
+
+    def docs_as(key: str, text_out: str):
+        def rename(batch: pa.Table) -> pa.Table:
             return pa.table(
-                {"node": pa.array(out_n, type=pa.int64()), "label": pa.array(out_l, type=pa.int64())}
+                {key: batch.column(id_column), text_out: batch.column(text_column)}
             )
 
-        updates = pairs.map_batches(propagate, batch_format="pyarrow")
-        changed = False
-        for r in updates.iter_rows():
-            if r["label"] < labels.get(r["node"], r["node"]):
-                labels[r["node"]] = r["label"]
-                changed = True
-        if not changed:
-            break
-    return ray.data.from_items(
-        [{"doc_id": k, "cluster_id": v} for k, v in sorted(labels.items())]
+        return documents.map_batches(rename, batch_format="pyarrow")
+
+    # key names are made unique per join side up front: a right join key
+    # sharing a LEFT column name trips acero's field resolution inside
+    # Ray's hash join
+    j = pairs.join(
+        docs_as(id_column, text_column),
+        "inner",
+        num_partitions=num_partitions,
+        on=(id_column,),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
     )
+    # the join itself emits schema-less blocks for empty partitions;
+    # launder before chaining the second join
+    j = drop_schemaless_blocks(
+        j,
+        pa.schema(
+            [(id_column, pa.int64()), ("dup_of", pa.int64()), (text_column, pa.string())]
+        ),
+    )
+    j = j.join(
+        docs_as("dup_of", f"{text_column}_b"),
+        "inner",
+        num_partitions=num_partitions,
+        on=("dup_of",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts_a = batch.column(text_column).to_pylist() if batch.num_rows else []
+        texts_b = batch.column(f"{text_column}_b").to_pylist() if batch.num_rows else []
+        # per-batch memo: both endpoints of many pairs repeat within a bucket
+        grams_cache: dict[str, float] = {}
+
+        def sim(a: str, b: str) -> float:
+            key = a + "\x00" + b
+            v = grams_cache.get(key)
+            if v is None:
+                v = ngram_jaccard(a, b, ngram)
+                grams_cache[key] = v
+            return v
+
+        sims = [sim(a or "", b or "") for a, b in zip(texts_a, texts_b)]
+        out = pa.table(
+            {
+                "doc_id": batch.column(id_column) if batch.num_rows else pa.array([], type=pa.int64()),
+                "dup_of": batch.column("dup_of") if batch.num_rows else pa.array([], type=pa.int64()),
+                "jaccard": pa.array(sims, type=pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out.column("jaccard"), pa.scalar(threshold)))
+
+    return j.map_batches(kernel, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -11,19 +11,28 @@ The brute-force cosine top-k baseline lives in
   rows the all-pairs scan is infeasible, bucketed compare is
   O(rows x bucket_hit_rate). Recall depends on n_planes/n_tables
   (documented trade-off, standard LSH result).
-- **Embedding near-dup**: same bucketing; within a bucket, pairwise
-  cosine >= threshold emits (vec_id, dup_of=min id). Partitioning
+- **Embedding near-dup**: same bucketing; bucket members are candidate
+  pairs; pairs with exact cosine >= threshold survive. Partitioning
   assumption: near-identical vectors collide in at least one table
   with probability 1-(1-p^b)^T.
 
-Both stages broadcast the (seeded) hyperplane matrix via closure
-capture — it is tiny (dim x n_planes floats).
+Shuffle-payload design (the 100 TB shape): the bucket explosion carries
+ONLY ``(vec_id, lsh_table, lsh_bucket)`` — the embedding vectors are
+NOT replicated into the n_tables exploded copies (that would move
+n_tables x the dataset through the shuffle). Bucket groups emit
+candidate ID PAIRS; the exact-cosine verification then attaches each
+side's vector via a hash-partitioned join against the embeddings table,
+so vectors move once per (sparse) candidate-pair side.
+
+The (seeded) hyperplane matrix is broadcast via closure capture — it is
+tiny (dim x n_planes floats).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -48,32 +57,92 @@ def _bucket_keys(x: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 class LshBucketer:
-    """Actor-pool stage: explode each vector to (table, bucket) keys."""
+    """Actor-pool stage: explode each vector to its (table, bucket)
+    keys — ids only, no embedding replication through the shuffle."""
 
     def __init__(self, dim: int, n_planes: int = 12, n_tables: int = 4, seed: int = 7):
         self.planes = [_hyperplanes(dim, n_planes, t, seed) for t in range(n_tables)]
+        self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = _embedding_matrix(batch)
         ids = np.asarray(batch.column("vec_id"))
-        out_id, out_table, out_bucket, out_emb = [], [], [], []
-        for t, planes in enumerate(self.planes):
-            keys = _bucket_keys(x, planes)
-            out_id.append(ids)
-            out_table.append(np.full(len(ids), t, dtype=np.int32))
-            out_bucket.append(keys)
-            out_emb.append(x)
-        emb = np.concatenate(out_emb)
+        keys = np.stack([_bucket_keys(x, p) for p in self.planes], axis=1)  # (n, T)
+        tables = np.broadcast_to(np.arange(self.n_tables, dtype=np.int32), keys.shape)
         return pa.table(
             {
-                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
-                "lsh_table": pa.array(np.concatenate(out_table), type=pa.int32()),
-                "lsh_bucket": pa.array(np.concatenate(out_bucket), type=pa.int64()),
-                "nembedding": pa.FixedSizeListArray.from_arrays(
-                    pa.array(emb.reshape(-1), type=pa.float64()), emb.shape[1]
-                ),
+                "vec_id": pa.array(np.repeat(ids, self.n_tables), type=pa.int64()),
+                "lsh_table": pa.array(tables.reshape(-1), type=pa.int32()),
+                "lsh_bucket": pa.array(keys.reshape(-1), type=pa.int64()),
             }
         )
+
+
+def _explode_keys(
+    embeddings_path: str, n_planes: int, n_tables: int
+) -> tuple["ray.data.Dataset", "ray.data.Dataset", int]:
+    """(key dataset, embeddings dataset, dim) for the bucketed paths."""
+    dim = len(
+        pq.read_table(embeddings_path, columns=["embedding"]).column("embedding")[0]
+    )
+    ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+    # task-based stage (closure over the tiny plane matrices), not an
+    # actor pool: this pipeline already runs keyed shuffles + a join +
+    # downstream stages concurrently, and every actor-pool minimum is a
+    # CPU permanently reserved for the whole streaming plan — on small
+    # nodes that starves the join aggregators into a deadlock
+    bucketer = LshBucketer(dim=dim, n_planes=n_planes, n_tables=n_tables)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return bucketer(batch)
+
+    keys = ds.map_batches(explode, batch_format="pyarrow")
+    return keys, ds, dim
+
+
+def _unpack_embeddings(col, n_rows: int) -> np.ndarray:
+    """fixed-size-binary embedding blobs -> (n, dim) float64 view."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    width = col.type.byte_width // 8
+    a = np.frombuffer(col.buffers()[1], dtype=np.float64)
+    start = col.offset * width
+    return a[start : start + n_rows * width].reshape(n_rows, width)
+
+
+def _attach_embeddings(
+    pairs: "ray.data.Dataset",
+    embeddings: "ray.data.Dataset",
+    key: str,
+    out_column: str,
+    num_partitions: int = 16,
+    pair_schema: pa.Schema | None = None,
+) -> "ray.data.Dataset":
+    """Hash-partitioned join attaching the normalized embedding for
+    ``pairs[key]`` as ``out_column`` (a fixed-size-list column)."""
+    from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
+
+    if pair_schema is not None:
+        pairs = drop_schemaless_blocks(pairs, pair_schema)
+
+    def as_key(batch: pa.Table) -> pa.Table:
+        # acero's hash join (inside Ray's join aggregator) rejects
+        # nested payload columns, so the normalized vector rides as a
+        # fixed-size-binary blob (zero-copy view of the float64 matrix)
+        x = _embedding_matrix(batch)
+        emb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(x.shape[1] * 8), x.shape[0], [None, pa.py_buffer(np.ascontiguousarray(x).tobytes())]
+        )
+        return pa.table({key: batch.column("vec_id").cast(pa.int64()), out_column: emb})
+
+    right = embeddings.map_batches(as_key, batch_format="pyarrow")
+    return pairs.join(
+        right,
+        "inner",
+        num_partitions=num_partitions,
+        on=(key,),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
 
 
 def ann_lsh_topk(
@@ -88,50 +157,83 @@ def ann_lsh_topk(
     # 4 planes x 16 tables -> table recall ~0.15, overall ~0.93.
     # High-similarity corpora should RAISE n_planes (smaller buckets).
     """Approximate top-k: queries meet candidates only inside shared
-    LSH buckets; per-bucket exact cosine, then per-query global top-k."""
-    from embulk_input_marketo_ray.pipelines.queries import _ensure_hash_shuffle, grouped_map
+    LSH buckets (ids only through the shuffle); exact cosine against a
+    broadcast query matrix after the candidate join; per-query global
+    top-k."""
+    from embulk_input_marketo_ray.pipelines.queries import (
+        _ensure_hash_shuffle,
+        grouped_map,
+        keep_one_per_key,
+    )
 
     _ensure_hash_shuffle()
-    dim = len(
-        pq.read_table(embeddings_path, columns=["embedding"]).column("embedding")[0]
-    )
+    keys, embeddings, dim = _explode_keys(embeddings_path, n_planes, n_tables)
 
-    ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
-    exploded = ds.map_batches(
-        LshBucketer,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "n_tables": n_tables},
-    )
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def bucket_candidates(group: pa.Table) -> pa.Table:
+        """One (table, bucket) group -> (query_id, neighbor_id) id pairs."""
         empty = pa.table(
             {
                 "query_id": pa.array([], type=pa.int64()),
                 "neighbor_id": pa.array([], type=pa.int64()),
-                "cos": pa.array([], type=pa.float64()),
             }
         )
         if group.num_rows == 0:
             return empty
         ids = np.asarray(group.column("vec_id"))
-        qmask = ids < n_queries
-        if not qmask.any():
+        qids = ids[ids < n_queries]
+        if not len(qids):
             return empty
-        emb = np.asarray(group.column("nembedding").combine_chunks().flatten()).reshape(
-            group.num_rows, -1
-        )
-        cos = emb[qmask] @ emb.T
-        qids = np.repeat(ids[qmask], len(ids))
         return pa.table(
             {
-                "query_id": pa.array(qids, type=pa.int64()),
-                "neighbor_id": pa.array(np.tile(ids, qmask.sum()), type=pa.int64()),
-                "cos": pa.array(cos.reshape(-1), type=pa.float64()),
+                "query_id": pa.array(np.repeat(qids, len(ids)), type=pa.int64()),
+                "neighbor_id": pa.array(np.tile(ids, len(qids)), type=pa.int64()),
             }
         )
 
-    pairs = grouped_map(exploded, ["lsh_table", "lsh_bucket"], bucket_pairs, num_partitions=16)
+    cand = grouped_map(keys, ["lsh_table", "lsh_bucket"], bucket_candidates, num_partitions=16)
+    # same (query, neighbor) may collide in several tables -> dedup
+    cand = keep_one_per_key(cand, ["query_id", "neighbor_id"], "query_id", keep="first")
+
+    # broadcast the (tiny) normalized query matrix once
+    qt = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), pa.scalar(n_queries)))
+    qm = np.stack(qt.column("embedding").to_pylist()).astype(np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    qid_index = {int(v): i for i, v in enumerate(np.asarray(qt.column("vec_id")))}
+    qref = ray.put((qid_index, qm))
+
+    scored = _attach_embeddings(
+        cand,
+        embeddings,
+        key="neighbor_id",
+        out_column="nemb",
+        pair_schema=pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64())]),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        # task-based (no pool minimum); the broadcast query matrix is
+        # fetched zero-copy from the object store per task
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        qid_index, qm = ray.get(qref)
+        emb = _unpack_embeddings(batch.column("nemb"), batch.num_rows)
+        q_rows = np.array([qid_index[int(q)] for q in np.asarray(batch.column("query_id"))])
+        cos = np.einsum("ij,ij->i", emb, qm[q_rows])
+        return pa.table(
+            {
+                "query_id": batch.column("query_id"),
+                "neighbor_id": batch.column("neighbor_id"),
+                "cos": pa.array(cos, type=pa.float64()),
+            }
+        )
+
+    pairs = scored.map_batches(score, batch_format="pyarrow")
 
     def topk(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -143,7 +245,6 @@ def ann_lsh_topk(
         )
         if group.num_rows == 0:
             return empty
-        # same (query, neighbor) may collide in several tables -> dedup
         import pandas as pd
 
         df = group.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
@@ -168,20 +269,13 @@ def embedding_near_dup_pairs(
         grouped_map,
         keep_one_per_key,
     )
+    from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
 
     _ensure_hash_shuffle()
-    dim = len(
-        pq.read_table(embeddings_path, columns=["embedding"]).column("embedding")[0]
-    )
-    ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
-    exploded = ds.map_batches(
-        LshBucketer,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "n_tables": n_tables},
-    )
+    keys, embeddings, dim = _explode_keys(embeddings_path, n_planes, n_tables)
 
-    def bucket_dups(group: pa.Table) -> pa.Table:
+    def bucket_id_pairs(group: pa.Table) -> pa.Table:
+        """One (table, bucket) group -> candidate id pairs (ids only)."""
         empty = pa.table(
             {
                 "vec_id": pa.array([], type=pa.int64()),
@@ -190,16 +284,8 @@ def embedding_near_dup_pairs(
         )
         if group.num_rows < 2:
             return empty
-        ids = np.asarray(group.column("vec_id"))
-        order = np.argsort(ids)
-        ids = ids[order]
-        emb = np.asarray(group.column("nembedding").combine_chunks().flatten()).reshape(
-            group.num_rows, -1
-        )[order]
-        cos = emb @ emb.T
-        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
-        if not len(ii):
-            return empty
+        ids = np.sort(np.asarray(group.column("vec_id")))
+        ii, jj = np.triu_indices(len(ids), k=1)
         return pa.table(
             {
                 "vec_id": pa.array(ids[jj], type=pa.int64()),
@@ -207,6 +293,37 @@ def embedding_near_dup_pairs(
             }
         )
 
-    pairs = grouped_map(exploded, ["lsh_table", "lsh_bucket"], bucket_dups, num_partitions=16)
+    cand = grouped_map(keys, ["lsh_table", "lsh_bucket"], bucket_id_pairs, num_partitions=16)
     # same pair can surface from several tables
-    return keep_one_per_key(pairs, ["vec_id", "dup_of"], "vec_id", keep="first")
+    cand = keep_one_per_key(cand, ["vec_id", "dup_of"], "vec_id", keep="first")
+
+    pair_schema = pa.schema([("vec_id", pa.int64()), ("dup_of", pa.int64())])
+    j = _attach_embeddings(cand, embeddings, key="vec_id", out_column="emb_a",
+                           pair_schema=pair_schema)
+    j = drop_schemaless_blocks(
+        j, pa.schema([("vec_id", pa.int64()), ("dup_of", pa.int64()),
+                      ("emb_a", pa.binary(dim * 8))])
+    )
+    j = _attach_embeddings(j, embeddings, key="dup_of", out_column="emb_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        a = _unpack_embeddings(batch.column("emb_a"), batch.num_rows)
+        b = _unpack_embeddings(batch.column("emb_b"), batch.num_rows)
+        cos = np.einsum("ij,ij->i", a, b)
+        out = pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "dup_of": batch.column("dup_of"),
+            }
+        )
+        return out.filter(pa.array(cos >= threshold))
+
+    return j.map_batches(verify, batch_format="pyarrow")
