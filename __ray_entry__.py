@@ -97,7 +97,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": q.q_doc_tokens,
         "doc_quality": q.q_doc_quality,
         "ann_topk": q.q_ann_topk,
-        # rows-only (non-SQL-expressible) operators
         "doc_langid": q.q_doc_langid,
         "doc_fingerprint": q.q_doc_fingerprint,
         "doc_simhash": q.q_doc_simhash,
@@ -105,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": q.q_doc_dup_clusters,
         "token_paged_source": q.q_token_paged_source,
         "offset_paged_source": q.q_offset_paged_source,
+        "custom_object_source": q.q_custom_object_source,
         "lead_by_list_join": q.q_lead_by_list_join,
         "csv_parse": q.q_csv_parse,
         "ann_lsh_topk": q.q_ann_lsh_topk,
@@ -114,16 +114,114 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _fixture_record_sql(n: int, id_expr: str = "i", local_expr: str = "i") -> str:
+    """SQL reproduction of FixtureServer._record for ``range(n)``:
+    id / 'Campaign_%05d' / batch|trigger / ws<i%7>."""
+    return f"""
+        SELECT CAST({id_expr} AS BIGINT) AS id,
+               printf('Campaign_%05d', {local_expr}) AS name,
+               CASE WHEN ({local_expr}) % 3 = 0 THEN 'trigger' ELSE 'batch' END AS type,
+               'ws' || CAST(({local_expr}) % 7 AS VARCHAR) AS workspaceName
+        FROM range({n}) t(i)
+    """
+
+
+def _langid_sql() -> str:
+    """Marker-count language id: per-lang non-overlapping regex counts,
+    argmax with first-in-sorted-order tie-break, unknown when all 0 —
+    the exact decision rule of stages/text.LangId."""
+    from embulk_input_marketo_ray.stages.text import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)  # de, en, es, fr
+    counts = ",\n".join(
+        f"len(regexp_extract_all(lower(text), '{'|'.join(_LANG_MARKERS[lang])}')) AS c_{lang}"
+        for lang in langs
+    )
+    best = " WHEN ".join(
+        f"{' AND '.join(f'c_{lang} >= c_{other}' for other in langs if other != lang)} "
+        f"THEN '{lang}'"
+        for lang in langs[:-1]
+    )
+    return f"""
+        WITH c AS (SELECT doc_id, lang, {counts} FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN greatest({', '.join('c_' + lang for lang in langs)}) = 0
+                    THEN 'unknown'
+                    WHEN {best}
+                    ELSE '{langs[-1]}' END AS lang_pred
+        FROM c
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    from embulk_input_marketo_ray.pipelines import oracles
     from embulk_input_marketo_ray.pipelines.queries import (
         ANN_NUM_QUERIES,
         ANN_TOP_K,
+        CUSTOM_OBJECT_FROM,
+        CUSTOM_OBJECT_TO,
         SLICE_FROM,
         SLICE_TO,
     )
 
+    # independently recomputed parquet oracles for the non-SQL kernels
+    oracle_paths = oracles.materialize(ORACLE_SF_DIR)
+    co_n = CUSTOM_OBJECT_TO - CUSTOM_OBJECT_FROM + 1
+
     cdc_to = f"TIMESTAMP '2024-01-01' + INTERVAL {CDC_N_QUERY + 50} SECONDS"
     return {
+        # --- sources (exact synthetic row sets, pure SQL) ---
+        "token_paged_source": _fixture_record_sql(2000),
+        "offset_paged_source": _fixture_record_sql(3000),
+        "custom_object_source": _fixture_record_sql(
+            co_n, id_expr=f"i + {CUSTOM_OBJECT_FROM}", local_expr="i % 300"
+        ),
+        "lead_by_list_join": f"""
+            SELECT r.id, r.name, r.type, r.workspaceName, p.listId
+            FROM ({_fixture_record_sql(200)}) r
+            CROSS JOIN (VALUES (CAST(11 AS BIGINT)), (22), (33)) p(listId)
+        """,
+        "csv_parse": """
+            SELECT CAST(b * 100 + j AS VARCHAR) AS id,
+                   'name_' || b || '_' || (b * 100 + j) AS name,
+                   'v"q' AS quoted,
+                   CASE WHEN (b * 100 + j) % 3 = 0
+                        THEN CAST(b * 100 + j AS VARCHAR) END AS n1,
+                   CASE WHEN (b * 100 + j) % 5 = 0 THEN '' END AS n2
+            FROM range(8) blobs(b) CROSS JOIN range(100) rows(j)
+        """,
+        "activity_static_schema": """
+            SELECT printf('guid%06d', i) AS marketoGUID,
+                   CAST(i % 97 AS VARCHAR) AS leadId,
+                   TIMESTAMP '2024-02-01 07:00:00' + ((i % 28) * INTERVAL 1 DAY)
+                     AS activityDate,
+                   CAST(i % 12 AS VARCHAR) AS activityTypeId,
+                   CASE WHEN i % 5 = 0 THEN NULL
+                        ELSE CAST(i % 40 AS VARCHAR) END AS campaignId,
+                   CAST(i AS VARCHAR) AS primaryAttributeValueId,
+                   'v' || i AS primaryAttributeValue,
+                   '{"Source Type":"List import","n":' || i || '}' AS attributes
+            FROM range(2000) t(i) WHERE i % 50 <> 0
+        """,
+        # --- text analysis (pure SQL decision-rule replica) ---
+        "doc_langid": _langid_sql(),
+        # --- non-SQL kernels: independently recomputed parquet oracles ---
+        "doc_simhash": f"SELECT * FROM read_parquet('{oracle_paths['doc_simhash']}')",
+        "doc_fingerprint": f"SELECT * FROM read_parquet('{oracle_paths['doc_fingerprint']}')",
+        "doc_minhash_dup_pairs": (
+            f"SELECT * FROM read_parquet('{oracle_paths['doc_minhash_dup_pairs']}')"
+        ),
+        "doc_dup_clusters": f"SELECT * FROM read_parquet('{oracle_paths['doc_dup_clusters']}')",
+        "ann_lsh_topk": f"SELECT * FROM read_parquet('{oracle_paths['ann_lsh_topk']}')",
+        "embedding_near_dup": (
+            f"SELECT * FROM read_parquet('{oracle_paths['embedding_near_dup']}')"
+        ),
+        "multimodal_pipeline": (
+            f"SELECT * FROM read_parquet('{oracle_paths['multimodal_pipeline']}')"
+        ),
         "cdc_replay": f"""
             WITH e AS (
               SELECT * FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')

@@ -64,6 +64,16 @@ def validate_config(config: dict) -> dict:
             raise ValueError("from_date must be before the job start time")
     if int(cfg["fetch_days"]) <= 0:
         raise ValueError(f"fetch_days must be positive, got {cfg['fetch_days']}")
+    # W1 (lead only): use_updated_at switches the incremental column to
+    # the updatedAt analog, which the reference rejects under
+    # incremental import (LeadBulkExtractInputPlugin.java:28-40 sets
+    # the column; MarketoBaseBulkExtractInputPlugin.java:102-106 throws)
+    if (
+        cfg["target"] == "lead"
+        and cfg.get("use_updated_at", False)
+        and cfg.get("incremental", True)
+    ):
+        raise ValueError("Column 'updatedAt' cannot be incremental imported")
     if int(cfg["batch_size"]) > 300:
         cfg["batch_size"] = 300  # hard max, rest/MarketoRestClient.java:114-117
     return cfg

@@ -52,6 +52,17 @@ class ReplayConfig:
     from_ts: datetime
     job_start: datetime
     fetch_days: int = 30
+    # W1: incremental-column selection. The default watermark column is
+    # the createdAt analog (event_ts); ``use_updated_at`` switches the
+    # slice filter to the updatedAt analog (updated_ts), mirroring
+    # LeadBulkExtractInputPlugin.java:28-40. The reference REJECTS
+    # incremental import over updatedAt (records touched after the
+    # window would be permanently skipped):
+    # MarketoBaseBulkExtractInputPlugin.java:102-106.
+    incremental: bool = True
+    use_updated_at: bool = False
+    created_ts_column: str = "event_ts"
+    updated_ts_column: str = "updated_ts"
     max_range_days: int = 30  # MARKETO_MAX_RANGE_EXTRACT
     num_buckets: int = 32
     page_size: int = 300
@@ -140,6 +151,14 @@ def replay(cfg: ReplayConfig) -> dict:
 def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     import ray
 
+    # W1 validation (MarketoBaseBulkExtractInputPlugin.java:102-106):
+    # incremental import over the updatedAt analog would permanently
+    # skip records touched after their window — reject with the
+    # reference's error.
+    ts_column = cfg.updated_ts_column if cfg.use_updated_at else cfg.created_ts_column
+    if cfg.incremental and cfg.use_updated_at:
+        raise ValueError("Column 'updatedAt' cannot be incremental imported")
+
     ckpt = WatermarkCheckpoint(cfg.lake_dir + "/_state")
     from_ts = ckpt.from_date(cfg.from_ts)
     if from_ts >= cfg.job_start:
@@ -195,7 +214,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             batch = self.normalizer(batch)
             return add_bucket_and_partial_lww(batch, self.num_buckets)
 
-    ds = read_change_events(cfg.events_dir, slices)
+    ds = read_change_events(cfg.events_dir, slices, ts_column=ts_column)
     ds = ds.map_batches(
         IngestStage,
         batch_format="pyarrow",
@@ -328,8 +347,12 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         }
     )
     # ConfigDiff analog: from := to, only after commit; report_duration
-    # carried like the program target (ProgramInputPlugin.java:181-201)
-    ckpt.advance(to_ts, report_duration=to_ts - from_ts)
+    # carried like the program target (ProgramInputPlugin.java:181-201).
+    # Non-incremental runs (incremental=false) leave the watermark
+    # untouched — every run re-imports the configured window, like the
+    # reference emitting no from_date advance in its ConfigDiff.
+    if cfg.incremental:
+        ckpt.advance(to_ts, report_duration=to_ts - from_ts)
 
     counters = ray.get(metrics.get.remote())
     ray.kill(metrics)

@@ -647,7 +647,13 @@ def q_csv_parse(sf_dir: str):
     from embulk_input_marketo_ray.sources.csv_source import records_to_table
 
     def make_csv(i: int) -> str:
-        rows = [f'{j},"name_{i}_{j}","v""q",null,' for j in range(i * 100, i * 100 + 100)]
+        # n1 exercises the "null" literal vs a real value; n2 the
+        # unquoted-empty (null) vs quoted-empty ("" stays a string)
+        rows = [
+            f'{j},"name_{i}_{j}","v""q",{j if j % 3 == 0 else "null"},'
+            + ('""' if j % 5 == 0 else "")
+            for j in range(i * 100, i * 100 + 100)
+        ]
         return "id,name,quoted,n1,n2\n" + "\n".join(rows) + "\n"
 
     blobs = rd.from_items([{"payload": make_csv(i)} for i in range(8)])

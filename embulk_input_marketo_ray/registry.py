@@ -59,9 +59,40 @@ def _lead(config: dict) -> "ray.data.Dataset":
             num_buckets=int(config.get("num_buckets", 16)),
             included_fields=config.get("included_fields"),
             column_prefix=config.get("column_prefix", "mk"),
+            # W1: lead's only config branch — switch the watermark
+            # column to the updatedAt analog (incremental must then be
+            # off; replay() enforces the reference's rejection)
+            use_updated_at=bool(config.get("use_updated_at", False)),
+            incremental=bool(config.get("incremental", True)),
         )
     )
     return read_lake(lake_dir)
+
+
+# the synthetic activity stream's "describe" result: available activity
+# type ids (the analog of MarketoService.getActivityTypes used by
+# ActivityBulkExtractInputPlugin.java:122-147 to validate the filter)
+AVAILABLE_ACTIVITY_TYPE_IDS = frozenset(range(12))
+
+
+def sanitize_activity_type_ids(raw_ids: list) -> list[int]:
+    """Activity-type-id validation
+    (ActivityBulkExtractInputPlugin.java:74-120): collect ALL
+    blank/non-numeric entries into one error (unlike the list/program
+    sanitizer, which fails on the first), then reject ids absent from
+    the available activity types with the reference's two-part error."""
+    invalid = [str(i) for i in raw_ids if not str(i).strip().isdigit()]
+    if invalid:
+        raise ValueError(f"Invalid activity type id: [{', '.join(invalid)}]")
+    ids = [int(str(i).strip()) for i in raw_ids]
+    unknown = [i for i in ids if i not in AVAILABLE_ACTIVITY_TYPE_IDS]
+    if unknown:
+        available = ", ".join(str(i) for i in sorted(AVAILABLE_ACTIVITY_TYPE_IDS))
+        raise ValueError(
+            f"Invalid activity type ids: [{', '.join(map(str, unknown))}], "
+            f"Available activity types: {available}"
+        )
+    return ids
 
 
 def _activity(config: dict) -> "ray.data.Dataset":
@@ -70,13 +101,35 @@ def _activity(config: dict) -> "ray.data.Dataset":
     The reference DECLARES ``uid_column=marketoGUID``
     (delegate/ActivityBulkExtractInputPlugin.java:34-35,53-54) but never
     consumes it (SURVEY.md §2.3 T6); here the identity is enforced:
-    exact dedup on the uid keeps the first occurrence."""
+    exact dedup on the uid keeps the first occurrence.
+
+    ``activity_type_ids`` filters the stream to the listed types,
+    pushed into the read path like the reference's bulk-extract filter
+    (rest/MarketoRestClient.java:219-226)."""
     from embulk_input_marketo_ray.pipelines.queries import (
+        _ensure_hash_shuffle,
         keep_one_per_key,
         q_activity_static_schema,
     )
 
+    # the uid dedup repartitions by key; the shuffle strategy must be
+    # set BEFORE the source dataset is created (context snapshots at
+    # dataset creation)
+    _ensure_hash_shuffle()
+    type_ids = config.get("activity_type_ids")
     ds = q_activity_static_schema(config.get("sf_dir", ""))
+    if type_ids:
+        wanted = sanitize_activity_type_ids(type_ids)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # activityTypeId is a string column in the static schema
+        value_set = pa.array([str(i) for i in wanted], type=pa.string())
+
+        def keep_types(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("activityTypeId"), value_set=value_set))
+
+        ds = ds.map_batches(keep_types, batch_format="pyarrow")
     if config.get("dedup_by_uid", True):
         import pyarrow as pa
 

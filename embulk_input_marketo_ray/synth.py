@@ -79,7 +79,7 @@ def generate_change_events(
     params = {
         "n_events": n_events, "seed": seed, "n_repos": n_repos,
         "n_paths_per_repo": n_paths_per_repo, "delete_rate": delete_rate,
-        "duplicate_rate": duplicate_rate, "n_files": n_files, "v": 3,
+        "duplicate_rate": duplicate_rate, "n_files": n_files, "v": 4,
     }
     marker = os.path.join(out_dir, "_SUCCESS")
     if not force and os.path.exists(marker):
@@ -164,6 +164,11 @@ def generate_change_events(
     attr_updated = with_null_literals(ts_pool[seqs % 86400], active_from["updated"])
 
     event_ts = np.datetime64(BASE_TS, "us") + seqs * np.timedelta64(1_000_000, "us")
+    # updated_ts: the record's last-touch time (updatedAt analog for
+    # W1/use_updated_at) — lags event_ts by a deterministic 0-6 s, so
+    # a window sliced on updated_ts selects a different row set than
+    # the default createdAt-analog column
+    updated_ts = event_ts + (seqs % 7) * np.timedelta64(1_000_000, "us")
 
     table = pa.table(
         {
@@ -174,6 +179,7 @@ def generate_change_events(
             "content": pa.array(content, type=pa.string()),
             "commit_seq": pa.array(seqs, type=pa.int64()),
             "event_ts": pa.array(event_ts, type=pa.timestamp("us")),
+            "updated_ts": pa.array(updated_ts, type=pa.timestamp("us")),
             "op": pa.array(op, type=pa.string()),
             "attr_score": pa.array(attr_score, type=pa.string()),
             "attr_revenue": pa.array(attr_revenue, type=pa.string()),

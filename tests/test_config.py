@@ -58,3 +58,36 @@ def test_run_from_config_lead_with_included_fields_and_prefix(tmp_path):
     # excluded dynamic fields are gone; base columns unaffected
     assert not any(n.endswith("_active") or n.endswith("_updated") for n in names)
     assert {"repo", "path", "content_sha256"} <= names
+
+
+def test_use_updated_at_incremental_rejected():
+    """Reference: MarketoBaseBulkExtractInputPluginTest.java:58-166 —
+    incremental import over updatedAt is a ConfigException."""
+    from embulk_input_marketo_ray.config import validate_config
+
+    with pytest.raises(ValueError, match="Column 'updatedAt' cannot be incremental imported"):
+        validate_config(
+            {"target": "lead", "from_date": "2024-01-01", "use_updated_at": True}
+        )
+    # non-incremental + use_updated_at is allowed
+    cfg = validate_config(
+        {
+            "target": "lead",
+            "from_date": "2024-01-01",
+            "use_updated_at": True,
+            "incremental": False,
+        }
+    )
+    assert cfg["use_updated_at"] is True
+
+
+def test_activity_type_ids_sanitation():
+    """ActivityBulkExtractInputPlugin.java:74-120: collect-all-invalid
+    error, then unknown-id error listing available types."""
+    from embulk_input_marketo_ray.registry import sanitize_activity_type_ids
+
+    assert sanitize_activity_type_ids([" 1 ", "2", "11"]) == [1, 2, 11]
+    with pytest.raises(ValueError, match=r"Invalid activity type id: \[x, , -3\]"):
+        sanitize_activity_type_ids(["1", "x", "", "-3"])
+    with pytest.raises(ValueError, match=r"Invalid activity type ids: \[99\], Available"):
+        sanitize_activity_type_ids(["1", "99"])

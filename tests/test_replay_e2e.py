@@ -188,3 +188,75 @@ def test_multi_window_incremental_upsert(events_dir, tmp_path):
 
     replay(cfg_for(events_dir, lake_full))
     assert lake_multiset(read_lake_table(lake_inc)) == lake_multiset(read_lake_table(lake_full))
+
+
+def test_replay_use_updated_at_slices_on_updated_ts(tmp_path):
+    """W1: use_updated_at switches the watermark column. The synthetic
+    updated_ts lags event_ts by 0-6 s, so a mid-stream window boundary
+    selects a different row set than the default column; verify against
+    a pandas oracle filtered on updated_ts."""
+    import pandas as pd
+
+    from embulk_input_marketo_ray.pipelines.cdc_replay import ReplayConfig, replay
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake_table
+    from embulk_input_marketo_ray.synth import (
+        BASE_TS,
+        generate_change_events,
+        load_evolution_log,
+    )
+
+    n = 2000
+    d = str(tmp_path / "events")
+    generate_change_events(d, n, seed=23, n_repos=8, n_files=4)
+    lake = str(tmp_path / "lake")
+    cut = n // 2  # window end falls mid-stream
+    cfg = ReplayConfig(
+        events_dir=d,
+        lake_dir=lake,
+        evolution_log=load_evolution_log(d),
+        from_ts=BASE_TS,
+        job_start=BASE_TS + timedelta(seconds=cut),
+        fetch_days=100,
+        num_buckets=4,
+        incremental=False,
+        use_updated_at=True,
+    )
+    report = replay(cfg)
+    assert not report["skipped"]
+    got = read_lake_table(lake).select(["repo", "path", "content_sha256"]).to_pandas()
+
+    import glob as _glob
+    import hashlib as _hashlib
+
+    frames = [pd.read_parquet(f) for f in sorted(_glob.glob(f"{d}/events_*.parquet"))]
+    df = pd.concat(frames, ignore_index=True)
+    df = df[df.updated_ts <= BASE_TS + timedelta(seconds=cut)]  # the W1 column
+    df = df.sort_values("commit_seq", kind="stable").drop_duplicates(
+        ["repo", "path"], keep="last"
+    )
+    df = df[df.op == "upsert"]
+    df["content_sha256"] = df.content.map(
+        lambda c: _hashlib.sha256(c.encode()).hexdigest()
+    )
+    left = sorted(map(tuple, got[["repo", "path", "content_sha256"]].itertuples(index=False)))
+    right = sorted(map(tuple, df[["repo", "path", "content_sha256"]].itertuples(index=False)))
+    assert left == right
+    # differs from the default-column row set (updated_ts lags event_ts)
+    df2 = pd.concat(frames, ignore_index=True)
+    df2 = df2[df2.event_ts <= BASE_TS + timedelta(seconds=cut)]
+    assert len(df2) != len(pd.concat(frames, ignore_index=True)[
+        pd.concat(frames, ignore_index=True).updated_ts <= BASE_TS + timedelta(seconds=cut)
+    ])
+
+    # non-incremental: the watermark did not advance
+    from embulk_input_marketo_ray.state.watermark import WatermarkCheckpoint
+
+    assert WatermarkCheckpoint(lake + "/_state").load() is None
+
+
+def test_activity_type_ids_filter_pushed():
+    from embulk_input_marketo_ray.registry import build_target
+
+    ds = build_target("activity", {"activity_type_ids": ["3", " 7 "]})
+    vals = {r["activityTypeId"] for r in ds.take_all()}
+    assert vals == {"3", "7"}
