@@ -101,6 +101,7 @@ def run_bench() -> dict:
             num_buckets=int(os.environ.get("GRAFT_BUCKETS", "32")),
             batch_size=int(os.environ.get("GRAFT_BATCH", "65536")),
             shuffle=os.environ.get("GRAFT_SHUFFLE", "hash"),
+            lake_layout=os.environ.get("GRAFT_LAYOUT", "rewrite"),
             # the fused ingest stage is the CPU-dominant stage: let the
             # autoscaling pool reach every CPU; backpressure sizes it down
             extractor_concurrency=(2, NUM_CPUS),

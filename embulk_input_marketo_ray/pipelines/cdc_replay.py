@@ -86,6 +86,14 @@ class ReplayConfig:
     # serializes (multi-million-event windows); safe because LWW is
     # idempotent under duplicated fragment rows.
     shuffle: str = "hash"
+    # "rewrite" (default): each window rewrites touched buckets' full
+    # partitions — simplest reads, but write amplification grows with
+    # LAKE size. "delta": each window appends one delta file per
+    # touched bucket (cost ∝ window) with LWW merge-on-read and
+    # automatic compaction after `compact_threshold` files — the
+    # 100 TB lake-growth path (LSM level-0 style).
+    lake_layout: str = "rewrite"
+    compact_threshold: int = 8
     # where "disk" shuffle fragments live; default under the lake. A
     # tmpfs path (/dev/shm/...) lifts the disk-bandwidth cap when the
     # scratch fits memory (on a cluster: per-node NVMe spill volumes).
@@ -259,6 +267,19 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
 
     if cfg.shuffle not in ("disk", "hash"):
         raise ValueError(f"shuffle must be 'disk' or 'hash', got {cfg.shuffle!r}")
+    if cfg.lake_layout not in ("rewrite", "delta"):
+        raise ValueError(f"lake_layout must be 'rewrite' or 'delta', got {cfg.lake_layout!r}")
+    from embulk_input_marketo_ray.sinks.exactly_once import DeltaBucketWriter
+
+    if cfg.lake_layout == "delta":
+        writer = DeltaBucketWriter(
+            cfg.lake_dir, watermark_to, target_schema,
+            fail_buckets=cfg.fail_buckets, compact_threshold=cfg.compact_threshold,
+        )
+    else:
+        writer = BucketMergeWriter(
+            cfg.lake_dir, watermark_to, target_schema, fail_buckets=cfg.fail_buckets
+        )
     if cfg.shuffle == "disk":
         from embulk_input_marketo_ray.sinks.exactly_once import (
             FragmentMerger,
@@ -285,13 +306,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             batch_size=None,
             batch_format="pyarrow",
             concurrency=(1, 32),
-            fn_constructor_kwargs={
-                "lake_dir": cfg.lake_dir,
-                "shuffle_dir": shuffle_dir,
-                "watermark_to": watermark_to,
-                "target_schema": target_schema,
-                "fail_buckets": cfg.fail_buckets,
-            },
+            fn_constructor_kwargs={"shuffle_dir": shuffle_dir, "writer": writer},
         )
         stats_rows = stats.take_all()
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
@@ -302,9 +317,6 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             + stats.stats()
         )
     else:
-        writer = BucketMergeWriter(
-            cfg.lake_dir, watermark_to, target_schema, fail_buckets=cfg.fail_buckets
-        )
         # sort=False: Ray 2.49's hash-shuffle finalize can't sort an
         # empty partition (empty-schema block); the writer sorts its own.
         shuffled = ds.repartition(cfg.num_buckets, keys=[BUCKET_COLUMN])
@@ -342,6 +354,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
                 "dropped": r["dropped"],
                 "watermark_to": r["watermark_to"],
                 "fingerprint": r["fingerprint"],
+                "files": __import__("json").loads(r["files"]),
             }
             for r in stats_rows
         }

@@ -45,6 +45,20 @@ def _ensure_hash_shuffle() -> None:
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Drop schema metadata from testdata reads: the driver-generated
+    parquet carries a pandas metadata dict that makes pa.Schema
+    UNHASHABLE, which defeats Ray's schema-dedup fast path and spams
+    'Failed to hash the schemas (for deduplication)' warnings from
+    every aggregator. Metadata-only op — zero-copy."""
+    return batch.replace_schema_metadata(None)
+
+
+def _read(sf_dir: str, name: str, columns=None, **kw):
+    ds = ray.data.read_parquet(_t(sf_dir, name), columns=columns, **kw)
+    return ds.map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+
 
 # ---------------------------------------------------------------------------
 # generic keep-one-per-key (the LWW / dedup machinery on any Dataset)
@@ -146,8 +160,8 @@ def q_watermark_slice(sf_dir: str):
 
     lo = dt.datetime.fromisoformat(SLICE_FROM)
     hi = dt.datetime.fromisoformat(SLICE_TO)
-    return ray.data.read_parquet(
-        _t(sf_dir, "events"),
+    return _read(
+        sf_dir, "events",
         columns=["event_id", "ts", "user_id", "event_type"],
         filter=((pads.field("ts") >= lo) & (pads.field("ts") <= hi)),
     )
@@ -155,9 +169,7 @@ def q_watermark_slice(sf_dir: str):
 
 def q_lww_latest(sf_dir: str):
     """J4/D5: last-writer-wins per (user_id, event_type), event_id as version."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
     out = keep_one_per_key(ds, ["user_id", "event_type"], "event_id", keep="last")
     return out.map_batches(
         lambda t: pa.table(
@@ -173,9 +185,7 @@ def q_lww_latest(sf_dir: str):
 
 def q_dedup_first(sf_dir: str):
     """T6/D4: per-object dedup by id — keep the FIRST event per key."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
     out = keep_one_per_key(ds, ["user_id", "event_type"], "event_id", keep="first")
     return out.map_batches(
         lambda t: pa.table(
@@ -191,7 +201,7 @@ def q_dedup_first(sf_dir: str):
 
 def q_incremental_counts(sf_dir: str):
     """A1/A4: per-window lineage counts (day x event_type)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
 
     def add_day(batch: pa.Table) -> pa.Table:
         day = pc.floor_temporal(batch.column("ts"), unit="day")
@@ -238,7 +248,7 @@ def q_enrich_join(sf_dir: str):
             names[~matched] = None
             return batch.append_column("nation", pa.array(names, type=pa.string()))
 
-    ds = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     ds = ds.map_batches(Enrich, batch_format="pyarrow", concurrency=(1, 4))
     return ds.groupby("nation").aggregate(Count(alias_name="n_orders"))
 
@@ -250,7 +260,7 @@ def q_semi_join(sf_dir: str):
         cust.column("c_custkey"), pc.less(cust.column("c_nationkey"), pa.scalar(5))
     )
     key_set = pa.array(np.asarray(keys))
-    ds = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     return ds.map_batches(
         lambda t: t.filter(pc.is_in(t.column("o_custkey"), value_set=key_set)),
         batch_format="pyarrow",
@@ -262,7 +272,7 @@ def q_included_fields(sf_dir: str):
     include = ["C_CUSTKEY", "c_name", "C_NATIONKEY"]  # case-insensitive, like the reference
     all_cols = pq.read_schema(_t(sf_dir, "customer")).names
     wanted = [c for c in all_cols if c.lower() in {i.lower() for i in include}]
-    ds = ray.data.read_parquet(_t(sf_dir, "customer"), columns=wanted)
+    ds = _read(sf_dir, "customer", columns=wanted)
     return ds.map_batches(
         lambda t: t.rename_columns([f"mk_{c}" for c in t.column_names]),
         batch_format="pyarrow",
@@ -279,7 +289,7 @@ def q_session_windows(sf_dir: str):
     grouped_map (each user's events wholly in one group, sorted by ts
     inside the kernel — per-key order only, W7); vectorized numpy
     diff/cumsum inside the group."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
     def sessions(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -317,8 +327,8 @@ def q_union_slices(sf_dir: str):
     import datetime as dt
 
     def window(lo, hi):
-        return ray.data.read_parquet(
-            _t(sf_dir, "events"),
+        return _read(
+            sf_dir, "events",
             columns=["event_id", "ts", "event_type"],
             filter=(
                 (pads.field("ts") >= dt.datetime.fromisoformat(lo))
@@ -335,7 +345,7 @@ def q_json_extract(sf_dir: str):
     """F6: JSON-typed column access — pull a key out of the props JSON
     (vectorized regex on the canonical payload; a full parse is only
     needed for nested shapes)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
 
     def extract(batch: pa.Table) -> pa.Table:
         m = pc.extract_regex(batch.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
@@ -347,7 +357,7 @@ def q_json_extract(sf_dir: str):
 
 def q_distinct_values(sf_dir: str):
     """A3: ordered distinct collection (program-id analog) via unique."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    ds = _read(sf_dir, "events", columns=["event_type"])
     out = ds.unique("event_type")
     return pa.table({"event_type": pa.array(sorted(out), type=pa.string())})
 
@@ -361,7 +371,7 @@ def q_preview_limit(sf_dir: str):
     No global sort: each block emits its local top-15 (vectorized
     partial sort), the driver merges the <= 15 x n_blocks survivors —
     O(n) scan + tiny driver merge instead of an all-to-all sort."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"])
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
 
     def local_top(batch: pa.Table) -> pa.Table:
         if batch.num_rows <= PREVIEW_N:
@@ -384,7 +394,7 @@ def q_doc_dedup_exact(sf_dir: str):
     """Exact dedup: min doc_id per sha256(text) + multiplicity."""
     from embulk_input_marketo_ray.stages.dedup import add_content_hash
 
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(add_content_hash, batch_format="pyarrow")
     ds = ds.select_columns(["doc_id", "text_sha256"])
     return ds.groupby("text_sha256").aggregate(
@@ -396,14 +406,14 @@ def q_doc_tokens(sf_dir: str):
     """Token counting: whitespace + BPE-ish regex, Arrow-vectorized."""
     from embulk_input_marketo_ray.stages.text import token_counts
 
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(token_counts, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "n_tokens_ws", "n_tokens_bpe"])
 
 
 def q_doc_quality(sf_dir: str):
     """Quality counters (integer outputs only, for exact oracle hashing)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def counters(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -453,7 +463,7 @@ def q_ann_topk(sf_dir: str):
                 }
             )
 
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     scored = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
 
     def topk(block: pa.Table) -> pa.Table:
@@ -487,7 +497,7 @@ def q_ann_topk(sf_dir: str):
 def q_doc_langid(sf_dir: str):
     from embulk_input_marketo_ray.stages.text import LangId
 
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
     return ds.select_columns(["doc_id", "lang", "lang_pred"])
 
@@ -495,7 +505,7 @@ def q_doc_langid(sf_dir: str):
 def q_doc_fingerprint(sf_dir: str):
     from embulk_input_marketo_ray.stages.text import Fingerprinter
 
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
     return ds.select_columns(["doc_id", "fingerprint"])
 
@@ -503,7 +513,7 @@ def q_doc_fingerprint(sf_dir: str):
 def q_doc_simhash(sf_dir: str):
     from embulk_input_marketo_ray.stages.dedup import SimHasher
 
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
     return ds.map_batches(
         lambda t: pa.table(
@@ -678,7 +688,7 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
     )
 
     _ensure_hash_shuffle()
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
     bands = ds.map_batches(
         explode_lsh_bands, batch_format="pyarrow", fn_kwargs={"num_bands": 16}
@@ -692,5 +702,5 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
     # dict / broadcast; shuffle payload ∝ candidate set)
     from embulk_input_marketo_ray.stages.dedup import verify_pairs_jaccard
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return verify_pairs_jaccard(pairs, docs, threshold=0.5)

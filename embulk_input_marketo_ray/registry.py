@@ -64,6 +64,7 @@ def _lead(config: dict) -> "ray.data.Dataset":
             # off; replay() enforces the reference's rejection)
             use_updated_at=bool(config.get("use_updated_at", False)),
             incremental=bool(config.get("incremental", True)),
+            lake_layout=config.get("lake_layout", "rewrite"),
         )
     )
     return read_lake(lake_dir)

@@ -67,6 +67,7 @@ _STATS_SCHEMA = pa.schema(
         ("dropped", pa.int64()),
         ("watermark_to", pa.string()),
         ("fingerprint", pa.string()),
+        ("files", pa.string()),  # json list of the pid's committed file names
     ]
 )
 _EMPTY_STATS = _STATS_SCHEMA.empty_table()
@@ -175,6 +176,8 @@ class BucketMergeWriter:
             f.flush()
             os.fsync(f.fileno())
         manifest.promote(pid)
+        import json as _json
+
         return pa.table(
             {
                 "pid": pa.array([pid]),
@@ -184,8 +187,121 @@ class BucketMergeWriter:
                 "dropped": pa.array([n_events + lake_in - merged.num_rows], type=pa.int64()),
                 "watermark_to": pa.array([self.watermark_to]),
                 "fingerprint": pa.array([_fingerprint(merged)]),
+                "files": pa.array([_json.dumps([f"part-{pid}.parquet"])]),
             }
         )
+
+
+class DeltaBucketWriter(BucketMergeWriter):
+    """Delta-file lake layout: a window appends ONE delta file per
+    touched bucket instead of rewriting the bucket's full partition.
+
+    Motivation (lake growth): the rewrite layout's per-window cost is
+    read+merge+write of the whole bucket — write amplification grows
+    with LAKE size, so a 100 TB lake with small incremental windows
+    pays ~lake/window extra IO every run. Here a window's cost is
+    ∝ the window: the delta holds the window's per-key-latest events
+    (tombstones KEPT — they must be able to delete base rows), and
+    readers/compaction LWW-merge base+deltas by ``commit_seq``
+    (order-insensitive, so merge-on-read is exact).
+
+    Compaction: when a bucket's file count exceeds
+    ``compact_threshold``, base+deltas are merged (tombstones dropped)
+    into a new single base file — LSM level-0 style. Replaced files are
+    no longer referenced by the manifest (readers use the manifest's
+    "files" list only) and are ignored on disk.
+
+    Exactly-once: the delta file name is a deterministic function of
+    (bucket, watermark), written via temp+atomic-rename, so a crashed
+    window's re-run overwrites the same file and re-commits the same
+    manifest entry — same fixed point as the rewrite layout.
+    """
+
+    def __init__(
+        self,
+        lake_dir: str,
+        watermark_to: str,
+        target_schema: pa.Schema,
+        fail_buckets: frozenset[int] = frozenset(),
+        compact_threshold: int = 8,
+    ) -> None:
+        super().__init__(lake_dir, watermark_to, target_schema, fail_buckets)
+        self.compact_threshold = compact_threshold
+        import re as _re
+
+        self._wm_tag = _re.sub(r"[^0-9A-Za-z]", "", watermark_to)
+
+    def _write_one(self, bucket: int, group: pa.Table) -> pa.Table:
+        import json as _json
+
+        if bucket in self.fail_buckets:
+            raise RuntimeError(f"injected crash in bucket {bucket}")
+        manifest = PartitionManifest(self.lake_dir)
+        pid = f"{bucket:05d}"
+        events = group.drop_columns([BUCKET_COLUMN])
+
+        # window-local LWW combine; tombstones survive into the delta
+        delta = lww_merge(self._unify(events), LAKE_KEY, "commit_seq", op_column=None)
+        name = f"delta-{pid}-{self._wm_tag}.parquet"
+        tmp = manifest.tmp_file_path(name)
+        with open(tmp, "wb") as f:
+            pq.write_table(delta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        manifest.promote_file(name)
+
+        entry = manifest.load()["partitions"].get(pid)
+        prev_files = list(entry.get("files", [])) if entry else []
+        files = prev_files + ([name] if name not in prev_files else [])
+        lake_in = 0
+        rows_out = delta.num_rows
+        if len(files) > self.compact_threshold:
+            merged = merge_bucket_files(
+                [manifest.file_path(n) for n in files], drop_tombstones=True
+            )
+            base = f"base-{pid}-{self._wm_tag}.parquet"
+            btmp = manifest.tmp_file_path(base)
+            with open(btmp, "wb") as f:
+                pq.write_table(merged, f)
+                f.flush()
+                os.fsync(f.fileno())
+            manifest.promote_file(base)
+            files = [base]
+            rows_out = merged.num_rows
+
+        return pa.table(
+            {
+                "pid": pa.array([pid]),
+                "rows": pa.array([rows_out], type=pa.int64()),
+                "events_in": pa.array([events.num_rows], type=pa.int64()),
+                "lake_in": pa.array([lake_in], type=pa.int64()),
+                "dropped": pa.array([events.num_rows - delta.num_rows], type=pa.int64()),
+                "watermark_to": pa.array([self.watermark_to]),
+                "fingerprint": pa.array([_fingerprint(delta)]),
+                "files": pa.array([_json.dumps(files)]),
+            }
+        )
+
+
+def merge_bucket_files(paths: list[str], drop_tombstones: bool = True) -> pa.Table:
+    """LWW merge-on-read of one bucket's committed file set (optional
+    base + per-window deltas). Schemas may differ across windows
+    (evolution) — unified permissively (missing columns -> nulls)."""
+    tables = [pq.read_table(p) for p in paths]
+    if len(tables) == 1 and drop_tombstones is False:
+        return tables[0]
+    merged_input = (
+        tables[0]
+        if len(tables) == 1
+        else pa.concat_tables(tables, promote_options="permissive")
+    )
+    return lww_merge(
+        merged_input,
+        LAKE_KEY,
+        "commit_seq",
+        op_column="op" if drop_tombstones else None,
+        drop_tombstones=drop_tombstones,
+    )
 
 
 class FragmentWriter:
@@ -231,11 +347,11 @@ class FragmentWriter:
 
 class FragmentMerger:
     """Phase B: one task per bucket reads its fragments (+ the existing
-    committed lake partition), LWW-merges, writes atomically."""
+    committed lake partition), LWW-merges, writes atomically. The
+    per-bucket ``writer`` (rewrite or delta layout) is injected."""
 
-    def __init__(self, lake_dir: str, shuffle_dir: str, watermark_to: str,
-                 target_schema: pa.Schema, fail_buckets: frozenset = frozenset()) -> None:
-        self.writer = BucketMergeWriter(lake_dir, watermark_to, target_schema, fail_buckets)
+    def __init__(self, shuffle_dir: str, writer: "BucketMergeWriter") -> None:
+        self.writer = writer
         self.shuffle_dir = shuffle_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -255,17 +371,48 @@ class FragmentMerger:
 
 
 def read_lake(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    """Read the committed lake partitions (manifest-listed files only)."""
-    files = PartitionManifest(lake_dir).committed_files()
-    if not files:
+    """Read the committed lake partitions (manifest-listed files only).
+
+    Rewrite layout (one file per pid): plain parallel parquet read.
+    Delta layout: merge-on-read — one task per bucket LWW-merges its
+    base+delta set (no shuffle needed: the file set is already
+    partitioned by the bucket hash of the upsert key)."""
+    sets = PartitionManifest(lake_dir).committed_file_sets()
+    if not sets:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")
-    return ray.data.read_parquet(files, columns=columns)
+    if all(len(fs) == 1 and _is_merged_file(fs[0]) for fs in sets.values()):
+        files = [fs[0] for _, fs in sorted(sets.items())]
+        return ray.data.read_parquet(files, columns=columns)
+
+    specs = ray.data.from_items(
+        [{"pid": pid, "paths": "\n".join(fs)} for pid, fs in sorted(sets.items())]
+    ).repartition(len(sets))
+
+    def merge_read(batch: pa.Table):
+        for paths in batch.column("paths").to_pylist():
+            merged = merge_bucket_files(paths.split("\n"), drop_tombstones=True)
+            yield merged.select(columns) if columns else merged
+
+    return specs.map_batches(merge_read, batch_format="pyarrow", batch_size=None)
 
 
 def read_lake_table(lake_dir: str, columns: list[str] | None = None) -> pa.Table:
     """Driver-side (small-result) materialization of the lake."""
-    files = PartitionManifest(lake_dir).committed_files()
-    if not files:
+    sets = PartitionManifest(lake_dir).committed_file_sets()
+    if not sets:
         return None
-    tables = [pq.read_table(f, columns=columns) for f in files]
-    return pa.concat_tables(tables)
+    tables = []
+    for _, fs in sorted(sets.items()):
+        if len(fs) == 1 and _is_merged_file(fs[0]):
+            merged = pq.read_table(fs[0])
+        else:  # delta sets (even singletons) still hold tombstones
+            merged = merge_bucket_files(fs, drop_tombstones=True)
+        tables.append(merged.select(columns) if columns else merged)
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def _is_merged_file(path: str) -> bool:
+    """part-/base- files hold fully merged, tombstone-free state;
+    delta- files still carry tombstones and need merge-on-read."""
+    base = os.path.basename(path)
+    return base.startswith("part-") or base.startswith("base-")

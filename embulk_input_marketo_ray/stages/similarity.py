@@ -86,6 +86,11 @@ def _explode_keys(
         pq.read_table(embeddings_path, columns=["embedding"]).column("embedding")[0]
     )
     ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+    from embulk_input_marketo_ray.pipelines.queries import _strip_meta
+
+    # testdata parquet carries pandas schema metadata that makes
+    # pa.Schema unhashable inside Ray's schema dedup — strip it
+    ds = ds.map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
     # task-based stage (closure over the tiny plane matrices), not an
     # actor pool: this pipeline already runs keyed shuffles + a join +
     # downstream stages concurrently, and every actor-pool minimum is a

@@ -62,6 +62,27 @@ class PartitionManifest:
         """Atomically move a finished tmp partition file into place."""
         os.replace(self.tmp_path(pid), self.data_path(pid))
 
+    # --- named-file variants (delta lake layout: a partition is a SET
+    # of files — optional base + per-window deltas — listed in its
+    # manifest entry under "files") -------------------------------------
+
+    def file_path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    def tmp_file_path(self, name: str) -> str:
+        return os.path.join(self.tmp_dir, name)
+
+    def promote_file(self, name: str) -> None:
+        os.replace(self.tmp_file_path(name), self.file_path(name))
+
+    def files_of(self, pid: str) -> list[str]:
+        """Committed file names of a partition: the entry's "files"
+        list (delta layout) or the single part-<pid> file (rewrite)."""
+        entry = self.load()["partitions"].get(pid)
+        if entry and entry.get("files"):
+            return list(entry["files"])
+        return [f"part-{pid}.parquet"]
+
     def commit(self, stats_by_pid: dict[str, dict]) -> None:
         """Merge partition stats into the manifest and write it atomically.
 
@@ -79,4 +100,22 @@ class PartitionManifest:
         os.replace(tmp, self.path)
 
     def committed_files(self) -> list[str]:
-        return [self.data_path(pid) for pid in sorted(self.load()["partitions"].keys())]
+        state = self.load()
+        out: list[str] = []
+        for pid in sorted(state["partitions"]):
+            entry = state["partitions"][pid]
+            names = entry.get("files") or [f"part-{pid}.parquet"]
+            out.extend(self.file_path(n) for n in names)
+        return out
+
+    def committed_file_sets(self) -> dict[str, list[str]]:
+        """pid -> absolute committed file paths (one per pid in the
+        rewrite layout; base+deltas in the delta layout)."""
+        state = self.load()
+        return {
+            pid: [
+                self.file_path(n)
+                for n in (entry.get("files") or [f"part-{pid}.parquet"])
+            ]
+            for pid, entry in state["partitions"].items()
+        }

@@ -260,3 +260,97 @@ def test_activity_type_ids_filter_pushed():
     ds = build_target("activity", {"activity_type_ids": ["3", " 7 "]})
     vals = {r["activityTypeId"] for r in ds.take_all()}
     assert vals == {"3", "7"}
+
+
+def _delta_cfg(d, lake, n, **kw):
+    from embulk_input_marketo_ray.synth import BASE_TS, load_evolution_log
+
+    base = dict(
+        events_dir=d,
+        lake_dir=lake,
+        evolution_log=load_evolution_log(d),
+        from_ts=BASE_TS,
+        job_start=BASE_TS + timedelta(seconds=n + 50),
+        fetch_days=100,
+        num_buckets=4,
+        lake_layout="delta",
+    )
+    base.update(kw)
+    return ReplayConfig(**base)
+
+
+def test_delta_layout_matches_rewrite_layout(tmp_path):
+    """Multi-window replay over the delta lake layout produces the
+    identical final state as the rewrite layout (and as each other)."""
+    from embulk_input_marketo_ray.pipelines.cdc_replay import replay_until_caught_up
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake, read_lake_table
+    from embulk_input_marketo_ray.synth import generate_change_events
+
+    n = 3000
+    d = str(tmp_path / "events")
+    generate_change_events(d, n, seed=31, n_repos=8, n_files=4)
+
+    lake_r = str(tmp_path / "lake_rewrite")
+    lake_d = str(tmp_path / "lake_delta")
+    # several small windows -> several deltas per bucket
+    reports_r = replay_until_caught_up(
+        _delta_cfg(d, lake_r, n, lake_layout="rewrite", fetch_days=0.01)
+    )
+    reports_d = replay_until_caught_up(
+        _delta_cfg(d, lake_d, n, fetch_days=0.01)
+    )
+    assert len(reports_d) == len(reports_r) > 1
+
+    cols = ["repo", "path", "commit_seq", "content_sha256"]
+    rt = read_lake_table(lake_r, columns=cols).to_pandas()
+    dt = read_lake_table(lake_d, columns=cols).to_pandas()
+    left = sorted(map(tuple, rt.itertuples(index=False)))
+    right = sorted(map(tuple, dt.itertuples(index=False)))
+    assert left == right
+    # distributed merge-on-read agrees with the driver-side reader
+    ds_rows = sorted(
+        (r["repo"], r["path"], r["commit_seq"], r["content_sha256"])
+        for r in read_lake(lake_d, columns=cols).take_all()
+    )
+    assert ds_rows == right
+
+
+def test_delta_layout_compaction_and_resume(tmp_path):
+    """Compaction folds base+deltas into one base without changing
+    state; a crashed window converges on re-run (exactly-once)."""
+    from embulk_input_marketo_ray.pipelines.cdc_replay import replay_until_caught_up
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake_table
+    from embulk_input_marketo_ray.state.manifest import PartitionManifest
+    from embulk_input_marketo_ray.synth import generate_change_events
+
+    n = 3000
+    d = str(tmp_path / "events")
+    generate_change_events(d, n, seed=37, n_repos=8, n_files=4)
+    lake = str(tmp_path / "lake")
+
+    # low threshold forces compaction across the ~n/120s windows
+    reports = replay_until_caught_up(
+        _delta_cfg(d, lake, n, fetch_days=0.01, compact_threshold=2)
+    )
+    assert len(reports) > 3
+    m = PartitionManifest(lake)
+    sets = m.committed_file_sets()
+    assert any(
+        any("base-" in f for f in fs) for fs in sets.values()
+    ), "compaction never triggered"
+    # every pid's set is within threshold+1 files
+    assert all(len(fs) <= 3 for fs in sets.values())
+
+    before = read_lake_table(lake, columns=["repo", "path", "content_sha256"]).to_pandas()
+
+    # crash-resume: new lake, inject a crash in one bucket, then rerun
+    lake2 = str(tmp_path / "lake2")
+    with pytest.raises(Exception):
+        replay_until_caught_up(
+            _delta_cfg(d, lake2, n, fail_buckets=frozenset({2}))
+        )
+    replay_until_caught_up(_delta_cfg(d, lake2, n))
+    after = read_lake_table(lake2, columns=["repo", "path", "content_sha256"]).to_pandas()
+    assert sorted(map(tuple, before.itertuples(index=False))) == sorted(
+        map(tuple, after.itertuples(index=False))
+    )
