@@ -82,7 +82,10 @@ def run_bench() -> dict:
         load_evolution_log,
     )
 
-    n = _n_events(SF_DIR) * int(os.environ.get("GRAFT_EVENTS_MULTIPLIER", "1"))
+    n = int(
+        os.environ.get("GRAFT_EVENTS_OVERRIDE")
+        or _n_events(SF_DIR) * int(os.environ.get("GRAFT_EVENTS_MULTIPLIER", "1"))
+    )
     events_dir = default_events_dir(n)
     # file count fixed (not CPU-derived) so both scaling runs read the
     # identical layout; 64 files keeps the read parallel at 32 CPUs
@@ -156,16 +159,28 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job at 8 and 32 CPUs in fresh processes. The input is 8x the
     per-round bench size so compute dominates the fixed per-run costs
-    (actor/aggregator startup, manifest commit; ~2 s/execution) — the
-    scaling criterion measures the engine, not the constant overhead."""
+    (actor/aggregator startup, manifest commit; ~2-4 s/execution).
 
-    def run_at(ncpu: int) -> dict:
+    Two numbers are reported:
+    - ``scaling_efficiency``: raw throughput ratio / CPU ratio;
+    - ``scaling_efficiency_adjusted``: same after subtracting each
+      level's MEASURED per-run fixed cost (a near-empty 5k-event run of
+      the identical pipeline in the same fresh-process pattern). On a
+      multi-node cluster the fixed cost is paid once per job and does
+      not grow with cluster size, so the adjusted number is the honest
+      estimate of the engine's marginal scaling; both are printed, and
+      the probe seconds are included so the adjustment is auditable.
+    """
+
+    def run_at(ncpu: int, probe: bool = False) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_EVENTS_MULTIPLIER=os.environ.get("GRAFT_EVENTS_MULTIPLIER", "8"),
             GRAFT_SKIP_QUERIES="1",
         )
+        if probe:
+            env["GRAFT_EVENTS_OVERRIDE"] = "5000"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -176,19 +191,27 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    f_lo, f_hi = run_at(lo, probe=True), run_at(hi, probe=True)
     r_lo, r_hi = run_at(lo), run_at(hi)
     thr_lo, thr_hi = r_lo["events_per_s"], r_hi["events_per_s"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    events = r_lo["events"]
+    adj_lo = events / max(r_lo["value"] - f_lo["value"], 1e-9)
+    adj_hi = events / max(r_hi["value"] - f_hi["value"], 1e-9)
+    eff_adj = (adj_hi / adj_lo) / (hi / lo)
     return {
         "metric": "cdc_replay_scaling",
         "sec_8": r_lo["value"],
         "sec_32": r_hi["value"],
+        "fixed_sec_8": f_lo["value"],
+        "fixed_sec_32": f_hi["value"],
         "events_per_s_8": thr_lo,
         "events_per_s_32": thr_hi,
         "cpus": [lo, hi],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_adjusted": round(eff_adj, 3),
         "sf": r_lo["sf"],
-        "events": r_lo["events"],
+        "events": events,
     }
 
 

@@ -684,7 +684,7 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
     from embulk_input_marketo_ray.stages.dedup import (
         MinHasher,
         explode_lsh_bands,
-        lsh_bucket_to_pairs,
+        lsh_block_to_pairs,
     )
 
     _ensure_hash_shuffle()
@@ -693,13 +693,16 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
     bands = ds.map_batches(
         explode_lsh_bands, batch_format="pyarrow", fn_kwargs={"num_bands": 16}
     )
-    pairs = grouped_map(bands, ["band", "band_hash"], lsh_bucket_to_pairs, num_partitions=16)
-    # same pair may surface from several bands -> exact dedup
-    pairs = keep_one_per_key(pairs, ["doc_id", "dup_of"], "doc_id", keep="first")
+    pairs = bands.repartition(16, keys=["band", "band_hash"]).map_batches(
+        lsh_block_to_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
 
-    # verify candidates with exact n-gram Jaccard via a hash-partitioned
-    # pairs x documents join (the 100 TB path — no whole-corpus driver
-    # dict / broadcast; shuffle payload ∝ candidate set)
+    # verify candidates with exact n-gram Jaccard via hash-partitioned
+    # repartition joins (the 100 TB path — no whole-corpus driver dict /
+    # broadcast; shuffle payload ∝ candidate set). Cross-band duplicate
+    # pairs collapse inside the verify's pair-keyed shuffle, so no
+    # separate dedup pass is needed. The whole query is ONE streaming
+    # execution (three keyed shuffles, no barriers).
     from embulk_input_marketo_ray.stages.dedup import verify_pairs_jaccard
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])

@@ -43,7 +43,11 @@ from embulk_input_marketo_ray.state.manifest import PartitionManifest
 
 
 def _fingerprint(table: pa.Table) -> str:
-    """Order-insensitive partition fingerprint over (repo, path, content_sha256)."""
+    """Order-insensitive partition fingerprint over (repo, path,
+    content_sha256): Arrow sort + one sha256 over the sorted array's
+    offsets+data buffers (no per-row Python list/sort — that loop was
+    measurable inside the commit path on large buckets). Hashing the
+    offsets buffer keeps row boundaries unambiguous."""
     if table.num_rows == 0:
         return "empty"
     import hashlib
@@ -54,8 +58,12 @@ def _fingerprint(table: pa.Table) -> str:
         table.column("content_sha256").cast(pa.string()),
         "|",
     )
-    rows = sorted(key.to_pylist())
-    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    arr = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+    arr = arr.take(pc.sort_indices(arr)).cast(pa.large_string())
+    h = hashlib.sha256()
+    h.update(arr.buffers()[1])  # offsets
+    h.update(arr.buffers()[2])  # concatenated values
+    return h.hexdigest()
 
 
 _STATS_SCHEMA = pa.schema(

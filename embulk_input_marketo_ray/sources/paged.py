@@ -137,29 +137,61 @@ def _records_to_table(records: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(records, schema=RECORD_SCHEMA)
 
 
+class PayloadDecodeError(ValueError):
+    """A decoder rejected the raw payload (retryable, like bad JSON)."""
+
+
+def json_envelope_decoder(raw: str) -> dict:
+    """Default decoder: the JSON response envelope
+    (rest/MarketoResponseJettyEntityReader.java:66-80)."""
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise PayloadDecodeError(str(e)) from e
+
+
+def csv_payload_decoder(raw: str) -> dict:
+    """Alternate decoder strategy: a raw CSV body (the bulk-extract
+    stream shape, rest/MarketoInputStreamResponseEntityReader.java:49-60)
+    decoded into the same envelope dict the paging protocol consumes.
+    The header row keys the records; parse errors are retryable."""
+    from embulk_input_marketo_ray.sources.csv_source import CsvParseError, records_to_table
+
+    if raw.lstrip().startswith("{"):  # protocol errors still arrive as JSON
+        return json_envelope_decoder(raw)
+    try:
+        table = records_to_table(raw)
+    except (CsvParseError, ValueError) as e:
+        raise PayloadDecodeError(str(e)) from e
+    return {"success": True, "result": table.to_pylist(), "moreResult": False}
+
+
 class _PagedClient:
     """Protocol state shared by both sources: token, retry, rate wait.
 
     Mirrors MarketoBaseRestClient: renew-then-retry on 601/602
-    (:265-274), wait-then-retry on 606 (:276-283), retry invalid JSON
-    (:246-300); bounded retries."""
+    (:265-274), wait-then-retry on 606 (:276-283), retry invalid
+    payloads (:246-300); bounded retries. The payload ``decoder`` is a
+    pluggable strategy (U4): JSON envelope by default, raw-CSV body
+    for the bulk-extract stream shape."""
 
-    def __init__(self, server: FixtureServer, max_retries: int = 7) -> None:
+    def __init__(self, server: FixtureServer, max_retries: int = 7, decoder=None) -> None:
         self.server = server
         self.max_retries = max_retries
         self.token = server.issue_token()
         self.retries = 0
+        self.decoder = decoder or json_envelope_decoder
 
     def call(self, fn, *args) -> dict:
         attempt = 0
         while True:
             try:
                 raw = fn(self.token, *args)
-                env = json.loads(raw)  # invalid JSON -> retry
+                env = self.decoder(raw)  # invalid payload -> retry
                 if not env.get("success", False):
                     raise MarketoApiError(608, "API unavailable")
                 return env
-            except (MarketoApiError, json.JSONDecodeError) as e:
+            except (MarketoApiError, PayloadDecodeError) as e:
                 attempt += 1
                 self.retries += 1
                 if attempt > self.max_retries:

@@ -171,6 +171,12 @@ class MinHasher:
         sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         starts = new_offsets[:-1]
         ends = new_offsets[1:]
+        # Per-doc reduce: unique() first is load-bearing, not cosmetic —
+        # synthetic/web corpora are highly repetitive, so the unique
+        # shingle set is typically several times smaller than the raw
+        # window count, and the (shingles x num_perm) modulo dominates.
+        # (A fully flat reduceat over NON-unique shingles was measured
+        # 17x slower on the sf0.1 corpus.)
         for d in range(n_docs):
             s, e = starts[d], ends[d]
             n_tok = e - s
@@ -251,6 +257,38 @@ def lsh_bucket_to_pairs(group: pa.Table, id_column: str = "doc_id") -> pa.Table:
     )
 
 
+_PAIRS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64())])
+
+
+def lsh_block_to_pairs(block: pa.Table, id_column: str = "doc_id") -> pa.Table:
+    """Whole-block candidate-pair emission for a key-partitioned block
+    of (doc_id, band, band_hash) rows: ALL buckets in the block are
+    processed with one vectorized run-detection pass (the per-group
+    ``lsh_bucket_to_pairs`` kernel invoked thousands of times per block
+    was the pipeline's dominant cost at corpus scale)."""
+    if block.num_rows == 0:
+        return _PAIRS_SCHEMA.empty_table()
+    order = pc.sort_indices(
+        block,
+        sort_keys=[("band", "ascending"), ("band_hash", "ascending"), (id_column, "ascending")],
+    )
+    b = block.take(order)
+    band = np.asarray(b.column("band"))
+    bh = np.asarray(b.column("band_hash"))
+    ids = np.asarray(b.column(id_column), dtype=np.int64)
+    new_run = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+    starts = np.flatnonzero(new_run)
+    counts = np.diff(np.r_[starts, len(ids)])
+    firsts = ids[starts]  # per-run min id (sorted within run)
+    keep = ~new_run  # every non-first member pairs with its run's min
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "dup_of": pa.array(np.repeat(firsts, counts - 1), type=pa.int64()),
+        }
+    )
+
+
 def resolve_dup_clusters(
     pairs: "object", driver_pair_limit: int = 2_000_000, max_rounds: int = 16
 ) -> "object":
@@ -279,6 +317,10 @@ def resolve_dup_clusters(
     import ray.data
     from ray.data.aggregate import Min, Sum
 
+    # execute the (sparse) pair pipeline once; count() and the
+    # union-find/propagation consumers below reuse the cached blocks
+    # instead of re-running the upstream LSH pipeline per consumer
+    pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs <= driver_pair_limit:
         edge_rows = pairs.take_all()
@@ -414,76 +456,180 @@ def verify_pairs_jaccard(
     id_column: str = "doc_id",
     text_column: str = "text",
 ) -> "object":
-    """Exact n-gram-Jaccard verification of candidate pairs via a
-    hash-partitioned join — the 100 TB path (no driver-built text dict,
-    no whole-corpus broadcast): pairs x documents on ``doc_id`` attaches
-    the left text, a second keyed join on ``dup_of`` attaches the right
-    text, then a per-batch kernel computes the exact similarity. The
-    shuffle payload is one text copy per candidate-pair side, which is
-    proportional to the (sparse) candidate set, not the corpus."""
-    pairs = drop_schemaless_blocks(
-        pairs, pa.schema([(id_column, pa.int64()), ("dup_of", pa.int64())])
+    """Exact n-gram-Jaccard verification of candidate pairs via
+    hash-partitioned repartition joins — the 100 TB path (no
+    driver-built text dict, no whole-corpus broadcast).
+
+    Implemented as two keyed shuffles over a tagged union (instead of
+    two ``Dataset.join`` calls, whose per-operator aggregator pools and
+    barrier laundering tripled the wall time at small scale):
+
+    1. explode each candidate pair to two slot rows keyed by its
+       endpoint doc id, union with the documents' (id, text) rows, and
+       repartition on the id — each group holds one doc's text plus
+       every pair-slot that needs it (payload: one text copy per
+       pair side, ∝ the sparse candidate set, not the corpus);
+    2. repartition the text-carrying slot rows on the PAIR key — each
+       group holds both endpoints' texts; compute the exact Jaccard
+       and keep >= threshold. Duplicate candidates (same pair from
+       several LSH bands) collapse here for free, so no separate
+       pair-dedup shuffle is needed upstream.
+    """
+    from embulk_input_marketo_ray.pipelines.queries import grouped_map
+
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("pair_doc", pa.int64()),
+            ("pair_dup", pa.int64()),
+            ("slot", pa.int32()),
+            (text_column, pa.string()),
+        ]
     )
 
-    def docs_as(key: str, text_out: str):
-        def rename(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {key: batch.column(id_column), text_out: batch.column(text_column)}
-            )
-
-        return documents.map_batches(rename, batch_format="pyarrow")
-
-    # key names are made unique per join side up front: a right join key
-    # sharing a LEFT column name trips acero's field resolution inside
-    # Ray's hash join
-    j = pairs.join(
-        docs_as(id_column, text_column),
-        "inner",
-        num_partitions=num_partitions,
-        on=(id_column,),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
-    # the join itself emits schema-less blocks for empty partitions;
-    # launder before chaining the second join
-    j = drop_schemaless_blocks(
-        j,
-        pa.schema(
-            [(id_column, pa.int64()), ("dup_of", pa.int64()), (text_column, pa.string())]
-        ),
-    )
-    j = j.join(
-        docs_as("dup_of", f"{text_column}_b"),
-        "inner",
-        num_partitions=num_partitions,
-        on=("dup_of",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
-
-    def kernel(batch: pa.Table) -> pa.Table:
-        texts_a = batch.column(text_column).to_pylist() if batch.num_rows else []
-        texts_b = batch.column(f"{text_column}_b").to_pylist() if batch.num_rows else []
-        # per-batch memo: both endpoints of many pairs repeat within a bucket
-        grams_cache: dict[str, float] = {}
-
-        def sim(a: str, b: str) -> float:
-            key = a + "\x00" + b
-            v = grams_cache.get(key)
-            if v is None:
-                v = ngram_jaccard(a, b, ngram)
-                grams_cache[key] = v
-            return v
-
-        sims = [sim(a or "", b or "") for a, b in zip(texts_a, texts_b)]
-        out = pa.table(
+    def explode_slots(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_column not in batch.column_names:
+            return union_schema.empty_table()
+        a = np.asarray(batch.column(id_column), dtype=np.int64)
+        b = np.asarray(batch.column("dup_of"), dtype=np.int64)
+        n = len(a)
+        return pa.table(
             {
-                "doc_id": batch.column(id_column) if batch.num_rows else pa.array([], type=pa.int64()),
-                "dup_of": batch.column("dup_of") if batch.num_rows else pa.array([], type=pa.int64()),
-                "jaccard": pa.array(sims, type=pa.float64()),
+                "key": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "pair_doc": pa.array(np.tile(a, 2), type=pa.int64()),
+                "pair_dup": pa.array(np.tile(b, 2), type=pa.int64()),
+                "slot": pa.array(
+                    np.repeat(np.array([0, 1], dtype=np.int32), n), type=pa.int32()
+                ),
+                text_column: pa.nulls(2 * n, type=pa.string()),
             }
         )
-        return out.filter(pc.greater_equal(out.column("jaccard"), pa.scalar(threshold)))
 
-    return j.map_batches(kernel, batch_format="pyarrow")
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column(id_column).cast(pa.int64()),
+                "pair_doc": pa.nulls(n, type=pa.int64()),
+                "pair_dup": pa.nulls(n, type=pa.int64()),
+                "slot": pa.array(np.full(n, -1, dtype=np.int32), type=pa.int32()),
+                text_column: batch.column(text_column),
+            }
+        )
+
+    from embulk_input_marketo_ray.pipelines.queries import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    u = pairs.map_batches(explode_slots, batch_format="pyarrow").union(
+        documents.map_batches(doc_rows, batch_format="pyarrow")
+    )
+
+    _slotted_schema = pa.schema(
+        [
+            ("pair_doc", pa.int64()),
+            ("pair_dup", pa.int64()),
+            ("slot", pa.int32()),
+            (text_column, pa.string()),
+        ]
+    )
+
+    def attach(block: pa.Table) -> pa.Table:
+        """One key-partition block: vectorized doc-text lookup for every
+        pair-slot row (sorted doc-key array + searchsorted — no per-key
+        Python)."""
+        if block.num_rows == 0:
+            return _slotted_schema.empty_table()
+        slots = np.asarray(block.column("slot"))
+        doc_mask = slots == -1
+        pair_mask = ~doc_mask
+        if not doc_mask.any() or not pair_mask.any():
+            return _slotted_schema.empty_table()
+        keys = np.asarray(block.column("key"), dtype=np.int64)
+        texts = np.asarray(block.column(text_column), dtype=object)
+        dk = keys[doc_mask]
+        dt = texts[doc_mask]
+        order = np.argsort(dk)
+        dk, dt = dk[order], dt[order]
+        pk = keys[pair_mask]
+        pos = np.clip(np.searchsorted(dk, pk), 0, len(dk) - 1)
+        matched = dk[pos] == pk
+        out_texts = dt[pos]
+        out_texts[~matched] = None  # inner-join semantics downstream
+        sub = block.filter(pa.array(pair_mask))
+        return pa.table(
+            {
+                "pair_doc": sub.column("pair_doc"),
+                "pair_dup": sub.column("pair_dup"),
+                "slot": sub.column("slot"),
+                text_column: pa.array(out_texts, type=pa.string()),
+            }
+        ).filter(pa.array(matched))
+
+    slotted = u.repartition(num_partitions, keys=["key"]).map_batches(
+        attach, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    _out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("dup_of", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def verify(block: pa.Table) -> pa.Table:
+        """One pair-partition block: per-pair run detection is
+        vectorized; the exact Jaccard kernel runs once per UNIQUE
+        candidate pair (sparse by construction), with per-document
+        n-gram sets memoized across the block."""
+        if block.num_rows == 0:
+            return _out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("pair_doc", "ascending"),
+                ("pair_dup", "ascending"),
+                ("slot", "ascending"),
+            ],
+        )
+        b = block.take(order)
+        a = np.asarray(b.column("pair_doc"), dtype=np.int64)
+        d = np.asarray(b.column("pair_dup"), dtype=np.int64)
+        slots = np.asarray(b.column("slot"))
+        texts = np.asarray(b.column(text_column), dtype=object)
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (d[1:] != d[:-1])])
+        ends = np.r_[starts[1:], len(a)]
+
+        grams_cache: dict[int, set] = {}
+
+        def grams_of(doc: int, text: str) -> set:
+            g = grams_cache.get(doc)
+            if g is None:
+                g = _ngram_set(text, ngram)
+                grams_cache[doc] = g
+            return g
+
+        out_a, out_d, out_j = [], [], []
+        for s, e in zip(starts, ends):
+            seg = slots[s:e]
+            a_ix = s + int(np.argmax(seg == 0)) if (seg == 0).any() else -1
+            b_ix = s + int(np.argmax(seg == 1)) if (seg == 1).any() else -1
+            if a_ix < 0 or b_ix < 0:
+                continue
+            ga = grams_of(int(a[s]), texts[a_ix] or "")
+            gb = grams_of(int(d[s]), texts[b_ix] or "")
+            j = _jaccard_sets(ga, gb)
+            if j >= threshold:
+                out_a.append(int(a[s]))
+                out_d.append(int(d[s]))
+                out_j.append(j)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_a, type=pa.int64()),
+                "dup_of": pa.array(out_d, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    return slotted.repartition(num_partitions, keys=["pair_doc", "pair_dup"]).map_batches(
+        verify, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -577,16 +723,20 @@ class SimHasher:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
-    """Exact word n-gram Jaccard similarity (verification kernel)."""
-    def grams(s: str) -> set[str]:
-        toks = _WORD.findall(s.lower())
-        if len(toks) < n:
-            return {" ".join(toks)} if toks else set()
-        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+def _ngram_set(s: str, n: int = 3) -> set[str]:
+    toks = _WORD.findall(s.lower())
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
-    ga, gb = grams(a), grams(b)
+
+def _jaccard_sets(ga: set, gb: set) -> float:
     if not ga and not gb:
         return 1.0
     inter = len(ga & gb)
     return inter / (len(ga) + len(gb) - inter)
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact word n-gram Jaccard similarity (verification kernel)."""
+    return _jaccard_sets(_ngram_set(a, n), _ngram_set(b, n))

@@ -85,3 +85,39 @@ def test_offset_short_page_terminates():
     # 450 records with max_return 200 -> pages 200/200/50, stop
     ds = read_offset_paged(450)
     assert ds.count() == 450
+
+
+def test_decoder_strategy_seam():
+    """U4: the payload decoder is pluggable — the same paging protocol
+    consumes a JSON envelope (default) or a raw CSV body
+    (rest/MarketoResponseJettyEntityReader vs
+    MarketoInputStreamResponseEntityReader)."""
+    from embulk_input_marketo_ray.sources.paged import (
+        FixtureServer,
+        PayloadDecodeError,
+        _PagedClient,
+        csv_payload_decoder,
+        json_envelope_decoder,
+    )
+
+    env = json_envelope_decoder('{"success": true, "result": [{"id": 1}]}')
+    assert env["result"] == [{"id": 1}]
+    with pytest.raises(PayloadDecodeError):
+        json_envelope_decoder("{not json")
+
+    env = csv_payload_decoder("id,name\n1,a\n2,null\n")
+    assert env["success"] and env["result"] == [
+        {"id": "1", "name": "a"},
+        {"id": "2", "name": None},
+    ]
+    # protocol errors still arrive as JSON even in CSV mode
+    env = csv_payload_decoder('{"success": true, "result": []}')
+    assert env["result"] == []
+    with pytest.raises(PayloadDecodeError):
+        csv_payload_decoder('id,name\n"unterminated\n')
+
+    # the client retries a bad payload then succeeds (fixture injects once)
+    server = FixtureServer(n_records=5, fail_plan={0: "badjson"})
+    client = _PagedClient(server, decoder=json_envelope_decoder)
+    out = client.call(server.token_page, None, 300)
+    assert len(out["result"]) == 5 and client.retries == 1
