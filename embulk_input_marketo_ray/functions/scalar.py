@@ -90,6 +90,14 @@ def stable_key_hash(table: pa.Table, key_columns: list[str], num_buckets: int) -
     here.) Determinism holds within one polars build, which a cluster
     image guarantees.
     """
+    import os
+
+    # polars sizes its rayon pool to ALL cores at import; inside a
+    # 32-actor pool that is 32x32 threads fighting for 32 CPUs — the
+    # fused ingest stage measured ~10x slower in situ than in a
+    # single-process micro-benchmark until the pool was pinned. One
+    # thread per worker is correct when Ray provides the parallelism.
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
     import polars as pl
 
     joined = table.column(key_columns[0]).cast(pa.string())

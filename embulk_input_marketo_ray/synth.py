@@ -79,7 +79,7 @@ def generate_change_events(
     params = {
         "n_events": n_events, "seed": seed, "n_repos": n_repos,
         "n_paths_per_repo": n_paths_per_repo, "delete_rate": delete_rate,
-        "duplicate_rate": duplicate_rate, "n_files": n_files, "v": 4,
+        "duplicate_rate": duplicate_rate, "n_files": n_files, "v": 5,
     }
     marker = os.path.join(out_dir, "_SUCCESS")
     if not force and os.path.exists(marker):
@@ -170,40 +170,53 @@ def generate_change_events(
     # the default createdAt-analog column
     updated_ts = event_ts + (seqs % 7) * np.timedelta64(1_000_000, "us")
 
-    table = pa.table(
-        {
-            "repo": pa.array(repo, type=pa.string()),
-            "path": pa.array(path, type=pa.string()),
-            "commit": pa.array(_commit_hexes(seqs), type=pa.string()),
-            "lang": pa.array(lang, type=pa.string()),
-            "content": pa.array(content, type=pa.string()),
-            "commit_seq": pa.array(seqs, type=pa.int64()),
-            "event_ts": pa.array(event_ts, type=pa.timestamp("us")),
-            "updated_ts": pa.array(updated_ts, type=pa.timestamp("us")),
-            "op": pa.array(op, type=pa.string()),
-            "attr_score": pa.array(attr_score, type=pa.string()),
-            "attr_revenue": pa.array(attr_revenue, type=pa.string()),
-            "attr_active": pa.array(attr_active, type=pa.string()),
-            "attr_updated": pa.array(attr_updated, type=pa.string()),
-        }
-    )
-
     # duplicated replayed events: re-append exact copies of a sample
     # (same commit_seq/commit) — replay must be idempotent (D5).
     n_dup = int(n_events * duplicate_rate)
-    if n_dup:
-        dup_idx = rng.choice(n_events, size=n_dup, replace=False)
-        dup_idx.sort()
-        table = pa.concat_tables([table, table.take(pa.array(dup_idx))])
-        table = table.take(pa.compute.sort_indices(table, sort_keys=[("commit_seq", "ascending")]))
+    dup_idx = np.sort(rng.choice(n_events, size=n_dup, replace=False)) if n_dup else np.array([], dtype=np.int64)
 
-    # write n_files commit_seq-contiguous chunks (slice-aligned reads)
-    n = table.num_rows
-    per = (n + n_files - 1) // n_files
+    # Build and write PER seq-range chunk: a single Arrow string column
+    # over the whole table overflows int32 offsets past ~2 GB of content
+    # (the round-1 "superlinear >5M generation" was actually this
+    # failure mode), and chunked build keeps peak memory ∝ chunk.
+    columns = {
+        "repo": (repo, pa.string()),
+        "path": (path, pa.string()),
+        "lang": (lang, pa.string()),
+        "content": (content, pa.string()),
+        "commit_seq": (seqs, pa.int64()),
+        "event_ts": (event_ts, pa.timestamp("us")),
+        "updated_ts": (updated_ts, pa.timestamp("us")),
+        "op": (op, pa.string()),
+        "attr_score": (attr_score, pa.string()),
+        "attr_revenue": (attr_revenue, pa.string()),
+        "attr_active": (attr_active, pa.string()),
+        "attr_updated": (attr_updated, pa.string()),
+    }
+    per = (n_events + n_files - 1) // n_files
     for i in range(n_files):
-        chunk = table.slice(i * per, per)
-        if chunk.num_rows:
-            pq.write_table(chunk, os.path.join(out_dir, f"events_{i:04d}.parquet"))
+        lo, hi = i * per, min((i + 1) * per, n_events)
+        if lo >= hi:
+            continue
+        sel = np.arange(lo, hi, dtype=np.int64)
+        # interleave this range's duplicated events, keeping seq order
+        dups_here = dup_idx[(dup_idx >= lo) & (dup_idx < hi)]
+        if len(dups_here):
+            sel = np.sort(np.concatenate([sel, dups_here]), kind="stable")
+        cols: dict[str, pa.Array] = {}
+        for name, (arr, typ) in columns.items():
+            if name == "commit_seq":
+                cols["commit_seq"] = pa.array(arr[sel], type=typ)
+                cols["commit"] = pa.array(_commit_hexes(arr[sel]), type=pa.string())
+            else:
+                cols[name] = pa.array(arr[sel], type=typ)
+        chunk = pa.table(
+            {k: cols[k] for k in
+             ["repo", "path", "commit", "lang", "content", "commit_seq",
+              "event_ts", "updated_ts", "op", "attr_score", "attr_revenue",
+              "attr_active", "attr_updated"]}
+        )
+        pq.write_table(chunk, os.path.join(out_dir, f"events_{i:04d}.parquet"))
 
     with open(os.path.join(out_dir, "evolution.json"), "w") as f:
         json.dump(evo, f)
