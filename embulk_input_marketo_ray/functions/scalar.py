@@ -22,8 +22,30 @@ from embulk_input_marketo_ray.types import MARKETO_TS_FORMAT, arrow_type_for
 NULL_LITERALS = ("", "null")
 
 
+def compact(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """One contiguous zero-offset Array for ``col``.
+
+    pyarrow 16.1's ``if_else`` string kernel reads the VALUES buffer
+    from position 0 regardless of the array's slice offset, silently
+    returning garbage bytes for any non-zero-offset input (reproduced:
+    ``pc.if_else(mask, null, arr.slice(65536, n))`` maps '40' to
+    '\\x00\\x00'). Sliced arrays reach kernels whenever a caller splits
+    a block with ``Table.slice`` or a map_batches stage opts into
+    ``zero_copy_batch=True`` with a ``batch_size`` — so every kernel
+    whose output feeds ``if_else`` compacts first. ``concat_arrays``
+    of a single sliced array copies it to offset 0; already-contiguous
+    input passes through zero-copy.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.offset != 0:
+        col = pa.concat_arrays([col])
+    return col
+
+
 def normalize_nulls(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     """Map the "" / "null" literals of an all-string column to real nulls."""
+    col = compact(col)
     mask = pc.is_in(col, value_set=pa.array(NULL_LITERALS, type=pa.string()))
     return pc.if_else(mask, pa.scalar(None, type=pa.string()), col)
 

@@ -59,3 +59,40 @@ def test_stable_key_hash_deterministic_and_bounded():
     # same key in different tables -> same bucket
     t2 = pa.table({"repo": ["b"], "path": ["x"]})
     assert stable_key_hash(t2, ["repo", "path"], 16)[0] == h1[2]
+
+
+def test_kernels_correct_on_sliced_nonzero_offset_input():
+    """pyarrow 16.1's if_else string kernel reads the values buffer from
+    position 0 for sliced (non-zero-offset) inputs — silent corruption
+    ('40' -> '\\x00\\x00'). Sliced arrays reach kernels via Table.slice
+    and zero_copy_batch=True map_batches; every public kernel must give
+    offset-independent answers."""
+    n = 4000
+    vals = [str(i) if i % 7 else "null" for i in range(n)]
+    vals[5] = ""
+    base = pa.table(
+        {
+            "repo": pa.array([f"r{i % 13}" for i in range(n)]),
+            "path": pa.array([f"p{i % 97}" for i in range(n)]),
+            "v": pa.array(vals, type=pa.string()),
+        }
+    )
+    sliced = base.slice(1111, 1500)  # chunks keep offset 1111
+    compacted = pa.Table.from_pylist(sliced.to_pylist())
+    assert sliced.column("v").chunk(0).offset != 0  # premise: actually sliced
+
+    got = normalize_nulls(sliced.column("v"))
+    want = normalize_nulls(compacted.column("v"))
+    assert got.to_pylist() == want.to_pylist()
+
+    got = parse_typed(sliced.column("v"), "integer")
+    want = parse_typed(compacted.column("v"), "integer")
+    assert got.to_pylist() == want.to_pylist()
+
+    got = sha256_column(sliced.column("v"))
+    want = sha256_column(compacted.column("v"))
+    assert got.to_pylist() == want.to_pylist()
+
+    got = stable_key_hash(sliced, ["repo", "path"], 32)
+    want = stable_key_hash(compacted, ["repo", "path"], 32)
+    assert np.array_equal(got, want)
