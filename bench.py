@@ -104,6 +104,12 @@ def run_bench() -> dict:
             num_buckets=int(os.environ.get("GRAFT_BUCKETS", "32")),
             batch_size=int(os.environ.get("GRAFT_BATCH", "65536")),
             shuffle=os.environ.get("GRAFT_SHUFFLE", "hash"),
+            # None -> engine default (2 read tasks per input file)
+            read_num_blocks=(
+                int(os.environ["GRAFT_READ_BLOCKS"])
+                if os.environ.get("GRAFT_READ_BLOCKS")
+                else None
+            ),
             lake_layout=os.environ.get("GRAFT_LAYOUT", "rewrite"),
             # the fused ingest stage is the CPU-dominant stage: let the
             # autoscaling pool reach every CPU; backpressure sizes it down

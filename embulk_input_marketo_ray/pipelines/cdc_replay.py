@@ -71,6 +71,16 @@ class ReplayConfig:
     # every CPU starves the read/shuffle tasks and stalls the pipeline —
     # let Ray size the pool under backpressure instead.
     extractor_concurrency: int | tuple[int, int] = (1, 4)
+    # "tasks" (default): the fused narrow stage (extract -> normalize ->
+    # partial LWW) runs as a TASK-based map, which Ray fuses with the
+    # read into ONE operator — no extra object-store round trip of the
+    # full stream, no actor-pool ramp-up, no reserved CPUs. Per-task
+    # state rebuild (evolution schedule, extractor protocol counters) is
+    # microseconds. "actors": the same stage as an autoscaling actor
+    # pool — required when extractor state is genuinely expensive or
+    # must persist across batches (e.g. fault-injection tests that count
+    # retries per worker, real OAuth token reuse).
+    ingest_mode: str = "tasks"
     batch_size: int = 32768
     # reference configs: case-insensitive dynamic-field keep-list and
     # output column prefix (included_fields / column_prefix)
@@ -98,6 +108,12 @@ class ReplayConfig:
     # tmpfs path (/dev/shm/...) lifts the disk-bandwidth cap when the
     # scratch fits memory (on a cluster: per-node NVMe spill volumes).
     shuffle_scratch_dir: str | None = None
+    # override_num_blocks for the read (None = Ray's dynamic splitting).
+    # Ray 2.49's dynamic SplitBlocks path re-slices every output batch;
+    # at high read concurrency those extra passes amplify under memory-
+    # bandwidth saturation. One block per input file is right when the
+    # layout is already sized for the cluster (our writers fix n_files).
+    read_num_blocks: int | None = None
     collect_stats: bool = True
     fail_buckets: frozenset = field(default_factory=frozenset)
     extractor_kwargs: dict = field(default_factory=dict)
@@ -143,7 +159,29 @@ def replay(cfg: ReplayConfig) -> dict:
     # each aggregator handles many partitions, so cap the pool to a
     # fraction of cluster CPUs. Partition->bucket mapping is unaffected.
     total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    ctx.max_hash_shuffle_aggregators = max(2, min(cfg.num_buckets, total_cpus // 2))
+    import os as _os
+
+    _aggs = _os.environ.get("GRAFT_AGGS")  # tuning override for bench sweeps
+    # Aggregator pool sized to the WINDOW, not just the cluster:
+    # acceptance parallelism is the hash path's bottleneck on big
+    # windows (32 aggs measured 18-26% faster than 16 on an 8.8M-event
+    # window at 32 CPUs), but each aggregator is an actor spin-up, so
+    # small windows pay pure fixed cost for a wide pool (8 aggs: 3.2 s
+    # vs 32 aggs: 5.5 s on a 612k-event window). Estimate window size
+    # from the input files' bytes (~40 MB of parquet per aggregator),
+    # clamped to [8, min(buckets, cpus)]. One per PARTITION (Ray's
+    # default) oversubscribes small nodes: 64 actors on 32 CPUs
+    # measured 30x slower in round 1.
+    if _aggs:
+        ctx.max_hash_shuffle_aggregators = int(_aggs)
+    else:
+        import glob as _glob
+
+        input_bytes = sum(
+            _os.path.getsize(f) for f in _glob.glob(cfg.events_dir + "/*.parquet")
+        )
+        by_size = max(8, input_bytes // (40 << 20))
+        ctx.max_hash_shuffle_aggregators = max(2, min(cfg.num_buckets, total_cpus, by_size))
     # aggregators are concat-bound; the default 0.0625 cpu/partition
     # reservation starves map stages on small nodes (see queries.py)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
@@ -222,22 +260,57 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             batch = self.normalizer(batch)
             return add_bucket_and_partial_lww(batch, self.num_buckets)
 
-    ds = read_change_events(cfg.events_dir, slices, ts_column=ts_column)
-    ds = ds.map_batches(
-        IngestStage,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.extractor_concurrency,
-        fn_constructor_kwargs={
-            "evolution_log": cfg.evolution_log,
-            "page_size": cfg.page_size,
-            "metrics": metrics,
-            "num_buckets": cfg.num_buckets,
-            "extractor_kwargs": cfg.extractor_kwargs,
-            "prefix": cfg.column_prefix,
-            "included_fields": cfg.included_fields,
-        },
+    if cfg.ingest_mode not in ("tasks", "actors"):
+        raise ValueError(f"ingest_mode must be 'tasks' or 'actors', got {cfg.ingest_mode!r}")
+
+    # Two read tasks per input file (split at row-group boundaries):
+    # enough waves to keep a 32-CPU node full without the per-task
+    # overhead of Ray's dynamic 4-way SplitBlocks path (8.8M-event
+    # sweep at 32 CPUs: 64 blocks 16.2 s, 128 12.1 s, 256 17.1 s,
+    # dynamic split 24.3 s).
+    import glob as _glob
+
+    n_files = len(_glob.glob(cfg.events_dir + "/*.parquet"))
+    blocks = cfg.read_num_blocks or max(1, 2 * n_files)
+    ds = read_change_events(
+        cfg.events_dir, slices, ts_column=ts_column, override_num_blocks=blocks
     )
+    stage_kwargs = {
+        "evolution_log": cfg.evolution_log,
+        "page_size": cfg.page_size,
+        "metrics": metrics,
+        "num_buckets": cfg.num_buckets,
+        "extractor_kwargs": cfg.extractor_kwargs,
+        "prefix": cfg.column_prefix,
+        "included_fields": cfg.included_fields,
+    }
+    if cfg.ingest_mode == "tasks":
+        # task-based map fuses with the read into one operator (no extra
+        # object-store round trip of the full stream, no pool ramp-up);
+        # per-batch stage construction is microseconds. zero_copy_batch
+        # hands the UDF sliced views — safe: every kernel downstream is
+        # offset-independent (see functions/scalar.py::compact).
+        def ingest_batch(batch: pa.Table) -> pa.Table:
+            return IngestStage(**stage_kwargs)(batch)
+
+        ds = ds.map_batches(
+            ingest_batch,
+            batch_format="pyarrow",
+            # whole-block batches: blocks are already read-task sized
+            # (half a file), and a fixed batch_size would force Ray to
+            # re-batch across block boundaries — an extra slice/concat
+            # pass of the full stream that also blocks read->map fusion
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+    else:
+        ds = ds.map_batches(
+            IngestStage,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.extractor_concurrency,
+            fn_constructor_kwargs=stage_kwargs,
+        )
     if len(done_buckets):
         skip = pa.array(done_buckets)
 

@@ -79,7 +79,7 @@ def generate_change_events(
     params = {
         "n_events": n_events, "seed": seed, "n_repos": n_repos,
         "n_paths_per_repo": n_paths_per_repo, "delete_rate": delete_rate,
-        "duplicate_rate": duplicate_rate, "n_files": n_files, "v": 5,
+        "duplicate_rate": duplicate_rate, "n_files": n_files, "v": 6,
     }
     marker = os.path.join(out_dir, "_SUCCESS")
     if not force and os.path.exists(marker):
@@ -216,7 +216,13 @@ def generate_change_events(
               "event_ts", "updated_ts", "op", "attr_score", "attr_revenue",
               "attr_active", "attr_updated"]}
         )
-        pq.write_table(chunk, os.path.join(out_dir, f"events_{i:04d}.parquet"))
+        # small row groups let readers split one file into several read
+        # tasks (override_num_blocks > n_files); 32k rows x ~430 B/row
+        # ~= 14 MB per group — big enough to amortize decode, small
+        # enough for fine-grained parallelism and row-group pruning
+        pq.write_table(
+            chunk, os.path.join(out_dir, f"events_{i:04d}.parquet"), row_group_size=32768
+        )
 
     with open(os.path.join(out_dir, "evolution.json"), "w") as f:
         json.dump(evo, f)
