@@ -89,7 +89,9 @@ def run_bench() -> dict:
     events_dir = default_events_dir(n)
     # file count fixed (not CPU-derived) so both scaling runs read the
     # identical layout; 64 files keeps the read parallel at 32 CPUs
-    generate_change_events(events_dir, n, n_files=64)
+    generate_change_events(
+        events_dir, n, n_files=int(os.environ.get("GRAFT_FILES", "64"))
+    )
 
     def mkcfg(lake: str) -> ReplayConfig:
         return ReplayConfig(
@@ -104,6 +106,7 @@ def run_bench() -> dict:
             num_buckets=int(os.environ.get("GRAFT_BUCKETS", "32")),
             batch_size=int(os.environ.get("GRAFT_BATCH", "65536")),
             shuffle=os.environ.get("GRAFT_SHUFFLE", "hash"),
+            shuffle_scratch_dir=os.environ.get("GRAFT_SCRATCH") or None,
             # None -> engine default (2 read tasks per input file)
             read_num_blocks=(
                 int(os.environ["GRAFT_READ_BLOCKS"])
@@ -162,27 +165,68 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling() -> dict:
-    """Same job at 8 and 32 CPUs in fresh processes. The input is 8x the
-    per-round bench size so compute dominates the fixed per-run costs
-    (actor/aggregator startup, manifest commit; ~2-4 s/execution).
+def _hw_ceiling(lo: int, hi: int) -> float:
+    """This host's OWN pure-CPU scaling between the two levels.
 
-    Two numbers are reported:
-    - ``scaling_efficiency``: raw throughput ratio / CPU ratio;
-    - ``scaling_efficiency_adjusted``: same after subtracting each
-      level's MEASURED per-run fixed cost (a near-empty 5k-event run of
-      the identical pipeline in the same fresh-process pattern). On a
-      multi-node cluster the fixed cost is paid once per job and does
-      not grow with cluster size, so the adjusted number is the honest
-      estimate of the engine's marginal scaling; both are printed, and
-      the probe seconds are included so the adjustment is auditable.
+    A fixed amount of sha256 work split over ``lo`` vs ``hi`` processes
+    (pre-warmed pool, no IO, no IPC beyond the map). On this VM 32
+    vCPUs deliver only ~2.5-3.0x the throughput of 8 (frequency
+    scaling / steal / SMT), so the ceiling — not 1.0 — is the best ANY
+    job can show here; it is re-measured inline because it drifts with
+    host conditions. Best of 2 per level.
+    """
+    import multiprocessing as mp
+
+    def run(nproc: int, total: int = 1_200_000) -> float:
+        per = total // nproc
+        with mp.Pool(nproc) as p:
+            p.map(_burn_sha256, [per // 4] * nproc)  # warm the pool
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                p.map(_burn_sha256, [per] * nproc)
+                best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(lo) / run(hi)) / (hi / lo)
+
+
+def _burn_sha256(n: int) -> int:
+    import hashlib
+
+    h = hashlib.sha256()
+    b = b"x" * 4096
+    for _ in range(n):
+        h.update(b)
+    return 0
+
+
+def run_scaling() -> dict:
+    """The two-cluster-size criterion's sandbox evidence: the identical
+    job at 8 and 32 CPUs, in fresh processes, on the same input (16x
+    the per-round bench size so compute dominates fixed per-run cost).
+
+    Methodology (one pair is a lottery on this +-40%-noise host):
+    - GRAFT_SCALING_PAIRS pairs (default 3), each pair = fresh-process
+      best-of-GRAFT_TIMED_RUNS at 8 then at 32 CPUs; MEDIAN pair
+      efficiency reported alongside every individual pair.
+    - fixed per-run cost measured by a near-empty 5k-event probe at
+      each level (worker/aggregator spin-up, manifest commit);
+      ``scaling_efficiency_adjusted`` subtracts it. On a multi-node
+      cluster this cost is paid once per job and does not grow with
+      cluster size.
+    - ``hw_ceiling`` is the host's own pure-CPU 8->32 scaling measured
+      inline (see _hw_ceiling); ``scaling_efficiency_normalized`` =
+      median raw efficiency / ceiling — the engine's scaling with the
+      single-box CPU-delivery artifact factored out. All components
+      are printed so every derived number is auditable.
     """
 
     def run_at(ncpu: int, probe: bool = False) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_EVENTS_MULTIPLIER=os.environ.get("GRAFT_EVENTS_MULTIPLIER", "8"),
+            GRAFT_EVENTS_MULTIPLIER=os.environ.get("GRAFT_EVENTS_MULTIPLIER", "16"),
             GRAFT_SKIP_QUERIES="1",
         )
         if probe:
@@ -197,26 +241,41 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
     f_lo, f_hi = run_at(lo, probe=True), run_at(hi, probe=True)
-    r_lo, r_hi = run_at(lo), run_at(hi)
-    thr_lo, thr_hi = r_lo["events_per_s"], r_hi["events_per_s"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
-    events = r_lo["events"]
-    adj_lo = events / max(r_lo["value"] - f_lo["value"], 1e-9)
-    adj_hi = events / max(r_hi["value"] - f_hi["value"], 1e-9)
-    eff_adj = (adj_hi / adj_lo) / (hi / lo)
+    pairs = []
+    events = 0
+    for _ in range(n_pairs):
+        r_lo, r_hi = run_at(lo), run_at(hi)
+        eff = (r_hi["events_per_s"] / r_lo["events_per_s"]) / (hi / lo)
+        events = r_lo["events"]
+        adj_lo = events / max(r_lo["value"] - f_lo["value"], 1e-9)
+        adj_hi = events / max(r_hi["value"] - f_hi["value"], 1e-9)
+        pairs.append(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "events_per_s_8": r_lo["events_per_s"],
+                "events_per_s_32": r_hi["events_per_s"],
+                "efficiency": round(eff, 3),
+                "efficiency_adjusted": round((adj_hi / adj_lo) / (hi / lo), 3),
+            }
+        )
+    med = sorted(p["efficiency"] for p in pairs)[len(pairs) // 2]
+    med_adj = sorted(p["efficiency_adjusted"] for p in pairs)[len(pairs) // 2]
+    ceiling = _hw_ceiling(lo, hi)
     return {
         "metric": "cdc_replay_scaling",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
+        "cpus": [lo, hi],
+        "pairs": pairs,
         "fixed_sec_8": f_lo["value"],
         "fixed_sec_32": f_hi["value"],
-        "events_per_s_8": thr_lo,
-        "events_per_s_32": thr_hi,
-        "cpus": [lo, hi],
-        "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_adjusted": round(eff_adj, 3),
-        "sf": r_lo["sf"],
+        "scaling_efficiency": med,
+        "scaling_efficiency_adjusted": med_adj,
+        "hw_ceiling": round(ceiling, 3),
+        "scaling_efficiency_normalized": round(med / ceiling, 3),
+        "scaling_efficiency_adjusted_normalized": round(med_adj / ceiling, 3),
+        "sf": _sf_of(SF_DIR),
         "events": events,
     }
 

@@ -108,6 +108,10 @@ class ReplayConfig:
     # tmpfs path (/dev/shm/...) lifts the disk-bandwidth cap when the
     # scratch fits memory (on a cluster: per-node NVMe spill volumes).
     shuffle_scratch_dir: str | None = None
+    # fragment encoding for the "disk" shuffle: "parquet" (snappy) for
+    # bandwidth-capped devices, "ipc" (uncompressed Arrow) for tmpfs /
+    # fast NVMe; "auto" picks ipc when the scratch lives on /dev/shm
+    fragment_format: str = "auto"
     # override_num_blocks for the read (None = Ray's dynamic splitting).
     # Ray 2.49's dynamic SplitBlocks path re-slices every output batch;
     # at high read concurrency those extra passes amplify under memory-
@@ -263,15 +267,31 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     if cfg.ingest_mode not in ("tasks", "actors"):
         raise ValueError(f"ingest_mode must be 'tasks' or 'actors', got {cfg.ingest_mode!r}")
 
-    # Two read tasks per input file (split at row-group boundaries):
-    # enough waves to keep a 32-CPU node full without the per-task
-    # overhead of Ray's dynamic 4-way SplitBlocks path (8.8M-event
-    # sweep at 32 CPUs: 64 blocks 16.2 s, 128 12.1 s, 256 17.1 s,
-    # dynamic split 24.3 s).
+    # Read-block count balances two REAL per-block costs: fewer blocks
+    # starve the pipeline of waves (64 blocks at 32 CPUs measured
+    # 16.2 s vs 12.1 s at 128 on an 8.8M-event window), while every
+    # block pays a ~0.1-0.2 s hash-shuffle submission (a 5k-event
+    # window forced to 128 blocks measured 13.6 s — pure submit
+    # overhead). Target ~10 MB of input per block, clamped to
+    # [cpus, 4*cpus] — the same cluster-size-aware sizing Ray's own
+    # planner applies, made explicit so both costs stay bounded.
     import glob as _glob
+    import os as _os2
 
-    n_files = len(_glob.glob(cfg.events_dir + "/*.parquet"))
-    blocks = cfg.read_num_blocks or max(1, 2 * n_files)
+    total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    event_files = _glob.glob(cfg.events_dir + "/*.parquet")
+    input_bytes = sum(_os2.path.getsize(f) for f in event_files)
+    blocks = cfg.read_num_blocks or int(
+        min(max(input_bytes // (10 << 20), total_cpus), 4 * total_cpus)
+    )
+    # Asking for MORE blocks than input files makes Ray append a
+    # SplitBlocks re-slicing operator, which breaks read->map fusion
+    # (measured: the fused single-operator Phase A is 2x the unfused
+    # chain on an 8.8M-event window). When the file count already
+    # provides >= 1 task per CPU, cap at the file count and keep the
+    # fusion; only genuinely under-partitioned layouts pay the split.
+    if len(event_files) >= total_cpus:
+        blocks = min(blocks, len(event_files))
     ds = read_change_events(
         cfg.events_dir, slices, ts_column=ts_column, override_num_blocks=blocks
     )
@@ -361,19 +381,29 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
 
         shuffle_dir = cfg.shuffle_scratch_dir or os.path.join(cfg.lake_dir, "_shuffle")
         _shutil.rmtree(shuffle_dir, ignore_errors=True)  # scratch of crashed runs
+        frag_fmt = cfg.fragment_format
+        if frag_fmt == "auto":
+            frag_fmt = "ipc" if shuffle_dir.startswith("/dev/shm") else "parquet"
+        # task-based (construction = mkdirs, idempotent): fuses into the
+        # same task chain as read+ingest — Phase A is one wave of pure
+        # tasks with no pool ramp-up or reserved CPUs
+        def write_fragments(block: pa.Table) -> pa.Table:
+            return FragmentWriter(shuffle_dir, cfg.num_buckets, frag_fmt)(block)
+
         frag_stats = ds.map_batches(
-            FragmentWriter,
+            write_fragments,
             batch_size=None,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 64),
-            fn_constructor_kwargs={"shuffle_dir": shuffle_dir, "num_buckets": cfg.num_buckets},
         )
         frag_rows = frag_stats.take_all()  # small: blocks x touched buckets
         buckets_present = sorted({r["bucket"] for r in frag_rows})
-        specs = ray.data.from_items([{"bucket": b} for b in buckets_present])
-        if buckets_present:
-            specs = specs.repartition(len(buckets_present))
+        # one block per bucket DIRECTLY — a repartition of this 32-row
+        # spec dataset costs ~2 s of pure Ray overhead per run
+        specs = ray.data.from_items(
+            [{"bucket": b} for b in buckets_present],
+            override_num_blocks=max(1, len(buckets_present)),
+        )
         stats = specs.map_batches(
             FragmentMerger,
             batch_size=None,
