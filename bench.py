@@ -46,6 +46,27 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — for attributing slow
+    runs to hypervisor steal rather than the engine."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _yardstick() -> float:
+    """Single-process sha256 blocks/s — a recomputable absolute CPU
+    yardstick co-measured with every bench run. This host's delivered
+    CPU drifts by the hour (steal 1-25%% observed); the yardstick lets
+    any two runs' walls be compared fairly."""
+    n = 100_000
+    t0 = time.perf_counter()
+    _burn_sha256(n)
+    return n / (time.perf_counter() - t0)
+
+
 def _sf_of(sf_dir: str) -> float:
     import re
 
@@ -128,12 +149,15 @@ def run_bench() -> dict:
     # run-to-run noise, so a single sample routinely misleads
     n_timed = int(os.environ.get("GRAFT_TIMED_RUNS", "2"))
     report = None
+    steal0, total0 = _cpu_times()
     for _ in range(n_timed):
         lake = "/tmp/graft_bench_lake"
         shutil.rmtree(lake, ignore_errors=True)
         r = replay(mkcfg(lake))
         if report is None or r["wall_s"] < report["wall_s"]:
             report = r
+    steal1, total1 = _cpu_times()
+    steal_pct = 100.0 * (steal1 - steal0) / max(total1 - total0, 1)
     headline = report["wall_s"]
 
     # per-query timings (skipped in scaling subprocesses)
@@ -160,6 +184,12 @@ def run_bench() -> dict:
         "events": report["events_read"],
         "events_per_s": round(report["events_per_s"], 1),
         "rows_out": report["rows_out"],
+        # host-weather telemetry: absolute CPU yardstick + hypervisor
+        # steal observed across the timed section (see BASELINE.md
+        # "host noise" — walls here have been observed to vary 2x with
+        # steal; these two numbers make any run auditable)
+        "host_sha256_blocks_per_s": round(_yardstick()),
+        "host_steal_pct": round(steal_pct, 1),
     }
     ray.shutdown()
     return result
@@ -259,6 +289,8 @@ def run_scaling() -> dict:
                 "events_per_s_32": r_hi["events_per_s"],
                 "efficiency": round(eff, 3),
                 "efficiency_adjusted": round((adj_hi / adj_lo) / (hi / lo), 3),
+                "host_steal_pct_8": r_lo.get("host_steal_pct"),
+                "host_steal_pct_32": r_hi.get("host_steal_pct"),
             }
         )
     med = sorted(p["efficiency"] for p in pairs)[len(pairs) // 2]

@@ -45,18 +45,27 @@ def _ensure_hash_shuffle() -> None:
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
-def _strip_meta(batch: pa.Table) -> pa.Table:
-    """Drop schema metadata from testdata reads: the driver-generated
-    parquet carries a pandas metadata dict that makes pa.Schema
-    UNHASHABLE, which defeats Ray's schema-dedup fast path and spams
-    'Failed to hash the schemas (for deduplication)' warnings from
-    every aggregator. Metadata-only op — zero-copy."""
-    return batch.replace_schema_metadata(None)
+def _clean_schema(path: str, columns=None) -> pa.Schema:
+    """Footer schema with ALL metadata stripped (schema- and field-level).
+
+    The driver-generated parquet carries a pandas metadata dict that
+    makes pa.Schema UNHASHABLE, which defeats Ray's schema-dedup fast
+    path and spams 'Failed to hash the schemas (for deduplication)'
+    warnings from every read task. Passing an explicit clean schema to
+    read_parquet keeps every emitted block metadata-free at the source
+    (no downstream strip stage, read->map fusion preserved)."""
+    sch = pq.read_schema(path)
+    fields = [
+        sch.field(c).remove_metadata() for c in (columns or sch.names)
+    ]
+    return pa.schema(fields)
 
 
 def _read(sf_dir: str, name: str, columns=None, **kw):
-    ds = ray.data.read_parquet(_t(sf_dir, name), columns=columns, **kw)
-    return ds.map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    path = _t(sf_dir, name)
+    return ray.data.read_parquet(
+        path, columns=columns, schema=_clean_schema(path, columns), **kw
+    )
 
 
 

@@ -82,15 +82,18 @@ def _explode_keys(
     embeddings_path: str, n_planes: int, n_tables: int
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset", int]:
     """(key dataset, embeddings dataset, dim) for the bucketed paths."""
-    dim = len(
-        pq.read_table(embeddings_path, columns=["embedding"]).column("embedding")[0]
-    )
-    ds = ray.data.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
-    from embulk_input_marketo_ray.pipelines.queries import _strip_meta
+    # dim from the FIRST row only (never the whole column on the driver)
+    first = next(pq.ParquetFile(embeddings_path).iter_batches(batch_size=1))
+    dim = len(first.column("embedding")[0])
+    from embulk_input_marketo_ray.pipelines.queries import _clean_schema
 
-    # testdata parquet carries pandas schema metadata that makes
-    # pa.Schema unhashable inside Ray's schema dedup — strip it
-    ds = ds.map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    # explicit metadata-free schema: testdata parquet carries pandas
+    # schema metadata that makes pa.Schema unhashable inside Ray's
+    # schema dedup — strip it at the source
+    cols = ["vec_id", "embedding"]
+    ds = ray.data.read_parquet(
+        embeddings_path, columns=cols, schema=_clean_schema(embeddings_path, cols)
+    )
     # task-based stage (closure over the tiny plane matrices), not an
     # actor pool: this pipeline already runs keyed shuffles + a join +
     # downstream stages concurrently, and every actor-pool minimum is a
