@@ -100,16 +100,15 @@ def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
-def stable_key_hash(table: pa.Table, key_columns: list[str], num_buckets: int) -> np.ndarray:
-    """Deterministic hash-bucket id per row over a composite string key.
+def stable_key_hash_raw(table: pa.Table, key_columns: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash per row over a composite string key.
 
-    Used for the single wide stage (LWW merge shuffle): bucket =
-    hash(repo \\x00 path) % num_buckets. Stable across processes and
-    runs (required for deterministic partition ids in the exactly-once
-    manifest): polars' seeded xxhash over the joined key, vectorized
-    and zero-copy from Arrow. (pandas' hash_array was observed to be
+    The primitive behind bucket routing: polars' seeded xxhash over the
+    joined key, vectorized and zero-copy from Arrow. Stable across
+    processes and runs (required for deterministic partition ids in the
+    exactly-once manifest; pandas' hash_array was observed to be
     process-dependent on Arrow-backed string arrays — do not use it
-    here.) Determinism holds within one polars build, which a cluster
+    here). Determinism holds within one polars build, which a cluster
     image guarantees.
     """
     import os
@@ -126,5 +125,12 @@ def stable_key_hash(table: pa.Table, key_columns: list[str], num_buckets: int) -
     for k in key_columns[1:]:
         joined = pc.binary_join_element_wise(joined, table.column(k).cast(pa.string()), "\x00")
     arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
-    hashed = pl.from_arrow(arr).hash(seed=42).to_numpy()
+    return pl.from_arrow(arr).hash(seed=42).to_numpy()
+
+
+def stable_key_hash(table: pa.Table, key_columns: list[str], num_buckets: int) -> np.ndarray:
+    """Deterministic hash-bucket id per row: raw xxhash % num_buckets
+    (for power-of-two ``num_buckets`` this equals the low-bit suffix
+    used by extendible bucket splitting — see stages/lww.py)."""
+    hashed = stable_key_hash_raw(table, key_columns)
     return (hashed % np.uint64(num_buckets)).astype(np.int32)

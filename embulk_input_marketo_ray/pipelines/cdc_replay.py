@@ -121,6 +121,16 @@ class ReplayConfig:
     collect_stats: bool = True
     fail_buckets: frozenset = field(default_factory=frozenset)
     extractor_kwargs: dict = field(default_factory=dict)
+    # Bucket splitting (lake growth beyond the initial num_buckets):
+    # when set, a bucket whose merged partition exceeds this many rows
+    # splits into extendible-hash suffix children (stages/lww.py
+    # routing; sinks/exactly_once.py split_pieces) — the bucket count
+    # grows with the lake instead of buckets growing without bound.
+    # Requires power-of-two num_buckets (suffix-bit routing). In the
+    # delta layout the split happens at compaction. None = fixed
+    # bucket count (the pre-split behavior, bit-for-bit).
+    split_threshold_rows: int | None = None
+    split_max_depth: int = 20
 
 
 def replay(cfg: ReplayConfig) -> dict:
@@ -220,12 +230,29 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
 
     manifest = PartitionManifest(cfg.lake_dir)
     manifest.prepare()
+    manifest_state = manifest.load()
     done_pids = {
         pid
-        for pid, st in manifest.load()["partitions"].items()
+        for pid, st in manifest_state["partitions"].items()
         if st.get("watermark_to") == watermark_to
     }
     done_buckets = np.array(sorted(int(p) for p in done_pids), dtype=np.int32)
+
+    # bucket splitting: snapshot per-bucket depths + routing directory
+    # at run start (routing and writer share the same snapshot; a split
+    # this window takes effect for the NEXT window's routing)
+    depths = None
+    directory = None
+    if cfg.split_threshold_rows:
+        if cfg.num_buckets & (cfg.num_buckets - 1):
+            raise ValueError(
+                "split_threshold_rows requires power-of-two num_buckets "
+                f"(suffix-bit routing), got {cfg.num_buckets}"
+            )
+        from embulk_input_marketo_ray.stages.lww import bucket_depths, build_directory
+
+        depths = bucket_depths(manifest_state, cfg.num_buckets)
+        directory = build_directory(depths)
 
     normalizer = ChangeEventNormalizer(
         cfg.evolution_log, prefix=cfg.column_prefix, included_fields=cfg.included_fields
@@ -250,6 +277,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             extractor_kwargs,
             prefix="mk",
             included_fields=None,
+            directory=None,
         ):
             self.extractor = PagedExtractor(
                 page_size=page_size, metrics=metrics, **extractor_kwargs
@@ -258,11 +286,14 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
                 evolution_log, prefix=prefix, included_fields=included_fields
             )
             self.num_buckets = num_buckets
+            self.directory = directory
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             batch = self.extractor(batch)
             batch = self.normalizer(batch)
-            return add_bucket_and_partial_lww(batch, self.num_buckets)
+            return add_bucket_and_partial_lww(
+                batch, self.num_buckets, directory=self.directory
+            )
 
     if cfg.ingest_mode not in ("tasks", "actors"):
         raise ValueError(f"ingest_mode must be 'tasks' or 'actors', got {cfg.ingest_mode!r}")
@@ -303,6 +334,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         "extractor_kwargs": cfg.extractor_kwargs,
         "prefix": cfg.column_prefix,
         "included_fields": cfg.included_fields,
+        "directory": directory,
     }
     if cfg.ingest_mode == "tasks":
         # task-based map fuses with the read into one operator (no extra
@@ -364,14 +396,21 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         raise ValueError(f"lake_layout must be 'rewrite' or 'delta', got {cfg.lake_layout!r}")
     from embulk_input_marketo_ray.sinks.exactly_once import DeltaBucketWriter
 
+    split_kwargs = {
+        "split_threshold": cfg.split_threshold_rows,
+        "depths": depths,
+        "split_max_depth": cfg.split_max_depth,
+    }
     if cfg.lake_layout == "delta":
         writer = DeltaBucketWriter(
             cfg.lake_dir, watermark_to, target_schema,
             fail_buckets=cfg.fail_buckets, compact_threshold=cfg.compact_threshold,
+            **split_kwargs,
         )
     else:
         writer = BucketMergeWriter(
-            cfg.lake_dir, watermark_to, target_schema, fail_buckets=cfg.fail_buckets
+            cfg.lake_dir, watermark_to, target_schema, fail_buckets=cfg.fail_buckets,
+            **split_kwargs,
         )
     if cfg.shuffle == "disk":
         from embulk_input_marketo_ray.sinks.exactly_once import (
@@ -458,6 +497,9 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
                 "watermark_to": r["watermark_to"],
                 "fingerprint": r["fingerprint"],
                 "files": __import__("json").loads(r["files"]),
+                # depth only when splitting is enabled (-1 = untracked);
+                # entries without it default to log2(num_buckets)
+                **({"depth": r["depth"]} if r["depth"] >= 0 else {}),
             }
             for r in stats_rows
         }

@@ -76,9 +76,45 @@ _STATS_SCHEMA = pa.schema(
         ("watermark_to", pa.string()),
         ("fingerprint", pa.string()),
         ("files", pa.string()),  # json list of the pid's committed file names
+        ("depth", pa.int64()),  # extendible-hash depth of the bucket's suffix
     ]
 )
 _EMPTY_STATS = _STATS_SCHEMA.empty_table()
+
+
+def split_pieces(
+    merged: pa.Table,
+    suffix: int,
+    depth: int,
+    split_threshold: int,
+    max_depth: int,
+) -> list[tuple[int, int, pa.Table]]:
+    """Recursive extendible-hash split of one merged bucket table.
+
+    Returns ``[(suffix, depth, table), ...]`` — a single piece when the
+    table fits ``split_threshold`` rows, else the bucket split by
+    successive hash bits (child suffixes ``s`` and ``s | 2^d``) until
+    every piece fits or ``max_depth`` is reached. Row count is the
+    right size proxy here because LWW collapses each key to one row —
+    a bucket's size is its distinct-key count, which splitting halves
+    in expectation; a hot KEY cannot be split but also cannot grow a
+    bucket (it stays one row).
+    """
+    from embulk_input_marketo_ray.functions.scalar import stable_key_hash_raw
+    from embulk_input_marketo_ray.stages.lww import LAKE_KEY
+
+    if merged.num_rows <= split_threshold or depth >= max_depth:
+        return [(suffix, depth, merged)]
+    raw = stable_key_hash_raw(merged, LAKE_KEY)
+    bit = (raw >> np.uint64(depth)) & np.uint64(1)
+    mask = pa.array(bit.astype(bool))
+    left = merged.filter(pc.invert(mask))
+    right = merged.filter(mask)
+    return split_pieces(
+        left, suffix, depth + 1, split_threshold, max_depth
+    ) + split_pieces(
+        right, suffix | (1 << depth), depth + 1, split_threshold, max_depth
+    )
 
 
 class BucketMergeWriter:
@@ -95,11 +131,33 @@ class BucketMergeWriter:
         watermark_to: str,
         target_schema: pa.Schema,
         fail_buckets: frozenset[int] = frozenset(),
+        split_threshold: int | None = None,
+        depths: dict[int, int] | None = None,
+        split_max_depth: int = 20,
     ) -> None:
         self.lake_dir = lake_dir
         self.watermark_to = watermark_to
         self.target_schema = target_schema
         self.fail_buckets = fail_buckets
+        # bucket splitting (lake growth): when a merged bucket exceeds
+        # ``split_threshold`` rows it splits into suffix children (see
+        # split_pieces); ``depths`` is the manifest's per-bucket depth
+        # map captured at run start (routing uses the same snapshot).
+        self.split_threshold = split_threshold
+        self.depths = depths or {}
+        self.split_max_depth = split_max_depth
+
+    def _maybe_split(self, bucket: int, merged: pa.Table) -> list[tuple[int, int, pa.Table]]:
+        """[(suffix, depth, piece)] — single piece (depth -1 = "no depth
+        tracking") when splitting is disabled; manifest entries without
+        a depth default to the initial log2(num_buckets) on later runs."""
+        if not self.split_threshold:
+            return [(bucket, -1, merged)]
+        # routing only emits buckets present in the depth map; a miss is a bug
+        depth = int(self.depths[bucket])
+        return split_pieces(
+            merged, bucket, depth, self.split_threshold, self.split_max_depth
+        )
 
     def _union_schema(self, lake_schema: pa.Schema) -> pa.Schema:
         """Union of the current target schema and the committed lake
@@ -178,26 +236,38 @@ class BucketMergeWriter:
 
         merged = lww_merge(merged_input, LAKE_KEY, "commit_seq", op_column="op")
         n_events = events.num_rows
-        tmp = manifest.tmp_path(pid)
-        with open(tmp, "wb") as f:
-            pq.write_table(merged, f)
-            f.flush()
-            os.fsync(f.fileno())
-        manifest.promote(pid)
         import json as _json
 
-        return pa.table(
-            {
-                "pid": pa.array([pid]),
-                "rows": pa.array([merged.num_rows], type=pa.int64()),
-                "events_in": pa.array([n_events], type=pa.int64()),
-                "lake_in": pa.array([lake_in], type=pa.int64()),
-                "dropped": pa.array([n_events + lake_in - merged.num_rows], type=pa.int64()),
-                "watermark_to": pa.array([self.watermark_to]),
-                "fingerprint": pa.array([_fingerprint(merged)]),
-                "files": pa.array([_json.dumps([f"part-{pid}.parquet"])]),
-            }
-        )
+        # one piece normally; several when the bucket crossed the split
+        # threshold (every piece is written+promoted before the driver's
+        # single manifest commit makes them all visible atomically)
+        pieces = self._maybe_split(bucket, merged)
+        total_rows = sum(p.num_rows for _, _, p in pieces)
+        rows = []
+        for i, (suffix, depth, piece) in enumerate(pieces):
+            piece_pid = f"{suffix:05d}"
+            tmp = manifest.tmp_path(piece_pid)
+            with open(tmp, "wb") as f:
+                pq.write_table(piece, f)
+                f.flush()
+                os.fsync(f.fileno())
+            manifest.promote(piece_pid)
+            # window lineage is attributed to the first piece (the
+            # original suffix); per-piece rows/fingerprints stay exact
+            rows.append(
+                {
+                    "pid": piece_pid,
+                    "rows": piece.num_rows,
+                    "events_in": n_events if i == 0 else 0,
+                    "lake_in": lake_in if i == 0 else 0,
+                    "dropped": (n_events + lake_in - total_rows) if i == 0 else 0,
+                    "watermark_to": self.watermark_to,
+                    "fingerprint": _fingerprint(piece),
+                    "files": _json.dumps([f"part-{piece_pid}.parquet"]),
+                    "depth": depth,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
 
 
 class DeltaBucketWriter(BucketMergeWriter):
@@ -232,8 +302,19 @@ class DeltaBucketWriter(BucketMergeWriter):
         target_schema: pa.Schema,
         fail_buckets: frozenset[int] = frozenset(),
         compact_threshold: int = 8,
+        split_threshold: int | None = None,
+        depths: dict[int, int] | None = None,
+        split_max_depth: int = 20,
     ) -> None:
-        super().__init__(lake_dir, watermark_to, target_schema, fail_buckets)
+        super().__init__(
+            lake_dir,
+            watermark_to,
+            target_schema,
+            fail_buckets,
+            split_threshold=split_threshold,
+            depths=depths,
+            split_max_depth=split_max_depth,
+        )
         self.compact_threshold = compact_threshold
         import re as _re
 
@@ -261,34 +342,56 @@ class DeltaBucketWriter(BucketMergeWriter):
         entry = manifest.load()["partitions"].get(pid)
         prev_files = list(entry.get("files", [])) if entry else []
         files = prev_files + ([name] if name not in prev_files else [])
-        lake_in = 0
-        rows_out = delta.num_rows
-        if len(files) > self.compact_threshold:
-            merged = merge_bucket_files(
-                [manifest.file_path(n) for n in files], drop_tombstones=True
+        depth = int(self.depths[bucket]) if self.split_threshold else -1
+        if len(files) <= self.compact_threshold:
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "pid": pid,
+                        "rows": delta.num_rows,
+                        "events_in": events.num_rows,
+                        "lake_in": 0,
+                        "dropped": events.num_rows - delta.num_rows,
+                        "watermark_to": self.watermark_to,
+                        "fingerprint": _fingerprint(delta),
+                        "files": _json.dumps(files),
+                        "depth": depth,
+                    }
+                ],
+                schema=_STATS_SCHEMA,
             )
-            base = f"base-{pid}-{self._wm_tag}.parquet"
+
+        # compaction: merge base+deltas; this is also the split point —
+        # an oversized bucket leaves compaction as several suffix
+        # children, each with its own single base file
+        merged = merge_bucket_files(
+            [manifest.file_path(n) for n in files], drop_tombstones=True
+        )
+        pieces = self._maybe_split(bucket, merged)
+        rows = []
+        for i, (suffix, pdepth, piece) in enumerate(pieces):
+            piece_pid = f"{suffix:05d}"
+            base = f"base-{piece_pid}-{self._wm_tag}.parquet"
             btmp = manifest.tmp_file_path(base)
             with open(btmp, "wb") as f:
-                pq.write_table(merged, f)
+                pq.write_table(piece, f)
                 f.flush()
                 os.fsync(f.fileno())
             manifest.promote_file(base)
-            files = [base]
-            rows_out = merged.num_rows
-
-        return pa.table(
-            {
-                "pid": pa.array([pid]),
-                "rows": pa.array([rows_out], type=pa.int64()),
-                "events_in": pa.array([events.num_rows], type=pa.int64()),
-                "lake_in": pa.array([lake_in], type=pa.int64()),
-                "dropped": pa.array([events.num_rows - delta.num_rows], type=pa.int64()),
-                "watermark_to": pa.array([self.watermark_to]),
-                "fingerprint": pa.array([_fingerprint(delta)]),
-                "files": pa.array([_json.dumps(files)]),
-            }
-        )
+            rows.append(
+                {
+                    "pid": piece_pid,
+                    "rows": piece.num_rows,
+                    "events_in": events.num_rows if i == 0 else 0,
+                    "lake_in": 0,
+                    "dropped": (events.num_rows - delta.num_rows) if i == 0 else 0,
+                    "watermark_to": self.watermark_to,
+                    "fingerprint": _fingerprint(piece),
+                    "files": _json.dumps([base]),
+                    "depth": pdepth,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
 
 
 def merge_bucket_files(paths: list[str], drop_tombstones: bool = True) -> pa.Table:
@@ -352,7 +455,11 @@ class FragmentWriter:
         out_b, out_n = [], []
         for b, s, e in zip(uniq, starts, ends):
             part = block.slice(int(s), int(e - s)).drop_columns([BUCKET_COLUMN])
-            stem = os.path.join(self.shuffle_dir, f"bucket={int(b):05d}", f"frag-{frag}")
+            bucket_dir = os.path.join(self.shuffle_dir, f"bucket={int(b):05d}")
+            # split children carry ids >= the initial num_buckets — their
+            # directories aren't pre-created in __init__
+            os.makedirs(bucket_dir, exist_ok=True)
+            stem = os.path.join(bucket_dir, f"frag-{frag}")
             if self.fragment_format == "ipc":
                 with pa.OSFile(stem + ".arrow", "wb") as f:
                     with pa.ipc.new_file(f, part.schema) as w:

@@ -34,10 +34,67 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from embulk_input_marketo_ray.functions.scalar import stable_key_hash
+from embulk_input_marketo_ray.functions.scalar import stable_key_hash, stable_key_hash_raw
 
 LAKE_KEY = ["repo", "path"]
 BUCKET_COLUMN = "bucket"
+
+
+# ---------------------------------------------------------------------------
+# Extendible-hash bucket routing (lake growth beyond the initial bucket count)
+#
+# A 100 TB lake can't live forever with the bucket count chosen on day
+# one: buckets grow without bound as the keyspace grows. Instead of
+# re-bucketing the whole lake (a full rewrite), buckets SPLIT like an
+# extendible hash table: a bucket is identified by a SUFFIX of the key
+# hash — ``suffix = hash & (2^depth - 1)`` — and a too-big bucket
+# ``s`` at depth ``d`` splits into children ``s`` and ``s | 2^d`` at
+# depth ``d+1`` (each child keeps exactly the keys whose next hash bit
+# matches, so a split never moves a key across unrelated buckets and
+# only rewrites the one oversized partition). Per-bucket depths live
+# in the manifest; routing uses a directory of size 2^max_depth —
+# a few KB even at thousands of buckets — built once per run on the
+# driver and shipped to the ingest tasks.
+# ---------------------------------------------------------------------------
+
+
+def bucket_depths(manifest_state: dict, num_buckets: int) -> dict[int, int]:
+    """Per-bucket depth map from the manifest (initial buckets default
+    to ``log2(num_buckets)``). ``num_buckets`` must be a power of two
+    when splitting is enabled — validated in ReplayConfig."""
+    d0 = int(num_buckets).bit_length() - 1
+    depths = {b: d0 for b in range(num_buckets)}
+    for pid, entry in manifest_state.get("partitions", {}).items():
+        depths[int(pid)] = int(entry.get("depth", d0))
+    return depths
+
+
+def build_directory(depths: dict[int, int]) -> np.ndarray:
+    """Routing directory: ``directory[hash & (len-1)] -> bucket id``.
+
+    Entry i is the unique committed bucket whose suffix matches i.
+    Built shallow-to-deep so children override the region their parent
+    used to own; validated dense (an inconsistent manifest — parent
+    deepened without both children present — fails loudly)."""
+    g = max(depths.values())
+    size = 1 << g
+    directory = np.full(size, -1, dtype=np.int32)
+    for suffix, d in sorted(depths.items(), key=lambda kv: kv[1]):
+        directory[suffix :: 1 << d] = suffix
+    if (directory < 0).any():
+        missing = np.flatnonzero(directory < 0)[:8].tolist()
+        raise RuntimeError(
+            f"bucket directory has unowned hash suffixes (first: {missing}) — "
+            "manifest depth map is inconsistent"
+        )
+    return directory
+
+
+def route_buckets(table: pa.Table, directory: np.ndarray, key_columns: list[str] = LAKE_KEY) -> np.ndarray:
+    """Bucket id per row via the extendible-hash directory."""
+    raw = stable_key_hash_raw(table, key_columns)
+    idx = raw & np.uint64(len(directory) - 1)
+    return directory[idx.astype(np.int64)]
 
 
 def _composite_key(table: pa.Table, key_columns: list[str]) -> np.ndarray:
@@ -80,13 +137,20 @@ def add_bucket_and_partial_lww(
     num_buckets: int,
     key_columns: list[str] = LAKE_KEY,
     seq_column: str = "commit_seq",
+    directory: np.ndarray | None = None,
 ) -> pa.Table:
     """Per-block combiner + bucket assignment (runs pre-shuffle).
 
     Collapses the block to its newest event per key (tombstones kept —
     ``drop_tombstones=False`` — so deletes still reach the final merge)
-    and appends the deterministic shuffle/partition bucket id.
+    and appends the deterministic shuffle/partition bucket id. With a
+    routing ``directory`` (bucket splitting enabled), the id comes from
+    the extendible-hash suffix lookup; otherwise ``hash % num_buckets``
+    (identical for power-of-two counts with no splits yet).
     """
     batch = lww_merge(batch, key_columns, seq_column, op_column=None)
-    buckets = stable_key_hash(batch, key_columns, num_buckets)
+    if directory is not None:
+        buckets = route_buckets(batch, directory, key_columns)
+    else:
+        buckets = stable_key_hash(batch, key_columns, num_buckets)
     return batch.append_column(BUCKET_COLUMN, pa.array(buckets, type=pa.int32()))
