@@ -42,6 +42,27 @@ def _ensure_hash_shuffle() -> None:
     ctx.default_hash_shuffle_parallelism = max(8, total_cpus * 2)
 
 
+def _tune_shuffle_for_bytes(input_bytes: int) -> None:
+    """Size shuffle width to the INPUT, not just the cluster.
+
+    Each aggregator is an actor spin-up (~0.15 s) and each shuffle
+    partition pays per-partition submit overhead — a 25 MB query
+    shuffled through 16 aggregators x 64 partitions is pure fixed cost
+    (the same window-sizing the flagship applies, cdc_replay.py:185).
+    Called by ``_read`` with the main table's file size BEFORE the
+    dataset is created (the plan snapshots DataContext at creation);
+    only ever narrows the session defaults set by _ensure_hash_shuffle.
+    """
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    by_size = int(input_bytes // (40 << 20)) + 2
+    ctx.max_hash_shuffle_aggregators = max(2, min(total_cpus // 2, by_size))
+    parts = int(input_bytes // (10 << 20)) + 8
+    ctx.default_hash_shuffle_parallelism = max(8, min(total_cpus * 2, parts))
+
+
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
@@ -63,6 +84,11 @@ def _clean_schema(path: str, columns=None) -> pa.Schema:
 
 def _read(sf_dir: str, name: str, columns=None, **kw):
     path = _t(sf_dir, name)
+    import os as _os
+
+    # multi-table queries read the big driving table first, so its size
+    # (not a small lookup side's) governs the plan's shuffle width
+    _tune_shuffle_for_bytes(_os.path.getsize(path))
     return ray.data.read_parquet(
         path, columns=columns, schema=_clean_schema(path, columns), **kw
     )
