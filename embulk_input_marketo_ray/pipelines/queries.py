@@ -42,6 +42,9 @@ def _ensure_hash_shuffle() -> None:
     ctx.default_hash_shuffle_parallelism = max(8, total_cpus * 2)
 
 
+_TUNED_WIDTH: int | None = None
+
+
 def _tune_shuffle_for_bytes(input_bytes: int) -> None:
     """Size shuffle width to the INPUT, not just the cluster.
 
@@ -55,12 +58,51 @@ def _tune_shuffle_for_bytes(input_bytes: int) -> None:
     """
     from ray.data import DataContext
 
+    global _TUNED_WIDTH
     ctx = DataContext.get_current()
     total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     by_size = int(input_bytes // (40 << 20)) + 2
     ctx.max_hash_shuffle_aggregators = max(2, min(total_cpus // 2, by_size))
     parts = int(input_bytes // (10 << 20)) + 8
     ctx.default_hash_shuffle_parallelism = max(8, min(total_cpus * 2, parts))
+    _TUNED_WIDTH = ctx.default_hash_shuffle_parallelism
+
+
+def _shuffle_width() -> int:
+    """Partition count for explicit keyed repartitions: the width
+    ``_tune_shuffle_for_bytes`` sized to the driving table (every
+    hash-shuffle partition costs a submit round-trip, so a 2 MB input
+    must not pay 32 of them), falling back to 2/CPU."""
+    if _TUNED_WIDTH is not None:
+        return _TUNED_WIDTH
+    total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, total_cpus * 2)
+
+
+_STAGE_CACHE: dict = {}
+
+
+def _task_stage(cls, **init_kw):
+    """Adapt a callable-class stage to a TASK-based ``map_batches`` fn.
+
+    For stages whose per-worker state is cheap to build (compiled
+    regexes, hash permutation tables, a broadcast lookup), an actor
+    pool buys nothing but costs a ~2-3 s pool spin-up per execution —
+    and task maps fuse with the upstream read (actor maps never do).
+    The instance is still built once per WORKER PROCESS (module-level
+    cache keyed by class + init kwargs), so the setup-once contract
+    holds. Genuinely expensive state (models, codec contexts — e.g.
+    the multimodal stages) stays on actor pools.
+    """
+    key = (cls.__module__, cls.__qualname__, tuple(sorted(init_kw.items())))
+
+    def fn(batch):
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            inst = _STAGE_CACHE.setdefault(key, cls(**init_kw))
+        return inst(batch)
+
+    return fn
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -105,7 +147,7 @@ def keep_one_per_key(
     key_columns: list[str],
     seq_column: str,
     keep: str = "last",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed exact dedup: newest (``keep='last'``) or oldest
     (``'first'``) row per composite key, ordered by ``seq_column``.
@@ -115,6 +157,8 @@ def keep_one_per_key(
     vectorized merge per partition. Never per-key map_groups.
     """
     _ensure_hash_shuffle()
+    if num_buckets is None:
+        num_buckets = _shuffle_width()
     desc = keep == "first"
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -150,7 +194,7 @@ def grouped_map(
     ds: "ray.data.Dataset",
     keys: list[str],
     fn,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Robust per-group apply: keyed hash repartition + in-block group
     slicing. Replaces ``groupby().map_groups`` (whose Ray 2.49
@@ -158,6 +202,8 @@ def grouped_map(
     receives one whole group as a pyarrow Table and must handle the
     empty table (used for empty partitions)."""
     _ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = _shuffle_width()
     shuffled = ds.repartition(num_partitions, keys=keys)
 
     def apply(block: pa.Table) -> pa.Table:
@@ -256,35 +302,34 @@ def q_enrich_join(sf_dir: str):
     nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     custkeys = np.asarray(cust.column("c_custkey"))
     order_ix = np.argsort(custkeys)
+    nation_order = np.argsort(np.asarray(nation.column("n_nationkey")))
+    # ALL derived structures built driver-side so the broadcast is
+    # read-only: ray.get in the task is a worker-local zero-copy view
+    # (fetched once per node), and the stage can run as TASKS — fusing
+    # with the read instead of paying an actor-pool spin-up
     lookup_ref = ray.put(
         {
             "custkeys": custkeys[order_ix],
             "nationkeys": np.asarray(cust.column("c_nationkey"))[order_ix],
-            "nation_names": np.asarray(nation.column("n_name")).astype(object),
-            "nation_ids": np.asarray(nation.column("n_nationkey")),
+            "names_by_id": np.asarray(nation.column("n_name")).astype(object)[nation_order],
         }
     )
 
-    class Enrich:
-        def __init__(self):  # broadcast fetched once per actor
-            self.lk = ray.get(lookup_ref)
-            order = np.argsort(self.lk["nation_ids"])
-            self.names_by_id = self.lk["nation_names"][order]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = np.asarray(batch.column("o_custkey"))
-            # membership-guarded lookup: an o_custkey absent from the
-            # customer table maps to null instead of a wrong neighbor
-            # (and can't index past the end of the sorted key array)
-            pos = np.clip(np.searchsorted(self.lk["custkeys"], ck), 0, len(self.lk["custkeys"]) - 1)
-            matched = self.lk["custkeys"][pos] == ck
-            nk = self.lk["nationkeys"][pos]
-            names = self.names_by_id[nk].astype(object)
-            names[~matched] = None
-            return batch.append_column("nation", pa.array(names, type=pa.string()))
+    def enrich(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        ck = np.asarray(batch.column("o_custkey"))
+        # membership-guarded lookup: an o_custkey absent from the
+        # customer table maps to null instead of a wrong neighbor
+        # (and can't index past the end of the sorted key array)
+        pos = np.clip(np.searchsorted(lk["custkeys"], ck), 0, len(lk["custkeys"]) - 1)
+        matched = lk["custkeys"][pos] == ck
+        nk = lk["nationkeys"][pos]
+        names = lk["names_by_id"][nk].astype(object)
+        names[~matched] = None
+        return batch.append_column("nation", pa.array(names, type=pa.string()))
 
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    ds = ds.map_batches(Enrich, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(enrich, batch_format="pyarrow")
     return ds.groupby("nation").aggregate(Count(alias_name="n_orders"))
 
 
@@ -354,7 +399,7 @@ def q_session_windows(sf_dir: str):
             }
         )
 
-    return grouped_map(ds, ["user_id"], sessions, num_partitions=32)
+    return grouped_map(ds, ["user_id"], sessions)
 
 
 def q_union_slices(sf_dir: str):
@@ -479,27 +524,24 @@ def q_ann_topk(sf_dir: str):
     qids = np.asarray(qt.column("vec_id"))
     qref = ray.put((qids, qm))
 
-    class Score:
-        def __init__(self):
-            self.qids, self.qm = ray.get(qref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
-            emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
-            cos = emb @ self.qm.T  # (batch, n_queries)
-            n, q = cos.shape
-            return pa.table(
-                {
-                    "query_id": pa.array(np.repeat(self.qids, n), type=pa.int64()),
-                    "neighbor_id": pa.array(
-                        np.tile(np.asarray(batch.column("vec_id")), q), type=pa.int64()
-                    ),
-                    "cos": pa.array(cos.T.reshape(-1), type=pa.float64()),
-                }
-            )
+    def score(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(qref)  # worker-local zero-copy view after first fetch
+        emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
+        cos = emb @ qm.T  # (batch, n_queries)
+        n, q = cos.shape
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qids, n), type=pa.int64()),
+                "neighbor_id": pa.array(
+                    np.tile(np.asarray(batch.column("vec_id")), q), type=pa.int64()
+                ),
+                "cos": pa.array(cos.T.reshape(-1), type=pa.float64()),
+            }
+        )
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+    scored = ds.map_batches(score, batch_format="pyarrow")
 
     def topk(block: pa.Table) -> pa.Table:
         # block = all candidates of >=1 query ids (hash-partitioned)
@@ -533,7 +575,7 @@ def q_doc_langid(sf_dir: str):
     from embulk_input_marketo_ray.stages.text import LangId
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(_task_stage(LangId), batch_format="pyarrow")
     return ds.select_columns(["doc_id", "lang", "lang_pred"])
 
 
@@ -541,7 +583,7 @@ def q_doc_fingerprint(sf_dir: str):
     from embulk_input_marketo_ray.stages.text import Fingerprinter
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(_task_stage(Fingerprinter), batch_format="pyarrow")
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
@@ -549,7 +591,7 @@ def q_doc_simhash(sf_dir: str):
     from embulk_input_marketo_ray.stages.dedup import SimHasher
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(_task_stage(SimHasher), batch_format="pyarrow")
     return ds.map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("doc_id"), "simhash": t.column("simhash").cast(pa.int64(), safe=False)}
@@ -724,7 +766,7 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
 
     _ensure_hash_shuffle()
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+    ds = ds.map_batches(_task_stage(MinHasher), batch_format="pyarrow", batch_size=2048)
     bands = ds.map_batches(
         explode_lsh_bands, batch_format="pyarrow", fn_kwargs={"num_bands": 16}
     )
