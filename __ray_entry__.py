@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_by_list_join": q.q_lead_by_list_join,
         "csv_parse": q.q_csv_parse,
         "ann_lsh_topk": q.q_ann_lsh_topk,
+        "ann_ivf_topk": q.q_ann_ivf_topk,
         "embedding_near_dup": q.q_embedding_near_dup,
         "multimodal_pipeline": q.q_multimodal_pipeline,
         "activity_static_schema": q.q_activity_static_schema,
@@ -216,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_dup_clusters": f"SELECT * FROM read_parquet('{oracle_paths['doc_dup_clusters']}')",
         "ann_lsh_topk": f"SELECT * FROM read_parquet('{oracle_paths['ann_lsh_topk']}')",
+        "ann_ivf_topk": f"SELECT * FROM read_parquet('{oracle_paths['ann_ivf_topk']}')",
         "embedding_near_dup": (
             f"SELECT * FROM read_parquet('{oracle_paths['embedding_near_dup']}')"
         ),

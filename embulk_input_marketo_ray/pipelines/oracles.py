@@ -190,6 +190,48 @@ def oracle_ann_lsh_topk(
     )
 
 
+def oracle_ann_ivf_topk(
+    sf_dir: str,
+    n_queries: int = 3,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    train_rows: int = 4096,
+    seed: int = 7,
+) -> pa.Table:
+    """Single-process IVF recompute. The coarse quantizer
+    (``kmeans_centroids``) is a driver-side scalar function in both
+    paths (reused here like the SimHash scalar kernel); sample =
+    first ``train_rows`` rows in file order, exactly as the engine
+    reads them."""
+    from embulk_input_marketo_ray.stages.similarity import kmeans_centroids
+
+    ids, x = _normalized_embeddings(sf_dir)
+    centroids = kmeans_centroids(x[:train_rows], n_centroids, seed=seed)
+    assign = np.argmax(x @ centroids.T, axis=1)
+    row_of = {int(v): i for i, v in enumerate(ids)}
+    out_q, out_n, out_r = [], [], []
+    for q in range(n_queries):
+        probes = np.argsort(-(x[row_of[q]] @ centroids.T), kind="stable")[:n_probe]
+        member = np.isin(assign, probes)
+        nbrs = sorted(int(v) for v in ids[member])
+        if not nbrs:
+            continue
+        cos = x[[row_of[n] for n in nbrs]] @ x[row_of[q]]
+        order = sorted(zip(nbrs, cos), key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (n, _) in enumerate(order, start=1):
+            out_q.append(q)
+            out_n.append(n)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+        }
+    )
+
+
 def oracle_embedding_near_dup(
     sf_dir: str, threshold: float = 0.45, n_planes: int = 10, n_tables: int = 6
 ) -> pa.Table:
@@ -242,6 +284,7 @@ _ORACLE_BUILDERS = {
     "doc_minhash_dup_pairs": oracle_doc_minhash_dup_pairs,
     "doc_dup_clusters": oracle_doc_dup_clusters,
     "ann_lsh_topk": oracle_ann_lsh_topk,
+    "ann_ivf_topk": oracle_ann_ivf_topk,
     "embedding_near_dup": oracle_embedding_near_dup,
     "multimodal_pipeline": oracle_multimodal,
 }

@@ -607,6 +607,14 @@ def q_ann_lsh_topk(sf_dir: str):
     return ann_lsh_topk(_t(sf_dir, "embeddings"))
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF (inverted-file) ANN — bounded-sample coarse quantizer +
+    distributed nearest-centroid assignment + probe-list exact compare."""
+    from embulk_input_marketo_ray.stages.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_t(sf_dir, "embeddings"))
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup pairs via LSH buckets."""
     from embulk_input_marketo_ray.stages.similarity import embedding_near_dup_pairs

@@ -104,6 +104,43 @@ def test_ann_lsh_recall_against_exact(ray_session):
     assert len(ek & ak) / len(ek) >= 0.6
 
 
+def test_ann_ivf_recall_against_exact(ray_session):
+    """IVF ANN must recover most of the exact brute-force top-k while
+    scanning only ~n_probe/n_centroids of the corpus."""
+    import __ray_entry__ as mod
+
+    qs = mod.queries()
+    sf = "/root/testdata/sf0.001"
+    exact = qs["ann_topk"](sf).to_pandas()
+    approx = qs["ann_ivf_topk"](sf).to_pandas()
+    ek = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    ak = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    assert len(ek & ak) / len(ek) >= 0.6
+
+
+def test_ann_ivf_matches_oracle(ray_session):
+    """Engine IVF == independent single-process recompute (the same
+    check the driver's correctness harness runs at sf0.01)."""
+    import __ray_entry__ as mod
+
+    from embulk_input_marketo_ray.pipelines.oracles import oracle_ann_ivf_topk
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        mod.queries()["ann_ivf_topk"](sf)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_ann_ivf_topk(sf)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
 def test_embedding_near_dup_finds_known_pair(ray_session):
     import __ray_entry__ as mod
 
