@@ -43,6 +43,13 @@ BENCH_QUERIES = [
     "doc_minhash_dup_pairs",
     "doc_simhash",
     "doc_langid",
+    "session_windows",
+    "distinct_values",
+    "json_extract",
+    "preview_limit",
+    "doc_fingerprint",
+    "ann_ivf_topk",
+    "doc_dup_clusters",
 ]
 
 
@@ -270,7 +277,13 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # levels are configurable (the criterion allows any N -> 4N pair):
+    # on this 32-core VM the 32-CPU level sits at the hypervisor's
+    # delivery ceiling (see hw_ceiling), so 4->16 — both levels
+    # under-subscribed — isolates the ENGINE's scaling from the box's.
+    lo, hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
     n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
     f_lo, f_hi = run_at(lo, probe=True), run_at(hi, probe=True)
     pairs = []

@@ -19,7 +19,6 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min
 
 from embulk_input_marketo_ray.stages.lww import BUCKET_COLUMN
 from embulk_input_marketo_ray.functions.scalar import stable_key_hash
@@ -43,6 +42,16 @@ def _ensure_hash_shuffle() -> None:
 
 
 _TUNED_WIDTH: int | None = None
+_TUNED_BYTES: int | None = None
+
+# Below this input size (parquet bytes of the driving table, ~3-6x
+# that in heap) a keyed hash exchange is pure fixed cost: aggregator
+# actor spin-up (~2-4 s) plus ~0.1-1 s acceptance wall per submitted
+# block, while the work itself is milliseconds on one core. Collapse
+# such exchanges to a single split-based block instead (see
+# _keyed_repartition). 16 MiB parquet keeps the single task's heap
+# use under ~100 MB.
+SMALL_INPUT_BYTES = 16 << 20
 
 
 def _tune_shuffle_for_bytes(input_bytes: int) -> None:
@@ -58,7 +67,8 @@ def _tune_shuffle_for_bytes(input_bytes: int) -> None:
     """
     from ray.data import DataContext
 
-    global _TUNED_WIDTH
+    global _TUNED_WIDTH, _TUNED_BYTES
+    _TUNED_BYTES = input_bytes
     ctx = DataContext.get_current()
     total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     by_size = int(input_bytes // (40 << 20)) + 2
@@ -77,6 +87,27 @@ def _shuffle_width() -> int:
         return _TUNED_WIDTH
     total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(8, total_cpus * 2)
+
+
+def _small_input() -> bool:
+    return _TUNED_BYTES is not None and _TUNED_BYTES < SMALL_INPUT_BYTES
+
+
+def _keyed_repartition(ds: "ray.data.Dataset", width: int, keys: list[str]):
+    """Keyed exchange sized to the INPUT, with a no-shuffle small path.
+
+    Every downstream kernel in this repo slices its groups WITHIN the
+    received block (sorted run detection), so "each key wholly in one
+    partition" is trivially satisfied by "everything in one block".
+    For inputs under SMALL_INPUT_BYTES the hash exchange's fixed cost
+    (aggregator-pool spin-up + per-partition submit wall) dwarfs the
+    parallelism it buys, so collapse to ONE block via the split-based
+    (task-only, no aggregator actors) repartition. Bigger inputs take
+    the real keyed hash exchange at the tuned width — the 100 TB path
+    is unchanged."""
+    if _small_input():
+        return ds.repartition(1)
+    return ds.repartition(width, keys=keys)
 
 
 _STAGE_CACHE: dict = {}
@@ -160,9 +191,12 @@ def keep_one_per_key(
     if num_buckets is None:
         num_buckets = _shuffle_width()
     desc = keep == "first"
+    small = _small_input()
 
     def partial(batch: pa.Table) -> pa.Table:
         merged = _keep(batch)
+        if small:  # single-block path: no bucket key needed
+            return merged
         buckets = stable_key_hash(merged, key_columns, num_buckets)
         return merged.append_column(BUCKET_COLUMN, pa.array(buckets, type=pa.int32()))
 
@@ -183,10 +217,11 @@ def keep_one_per_key(
     def final(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return block
-        return _keep(block).drop_columns([BUCKET_COLUMN])
+        out = _keep(block)
+        return out if small else out.drop_columns([BUCKET_COLUMN])
 
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    ds = ds.repartition(num_buckets, keys=[BUCKET_COLUMN])
+    ds = _keyed_repartition(ds, num_buckets, [BUCKET_COLUMN])
     return ds.map_batches(final, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -204,7 +239,7 @@ def grouped_map(
     _ensure_hash_shuffle()
     if num_partitions is None:
         num_partitions = _shuffle_width()
-    shuffled = ds.repartition(num_partitions, keys=keys)
+    shuffled = _keyed_repartition(ds, num_partitions, keys)
 
     def apply(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
@@ -224,6 +259,60 @@ def grouped_map(
         )
 
     return shuffled.map_batches(apply, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# merge algebra for two-phase grouped aggregation: how partial results
+# combine across blocks. Partial counts merge by SUM.
+_AGG_MERGE = {"count": "sum", "min": "min", "max": "max", "sum": "sum"}
+
+
+def grouped_aggregate(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Two-phase grouped aggregation (SURVEY.md §2.5): in-block Arrow
+    ``group_by`` shrinks every block to one row per key BEFORE the
+    exchange, the keyed repartition moves only those partial rows, and
+    a second in-block ``group_by`` merges per the agg's algebra
+    (count→sum of partials, min→min, max→max, sum→sum).
+
+    ``aggs`` is ``[(column, fn, alias)]`` with fn in count/min/max/sum
+    (``column`` ignored for count — it counts rows). Same results as
+    ``ds.groupby(keys).aggregate(...)`` but the shuffle payload is
+    bounded by keys × blocks rather than rows, and small inputs skip
+    the aggregator pool entirely (``_keyed_repartition``). An empty
+    ``aggs`` yields DISTINCT keys (A3).
+    """
+    _ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = _shuffle_width()
+
+    def _apply(block: pa.Table, specs: list[tuple[str, str, str]]) -> pa.Table:
+        pa_specs = [
+            (([], "count_all") if fn == "count" else (col, fn)) for col, fn, _ in specs
+        ]
+        out = block.group_by(keys).aggregate(pa_specs)
+        # arrow names outputs "{col}_{fn}" / "count_all"; rename to alias
+        produced = [
+            ("count_all" if fn == "count" else f"{col}_{fn}") for col, fn, _ in specs
+        ]
+        mapping = dict(zip(produced, [a for _, _, a in specs]))
+        out = out.rename_columns([mapping.get(c, c) for c in out.column_names])
+        return out.select(keys + [a for _, _, a in specs])
+
+    merge_specs = [(alias, _AGG_MERGE[fn], alias) for _, fn, alias in aggs]
+    partial_ds = ds.map_batches(
+        lambda b: _apply(b, aggs), batch_format="pyarrow", batch_size=None
+    )
+    shuffled = _keyed_repartition(partial_ds, num_partitions, keys)
+    return shuffled.map_batches(
+        lambda b: _apply(b, merge_specs),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -289,10 +378,14 @@ def q_incremental_counts(sf_dir: str):
         return batch.append_column("day", day)
 
     ds = ds.map_batches(add_day, batch_format="pyarrow")
-    return ds.groupby(["event_type", "day"]).aggregate(
-        Count(alias_name="n_events"),
-        Min("event_id", alias_name="min_event_id"),
-        Max("event_id", alias_name="max_event_id"),
+    return grouped_aggregate(
+        ds,
+        ["event_type", "day"],
+        [
+            ("event_id", "count", "n_events"),
+            ("event_id", "min", "min_event_id"),
+            ("event_id", "max", "max_event_id"),
+        ],
     )
 
 
@@ -330,7 +423,7 @@ def q_enrich_join(sf_dir: str):
 
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     ds = ds.map_batches(enrich, batch_format="pyarrow")
-    return ds.groupby("nation").aggregate(Count(alias_name="n_orders"))
+    return grouped_aggregate(ds, ["nation"], [("o_orderkey", "count", "n_orders")])
 
 
 def q_semi_join(sf_dir: str):
@@ -438,8 +531,9 @@ def q_json_extract(sf_dir: str):
 def q_distinct_values(sf_dir: str):
     """A3: ordered distinct collection (program-id analog) via unique."""
     ds = _read(sf_dir, "events", columns=["event_type"])
-    out = ds.unique("event_type")
-    return pa.table({"event_type": pa.array(sorted(out), type=pa.string())})
+    distinct = grouped_aggregate(ds, ["event_type"], [])
+    vals = sorted(r["event_type"] for r in distinct.take_all())
+    return pa.table({"event_type": pa.array(vals, type=pa.string())})
 
 
 PREVIEW_N = 15
@@ -477,8 +571,10 @@ def q_doc_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(add_content_hash, batch_format="pyarrow")
     ds = ds.select_columns(["doc_id", "text_sha256"])
-    return ds.groupby("text_sha256").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    return grouped_aggregate(
+        ds,
+        ["text_sha256"],
+        [("doc_id", "min", "doc_id"), ("doc_id", "count", "n_copies")],
     )
 
 
@@ -562,7 +658,7 @@ def q_ann_topk(sf_dir: str):
         return t.filter(pa.array(rank <= ANN_TOP_K)).select(["query_id", "neighbor_id", "rank"])
 
     _ensure_hash_shuffle()
-    shuffled = scored.repartition(ANN_NUM_QUERIES, keys=["query_id"])
+    shuffled = _keyed_repartition(scored, ANN_NUM_QUERIES, ["query_id"])
     return shuffled.map_batches(topk, batch_size=None, batch_format="pyarrow")
 
 
@@ -778,7 +874,7 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
     bands = ds.map_batches(
         explode_lsh_bands, batch_format="pyarrow", fn_kwargs={"num_bands": 16}
     )
-    pairs = bands.repartition(16, keys=["band", "band_hash"]).map_batches(
+    pairs = _keyed_repartition(bands, 16, ["band", "band_hash"]).map_batches(
         lsh_block_to_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
 

@@ -565,7 +565,9 @@ def verify_pairs_jaccard(
             }
         ).filter(pa.array(matched))
 
-    slotted = u.repartition(num_partitions, keys=["key"]).map_batches(
+    from embulk_input_marketo_ray.pipelines.queries import _keyed_repartition
+
+    slotted = _keyed_repartition(u, num_partitions, ["key"]).map_batches(
         attach, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -627,7 +629,7 @@ def verify_pairs_jaccard(
             }
         )
 
-    return slotted.repartition(num_partitions, keys=["pair_doc", "pair_dup"]).map_batches(
+    return _keyed_repartition(slotted, num_partitions, ["pair_doc", "pair_dup"]).map_batches(
         verify, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
 

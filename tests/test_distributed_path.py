@@ -1,0 +1,56 @@
+"""Force the DISTRIBUTED keyed-exchange path on test-scale inputs.
+
+``queries._keyed_repartition`` collapses inputs under
+``SMALL_INPUT_BYTES`` to a single block, so at sf0.001/0.01 the oracle
+tests in test_entry.py only ever exercise the one-block path. This
+module pins the threshold to 0 so the same queries run through the
+real keyed hash exchange (partial combine -> hash repartition ->
+in-block merge) and re-checks them against DuckDB — the regression
+guard for the 100 TB path.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+from embulk_input_marketo_ray.pipelines import queries as Q
+
+from test_entry import SF_DIR, TABLES, canon, to_df
+
+# queries whose plans contain a keyed exchange / grouped aggregate
+EXCHANGE_QUERIES = [
+    "lww_latest",
+    "dedup_first",
+    "incremental_counts",
+    "enrich_join",
+    "distinct_values",
+    "doc_dedup_exact",
+    "session_windows",
+    "ann_topk",
+    "doc_minhash_dup_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.fixture(autouse=True)
+def force_distributed(monkeypatch):
+    monkeypatch.setattr(Q, "SMALL_INPUT_BYTES", 0)
+
+
+@pytest.mark.parametrize("name", EXCHANGE_QUERIES)
+def test_distributed_matches_oracle(con, name):
+    got = canon(to_df(entry_mod.queries()[name](SF_DIR)))
+    exp = canon(con.execute(entry_mod.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs oracle {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
