@@ -696,11 +696,22 @@ def q_doc_simhash(sf_dir: str):
     )
 
 
+def _t_tuned(sf_dir: str, name: str) -> str:
+    """Path of a driving table for queries that read via a stage's own
+    ``read_parquet`` (the ANN paths): tune the shuffle width to its
+    size here, exactly as ``_read`` does."""
+    import os as _os
+
+    path = _t(sf_dir, name)
+    _tune_shuffle_for_bytes(_os.path.getsize(path))
+    return path
+
+
 def q_ann_lsh_topk(sf_dir: str):
     """Approximate (LSH-bucketed) ANN — the scale path for q_ann_topk."""
     from embulk_input_marketo_ray.stages.similarity import ann_lsh_topk
 
-    return ann_lsh_topk(_t(sf_dir, "embeddings"))
+    return ann_lsh_topk(_t_tuned(sf_dir, "embeddings"))
 
 
 def q_ann_ivf_topk(sf_dir: str):
@@ -708,7 +719,7 @@ def q_ann_ivf_topk(sf_dir: str):
     distributed nearest-centroid assignment + probe-list exact compare."""
     from embulk_input_marketo_ray.stages.similarity import ann_ivf_topk
 
-    return ann_ivf_topk(_t(sf_dir, "embeddings"))
+    return ann_ivf_topk(_t_tuned(sf_dir, "embeddings"))
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -717,7 +728,7 @@ def q_embedding_near_dup(sf_dir: str):
 
     # testdata embeddings are near-orthogonal (max off-diag cosine ~0.5);
     # a production near-dup threshold would be ~0.95
-    return embedding_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.45)
+    return embedding_near_dup_pairs(_t_tuned(sf_dir, "embeddings"), threshold=0.45)
 
 
 def q_multimodal_pipeline(sf_dir: str):

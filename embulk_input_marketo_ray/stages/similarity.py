@@ -118,38 +118,111 @@ def _unpack_embeddings(col, n_rows: int) -> np.ndarray:
     return a[start : start + n_rows * width].reshape(n_rows, width)
 
 
+def _fsb_bytes_matrix(col, n_rows: int) -> np.ndarray:
+    """fixed-size-binary column -> (n, byte_width) uint8 view (null
+    slots still occupy byte_width bytes, so row indexing is uniform)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    w = col.type.byte_width
+    a = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+    start = col.offset * w
+    return a[start : start + n_rows * w].reshape(n_rows, w)
+
+
 def _attach_embeddings(
     pairs: "ray.data.Dataset",
     embeddings: "ray.data.Dataset",
     key: str,
     out_column: str,
+    dim: int,
+    pair_schema: pa.Schema,
     num_partitions: int = 16,
-    pair_schema: pa.Schema | None = None,
 ) -> "ray.data.Dataset":
     """Hash-partitioned join attaching the normalized embedding for
-    ``pairs[key]`` as ``out_column`` (a fixed-size-list column)."""
-    from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
+    ``pairs[key]`` as ``out_column`` (a fixed-size-binary blob).
 
-    if pair_schema is not None:
-        pairs = drop_schemaless_blocks(pairs, pair_schema)
+    Implemented as ONE keyed exchange over a tagged union of the pair
+    rows and the embedding rows (the ``verify_pairs_jaccard`` pattern,
+    dedup.py): each key-partition block holds every embedding plus every
+    pair-slot that needs it; a vectorized searchsorted lookup attaches
+    the blob in-block. vs ``Dataset.join`` this saves the per-join
+    aggregator actor pool (~2-4 s spin-up each) and needs no
+    schema-less-empty-block laundering (which forced an executing
+    barrier before each join); shuffle payload is identical — one
+    vector copy per corpus row + the sparse pair rows.
+    ``pair_schema`` lists the columns carried through (nulls on
+    embedding rows); ``pairs`` blocks may be schema-less empties."""
+    blob_t = pa.binary(dim * 8)
+    union_fields = (
+        [("__key", pa.int64())]
+        + [(f.name, f.type) for f in pair_schema]
+        + [(out_column, blob_t)]
+    )
+    union_schema = pa.schema(union_fields)
+    out_schema = pa.schema(
+        [(f.name, f.type) for f in pair_schema] + [(out_column, blob_t)]
+    )
 
-    def as_key(batch: pa.Table) -> pa.Table:
-        # acero's hash join (inside Ray's join aggregator) rejects
-        # nested payload columns, so the normalized vector rides as a
-        # fixed-size-binary blob (zero-copy view of the float64 matrix)
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        arrays = [batch.column(key).cast(pa.int64())]
+        arrays += [batch.column(f.name) for f in pair_schema]
+        arrays += [pa.nulls(n, type=blob_t)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def emb_rows(batch: pa.Table) -> pa.Table:
+        # acero rejected nested payloads; the blob form is kept because
+        # it is also the cheapest thing to move and to row-index
         x = _embedding_matrix(batch)
-        emb = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(x.shape[1] * 8), x.shape[0], [None, pa.py_buffer(np.ascontiguousarray(x).tobytes())]
+        blob = pa.FixedSizeBinaryArray.from_buffers(
+            blob_t, x.shape[0], [None, pa.py_buffer(np.ascontiguousarray(x).tobytes())]
         )
-        return pa.table({key: batch.column("vec_id").cast(pa.int64()), out_column: emb})
+        n = batch.num_rows
+        arrays = [batch.column("vec_id").cast(pa.int64())]
+        arrays += [pa.nulls(n, type=f.type) for f in pair_schema]
+        arrays += [blob]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
 
-    right = embeddings.map_batches(as_key, batch_format="pyarrow")
-    return pairs.join(
-        right,
-        "inner",
-        num_partitions=num_partitions,
-        on=(key,),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    from embulk_input_marketo_ray.pipelines.queries import _keyed_repartition
+
+    u = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
+        embeddings.map_batches(emb_rows, batch_format="pyarrow")
+    )
+    shuffled = _keyed_repartition(u, num_partitions, ["__key"])
+
+    def attach(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        blob = block.column(out_column)
+        if isinstance(blob, pa.ChunkedArray):
+            blob = blob.combine_chunks()
+        doc_mask = np.asarray(pc.is_valid(blob))
+        pair_mask = ~doc_mask
+        if not doc_mask.any() or not pair_mask.any():
+            return out_schema.empty_table()
+        keys = np.asarray(block.column("__key"), dtype=np.int64)
+        mat = _fsb_bytes_matrix(blob, block.num_rows)
+        dk, dm = keys[doc_mask], mat[doc_mask]
+        order = np.argsort(dk)
+        dk, dm = dk[order], dm[order]
+        pk = keys[pair_mask]
+        pos = np.clip(np.searchsorted(dk, pk), 0, len(dk) - 1)
+        matched = dk[pos] == pk  # inner-join semantics
+        sel = np.zeros(block.num_rows, dtype=bool)
+        sel[np.flatnonzero(pair_mask)[matched]] = True
+        sub = block.filter(pa.array(sel))
+        out_bytes = np.ascontiguousarray(dm[pos][matched])
+        out_blob = pa.FixedSizeBinaryArray.from_buffers(
+            blob_t, len(out_bytes), [None, pa.py_buffer(out_bytes.tobytes())]
+        )
+        return pa.Table.from_arrays(
+            [sub.column(f.name) for f in pair_schema] + [out_blob], schema=out_schema
+        )
+
+    return shuffled.map_batches(
+        attach, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -216,19 +289,22 @@ def _exact_topk(
     query matrix -> per-query global top-k."""
     from embulk_input_marketo_ray.pipelines.queries import grouped_map
 
-    # broadcast the (tiny) normalized query matrix once
+    # broadcast the (tiny) normalized query matrix once, rows sorted by
+    # query id so the per-batch row lookup is a vectorized searchsorted
     qt = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
     qt = qt.filter(pc.less(qt.column("vec_id"), pa.scalar(n_queries)))
     qm = np.stack(qt.column("embedding").to_pylist()).astype(np.float64)
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
-    qid_index = {int(v): i for i, v in enumerate(np.asarray(qt.column("vec_id")))}
-    qref = ray.put((qid_index, qm))
+    qids = np.asarray(qt.column("vec_id"), dtype=np.int64)
+    order = np.argsort(qids)
+    qref = ray.put((qids[order], qm[order]))
 
     scored = _attach_embeddings(
         cand,
         embeddings,
         key="neighbor_id",
         out_column="nemb",
+        dim=qm.shape[1],
         pair_schema=pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64())]),
     )
 
@@ -243,9 +319,9 @@ def _exact_topk(
                     "cos": pa.array([], type=pa.float64()),
                 }
             )
-        qid_index, qm = ray.get(qref)
+        qids_sorted, qm = ray.get(qref)
         emb = _unpack_embeddings(batch.column("nemb"), batch.num_rows)
-        q_rows = np.array([qid_index[int(q)] for q in np.asarray(batch.column("query_id"))])
+        q_rows = np.searchsorted(qids_sorted, np.asarray(batch.column("query_id"), dtype=np.int64))
         cos = np.einsum("ij,ij->i", emb, qm[q_rows])
         return pa.table(
             {
@@ -423,7 +499,6 @@ def embedding_near_dup_pairs(
         grouped_map,
         keep_one_per_key,
     )
-    from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
 
     _ensure_hash_shuffle()
     keys, embeddings, dim = _explode_keys(embeddings_path, n_planes, n_tables)
@@ -453,12 +528,15 @@ def embedding_near_dup_pairs(
 
     pair_schema = pa.schema([("vec_id", pa.int64()), ("dup_of", pa.int64())])
     j = _attach_embeddings(cand, embeddings, key="vec_id", out_column="emb_a",
-                           pair_schema=pair_schema)
-    j = drop_schemaless_blocks(
-        j, pa.schema([("vec_id", pa.int64()), ("dup_of", pa.int64()),
-                      ("emb_a", pa.binary(dim * 8))])
+                           dim=dim, pair_schema=pair_schema)
+    j = _attach_embeddings(
+        j,
+        embeddings,
+        key="dup_of",
+        out_column="emb_b",
+        dim=dim,
+        pair_schema=pair_schema.append(pa.field("emb_a", pa.binary(dim * 8))),
     )
-    j = _attach_embeddings(j, embeddings, key="dup_of", out_column="emb_b")
 
     def verify(batch: pa.Table) -> pa.Table:
         empty = pa.table(

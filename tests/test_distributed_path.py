@@ -54,3 +54,23 @@ def test_distributed_matches_oracle(con, name):
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), f"{name}: rows {len(got)} vs oracle {len(exp)}"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+# the ANN / near-dup plans (tagged-union embedding attach + grouped
+# top-k) have recompute oracles instead of SQL; same forced-distributed
+# re-check for them
+@pytest.mark.parametrize(
+    "name, oracle_name",
+    [
+        ("ann_ivf_topk", "oracle_ann_ivf_topk"),
+        ("ann_lsh_topk", "oracle_ann_lsh_topk"),
+        ("embedding_near_dup", "oracle_embedding_near_dup"),
+    ],
+)
+def test_distributed_matches_recompute(name, oracle_name):
+    from embulk_input_marketo_ray.pipelines import oracles
+
+    got = canon(to_df(entry_mod.queries()[name](SF_DIR)))
+    exp = canon(getattr(oracles, oracle_name)(SF_DIR).to_pandas())
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs oracle {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
