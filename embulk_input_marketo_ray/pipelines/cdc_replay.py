@@ -28,7 +28,12 @@ import pyarrow.compute as pc
 
 from embulk_input_marketo_ray.sources.change_events import read_change_events
 from embulk_input_marketo_ray.stages.extractor import PagedExtractor
-from embulk_input_marketo_ray.stages.lww import BUCKET_COLUMN, add_bucket_and_partial_lww
+from embulk_input_marketo_ray.stages.lww import (
+    BUCKET_COLUMN,
+    LAKE_KEY,
+    add_bucket_and_partial_lww,
+    lww_merge,
+)
 from embulk_input_marketo_ray.stages.normalize import ChangeEventNormalizer
 from embulk_input_marketo_ray.sinks.exactly_once import BucketMergeWriter
 from embulk_input_marketo_ray.state.manifest import PartitionManifest
@@ -131,6 +136,201 @@ class ReplayConfig:
     # bucket count (the pre-split behavior, bit-for-bit).
     split_threshold_rows: int | None = None
     split_max_depth: int = 20
+    # Late materialization (two-phase LWW). CDC replay windows are
+    # usually version-heavy: most events LOSE the per-key
+    # last-writer-wins race, yet the eager plan normalizes, hashes and
+    # shuffles every one of them — at 100 TB that ships content bytes
+    # through the exchange only to drop them at the merge. "late" runs
+    # a cheap winner scan first (key + version columns only — the read
+    # prunes everything else), reduces to the per-key max version per
+    # bucket, broadcasts the winner set once (``ray.put``), and then
+    # ingests the full-column stream with a vectorized winner filter —
+    # normalize/sha256/exchange touch ONLY rows that reach the lake.
+    # "auto" (default) runs the scan (∝ two narrow columns) and picks:
+    # late when winners/events <= late_ratio AND the winner set fits
+    # the broadcast budget, else the eager single-pass plan (a
+    # mostly-unique-key window would pay a second full read for
+    # nothing). "eager" is the round-1 plan, unconditionally.
+    materialization: str = "auto"
+    late_ratio: float = 0.5
+    late_broadcast_limit: int = 256 << 20
+
+
+def _merge_fragments(shuffle_dir: str, writer, frag_stats):
+    """Phase B shared by the disk shuffle and the late plan: one TASK
+    per touched bucket reads its fragments, LWW-merges (+ lake state)
+    and writes atomically. Task-based — FragmentMerger construction is
+    a pickle of small config, so an actor pool would pay ramp-up for
+    nothing."""
+    import ray
+
+    from embulk_input_marketo_ray.sinks.exactly_once import FragmentMerger
+
+    frag_rows = frag_stats.take_all()  # small: blocks x touched buckets
+    buckets_present = sorted({r["bucket"] for r in frag_rows if r["bucket"] >= 0})
+    if not buckets_present:
+        return [], None
+    # one block per bucket DIRECTLY — a repartition of this tiny spec
+    # dataset costs ~2 s of pure Ray overhead per run
+    specs = ray.data.from_items(
+        [{"bucket": b} for b in buckets_present],
+        override_num_blocks=len(buckets_present),
+    )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        return FragmentMerger(shuffle_dir=shuffle_dir, writer=writer)(batch)
+
+    stats = specs.map_batches(merge_block, batch_size=None, batch_format="pyarrow")
+    return stats.take_all(), stats
+
+
+class LateIngestStage:
+    """Pass 2 of the late-materialization plan (usable as a task fn
+    wrapper or an actor-pool class, mirroring IngestStage's two modes):
+    paged-protocol accounting over EVERY event (so rate limits, retries
+    and the events_read metric see the full stream, exactly like the
+    eager plan), then a vectorized winner filter — only rows whose
+    (key, version) pair won the pass-1 scan are normalized, sha256'd,
+    bucket-routed and written to exchange fragments."""
+
+    def __init__(
+        self,
+        evolution_log,
+        page_size,
+        metrics,
+        num_buckets,
+        extractor_kwargs,
+        prefix,
+        included_fields,
+        directory,
+        winners_ref,
+        shuffle_dir,
+        frag_fmt,
+    ) -> None:
+        import ray
+
+        from embulk_input_marketo_ray.sinks.exactly_once import FragmentWriter
+
+        self.extractor = PagedExtractor(
+            page_size=page_size, metrics=metrics, **extractor_kwargs
+        )
+        self.normalizer = ChangeEventNormalizer(
+            evolution_log, prefix=prefix, included_fields=included_fields
+        )
+        self.num_buckets = num_buckets
+        self.directory = directory
+        # zero-copy plasma view of the broadcast winner-key set
+        self.winner_set = ray.get(winners_ref)
+        self.fw = FragmentWriter(shuffle_dir, num_buckets, frag_fmt)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from embulk_input_marketo_ray.stages.lww import winner_key
+
+        batch = self.extractor(batch)
+        batch = batch.filter(pc.is_in(winner_key(batch), value_set=self.winner_set))
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], type=pa.int32()), "rows": pa.array([], type=pa.int64())}
+            )
+        batch = self.normalizer(batch)
+        t = add_bucket_and_partial_lww(batch, self.num_buckets, directory=self.directory)
+        return self.fw(t)
+
+
+def _winner_scan(
+    cfg: "ReplayConfig",
+    slices,
+    ts_column: str,
+    blocks: int,
+    directory,
+    done_buckets,
+    scan_dir: str,
+    frag_fmt: str,
+):
+    """Pass 1 of the late plan: read ONLY the key + version columns
+    (parquet pruning — content never leaves storage), reduce each block
+    to its per-key max version, exchange the tiny candidates by bucket
+    via fragments, and reduce each bucket to its global winners.
+
+    Returns ``(winners_table, scanned_rows)`` where winners has columns
+    (repo, path, commit_seq). The winner count is bounded by the
+    window's key cardinality — the same bound as the lake rows this
+    window can touch."""
+    import ray
+
+    from embulk_input_marketo_ray.sinks.exactly_once import FragmentWriter, read_fragment
+
+    ds = read_change_events(
+        cfg.events_dir,
+        slices,
+        ts_column=ts_column,
+        columns=["repo", "path", "commit_seq"],
+        override_num_blocks=blocks,
+    )
+    nb = cfg.num_buckets
+    skip = pa.array(done_buckets) if len(done_buckets) else None
+
+    def scan_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = add_bucket_and_partial_lww(batch, nb, directory=directory)
+        if skip is not None:
+            t = t.filter(pc.invert(pc.is_in(t.column(BUCKET_COLUMN), value_set=skip)))
+        out = FragmentWriter(scan_dir, nb, frag_fmt)(t)
+        # rows_in carries the pre-combine scan count for the auto
+        # late/eager decision (attributed to the first stats row;
+        # bucket=-1 padding row when the block produced no fragments)
+        if out.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([-1], type=pa.int32()),
+                    "rows": pa.array([0], type=pa.int64()),
+                    "rows_in": pa.array([n], type=pa.int64()),
+                }
+            )
+        rows_in = np.zeros(out.num_rows, dtype=np.int64)
+        rows_in[0] = n
+        return out.append_column("rows_in", pa.array(rows_in))
+
+    frag_stats = ds.map_batches(
+        scan_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    stat_rows = frag_stats.take_all()
+    scanned = int(sum(r["rows_in"] for r in stat_rows))
+    buckets_present = sorted({r["bucket"] for r in stat_rows if r["bucket"] >= 0})
+    empty = pa.table(
+        {
+            "repo": pa.array([], type=pa.string()),
+            "path": pa.array([], type=pa.string()),
+            "commit_seq": pa.array([], type=pa.int64()),
+        }
+    )
+    if not buckets_present:
+        return empty, scanned
+    specs = ray.data.from_items(
+        [{"bucket": b} for b in buckets_present],
+        override_num_blocks=len(buckets_present),
+    )
+
+    def reduce_bucket(batch: pa.Table) -> pa.Table:
+        import glob as _glob
+        import os as _os
+
+        tables = []
+        for b in batch.column("bucket").to_pylist():
+            files = sorted(
+                _glob.glob(_os.path.join(scan_dir, f"bucket={b:05d}", "*.parquet"))
+                + _glob.glob(_os.path.join(scan_dir, f"bucket={b:05d}", "*.arrow"))
+            )
+            if not files:
+                continue
+            cands = pa.concat_tables([read_fragment(f) for f in files])
+            tables.append(lww_merge(cands, LAKE_KEY, "commit_seq", op_column=None))
+        return pa.concat_tables(tables) if tables else empty
+
+    winners_ds = specs.map_batches(reduce_bucket, batch_size=None, batch_format="pyarrow")
+    parts = [t for t in ray.get(winners_ds.to_arrow_refs()) if t.num_rows]
+    winners = pa.concat_tables(parts, promote_options="none") if parts else empty
+    return winners.combine_chunks(), scanned
 
 
 def replay(cfg: ReplayConfig) -> dict:
@@ -394,6 +594,10 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         raise ValueError(f"shuffle must be 'disk' or 'hash', got {cfg.shuffle!r}")
     if cfg.lake_layout not in ("rewrite", "delta"):
         raise ValueError(f"lake_layout must be 'rewrite' or 'delta', got {cfg.lake_layout!r}")
+    if cfg.materialization not in ("auto", "eager", "late"):
+        raise ValueError(
+            f"materialization must be 'auto', 'eager' or 'late', got {cfg.materialization!r}"
+        )
     from embulk_input_marketo_ray.sinks.exactly_once import DeltaBucketWriter
 
     split_kwargs = {
@@ -412,17 +616,83 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             cfg.lake_dir, watermark_to, target_schema, fail_buckets=cfg.fail_buckets,
             **split_kwargs,
         )
-    if cfg.shuffle == "disk":
-        from embulk_input_marketo_ray.sinks.exactly_once import (
-            FragmentMerger,
-            FragmentWriter,
-        )
+    scratch_root = cfg.shuffle_scratch_dir or os.path.join(cfg.lake_dir, "_shuffle")
+    frag_fmt = cfg.fragment_format
+    if frag_fmt == "auto":
+        frag_fmt = "ipc" if scratch_root.startswith("/dev/shm") else "parquet"
 
-        shuffle_dir = cfg.shuffle_scratch_dir or os.path.join(cfg.lake_dir, "_shuffle")
+    # ---- materialization decision (see ReplayConfig.materialization) ----
+    mat_used = "eager"
+    winners_n: int | None = None
+    scanned_n: int | None = None
+    if cfg.materialization != "eager":
+        scan_dir = scratch_root + "_scan"
+        _shutil.rmtree(scan_dir, ignore_errors=True)
+        winners, scanned_n = _winner_scan(
+            cfg, slices, ts_column, blocks, directory, done_buckets, scan_dir, frag_fmt
+        )
+        _shutil.rmtree(scan_dir, ignore_errors=True)
+        winners_n = winners.num_rows
+        too_big = winners.nbytes > cfg.late_broadcast_limit
+        low_dedup = scanned_n == 0 or winners_n > cfg.late_ratio * scanned_n
+        if cfg.materialization == "late" and too_big:
+            raise ValueError(
+                f"late-materialization winner set ({winners.nbytes} bytes) exceeds "
+                f"late_broadcast_limit ({cfg.late_broadcast_limit}); use "
+                "materialization='auto' (falls back to eager) or raise the limit"
+            )
+        if cfg.materialization == "late" or not (too_big or low_dedup):
+            mat_used = "late"
+
+    if mat_used == "late":
+        from embulk_input_marketo_ray.stages.lww import winner_key
+
+        shuffle_dir = scratch_root + "_late"
+        _shutil.rmtree(shuffle_dir, ignore_errors=True)
+        # ONE broadcast of the winner-key set (ray.put): every pass-2
+        # task reads the same plasma object zero-copy — never re-shipped
+        # per batch
+        winners_ref = ray.put(winner_key(winners))
+        ds2 = read_change_events(
+            cfg.events_dir, slices, ts_column=ts_column, override_num_blocks=blocks
+        )
+        late_kwargs = dict(
+            stage_kwargs,
+            winners_ref=winners_ref,
+            shuffle_dir=shuffle_dir,
+            frag_fmt=frag_fmt,
+        )
+        if cfg.ingest_mode == "tasks":
+
+            def late_ingest(batch: pa.Table) -> pa.Table:
+                return LateIngestStage(**late_kwargs)(batch)
+
+            frag_stats = ds2.map_batches(
+                late_ingest, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+            )
+        else:
+            frag_stats = ds2.map_batches(
+                LateIngestStage,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=cfg.extractor_concurrency,
+                fn_constructor_kwargs=late_kwargs,
+            )
+        stats_rows, stats = _merge_fragments(shuffle_dir, writer, frag_stats)
+        _shutil.rmtree(shuffle_dir, ignore_errors=True)
+        stage_stats_text = (
+            f"== Pass 1 (winner scan: {winners_n} winners of {scanned_n} events) ==\n"
+            "(key+version columns only; see _winner_scan)\n"
+            "== Pass 2 (protocol -> winner filter -> normalize -> fragment spill) ==\n"
+            + frag_stats.stats()
+            + "\n== Phase B (per-bucket merge + commit) ==\n"
+            + (stats.stats() if stats is not None else "(empty window)")
+        )
+    elif cfg.shuffle == "disk":
+        from embulk_input_marketo_ray.sinks.exactly_once import FragmentWriter
+
+        shuffle_dir = scratch_root
         _shutil.rmtree(shuffle_dir, ignore_errors=True)  # scratch of crashed runs
-        frag_fmt = cfg.fragment_format
-        if frag_fmt == "auto":
-            frag_fmt = "ipc" if shuffle_dir.startswith("/dev/shm") else "parquet"
         # task-based (construction = mkdirs, idempotent): fuses into the
         # same task chain as read+ingest — Phase A is one wave of pure
         # tasks with no pool ramp-up or reserved CPUs
@@ -435,28 +705,13 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        frag_rows = frag_stats.take_all()  # small: blocks x touched buckets
-        buckets_present = sorted({r["bucket"] for r in frag_rows})
-        # one block per bucket DIRECTLY — a repartition of this 32-row
-        # spec dataset costs ~2 s of pure Ray overhead per run
-        specs = ray.data.from_items(
-            [{"bucket": b} for b in buckets_present],
-            override_num_blocks=max(1, len(buckets_present)),
-        )
-        stats = specs.map_batches(
-            FragmentMerger,
-            batch_size=None,
-            batch_format="pyarrow",
-            concurrency=(1, 32),
-            fn_constructor_kwargs={"shuffle_dir": shuffle_dir, "writer": writer},
-        )
-        stats_rows = stats.take_all()
+        stats_rows, stats = _merge_fragments(shuffle_dir, writer, frag_stats)
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
         stage_stats_text = (
             "== Phase A (read -> ingest -> fragment spill) ==\n"
             + frag_stats.stats()
             + "\n== Phase B (per-bucket merge + commit) ==\n"
-            + stats.stats()
+            + (stats.stats() if stats is not None else "(empty window)")
         )
     else:
         # sort=False: Ray 2.49's hash-shuffle finalize can't sort an
@@ -530,6 +785,10 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         "rows_out": rows_out,
         "wall_s": wall,
         "events_per_s": events_read / wall if wall > 0 else 0.0,
+        # which plan ran (late = two-phase winner-scan + filtered fetch)
+        "materialization": mat_used,
+        "winner_rows": winners_n,
+        "scanned_rows": scanned_n,
     }
 
 

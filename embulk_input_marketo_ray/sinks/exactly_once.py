@@ -472,6 +472,14 @@ class FragmentWriter:
                          "rows": pa.array(out_n, type=pa.int64())})
 
 
+def read_fragment(path: str) -> pa.Table:
+    """Read one exchange fragment (Arrow IPC or parquet, by suffix)."""
+    if path.endswith(".arrow"):
+        with pa.ipc.open_file(path) as r:
+            return r.read_all()
+    return pq.read_table(path)
+
+
 class FragmentMerger:
     """Phase B: one task per bucket reads its fragments (+ the existing
     committed lake partition), LWW-merges, writes atomically. The
@@ -484,12 +492,7 @@ class FragmentMerger:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import glob as _glob
 
-        def _read_frag(f: str) -> pa.Table:
-            if f.endswith(".arrow"):
-                with pa.ipc.open_file(f) as r:
-                    return r.read_all()
-            return pq.read_table(f)
-
+        _read_frag = read_fragment
         out = []
         for b in batch.column("bucket").to_pylist():
             files = sorted(

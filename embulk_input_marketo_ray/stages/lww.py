@@ -97,6 +97,23 @@ def route_buckets(table: pa.Table, directory: np.ndarray, key_columns: list[str]
     return directory[idx.astype(np.int64)]
 
 
+def winner_key(
+    table: pa.Table,
+    key_columns: list[str] = LAKE_KEY,
+    seq_column: str = "commit_seq",
+) -> pa.Array:
+    """Composite ``key || seq`` string per row — the membership key of
+    the late-materialization winner filter (a row is a winner iff its
+    (upsert key, version) pair equals the key's max version)."""
+    joined = pc.cast(table.column(key_columns[0]), pa.string())
+    for k in key_columns[1:]:
+        joined = pc.binary_join_element_wise(joined, pc.cast(table.column(k), pa.string()), "\x00")
+    joined = pc.binary_join_element_wise(joined, pc.cast(table.column(seq_column), pa.string()), "\x00")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    return joined
+
+
 def _composite_key(table: pa.Table, key_columns: list[str]) -> np.ndarray:
     joined = table.column(key_columns[0]).cast(pa.string())
     for k in key_columns[1:]:

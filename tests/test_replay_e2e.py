@@ -94,8 +94,9 @@ def test_disk_shuffle_matches_hash_shuffle(events_dir, tmp_path):
     """Both sink shuffle implementations produce identical lakes."""
     lake_hash = str(tmp_path / "lake_hash")
     lake_disk = str(tmp_path / "lake_disk")
-    replay(cfg_for(events_dir, lake_hash, shuffle="hash"))
-    replay(cfg_for(events_dir, lake_disk, shuffle="disk"))
+    # pin eager: auto would pick the late plan and bypass both shuffles
+    replay(cfg_for(events_dir, lake_hash, shuffle="hash", materialization="eager"))
+    replay(cfg_for(events_dir, lake_disk, shuffle="disk", materialization="eager"))
     assert lake_multiset(read_lake_table(lake_hash)) == lake_multiset(
         read_lake_table(lake_disk)
     )
