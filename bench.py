@@ -142,6 +142,9 @@ def run_bench() -> dict:
                 else None
             ),
             lake_layout=os.environ.get("GRAFT_LAYOUT", "rewrite"),
+            # engine default "auto" picks the late (two-phase) plan on
+            # version-heavy windows; override for A/B sweeps
+            materialization=os.environ.get("GRAFT_MAT", "auto"),
             # the fused ingest stage is the CPU-dominant stage: let the
             # autoscaling pool reach every CPU; backpressure sizes it down
             extractor_concurrency=(2, NUM_CPUS),

@@ -31,9 +31,19 @@ from embulk_input_marketo_ray.stages.extractor import PagedExtractor
 from embulk_input_marketo_ray.stages.lww import (
     BUCKET_COLUMN,
     LAKE_KEY,
+    add_bucket,
     add_bucket_and_partial_lww,
-    lww_merge,
+    winner_candidates,
+    winner_hash,
 )
+
+# Rows per UDF call for the fused read->ingest stages. Ray's parquet
+# reader streams ~10k-row record batches; with batch_size=None every
+# downstream map_batches runs per record batch — ~1,700 stage
+# constructions and a 60x fragment-file explosion were measured on an
+# 8.8M-event window. An explicit 128k-row batch re-batches once
+# (bounded concat) and amortizes per-call cost ~70x.
+_INGEST_BATCH_ROWS = 1 << 17
 from embulk_input_marketo_ray.stages.normalize import ChangeEventNormalizer
 from embulk_input_marketo_ray.sinks.exactly_once import BucketMergeWriter
 from embulk_input_marketo_ray.state.manifest import PartitionManifest
@@ -224,10 +234,12 @@ class LateIngestStage:
         self.fw = FragmentWriter(shuffle_dir, num_buckets, frag_fmt)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from embulk_input_marketo_ray.stages.lww import winner_key
-
         batch = self.extractor(batch)
-        batch = batch.filter(pc.is_in(winner_key(batch), value_set=self.winner_set))
+        # uint64 membership probe; false-positive-only under collision
+        # (see stages.lww.winner_hash)
+        batch = batch.filter(
+            pc.is_in(pa.array(winner_hash(batch)), value_set=self.winner_set)
+        )
         if batch.num_rows == 0:
             return pa.table(
                 {"bucket": pa.array([], type=pa.int32()), "rows": pa.array([], type=pa.int64())}
@@ -266,13 +278,14 @@ def _winner_scan(
         ts_column=ts_column,
         columns=["repo", "path", "commit_seq"],
         override_num_blocks=blocks,
+        batch_size=_INGEST_BATCH_ROWS,
     )
     nb = cfg.num_buckets
     skip = pa.array(done_buckets) if len(done_buckets) else None
 
     def scan_block(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        t = add_bucket_and_partial_lww(batch, nb, directory=directory)
+        t = add_bucket(winner_candidates(batch), nb, directory=directory)
         if skip is not None:
             t = t.filter(pc.invert(pc.is_in(t.column(BUCKET_COLUMN), value_set=skip)))
         out = FragmentWriter(scan_dir, nb, frag_fmt)(t)
@@ -292,7 +305,10 @@ def _winner_scan(
         return out.append_column("rows_in", pa.array(rows_in))
 
     frag_stats = ds.map_batches(
-        scan_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        scan_block,
+        batch_size=_INGEST_BATCH_ROWS,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     stat_rows = frag_stats.take_all()
     scanned = int(sum(r["rows_in"] for r in stat_rows))
@@ -324,7 +340,7 @@ def _winner_scan(
             if not files:
                 continue
             cands = pa.concat_tables([read_fragment(f) for f in files])
-            tables.append(lww_merge(cands, LAKE_KEY, "commit_seq", op_column=None))
+            tables.append(winner_candidates(cands))
         return pa.concat_tables(tables) if tables else empty
 
     winners_ds = specs.map_batches(reduce_bucket, batch_size=None, batch_format="pyarrow")
@@ -524,7 +540,11 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     if len(event_files) >= total_cpus:
         blocks = min(blocks, len(event_files))
     ds = read_change_events(
-        cfg.events_dir, slices, ts_column=ts_column, override_num_blocks=blocks
+        cfg.events_dir,
+        slices,
+        ts_column=ts_column,
+        override_num_blocks=blocks,
+        batch_size=_INGEST_BATCH_ROWS,
     )
     stage_kwargs = {
         "evolution_log": cfg.evolution_log,
@@ -548,11 +568,12 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         ds = ds.map_batches(
             ingest_batch,
             batch_format="pyarrow",
-            # whole-block batches: blocks are already read-task sized
-            # (half a file), and a fixed batch_size would force Ray to
-            # re-batch across block boundaries — an extra slice/concat
-            # pass of the full stream that also blocks read->map fusion
-            batch_size=None,
+            # NOT batch_size=None: the read streams ~10k-row record
+            # batches, so "whole block" degrades to per-record-batch
+            # calls (measured ~1,700 stage constructions per window and
+            # a weak partial combine); an explicit 128k batch re-batches
+            # once and amortizes (see _INGEST_BATCH_ROWS)
+            batch_size=_INGEST_BATCH_ROWS,
             zero_copy_batch=True,
         )
     else:
@@ -645,16 +666,18 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             mat_used = "late"
 
     if mat_used == "late":
-        from embulk_input_marketo_ray.stages.lww import winner_key
-
         shuffle_dir = scratch_root + "_late"
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
-        # ONE broadcast of the winner-key set (ray.put): every pass-2
+        # ONE broadcast of the winner-hash set (ray.put): every pass-2
         # task reads the same plasma object zero-copy — never re-shipped
         # per batch
-        winners_ref = ray.put(winner_key(winners))
+        winners_ref = ray.put(pa.array(winner_hash(winners)))
         ds2 = read_change_events(
-            cfg.events_dir, slices, ts_column=ts_column, override_num_blocks=blocks
+            cfg.events_dir,
+            slices,
+            ts_column=ts_column,
+            override_num_blocks=blocks,
+            batch_size=_INGEST_BATCH_ROWS,
         )
         late_kwargs = dict(
             stage_kwargs,
@@ -668,7 +691,10 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
                 return LateIngestStage(**late_kwargs)(batch)
 
             frag_stats = ds2.map_batches(
-                late_ingest, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+                late_ingest,
+                batch_size=_INGEST_BATCH_ROWS,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             )
         else:
             frag_stats = ds2.map_batches(
@@ -701,7 +727,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
 
         frag_stats = ds.map_batches(
             write_fragments,
-            batch_size=None,
+            batch_size=_INGEST_BATCH_ROWS,
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
