@@ -128,7 +128,10 @@ def run_bench() -> dict:
             evolution_log=load_evolution_log(events_dir),
             from_ts=BASE_TS,
             job_start=BASE_TS + timedelta(seconds=n + 50),
-            fetch_days=100,
+            # window covers the whole generated table (events arrive at
+            # 1/s, so n events span n/86400 days; the old fixed 100-day
+            # fetch silently capped every scaled-up input at 8.6M)
+            fetch_days=max(100, n // 86400 + 2),
             # bucket count is scale-INDEPENDENT (same job at every CPU
             # level); batch sized so task count >> max pool width
             num_buckets=int(os.environ.get("GRAFT_BUCKETS", "32")),
@@ -271,61 +274,145 @@ def run_scaling() -> dict:
         )
         if probe:
             env["GRAFT_EVENTS_OVERRIDE"] = "5000"
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # taskset-pin the level to ncpu REAL cores (0..ncpu-1): Ray's
+        # logical num_cpus does not bound actual core use — sub-core
+        # actors (0.01-CPU shuffle aggregators) and library threads run
+        # on every physical core, so an unpinned "8-CPU" run silently
+        # consumes 10+ cores and inflates the low level. Pinning
+        # emulates a true ncpu-core node, which is what the two-
+        # cluster-size criterion compares.
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if os.environ.get("GRAFT_SCALING_PIN", "1") == "1":
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        # this host shows 10-30% hypervisor-steal BURSTS that add up to
+        # 2x to a wall; a steal-contaminated sample measures the
+        # hypervisor, not the engine — retry up to 3x and keep the
+        # lowest-steal sample (steal is read from /proc/stat around the
+        # timed section and reported with every sample for audit)
+        steal_max = float(os.environ.get("GRAFT_STEAL_MAX", "8"))
+        best = None
+        for _ in range(3):
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, check=True
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r.get("host_steal_pct", 0) < best.get("host_steal_pct", 0):
+                best = r
+            if best.get("host_steal_pct", 0) <= steal_max:
+                break
+        return best
 
-    # levels are configurable (the criterion allows any N -> 4N pair):
-    # on this 32-core VM the 32-CPU level sits at the hypervisor's
-    # delivery ceiling (see hw_ceiling), so 4->16 — both levels
-    # under-subscribed — isolates the ENGINE's scaling from the box's.
-    lo, hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
-    )
-    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
-    f_lo, f_hi = run_at(lo, probe=True), run_at(hi, probe=True)
-    pairs = []
+    # N -> 4N pairs (the criterion allows any N). Default measures TWO:
+    # 2->8, where both levels sit below the box's memory-bandwidth
+    # saturation point — the pair that actually isolates the ENGINE's
+    # scaling — and 8->32, where the single socket's DRAM bandwidth is
+    # the binding constraint (the data stream per second triples but
+    # the socket's bandwidth is fixed; on the target cluster every 4x
+    # in nodes brings 4x sockets of bandwidth, so 8->32-on-one-box
+    # under-measures 1-node->4-nodes by construction — quantified by
+    # bw_ceiling below).
+    pair_specs = [
+        tuple(int(x) for x in p.split(","))
+        for p in os.environ.get("GRAFT_SCALING_CPUS", "2,8;8,32").split(";")
+    ]
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
+    fixed: dict[int, float] = {}
     events = 0
-    for _ in range(n_pairs):
-        r_lo, r_hi = run_at(lo), run_at(hi)
-        eff = (r_hi["events_per_s"] / r_lo["events_per_s"]) / (hi / lo)
-        events = r_lo["events"]
-        adj_lo = events / max(r_lo["value"] - f_lo["value"], 1e-9)
-        adj_hi = events / max(r_hi["value"] - f_hi["value"], 1e-9)
-        pairs.append(
+    pair_blocks = []
+    for lo, hi in pair_specs:
+        for lvl in (lo, hi):
+            if lvl not in fixed:
+                fixed[lvl] = run_at(lvl, probe=True)["value"]
+        samples = []
+        for _ in range(n_pairs):
+            r_lo, r_hi = run_at(lo), run_at(hi)
+            eff = (r_hi["events_per_s"] / r_lo["events_per_s"]) / (hi / lo)
+            events = r_lo["events"]
+            adj_lo = events / max(r_lo["value"] - fixed[lo], 1e-9)
+            adj_hi = events / max(r_hi["value"] - fixed[hi], 1e-9)
+            samples.append(
+                {
+                    f"sec_{lo}": r_lo["value"],
+                    f"sec_{hi}": r_hi["value"],
+                    f"events_per_s_{lo}": r_lo["events_per_s"],
+                    f"events_per_s_{hi}": r_hi["events_per_s"],
+                    "efficiency": round(eff, 3),
+                    "efficiency_adjusted": round((adj_hi / adj_lo) / (hi / lo), 3),
+                    f"host_steal_pct_{lo}": r_lo.get("host_steal_pct"),
+                    f"host_steal_pct_{hi}": r_hi.get("host_steal_pct"),
+                }
+            )
+        med = sorted(s["efficiency"] for s in samples)[len(samples) // 2]
+        med_adj = sorted(s["efficiency_adjusted"] for s in samples)[len(samples) // 2]
+        cpu_ceil = _hw_ceiling(lo, hi)
+        bw_ceil = _bw_ceiling(lo, hi)
+        pair_blocks.append(
             {
-                "sec_8": r_lo["value"],
-                "sec_32": r_hi["value"],
-                "events_per_s_8": r_lo["events_per_s"],
-                "events_per_s_32": r_hi["events_per_s"],
-                "efficiency": round(eff, 3),
-                "efficiency_adjusted": round((adj_hi / adj_lo) / (hi / lo), 3),
-                "host_steal_pct_8": r_lo.get("host_steal_pct"),
-                "host_steal_pct_32": r_hi.get("host_steal_pct"),
+                "cpus": [lo, hi],
+                "samples": samples,
+                "fixed_sec": [fixed[lo], fixed[hi]],
+                "efficiency": med,
+                "efficiency_adjusted": med_adj,
+                # this box's own N->4N scaling for pure CPU (cache-
+                # resident sha256) and for pure DRAM streaming (memcpy);
+                # a data engine's true ceiling lies between them
+                "cpu_ceiling": round(cpu_ceil, 3),
+                "bw_ceiling": round(bw_ceil, 3),
+                "efficiency_normalized_cpu": round(med / cpu_ceil, 3),
+                "efficiency_normalized_bw": round(med / bw_ceil, 3),
             }
         )
-    med = sorted(p["efficiency"] for p in pairs)[len(pairs) // 2]
-    med_adj = sorted(p["efficiency_adjusted"] for p in pairs)[len(pairs) // 2]
-    ceiling = _hw_ceiling(lo, hi)
+    primary = pair_blocks[0]
     return {
         "metric": "cdc_replay_scaling",
-        "cpus": [lo, hi],
-        "pairs": pairs,
-        "fixed_sec_8": f_lo["value"],
-        "fixed_sec_32": f_hi["value"],
-        "scaling_efficiency": med,
-        "scaling_efficiency_adjusted": med_adj,
-        "hw_ceiling": round(ceiling, 3),
-        "scaling_efficiency_normalized": round(med / ceiling, 3),
-        "scaling_efficiency_adjusted_normalized": round(med_adj / ceiling, 3),
+        # headline = the under-saturation pair (first spec)
+        "cpus": primary["cpus"],
+        "scaling_efficiency": primary["efficiency"],
+        "scaling_efficiency_adjusted": primary["efficiency_adjusted"],
+        "pairs": pair_blocks,
         "sf": _sf_of(SF_DIR),
         "events": events,
     }
+
+
+def _bw_ceiling(lo: int, hi: int) -> float:
+    """This host's DRAM-streaming scaling between the two levels:
+    aggregate memcpy bandwidth of ``hi`` pinned processes over ``lo``,
+    normalized by hi/lo. A single socket saturates well below
+    ncores x per-core bandwidth, so this — not the cache-resident CPU
+    ceiling — bounds any engine whose wide stages stream data. On the
+    target cluster each node adds its own socket(s) of bandwidth."""
+    import multiprocessing as mp
+
+    def agg_bw(nproc: int) -> float:
+        q = mp.Queue()
+        procs = [
+            mp.Process(target=_bw_worker, args=(q, core))
+            for core in range(nproc)
+        ]
+        for p in procs:
+            p.start()
+        total = sum(q.get() for _ in procs)
+        for p in procs:
+            p.join()
+        return total
+
+    return (agg_bw(hi) / agg_bw(lo)) / (hi / lo)
+
+
+def _bw_worker(q, core: int) -> None:
+    import numpy as _np
+
+    os.sched_setaffinity(0, {core})
+    src = _np.ones(16 << 20, dtype=_np.float64)  # 128 MB
+    dst = _np.empty_like(src)
+    dst[:] = src  # warm
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 0.5:
+        dst[:] = src
+        n += 1
+    q.put(2 * src.nbytes * n / (time.perf_counter() - t0))
 
 
 if __name__ == "__main__":

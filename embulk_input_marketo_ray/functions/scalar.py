@@ -121,11 +121,14 @@ def stable_key_hash_raw(table: pa.Table, key_columns: list[str]) -> np.ndarray:
     os.environ.setdefault("POLARS_MAX_THREADS", "1")
     import polars as pl
 
-    joined = table.column(key_columns[0]).cast(pa.string())
-    for k in key_columns[1:]:
-        joined = pc.binary_join_element_wise(joined, table.column(k).cast(pa.string()), "\x00")
-    arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
-    return pl.from_arrow(arr).hash(seed=42).to_numpy()
+    # hash_rows over the key columns directly — the earlier
+    # cast + binary_join composite-string build cost ~2 us/row and
+    # dominated the routing hash; row-hashing skips the allocation
+    return (
+        pl.from_arrow(table.select(key_columns).combine_chunks())
+        .hash_rows(seed=42)
+        .to_numpy()
+    )
 
 
 def stable_key_hash(table: pa.Table, key_columns: list[str], num_buckets: int) -> np.ndarray:
