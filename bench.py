@@ -213,25 +213,29 @@ def _hw_ceiling(lo: int, hi: int) -> float:
 
     A fixed amount of sha256 work split over ``lo`` vs ``hi`` processes
     (pre-warmed pool, no IO, no IPC beyond the map). On this VM 32
-    vCPUs deliver only ~2.5-3.0x the throughput of 8 (frequency
-    scaling / steal / SMT), so the ceiling — not 1.0 — is the best ANY
-    job can show here; it is re-measured inline because it drifts with
-    host conditions. Best of 2 per level.
+    vCPUs deliver only ~0.65-0.70x of ideal 4x over 8 (per-core
+    throughput drops when every vCPU spins — shared-tenancy frequency
+    behavior), so the ceiling — not 1.0 — is the best ANY job can show
+    here. Host speed drifts minute-to-minute, so the two levels are
+    measured INTERLEAVED, three reps each, best-per-level — a
+    sequential lo-then-hi measurement straddling a host-weather change
+    has produced nonsense ratios (>1) in logged runs.
     """
     import multiprocessing as mp
 
-    def run(nproc: int, total: int = 1_200_000) -> float:
+    def run_once(nproc: int, total: int = 1_200_000) -> float:
         per = total // nproc
         with mp.Pool(nproc) as p:
             p.map(_burn_sha256, [per // 4] * nproc)  # warm the pool
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                p.map(_burn_sha256, [per] * nproc)
-                best = min(best, time.perf_counter() - t0)
-        return best
+            t0 = time.perf_counter()
+            p.map(_burn_sha256, [per] * nproc)
+            return time.perf_counter() - t0
 
-    return (run(lo) / run(hi)) / (hi / lo)
+    best = {lo: float("inf"), hi: float("inf")}
+    for _ in range(3):
+        for n in (lo, hi):
+            best[n] = min(best[n], run_once(n))
+    return (best[lo] / best[hi]) / (hi / lo)
 
 
 def _burn_sha256(n: int) -> int:
@@ -271,6 +275,14 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_EVENTS_MULTIPLIER=os.environ.get("GRAFT_EVENTS_MULTIPLIER", "16"),
             GRAFT_SKIP_QUERIES="1",
+            # FIX the plan width across levels (the engine otherwise
+            # auto-sizes read blocks to the cluster, so each level would
+            # run a DIFFERENT plan and the ratio would mix plan effects
+            # into the parallelism measurement). 64 blocks = the 32-CPU
+            # plan; with it, measured per-event core-seconds at 2 and 8
+            # pinned cores are identical (6.7 vs 6.6 us) — true strong
+            # scaling of one job.
+            GRAFT_READ_BLOCKS=os.environ.get("GRAFT_READ_BLOCKS", "64"),
         )
         if probe:
             env["GRAFT_EVENTS_OVERRIDE"] = "5000"
@@ -397,7 +409,12 @@ def _bw_ceiling(lo: int, hi: int) -> float:
             p.join()
         return total
 
-    return (agg_bw(hi) / agg_bw(lo)) / (hi / lo)
+    # interleaved best-per-level, same rationale as _hw_ceiling
+    best = {lo: 0.0, hi: 0.0}
+    for _ in range(3):
+        for n in (lo, hi):
+            best[n] = max(best[n], agg_bw(n))
+    return (best[hi] / best[lo]) / (hi / lo)
 
 
 def _bw_worker(q, core: int) -> None:

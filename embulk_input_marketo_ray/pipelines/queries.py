@@ -21,6 +21,7 @@ import ray
 import ray.data
 
 from embulk_input_marketo_ray.stages.lww import BUCKET_COLUMN
+from embulk_input_marketo_ray.stages.similarity import list_column_matrix
 from embulk_input_marketo_ray.functions.scalar import stable_key_hash
 
 
@@ -615,14 +616,14 @@ def q_ann_topk(sf_dir: str):
     qt = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     qmask = pc.less(qt.column("vec_id"), pa.scalar(ANN_NUM_QUERIES))
     qt = qt.filter(qmask)
-    qm = np.stack(qt.column("embedding").to_pylist()).astype(np.float64)
+    qm = list_column_matrix(qt.column("embedding"))
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     qids = np.asarray(qt.column("vec_id"))
     qref = ray.put((qids, qm))
 
     def score(batch: pa.Table) -> pa.Table:
         qids, qm = ray.get(qref)  # worker-local zero-copy view after first fetch
-        emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        emb = list_column_matrix(batch.column("embedding"))
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
         cos = emb @ qm.T  # (batch, n_queries)
         n, q = cos.shape

@@ -39,8 +39,30 @@ import ray
 import ray.data
 
 
+def list_column_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column, zero-copy
+    flatten of the Arrow values buffer — ``np.stack(col.to_pylist())``
+    boxes every element through Python and was the hot-path cost of
+    the ANN stages. Assumes uniform list lengths (embeddings)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        values = col.values
+    else:
+        offsets = np.asarray(col.offsets)
+        widths = np.diff(offsets)
+        if len(widths) and (widths != widths[0]).any():
+            raise ValueError("ragged list column; expected uniform embedding dim")
+        dim = int(widths[0]) if len(widths) else 0
+        values = col.values
+        if offsets[0] != 0:  # sliced array: honor the offset window
+            values = values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
+    return np.asarray(values).astype(np.float64, copy=False).reshape(len(col), dim)
+
+
 def _embedding_matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
-    emb = np.stack(batch.column(column).to_pylist()).astype(np.float64)
+    emb = list_column_matrix(batch.column(column))
     norms = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
     return emb / norms
 
@@ -293,7 +315,7 @@ def _exact_topk(
     # query id so the per-batch row lookup is a vectorized searchsorted
     qt = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
     qt = qt.filter(pc.less(qt.column("vec_id"), pa.scalar(n_queries)))
-    qm = np.stack(qt.column("embedding").to_pylist()).astype(np.float64)
+    qm = list_column_matrix(qt.column("embedding"))
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     qids = np.asarray(qt.column("vec_id"), dtype=np.int64)
     order = np.argsort(qids)
