@@ -30,7 +30,6 @@ from embulk_input_marketo_ray.sources.change_events import read_change_events
 from embulk_input_marketo_ray.stages.extractor import PagedExtractor
 from embulk_input_marketo_ray.stages.lww import (
     BUCKET_COLUMN,
-    LAKE_KEY,
     add_bucket,
     add_bucket_and_partial_lww,
     winner_candidates,

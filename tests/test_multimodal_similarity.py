@@ -165,3 +165,25 @@ def test_lsh_identical_vectors_collide():
         by_id = g.set_index("vec_id").lsh_bucket
         assert by_id[0] == by_id[1]  # identical vectors share every bucket
         assert by_id[0] != by_id[2]  # opposite vector lands elsewhere
+
+
+def test_list_column_matrix_shapes_and_slices():
+    from embulk_input_marketo_ray.stages.similarity import list_column_matrix
+
+    rows = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [7.0, 8.0, 9.0]]
+    # variable-length list (uniform widths)
+    var = pa.array(rows, type=pa.list_(pa.float32()))
+    m = list_column_matrix(var)
+    assert m.shape == (3, 3) and m.dtype == np.float64
+    np.testing.assert_allclose(m, np.array(rows))
+    # sliced array must honor the offset window (zero-copy path)
+    np.testing.assert_allclose(list_column_matrix(var.slice(1, 2)), np.array(rows[1:]))
+    # fixed-size list
+    fx = pa.array(rows, type=pa.list_(pa.float64(), 3))
+    np.testing.assert_allclose(list_column_matrix(fx), np.array(rows))
+    # chunked
+    ch = pa.chunked_array([var.slice(0, 2), var.slice(2, 1)])
+    np.testing.assert_allclose(list_column_matrix(ch), np.array(rows))
+    # ragged input fails loudly
+    with pytest.raises(ValueError, match="ragged"):
+        list_column_matrix(pa.array([[1.0], [1.0, 2.0]], type=pa.list_(pa.float32())))
