@@ -163,6 +163,41 @@ class ReplayConfig:
     materialization: str = "auto"
     late_ratio: float = 0.5
     late_broadcast_limit: int = 256 << 20
+    # auto also stays eager BELOW this window size: the late plan adds
+    # ~3 extra dataset launches (~1s of fixed cost) which only pays for
+    # itself when the skipped per-event work (~5 us x losing events)
+    # exceeds it — breakeven ~200k events on this hardware
+    late_min_events: int = 200_000
+
+
+def _estimate_window_rows(files: list[str], slices, ts_column: str) -> int:
+    """Upper-bound row count of the watermark window from parquet FOOTER
+    statistics only (no data read; partially-overlapping row groups are
+    counted whole). Drives the auto planner's small-window floor — a
+    window below ``late_min_events`` goes eager without even paying the
+    winner scan's dataset launches."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            ci = names.index(ts_column)
+        except ValueError:
+            return 1 << 62  # unknown layout: assume big, let the scan decide
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                total += rg.num_rows
+                continue
+            lo, hi = st.min, st.max
+            for s in slices:
+                if hi >= s.from_ts and lo <= s.to_ts:
+                    total += rg.num_rows
+                    break
+    return total
 
 
 def _merge_fragments(shuffle_dir: str, writer, frag_stats):
@@ -645,7 +680,16 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     mat_used = "eager"
     winners_n: int | None = None
     scanned_n: int | None = None
-    if cfg.materialization != "eager":
+    consider_late = cfg.materialization != "eager"
+    if (
+        cfg.materialization == "auto"
+        and cfg.late_min_events
+        and _estimate_window_rows(event_files, slices, ts_column) < cfg.late_min_events
+    ):
+        # footer-only estimate: the window is too small for the late
+        # plan's extra dataset launches to pay off — skip even the scan
+        consider_late = False
+    if consider_late:
         scan_dir = scratch_root + "_scan"
         _shutil.rmtree(scan_dir, ignore_errors=True)
         winners, scanned_n = _winner_scan(

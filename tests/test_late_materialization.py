@@ -36,6 +36,10 @@ def events_dir(tmp_path_factory):
 
 def cfg_for(events_dir, lake_dir, **kw):
     kw.setdefault("fetch_days", 100)
+    # fixtures are far below the production small-window floor; disable
+    # it so these tests exercise the late plan (the floor itself is
+    # covered by test_auto_small_window_floor)
+    kw.setdefault("late_min_events", 0)
     return ReplayConfig(
         events_dir=events_dir,
         lake_dir=lake_dir,
@@ -84,6 +88,18 @@ def test_auto_picks_late_on_version_heavy_window(events_dir, tmp_path):
     assert r["scanned_rows"] >= N_EVENTS
 
 
+def test_auto_small_window_floor(events_dir, tmp_path):
+    # with the default late_min_events floor, a 4k-event window goes
+    # eager WITHOUT paying the winner scan (footer-only estimate)
+    r = replay(
+        cfg_for(
+            events_dir, str(tmp_path / "lake"), late_min_events=200_000
+        )
+    )
+    assert r["materialization"] == "eager"
+    assert r["winner_rows"] is None and r["scanned_rows"] is None
+
+
 def test_auto_falls_back_to_eager_on_unique_keys(tmp_path):
     # keyspace (200 x 64) far larger than the event count: most keys
     # are written once, the winner set ~= the window — a second full
@@ -98,6 +114,7 @@ def test_auto_falls_back_to_eager_on_unique_keys(tmp_path):
         job_start=BASE_TS + timedelta(seconds=2050),
         fetch_days=100,
         num_buckets=8,
+        late_min_events=0,  # exercise the RATIO fallback, not the size floor
     )
     r = replay(cfg)
     assert r["materialization"] == "eager"
