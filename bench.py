@@ -50,6 +50,16 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "ann_ivf_topk",
     "doc_dup_clusters",
+    "union_slices",
+    "csv_parse",
+    "activity_static_schema",
+    "multimodal_pipeline",
+    "token_paged_source",
+    "offset_paged_source",
+    "custom_object_source",
+    "lead_by_list_join",
+    "ann_lsh_topk",
+    "embedding_near_dup",
 ]
 
 

@@ -43,7 +43,10 @@ from embulk_input_marketo_ray.stages.lww import (
 # 8.8M-event window. An explicit 128k-row batch re-batches once
 # (bounded concat) and amortizes per-call cost ~70x.
 _INGEST_BATCH_ROWS = 1 << 17
-from embulk_input_marketo_ray.stages.normalize import ChangeEventNormalizer
+from embulk_input_marketo_ray.stages.normalize import (
+    ChangeEventNormalizer,
+    filter_invalid_events,
+)
 from embulk_input_marketo_ray.sinks.exactly_once import BucketMergeWriter
 from embulk_input_marketo_ray.state.manifest import PartitionManifest
 from embulk_input_marketo_ray.state.watermark import (
@@ -269,6 +272,9 @@ class LateIngestStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self.extractor(batch)
+        # dead-letter filter first: a null-key winner candidate from the
+        # scan must never reach the lake through the hash-set filter
+        batch = filter_invalid_events(batch, metrics=self.extractor.metrics)
         # uint64 membership probe; false-positive-only under collision
         # (see stages.lww.winner_hash)
         batch = batch.filter(
@@ -310,7 +316,10 @@ def _winner_scan(
         cfg.events_dir,
         slices,
         ts_column=ts_column,
-        columns=["repo", "path", "commit_seq"],
+        # op is read ONLY for the dead-letter rule: an invalid event
+        # (e.g. unknown op on a valid key) must never become a winner,
+        # or pass 2 would dead-letter the winner row and lose the key
+        columns=["repo", "path", "commit_seq", "op"],
         override_num_blocks=blocks,
         batch_size=_INGEST_BATCH_ROWS,
     )
@@ -319,6 +328,9 @@ def _winner_scan(
 
     def scan_block(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        # no metrics here: pass 2 re-filters the full stream and owns
+        # the events_invalid count (counting both would double it)
+        batch = filter_invalid_events(batch).select(["repo", "path", "commit_seq"])
         t = add_bucket(winner_candidates(batch), nb, directory=directory)
         if skip is not None:
             t = t.filter(pc.invert(pc.is_in(t.column(BUCKET_COLUMN), value_set=skip)))
@@ -540,6 +552,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             batch = self.extractor(batch)
+            batch = filter_invalid_events(batch, metrics=self.extractor.metrics)
             batch = self.normalizer(batch)
             return add_bucket_and_partial_lww(
                 batch, self.num_buckets, directory=self.directory

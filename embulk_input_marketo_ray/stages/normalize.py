@@ -48,6 +48,35 @@ def resolve_final_fields(evolution_log: list[dict]) -> dict[str, str]:
     return fields
 
 
+def filter_invalid_events(batch: pa.Table, metrics=None) -> pa.Table:
+    """Dead-letter filter for the flagship change-event stream — the
+    engine analog of the reference's invalid-record policy (M7,
+    CsvTokenizer.java stray-record handling; the activity target's
+    filter lives in stages/static_schema.py). An event is invalid when
+    its upsert key (repo, path), version (commit_seq) or op is null,
+    or the op is unknown. Drops are counted in the metrics actor as
+    ``events_invalid`` (A1-style accounting) instead of poisoning the
+    lake with null-keyed rows."""
+    import pyarrow.compute as pc
+
+    mask = pc.is_valid(batch.column("repo"))
+    for c in ("path", "commit_seq", "op"):
+        mask = pc.and_kleene(mask, pc.is_valid(batch.column(c)))
+    mask = pc.and_kleene(
+        mask, pc.is_in(batch.column("op"), value_set=pa.array(["upsert", "delete"]))
+    )
+    mask = pc.fill_null(mask, False)
+    n_valid = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+    dropped = batch.num_rows - n_valid
+    if dropped == 0:
+        return batch
+    if metrics is not None:
+        import ray as _ray
+
+        _ray.get(metrics.inc.remote("events_invalid", dropped))
+    return batch.filter(mask)
+
+
 class ChangeEventNormalizer:
     """Actor-pool batch transform: raw change events -> typed lake rows.
 

@@ -199,3 +199,43 @@ def test_late_actor_ingest_mode(events_dir, tmp_path):
         )
     )
     assert multiset(lake_t) == multiset(lake_a)
+
+
+def test_invalid_events_dead_lettered_both_plans(events_dir, tmp_path):
+    """Events with a null key/version/op or an unknown op are dropped
+    (counted, not ingested) by BOTH plans, and the two plans still
+    agree bit-for-bit."""
+    import shutil
+    import glob as _glob
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    poisoned = str(tmp_path / "events_poisoned")
+    shutil.rmtree(poisoned, ignore_errors=True)
+    shutil.copytree(events_dir, poisoned)
+    base = pq.read_table(sorted(_glob.glob(f"{events_dir}/events_*.parquet"))[0])
+    bad = base.slice(0, 4).to_pydict()
+    bad["repo"][0] = None          # null key
+    bad["path"][1] = None          # null key
+    bad["op"][2] = None            # null op
+    bad["op"][3] = "noop"          # unknown op
+    # far-future versions so a bug (ingesting them) would visibly win LWW
+    bad["commit_seq"] = [10**12 + i for i in range(4)]
+    pq.write_table(
+        pa.Table.from_pydict(bad, schema=base.schema),
+        f"{poisoned}/events_9999.parquet",
+    )
+
+    lakes = {}
+    for mat in ("eager", "late"):
+        lake = str(tmp_path / f"lake_{mat}")
+        r = replay(cfg_for(poisoned, lake, materialization=mat))
+        assert r["materialization"] == mat
+        lakes[mat] = (multiset(lake), fingerprints(lake))
+    clean_lake = str(tmp_path / "lake_clean")
+    replay(cfg_for(events_dir, clean_lake, materialization="eager"))
+    # poisoned input converges to the clean input's lake in both plans
+    assert lakes["eager"] == lakes["late"] == (
+        multiset(clean_lake),
+        fingerprints(clean_lake),
+    )
