@@ -9,9 +9,12 @@ Prints ONE JSON line:
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
 
---scaling: runs the benchmark twice in fresh processes at 8 and 32
-CPUs on the SAME input and prints throughputs + scaling efficiency
-(the sandbox evidence for the two-cluster-size criterion).
+--scaling: the sandbox evidence for the two-cluster-size criterion.
+Measures N -> 4N pairs (default 2->8 and 8->32) in fresh processes on
+the SAME input with the SAME plan, each level taskset-pinned to that
+many real cores, steal-contaminated samples retried, plus inline
+pure-CPU and DRAM-streaming ceilings for the box. See BASELINE.md
+"Scaling" and SCALING_r2*.json for the recorded methodology/results.
 """
 
 from __future__ import annotations
