@@ -131,24 +131,81 @@ def _explode_keys(
 
 
 def _unpack_embeddings(col, n_rows: int) -> np.ndarray:
-    """fixed-size-binary embedding blobs -> (n, dim) float64 view."""
+    """uniform-width embedding blobs (all rows valid; fixed-size-binary
+    or large_binary) -> (n, dim) float64 view."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    width = col.type.byte_width // 8
-    a = np.frombuffer(col.buffers()[1], dtype=np.float64)
-    start = col.offset * width
-    return a[start : start + n_rows * width].reshape(n_rows, width)
+    if pa.types.is_fixed_size_binary(col.type):
+        width = col.type.byte_width // 8
+        a = np.frombuffer(col.buffers()[1], dtype=np.float64)
+        start = col.offset * width
+        return a[start : start + n_rows * width].reshape(n_rows, width)
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + n_rows + 1
+    ]
+    a = np.frombuffer(col.buffers()[2], dtype=np.float64)
+    return a[offsets[0] // 8 : offsets[-1] // 8].reshape(n_rows, -1)
 
 
-def _fsb_bytes_matrix(col, n_rows: int) -> np.ndarray:
-    """fixed-size-binary column -> (n, byte_width) uint8 view (null
-    slots still occupy byte_width bytes, so row indexing is uniform)."""
+def _valid_f64_matrix(col, dim: int) -> np.ndarray:
+    """(n_valid, dim) float64 view of a large_binary column whose VALID
+    rows are all dim*8 bytes. Null rows contribute ZERO value bytes
+    (the reason this stage ships large_binary, not fixed-size-binary:
+    an all-null fixed-size slot still occupies dim*8 bytes, which at
+    scale shipped that many zero-bytes per candidate-pair row through
+    the widest shuffle). Valid payloads are contiguous and in row
+    order in the values buffer, so the matrix rows align with the
+    valid-row subsequence of the column."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    w = col.type.byte_width
-    a = np.frombuffer(col.buffers()[1], dtype=np.uint8)
-    start = col.offset * w
-    return a[start : start + n_rows * w].reshape(n_rows, w)
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    vals = np.frombuffer(col.buffers()[2], dtype=np.float64)
+    return vals[offsets[0] // 8 : offsets[-1] // 8].reshape(-1, dim)
+
+
+def _binary_blob(x: np.ndarray) -> pa.LargeBinaryArray:
+    """(n, dim) float64 matrix -> all-valid large_binary column of
+    dim*8-byte rows. Zero-copy: pa.py_buffer wraps the ndarray's own
+    buffer (keeping it alive), so no n*dim*8 tobytes() duplicate."""
+    n, dim = x.shape
+    off = np.arange(n + 1, dtype=np.int64) * (dim * 8)
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(off), pa.py_buffer(np.ascontiguousarray(x))],
+    )
+
+
+def _sorted_runs(
+    block: pa.Table, keys: list[str]
+) -> tuple[pa.Table, np.ndarray, np.ndarray]:
+    """Sort a block by integer key columns and locate the key runs
+    vectorized: (sorted block, run starts, run ends). The whole-block
+    alternative to per-group UDF dispatch — LSH buckets average a
+    handful of rows, so a 16-partition exchange holds hundreds of
+    thousands of groups per block and per-group Python calls dominate
+    the stage (measured 36 s of 49 s at 120k vectors)."""
+    block = block.sort_by([(k, "ascending") for k in keys])
+    n = block.num_rows
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        col = block.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        c = np.asarray(col)
+        change[1:] |= c[1:] != c[:-1]
+    starts = np.flatnonzero(change)
+    return block, starts, np.r_[starts[1:], n]
+
+
+def _int64_col(block: pa.Table, name: str) -> np.ndarray:
+    col = block.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col, dtype=np.int64)
 
 
 def _attach_embeddings(
@@ -159,9 +216,17 @@ def _attach_embeddings(
     dim: int,
     pair_schema: pa.Schema,
     num_partitions: int = 16,
+    dedup_pairs: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Hash-partitioned join attaching the normalized embedding for
     ``pairs[key]`` as ``out_column`` (a fixed-size-binary blob).
+
+    ``dedup_pairs``: int64 id columns forming a pair identity to
+    dedup IN-BLOCK after the exchange. Candidate pairs surfacing from
+    several LSH tables are identical rows; since the exchange routes
+    by hash(``key``) and ``key`` is part of the identity, duplicates
+    always colocate — folding the dedup here saves the whole
+    ``keep_one_per_key`` keyed exchange the callers used to pay.
 
     Implemented as ONE keyed exchange over a tagged union of the pair
     rows and the embedding rows (the ``verify_pairs_jaccard`` pattern,
@@ -174,7 +239,7 @@ def _attach_embeddings(
     vector copy per corpus row + the sparse pair rows.
     ``pair_schema`` lists the columns carried through (nulls on
     embedding rows); ``pairs`` blocks may be schema-less empties."""
-    blob_t = pa.binary(dim * 8)
+    blob_t = pa.large_binary()
     union_fields = (
         [("__key", pa.int64())]
         + [(f.name, f.type) for f in pair_schema]
@@ -198,9 +263,7 @@ def _attach_embeddings(
         # acero rejected nested payloads; the blob form is kept because
         # it is also the cheapest thing to move and to row-index
         x = _embedding_matrix(batch)
-        blob = pa.FixedSizeBinaryArray.from_buffers(
-            blob_t, x.shape[0], [None, pa.py_buffer(np.ascontiguousarray(x).tobytes())]
-        )
+        blob = _binary_blob(x)
         n = batch.num_rows
         arrays = [batch.column("vec_id").cast(pa.int64())]
         arrays += [pa.nulls(n, type=f.type) for f in pair_schema]
@@ -225,20 +288,36 @@ def _attach_embeddings(
         if not doc_mask.any() or not pair_mask.any():
             return out_schema.empty_table()
         keys = np.asarray(block.column("__key"), dtype=np.int64)
-        mat = _fsb_bytes_matrix(blob, block.num_rows)
-        dk, dm = keys[doc_mask], mat[doc_mask]
+        dm = _valid_f64_matrix(blob, dim)  # rows = doc rows, in order
+        dk = keys[doc_mask]
         order = np.argsort(dk)
-        dk, dm = dk[order], dm[order]
+        dk, dm = dk[order], np.take(dm, order, axis=0)
         pk = keys[pair_mask]
         pos = np.clip(np.searchsorted(dk, pk), 0, len(dk) - 1)
         matched = dk[pos] == pk  # inner-join semantics
         sel = np.zeros(block.num_rows, dtype=bool)
         sel[np.flatnonzero(pair_mask)[matched]] = True
         sub = block.filter(pa.array(sel))
-        out_bytes = np.ascontiguousarray(dm[pos][matched])
-        out_blob = pa.FixedSizeBinaryArray.from_buffers(
-            blob_t, len(out_bytes), [None, pa.py_buffer(out_bytes.tobytes())]
-        )
+        # np.take on the float64 view: a uint8-matrix fancy-index of the
+        # same bytes measured 25x slower (per-byte inner loop)
+        out_vals = np.take(dm, pos[matched], axis=0)
+        if dedup_pairs and sub.num_rows:
+            arrs = [
+                np.asarray(
+                    sub.column(c).combine_chunks()
+                    if isinstance(sub.column(c), pa.ChunkedArray)
+                    else sub.column(c),
+                    dtype=np.int64,
+                )
+                for c in dedup_pairs
+            ]
+            order = np.lexsort(arrs[::-1])
+            stacked = np.stack([a[order] for a in arrs])
+            first = np.r_[True, (stacked[:, 1:] != stacked[:, :-1]).any(axis=0)]
+            keep_idx = np.sort(order[first])
+            sub = sub.take(pa.array(keep_idx))
+            out_vals = np.take(out_vals, keep_idx, axis=0)
+        out_blob = _binary_blob(out_vals)
         return pa.Table.from_arrays(
             [sub.column(f.name) for f in pair_schema] + [out_blob], schema=out_schema
         )
@@ -265,38 +344,60 @@ def ann_lsh_topk(
     top-k."""
     from embulk_input_marketo_ray.pipelines.queries import (
         _ensure_hash_shuffle,
-        grouped_map,
-        keep_one_per_key,
+        _keyed_repartition,
     )
 
     _ensure_hash_shuffle()
     keys, embeddings, dim = _explode_keys(embeddings_path, n_planes, n_tables)
 
-    def bucket_candidates(group: pa.Table) -> pa.Table:
-        """One (table, bucket) group -> (query_id, neighbor_id) id pairs."""
+    def block_candidates(block: pa.Table) -> pa.Table:
+        """All (query_id, neighbor_id) pairs within each (table, bucket)
+        run of the block, fully vectorized (each query meets every id in
+        its bucket, itself included — semantics of the per-group form)."""
         empty = pa.table(
             {
                 "query_id": pa.array([], type=pa.int64()),
                 "neighbor_id": pa.array([], type=pa.int64()),
             }
         )
-        if group.num_rows == 0:
+        if block.num_rows == 0:
             return empty
-        ids = np.asarray(group.column("vec_id"))
-        qids = ids[ids < n_queries]
-        if not len(qids):
+        block, starts, ends = _sorted_runs(block, ["lsh_table", "lsh_bucket"])
+        ids = _int64_col(block, "vec_id")
+        qpos = np.flatnonzero(ids < n_queries)
+        if not len(qpos):
             return empty
+        sizes = ends - starts
+        run_of_q = np.searchsorted(starts, qpos, side="right") - 1
+        counts = sizes[run_of_q]
+        total = int(counts.sum())
+        out_starts = np.cumsum(counts) - counts
+        jj = (
+            np.arange(total)
+            - np.repeat(out_starts, counts)
+            + np.repeat(starts[run_of_q], counts)
+        )
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(qids, len(ids)), type=pa.int64()),
-                "neighbor_id": pa.array(np.tile(ids, len(qids)), type=pa.int64()),
+                "query_id": pa.array(np.repeat(ids[qpos], counts), type=pa.int64()),
+                "neighbor_id": pa.array(ids[jj], type=pa.int64()),
             }
         )
 
-    cand = grouped_map(keys, ["lsh_table", "lsh_bucket"], bucket_candidates, num_partitions=16)
-    # same (query, neighbor) may collide in several tables -> dedup
-    cand = keep_one_per_key(cand, ["query_id", "neighbor_id"], "query_id", keep="first")
-    return _exact_topk(cand, embeddings, embeddings_path, n_queries, k)
+    cand = _keyed_repartition(keys, 16, ["lsh_table", "lsh_bucket"]).map_batches(
+        block_candidates, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # same (query, neighbor) may collide in several tables; the dedup
+    # folds into the attach exchange (dedup_pairs) instead of paying a
+    # keep_one_per_key exchange of its own
+    return _exact_topk(
+        cand,
+        embeddings,
+        embeddings_path,
+        n_queries,
+        k,
+        dedup_pairs=["neighbor_id", "query_id"],
+    )
 
 
 def _exact_topk(
@@ -305,6 +406,7 @@ def _exact_topk(
     embeddings_path: str,
     n_queries: int,
     k: int,
+    dedup_pairs: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Shared tail of the bucketed ANN paths (LSH and IVF): candidate
     (query_id, neighbor_id) pairs -> exact cosine against a broadcast
@@ -328,6 +430,7 @@ def _exact_topk(
         out_column="nemb",
         dim=qm.shape[1],
         pair_schema=pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64())]),
+        dedup_pairs=dedup_pairs,
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -518,46 +621,62 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (vec_id, dup_of, cos)."""
     from embulk_input_marketo_ray.pipelines.queries import (
         _ensure_hash_shuffle,
-        grouped_map,
-        keep_one_per_key,
+        _keyed_repartition,
     )
 
     _ensure_hash_shuffle()
     keys, embeddings, dim = _explode_keys(embeddings_path, n_planes, n_tables)
 
-    def bucket_id_pairs(group: pa.Table) -> pa.Table:
-        """One (table, bucket) group -> candidate id pairs (ids only)."""
+    def block_id_pairs(block: pa.Table) -> pa.Table:
+        """All unordered id pairs within each (table, bucket) run of the
+        block, fully vectorized (variable-size triu via the counts
+        trick: element at local index L pairs with the L rows before it
+        in its run). vec_id is the larger id, dup_of the smaller — same
+        orientation the per-group np.triu form produced."""
         empty = pa.table(
             {
                 "vec_id": pa.array([], type=pa.int64()),
                 "dup_of": pa.array([], type=pa.int64()),
             }
         )
-        if group.num_rows < 2:
+        if block.num_rows == 0:
             return empty
-        ids = np.sort(np.asarray(group.column("vec_id")))
-        ii, jj = np.triu_indices(len(ids), k=1)
+        block, starts, ends = _sorted_runs(block, ["lsh_table", "lsh_bucket"])
+        ids = _int64_col(block, "vec_id")
+        n = block.num_rows
+        sizes = ends - starts
+        loc = np.arange(n) - np.repeat(starts, sizes)  # local index in run
+        total = int(loc.sum())
+        if total == 0:
+            return empty
+        out_starts = np.cumsum(loc) - loc
+        g = np.arange(n)
+        jj = np.repeat(g, loc)
+        ii = np.arange(total) - np.repeat(out_starts, loc) + np.repeat(g - loc, loc)
+        a, b = ids[ii], ids[jj]
         return pa.table(
             {
-                "vec_id": pa.array(ids[jj], type=pa.int64()),
-                "dup_of": pa.array(ids[ii], type=pa.int64()),
+                "vec_id": pa.array(np.maximum(a, b), type=pa.int64()),
+                "dup_of": pa.array(np.minimum(a, b), type=pa.int64()),
             }
         )
 
-    cand = grouped_map(keys, ["lsh_table", "lsh_bucket"], bucket_id_pairs, num_partitions=16)
-    # same pair can surface from several tables
-    cand = keep_one_per_key(cand, ["vec_id", "dup_of"], "vec_id", keep="first")
-
+    cand = _keyed_repartition(keys, 16, ["lsh_table", "lsh_bucket"]).map_batches(
+        block_id_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # same pair can surface from several tables; dedup folds into the
+    # first attach exchange (hash(vec_id) colocates identical pairs)
     pair_schema = pa.schema([("vec_id", pa.int64()), ("dup_of", pa.int64())])
     j = _attach_embeddings(cand, embeddings, key="vec_id", out_column="emb_a",
-                           dim=dim, pair_schema=pair_schema)
+                           dim=dim, pair_schema=pair_schema,
+                           dedup_pairs=["vec_id", "dup_of"])
     j = _attach_embeddings(
         j,
         embeddings,
         key="dup_of",
         out_column="emb_b",
         dim=dim,
-        pair_schema=pair_schema.append(pa.field("emb_a", pa.binary(dim * 8))),
+        pair_schema=pair_schema.append(pa.field("emb_a", pa.large_binary())),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
