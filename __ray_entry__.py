@@ -110,8 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q.q_ann_lsh_topk,
         "ann_ivf_topk": q.q_ann_ivf_topk,
         "embedding_near_dup": q.q_embedding_near_dup,
+        "embedding_dup_clusters": q.q_embedding_dup_clusters,
         "multimodal_pipeline": q.q_multimodal_pipeline,
         "activity_static_schema": q.q_activity_static_schema,
+        "doc_split": q.q_doc_split,
+        "doc_curation": q.q_doc_curation,
     }
 
 
@@ -154,6 +157,57 @@ def _langid_sql() -> str:
                     WHEN {best}
                     ELSE '{langs[-1]}' END AS lang_pred
         FROM c
+    """
+
+
+def _doc_split_sql() -> str:
+    """The exact multiplicative-hash split rule of q_doc_split: the
+    HUGEINT cast keeps the 2^32-by-2^32 product exact (it overflows
+    BIGINT); the cut constants are imported from the query module so
+    both sides share one definition."""
+    from embulk_input_marketo_ray.pipelines.queries import (
+        SPLIT_HASH_MOD,
+        SPLIT_HASH_MULT,
+        SPLIT_TRAIN_CUT,
+        SPLIT_VAL_CUT,
+    )
+
+    return f"""
+        SELECT doc_id,
+               CASE WHEN h < {SPLIT_TRAIN_CUT} THEN 'train'
+                    WHEN h < {SPLIT_VAL_CUT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 (CAST(doc_id % {SPLIT_HASH_MOD} AS HUGEINT) * {SPLIT_HASH_MULT})
+                   % {SPLIT_HASH_MOD} AS h
+          FROM documents
+        )
+    """
+
+
+def _doc_curation_sql() -> str:
+    """Language gate + quality thresholds, composed from the already
+    oracle-validated langid decision rule and counter expressions."""
+    from embulk_input_marketo_ray.pipelines.queries import (
+        CURATION_MIN_WORDS,
+        CURATION_PUNCT_DENOM,
+    )
+
+    return rf"""
+        WITH lang AS ({_langid_sql()}),
+        q AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '\S+')) AS n_words,
+                 len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+          FROM documents
+        )
+        SELECT lang.doc_id, lang.lang_pred, q.n_words
+        FROM lang JOIN q ON lang.doc_id = q.doc_id
+        WHERE lang.lang_pred = 'en'
+          AND q.n_words >= {CURATION_MIN_WORDS}
+          AND q.n_punct * {CURATION_PUNCT_DENOM} <= q.n_chars
     """
 
 
@@ -221,6 +275,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": (
             f"SELECT * FROM read_parquet('{oracle_paths['embedding_near_dup']}')"
         ),
+        "embedding_dup_clusters": (
+            f"SELECT * FROM read_parquet('{oracle_paths['embedding_dup_clusters']}')"
+        ),
+        # --- corpus split / curation (pure SQL) ---
+        "doc_split": _doc_split_sql(),
+        "doc_curation": _doc_curation_sql(),
         "multimodal_pipeline": (
             f"SELECT * FROM read_parquet('{oracle_paths['multimodal_pipeline']}')"
         ),

@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "lead_by_list_join",
     "ann_lsh_topk",
     "embedding_near_dup",
+    "embedding_dup_clusters",
+    "doc_split",
+    "doc_curation",
 ]
 
 

@@ -114,9 +114,11 @@ def oracle_doc_minhash_dup_pairs(sf_dir: str) -> pa.Table:
     )
 
 
-def oracle_doc_dup_clusters(sf_dir: str) -> pa.Table:
-    """Union-find over the independently recomputed pair set."""
-    pairs = _minhash_pairs(sf_dir)
+def _union_find_clusters(
+    edges: list[tuple[int, int]], id_name: str
+) -> pa.Table:
+    """Union-find over an edge list -> (id_name, cluster_id) rows for
+    every node appearing in an edge; cluster_id = component min."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -125,16 +127,23 @@ def oracle_doc_dup_clusters(sf_dir: str) -> pa.Table:
             x = parent[x]
         return x
 
-    for a, b, _ in pairs:
+    for a, b in edges:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     nodes = sorted(parent)
     return pa.table(
         {
-            "doc_id": pa.array(nodes, type=pa.int64()),
+            id_name: pa.array(nodes, type=pa.int64()),
             "cluster_id": pa.array([find(n) for n in nodes], type=pa.int64()),
         }
+    )
+
+
+def oracle_doc_dup_clusters(sf_dir: str) -> pa.Table:
+    """Union-find over the independently recomputed pair set."""
+    return _union_find_clusters(
+        [(a, b) for a, b, _ in _minhash_pairs(sf_dir)], "doc_id"
     )
 
 
@@ -259,6 +268,14 @@ def oracle_embedding_near_dup(
     )
 
 
+def oracle_embedding_dup_clusters(sf_dir: str) -> pa.Table:
+    """Union-find over the independently recomputed cosine-LSH pair
+    set (semantic-dedup cluster resolution)."""
+    t = oracle_embedding_near_dup(sf_dir)
+    edges = list(zip(t.column("vec_id").to_pylist(), t.column("dup_of").to_pylist()))
+    return _union_find_clusters(edges, "vec_id")
+
+
 def oracle_multimodal(sf_dir: str, n: int = 256) -> pa.Table:
     """The multimodal pipeline's observable output (media_id,
     media_type, decode_ok) recomputed from the deterministic synth
@@ -286,6 +303,7 @@ _ORACLE_BUILDERS = {
     "ann_lsh_topk": oracle_ann_lsh_topk,
     "ann_ivf_topk": oracle_ann_ivf_topk,
     "embedding_near_dup": oracle_embedding_near_dup,
+    "embedding_dup_clusters": oracle_embedding_dup_clusters,
     "multimodal_pipeline": oracle_multimodal,
 }
 

@@ -900,3 +900,95 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return verify_pairs_jaccard(pairs, docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# training-data corpus operators: split / curation / semantic dedup clusters
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative hash over doc_id mod 2^32: any worker computes a
+# row's split with no RNG state and no coordination, and the assignment
+# is stable under re-partitioning / re-ingestion — the property a
+# train/val/test split of a 10^10-row corpus actually needs.
+SPLIT_HASH_MULT = 2654435761
+SPLIT_HASH_MOD = 1 << 32
+SPLIT_TRAIN_CUT = int(0.8 * SPLIT_HASH_MOD)
+SPLIT_VAL_CUT = int(0.9 * SPLIT_HASH_MOD)
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic train/val/test assignment by multiplicative hash
+    of doc_id (80/10/10). Pure per-batch math — fuses with the read,
+    no shuffle, no driver state."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = ((ids % SPLIT_HASH_MOD) * SPLIT_HASH_MULT) % SPLIT_HASH_MOD
+        split = np.where(
+            h < SPLIT_TRAIN_CUT, "train", np.where(h < SPLIT_VAL_CUT, "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+CURATION_MIN_WORDS = 5
+CURATION_PUNCT_DENOM = 4  # keep while n_punct * 4 <= n_chars (ratio <= 0.25)
+
+
+def q_doc_curation(sf_dir: str):
+    """Composite curation pass — the canonical pre-training cleaning
+    filter: language-ID gate + quality-counter thresholds fused into
+    ONE streaming map over the corpus (no shuffle; rejected rows die
+    in the same batch that scored them)."""
+    from embulk_input_marketo_ray.stages.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    langid = _task_stage(LangId)
+
+    def curate(batch: pa.Table) -> pa.Table:
+        batch = langid(batch)
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        n_words = pc.count_substring_regex(text, pattern=r"\S+").cast(pa.int64())
+        n_punct = pc.count_substring_regex(text, pattern=r"[^\w\s]").cast(pa.int64())
+        keep = pc.and_(
+            pc.and_(
+                pc.equal(batch.column("lang_pred"), pa.scalar("en")),
+                pc.greater_equal(n_words, pa.scalar(CURATION_MIN_WORDS)),
+            ),
+            pc.less_equal(
+                pc.multiply(n_punct, pa.scalar(CURATION_PUNCT_DENOM, type=pa.int64())),
+                n_chars,
+            ),
+        )
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": batch.column("lang_pred"),
+                "n_words": n_words,
+            }
+        )
+        return out.filter(keep)
+
+    return ds.map_batches(curate, batch_format="pyarrow")
+
+
+def q_embedding_dup_clusters(sf_dir: str):
+    """Embedding near-dup pairs -> connected components: the canonical
+    -vector selection step of SEMANTIC dedup (same cluster machinery as
+    the MinHash text path, driven by the cosine-LSH candidate pairs)."""
+    from embulk_input_marketo_ray.stages.dedup import resolve_dup_clusters
+
+    pairs = q_embedding_near_dup(sf_dir).map_batches(
+        lambda t: t.rename_columns(["doc_id", "dup_of"]), batch_format="pyarrow"
+    )
+    return resolve_dup_clusters(pairs).map_batches(
+        lambda t: t.rename_columns(["vec_id", "cluster_id"]), batch_format="pyarrow"
+    )
