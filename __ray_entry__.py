@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_static_schema": q.q_activity_static_schema,
         "doc_split": q.q_doc_split,
         "doc_curation": q.q_doc_curation,
+        "doc_vocab_topk": q.q_doc_vocab_topk,
     }
 
 
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         CUSTOM_OBJECT_TO,
         SLICE_FROM,
         SLICE_TO,
+        VOCAB_TOP_K,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -278,9 +280,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_clusters": (
             f"SELECT * FROM read_parquet('{oracle_paths['embedding_dup_clusters']}')"
         ),
-        # --- corpus split / curation (pure SQL) ---
+        # --- corpus split / curation / vocab (pure SQL) ---
         "doc_split": _doc_split_sql(),
         "doc_curation": _doc_curation_sql(),
+        "doc_vocab_topk": f"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+              FROM documents
+            )
+            SELECT token, count(*) AS n FROM tok GROUP BY token
+            ORDER BY n DESC, token LIMIT {VOCAB_TOP_K}
+        """,
         "multimodal_pipeline": (
             f"SELECT * FROM read_parquet('{oracle_paths['multimodal_pipeline']}')"
         ),

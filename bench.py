@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "embedding_dup_clusters",
     "doc_split",
     "doc_curation",
+    "doc_vocab_topk",
 ]
 
 

@@ -980,6 +980,56 @@ def q_doc_curation(sf_dir: str):
     return ds.map_batches(curate, batch_format="pyarrow")
 
 
+VOCAB_TOP_K = 50
+
+
+def q_doc_vocab_topk(sf_dir: str):
+    """Corpus vocabulary: global token frequencies -> top-k — the
+    vocab-building aggregate of a tokenizer pipeline.
+
+    Tokens explode in-block (regex split + list flatten, no Python
+    loop), counts combine in-block BEFORE the keyed exchange (the
+    two-phase ``grouped_aggregate``: shuffle payload is distinct
+    tokens x blocks, not token occurrences), and the global top-k is
+    per-partition top-k + a <= k x partitions driver merge (the
+    ``preview_limit`` pattern — never a global sort). Ties break
+    (count desc, token asc) at every level, so the result set is
+    deterministic."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def token_counts_block(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pa.table({"token": toks.flatten()})
+        flat = flat.filter(pc.not_equal(flat.column("token"), pa.scalar("")))
+        out = flat.group_by(["token"]).aggregate([([], "count_all")])
+        out = out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        )
+        return out.select(["token", "n"])
+
+    partial = ds.map_batches(token_counts_block, batch_format="pyarrow")
+    counts = grouped_aggregate(partial, ["token"], [("n", "sum", "n")])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= VOCAB_TOP_K:
+            return batch
+        order = pc.sort_indices(
+            batch, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+        return batch.take(order.slice(0, VOCAB_TOP_K))
+
+    parts = counts.map_batches(local_top, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(parts)
+    order = pc.sort_indices(
+        merged, sort_keys=[("n", "descending"), ("token", "ascending")]
+    )
+    return merged.take(order.slice(0, VOCAB_TOP_K))
+
+
 def q_embedding_dup_clusters(sf_dir: str):
     """Embedding near-dup pairs -> connected components: the canonical
     -vector selection step of SEMANTIC dedup (same cluster machinery as
