@@ -692,8 +692,12 @@ class SimHasher:
         uniq_hash = np.fromiter(
             (self._token_hash(u) for u in uniques), dtype=np.uint64, count=len(uniques)
         )
-        # bit matrix of UNIQUE token hashes only: (n_uniq, 64)
-        ubits = ((uniq_hash[:, None] >> self._bit_idx[None, :]) & np.uint64(1)).astype(np.int32)
+        # bit matrix of UNIQUE token hashes only: (n_uniq, 64). int8,
+        # not int32 — the per-batch (n_flat, 64) gather below is the
+        # stage's dominant allocation, and on lazy-memory hosts each
+        # worker's FIRST touch of those pages costs ~0.3-1 ms/4KiB (see
+        # __init__._tune_malloc); int8 quarters that one-time cost.
+        ubits = ((uniq_hash[:, None] >> self._bit_idx[None, :]) & np.uint64(1)).astype(np.int8)
 
         keep_idx = np.flatnonzero(nonempty)
         kept_codes = codes[keep_idx]
@@ -703,11 +707,13 @@ class SimHasher:
         out = np.zeros(n_docs, dtype=np.uint64)
         if len(kept_codes) == 0:
             return out
-        flat_bits = ubits[kept_codes]  # (n_flat, 64) int32
+        flat_bits = np.take(ubits, kept_codes, axis=0)  # (n_flat, 64) int8
         # reduceat needs strictly valid start indices; empty docs repeat
         # a boundary -> their "sum" is one spurious row, masked out below
         starts = np.minimum(new_offsets[:-1], len(kept_codes) - 1)
-        ones = np.add.reduceat(flat_bits, starts, axis=0)  # (n_docs, 64)
+        # dtype=int32: accumulate in 32-bit so long documents cannot
+        # overflow the int8 inputs
+        ones = np.add.reduceat(flat_bits, starts, axis=0, dtype=np.int32)
         votes = 2 * ones - n_tok[:, None]
         sim = ((votes > 0).astype(np.uint64) << self._bit_idx[None, :]).sum(
             axis=1, dtype=np.uint64
