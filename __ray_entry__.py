@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": q.q_doc_split,
         "doc_curation": q.q_doc_curation,
         "doc_vocab_topk": q.q_doc_vocab_topk,
+        "doc_dedup_near": q.q_doc_dedup_near,
     }
 
 
@@ -272,6 +273,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{oracle_paths['doc_minhash_dup_pairs']}')"
         ),
         "doc_dup_clusters": f"SELECT * FROM read_parquet('{oracle_paths['doc_dup_clusters']}')",
+        "doc_dedup_near": f"""
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT doc_id FROM read_parquet('{oracle_paths['doc_dup_clusters']}')
+              WHERE doc_id != cluster_id)
+        """,
         "ann_lsh_topk": f"SELECT * FROM read_parquet('{oracle_paths['ann_lsh_topk']}')",
         "ann_ivf_topk": f"SELECT * FROM read_parquet('{oracle_paths['ann_ivf_topk']}')",
         "embedding_near_dup": (

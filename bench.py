@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "doc_split",
     "doc_curation",
     "doc_vocab_topk",
+    "doc_dedup_near",
 ]
 
 

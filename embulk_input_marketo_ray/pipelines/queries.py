@@ -803,6 +803,33 @@ def q_doc_dup_clusters(sf_dir: str):
     return resolve_dup_clusters(pairs)
 
 
+def q_doc_dedup_near(sf_dir: str):
+    """End-to-end near-dedup of the corpus: MinHash+LSH candidates ->
+    exact-Jaccard verify -> connected components -> drop every
+    non-canonical cluster member.
+
+    The drop set (cluster losers) is ∝ the duplicate count, orders of
+    magnitude smaller than the corpus, so it broadcasts once
+    (``ray.put``) and the corpus-wide step is a fused searchsorted
+    filter — the 10^10-row path never shuffles the corpus itself."""
+    clusters = q_doc_dup_clusters(sf_dir).to_pandas()
+    losers = np.sort(
+        clusters.doc_id[clusters.doc_id != clusters.cluster_id].to_numpy(dtype=np.int64)
+    )
+    ref = ray.put(losers)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        losers = ray.get(ref)  # zero-copy plasma view after first fetch
+        if not len(losers):
+            return batch
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        pos = np.clip(np.searchsorted(losers, ids), 0, len(losers) - 1)
+        return batch.filter(pa.array(losers[pos] != ids))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def q_token_paged_source(sf_dir: str):
     """S4: token-cursor paged source (fixture server) with mid-stream
     token expiry + rate-limit + bad-JSON injections, all retried."""
