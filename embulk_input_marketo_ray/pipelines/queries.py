@@ -813,9 +813,14 @@ def q_doc_dedup_near(sf_dir: str):
     (``ray.put``) and the corpus-wide step is a fused searchsorted
     filter — the 10^10-row path never shuffles the corpus itself."""
     clusters = q_doc_dup_clusters(sf_dir).to_pandas()
-    losers = np.sort(
-        clusters.doc_id[clusters.doc_id != clusters.cluster_id].to_numpy(dtype=np.int64)
-    )
+    if "doc_id" in clusters.columns:  # empty pair set -> 0-column frame
+        losers = np.sort(
+            clusters.doc_id[clusters.doc_id != clusters.cluster_id].to_numpy(
+                dtype=np.int64
+            )
+        )
+    else:
+        losers = np.empty(0, dtype=np.int64)
     ref = ray.put(losers)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -1063,9 +1068,15 @@ def q_embedding_dup_clusters(sf_dir: str):
     the MinHash text path, driven by the cosine-LSH candidate pairs)."""
     from embulk_input_marketo_ray.stages.dedup import resolve_dup_clusters
 
+    def _rename(names):
+        def fn(t: pa.Table) -> pa.Table:
+            # empty pair sets surface as 0-column blocks
+            return t.rename_columns(names) if t.num_columns == len(names) else t
+        return fn
+
     pairs = q_embedding_near_dup(sf_dir).map_batches(
-        lambda t: t.rename_columns(["doc_id", "dup_of"]), batch_format="pyarrow"
+        _rename(["doc_id", "dup_of"]), batch_format="pyarrow"
     )
     return resolve_dup_clusters(pairs).map_batches(
-        lambda t: t.rename_columns(["vec_id", "cluster_id"]), batch_format="pyarrow"
+        _rename(["vec_id", "cluster_id"]), batch_format="pyarrow"
     )
