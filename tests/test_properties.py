@@ -129,3 +129,100 @@ def test_csv_quoted_roundtrip(rows):
     got = list(zip(t.column("h1").to_pylist(), t.column("h2").to_pylist()))
     exp = [(a, b) for a, b in rows]
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# vectorized within-run pair kernels (stages/similarity) vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _brute_pairs(tables, buckets, ids):
+    """Per-group np.triu reference for block_id_pairs."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for t, b, i in zip(tables, buckets, ids):
+        groups[(t, b)].append(i)
+    out = set()
+    for members in groups.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                out.add((max(ms[x], ms[y]), min(ms[x], ms[y])))
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # lsh_table
+            st.integers(min_value=0, max_value=4),  # lsh_bucket
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+)
+def test_block_id_pairs_matches_brute_force(rows):
+    """The run-slicing pair kernel emits exactly the per-group triu set
+    (ids unique per (table, bucket), as the LSH explode guarantees)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from embulk_input_marketo_ray.stages.similarity import _int64_col, _sorted_runs
+
+    # assign each row a unique id per (table,bucket) by construction
+    seen = {}
+    ids = []
+    for t, b in rows:
+        k = (t, b)
+        seen[k] = seen.get(k, 0) + 1
+        ids.append(len(ids))  # globally unique ids
+    block = pa.table(
+        {
+            "lsh_table": pa.array([t for t, _ in rows], type=pa.int32()),
+            "lsh_bucket": pa.array([b for _, b in rows], type=pa.int64()),
+            "vec_id": pa.array(ids, type=pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return
+    blk, starts, ends = _sorted_runs(block, ["lsh_table", "lsh_bucket"])
+    vid = _int64_col(blk, "vec_id")
+    n = blk.num_rows
+    sizes = ends - starts
+    loc = np.arange(n) - np.repeat(starts, sizes)
+    total = int(loc.sum())
+    got = set()
+    if total:
+        out_starts = np.cumsum(loc) - loc
+        g = np.arange(n)
+        jj = np.repeat(g, loc)
+        ii = np.arange(total) - np.repeat(out_starts, loc) + np.repeat(g - loc, loc)
+        a, b = vid[ii], vid[jj]
+        got = set(zip(np.maximum(a, b).tolist(), np.minimum(a, b).tolist()))
+    exp = _brute_pairs([t for t, _ in rows], [b for _, b in rows], ids)
+    assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=200))
+def test_doc_split_hash_matches_sql_rule(ids):
+    """The numpy multiplicative-hash split equals the SQL HUGEINT rule
+    (exact integer arithmetic) for any non-negative doc_id."""
+    import numpy as np
+
+    from embulk_input_marketo_ray.pipelines.queries import (
+        SPLIT_HASH_MOD,
+        SPLIT_HASH_MULT,
+        SPLIT_TRAIN_CUT,
+        SPLIT_VAL_CUT,
+    )
+
+    arr = np.asarray(ids, dtype=np.uint64)
+    h = ((arr % SPLIT_HASH_MOD) * SPLIT_HASH_MULT) % SPLIT_HASH_MOD
+    for i, doc_id in enumerate(ids):
+        h_ref = ((doc_id % SPLIT_HASH_MOD) * SPLIT_HASH_MULT) % SPLIT_HASH_MOD  # python bigint
+        assert int(h[i]) == h_ref
+        split = "train" if h_ref < SPLIT_TRAIN_CUT else ("val" if h_ref < SPLIT_VAL_CUT else "test")
+        assert split in ("train", "val", "test")
