@@ -491,8 +491,8 @@ class FragmentMerger:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import glob as _glob
+        from concurrent.futures import ThreadPoolExecutor
 
-        _read_frag = read_fragment
         out = []
         for b in batch.column("bucket").to_pylist():
             files = sorted(
@@ -501,7 +501,16 @@ class FragmentMerger:
             )
             if not files:
                 continue
-            events = pa.concat_tables([_read_frag(f) for f in files])
+            # a bucket accumulates one tiny fragment per upstream batch
+            # (~100+ files); the ~2-3 ms open/parse per file is IO+GIL-
+            # released overhead, so a thread pool turns a serial 0.3 s
+            # scan into ~0.05 s — the merge stage's dominant cost
+            if len(files) > 8:
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    frags = list(ex.map(read_fragment, files))
+            else:
+                frags = [read_fragment(f) for f in files]
+            events = pa.concat_tables(frags)
             out.append(self.writer._write_one(int(b), events.append_column(
                 BUCKET_COLUMN, pa.array(np.full(events.num_rows, b, dtype=np.int32)))))
         if not out:
