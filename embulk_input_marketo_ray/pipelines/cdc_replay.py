@@ -376,6 +376,7 @@ def _winner_scan(
     def reduce_bucket(batch: pa.Table) -> pa.Table:
         import glob as _glob
         import os as _os
+        from concurrent.futures import ThreadPoolExecutor
 
         tables = []
         for b in batch.column("bucket").to_pylist():
@@ -385,7 +386,14 @@ def _winner_scan(
             )
             if not files:
                 continue
-            cands = pa.concat_tables([read_fragment(f) for f in files])
+            # one tiny fragment per upstream batch: the per-file open
+            # cost dominates a serial read (same fix as FragmentMerger)
+            if len(files) > 8:
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    frags = list(ex.map(read_fragment, files))
+            else:
+                frags = [read_fragment(f) for f in files]
+            cands = pa.concat_tables(frags)
             tables.append(winner_candidates(cands))
         return pa.concat_tables(tables) if tables else empty
 
