@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation": q.q_doc_curation,
         "doc_vocab_topk": q.q_doc_vocab_topk,
         "doc_dedup_near": q.q_doc_dedup_near,
+        "doc_topk_per_lang": q.q_doc_topk_per_lang,
     }
 
 
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         ANN_TOP_K,
         CUSTOM_OBJECT_FROM,
         CUSTOM_OBJECT_TO,
+        GROUP_TOP_K,
         SLICE_FROM,
         SLICE_TO,
         VOCAB_TOP_K,
@@ -297,6 +299,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS n FROM tok GROUP BY token
             ORDER BY n DESC, token LIMIT {VOCAB_TOP_K}
+        """,
+        "doc_topk_per_lang": rf"""
+            WITH m AS (
+              SELECT lang, doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens_ws
+              FROM documents
+            )
+            SELECT lang, doc_id, n_tokens_ws, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY n_tokens_ws DESC, doc_id) AS rank
+              FROM m
+            ) WHERE rank <= {GROUP_TOP_K}
         """,
         "multimodal_pipeline": (
             f"SELECT * FROM read_parquet('{oracle_paths['multimodal_pipeline']}')"

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "doc_curation",
     "doc_vocab_topk",
     "doc_dedup_near",
+    "doc_topk_per_lang",
 ]
 
 

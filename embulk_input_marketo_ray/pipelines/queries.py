@@ -1062,6 +1062,56 @@ def q_doc_vocab_topk(sf_dir: str):
     return merged.take(order.slice(0, VOCAB_TOP_K))
 
 
+GROUP_TOP_K = 5
+
+
+def q_doc_topk_per_lang(sf_dir: str):
+    """Per-group top-k (windowed ranking): the k longest documents of
+    every language — `row_number() OVER (PARTITION BY lang ORDER BY
+    ...)` semantics without a global sort. Counts compute in the same
+    fused pass as the read; each language's rows land wholly in one
+    partition via the keyed exchange; ranking is one vectorized
+    sort + run-slice per block."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def measure(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "doc_id": batch.column("doc_id"),
+                "n_tokens_ws": pc.count_substring_regex(
+                    batch.column("text"), pattern=r"\S+"
+                ).cast(pa.int64()),
+            }
+        )
+
+    measured = ds.map_batches(measure, batch_format="pyarrow")
+
+    def topk(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("lang", "ascending"),
+                ("n_tokens_ws", "descending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        lang = np.asarray(t.column("lang"), dtype=object)
+        starts = np.flatnonzero(np.r_[True, lang[1:] != lang[:-1]])
+        rank = np.arange(len(lang), dtype=np.int64)
+        rank = rank - np.repeat(rank[starts], np.diff(np.r_[starts, len(lang)])) + 1
+        t = t.append_column("rank", pa.array(rank, type=pa.int64()))
+        return t.filter(pa.array(rank <= GROUP_TOP_K))
+
+    shuffled = _keyed_repartition(measured, _shuffle_width(), ["lang"])
+    return shuffled.map_batches(
+        topk, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_embedding_dup_clusters(sf_dir: str):
     """Embedding near-dup pairs -> connected components: the canonical
     -vector selection step of SEMANTIC dedup (same cluster machinery as
