@@ -158,7 +158,15 @@ def run_bench() -> dict:
             num_buckets=int(os.environ.get("GRAFT_BUCKETS", "32")),
             batch_size=int(os.environ.get("GRAFT_BATCH", "65536")),
             shuffle=os.environ.get("GRAFT_SHUFFLE", "hash"),
-            shuffle_scratch_dir=os.environ.get("GRAFT_SCRATCH") or None,
+            # single-node bench: RAM-backed scratch for the fragment
+            # exchange (IPC-on-tmpfs = memcpy; 4.44 -> 3.66 s on the
+            # 9.79M window). The ENGINE default stays lake-local
+            # because on a multi-node cluster the merge tasks must read
+            # fragments across nodes (shared fs) — node-local tmpfs is
+            # only correct when the whole job runs on one node, which
+            # is exactly what this harness does.
+            shuffle_scratch_dir=os.environ.get("GRAFT_SCRATCH")
+            or ("/dev/shm/graft_bench_scratch" if os.path.isdir("/dev/shm") else None),
             # None -> engine default (2 read tasks per input file)
             read_num_blocks=(
                 int(os.environ["GRAFT_READ_BLOCKS"])
