@@ -475,8 +475,6 @@ def verify_pairs_jaccard(
        several LSH bands) collapse here for free, so no separate
        pair-dedup shuffle is needed upstream.
     """
-    from embulk_input_marketo_ray.pipelines.queries import grouped_map
-
     union_schema = pa.schema(
         [
             ("key", pa.int64()),
