@@ -226,3 +226,63 @@ def test_doc_split_hash_matches_sql_rule(ids):
         assert int(h[i]) == h_ref
         split = "train" if h_ref < SPLIT_TRAIN_CUT else ("val" if h_ref < SPLIT_VAL_CUT else "test")
         assert split in ("train", "val", "test")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    n_queries=st.integers(min_value=0, max_value=6),
+)
+def test_block_candidates_matches_brute_force(rows, n_queries):
+    """The ANN candidate kernel emits exactly query x bucket-members
+    (self included) for every bucket containing a query id."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+
+    from embulk_input_marketo_ray.stages.similarity import _int64_col, _sorted_runs
+
+    ids = list(range(len(rows)))
+    block = pa.table(
+        {
+            "lsh_table": pa.array([t for t, _ in rows], type=pa.int32()),
+            "lsh_bucket": pa.array([b for _, b in rows], type=pa.int64()),
+            "vec_id": pa.array(ids, type=pa.int64()),
+        }
+    )
+    if block.num_rows == 0:
+        return
+    blk, starts, ends = _sorted_runs(block, ["lsh_table", "lsh_bucket"])
+    vid = _int64_col(blk, "vec_id")
+    qpos = np.flatnonzero(vid < n_queries)
+    got = set()
+    if len(qpos):
+        sizes = ends - starts
+        run_of_q = np.searchsorted(starts, qpos, side="right") - 1
+        counts = sizes[run_of_q]
+        total = int(counts.sum())
+        out_starts = np.cumsum(counts) - counts
+        jj = (
+            np.arange(total)
+            - np.repeat(out_starts, counts)
+            + np.repeat(starts[run_of_q], counts)
+        )
+        got = set(zip(np.repeat(vid[qpos], counts).tolist(), vid[jj].tolist()))
+    groups = defaultdict(list)
+    for (t, b), i in zip(rows, ids):
+        groups[(t, b)].append(i)
+    exp = set()
+    for members in groups.values():
+        for q in members:
+            if q < n_queries:
+                for m in members:
+                    exp.add((q, m))
+    assert got == exp
