@@ -165,8 +165,15 @@ def run_bench() -> dict:
             # fragments across nodes (shared fs) — node-local tmpfs is
             # only correct when the whole job runs on one node, which
             # is exactly what this harness does.
+            # per-pid namespace: replay rmtree's its scratch at startup,
+            # so a fixed shared path would let two concurrent bench
+            # processes delete each other's in-flight exchange fragments
             shuffle_scratch_dir=os.environ.get("GRAFT_SCRATCH")
-            or ("/dev/shm/graft_bench_scratch" if os.path.isdir("/dev/shm") else None),
+            or (
+                f"/dev/shm/graft_bench_scratch_{os.getpid()}"
+                if os.path.isdir("/dev/shm")
+                else None
+            ),
             # None -> engine default (2 read tasks per input file)
             read_num_blocks=(
                 int(os.environ["GRAFT_READ_BLOCKS"])

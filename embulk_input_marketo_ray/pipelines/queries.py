@@ -612,10 +612,12 @@ ANN_TOP_K = 5
 
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k: query matrix broadcast once (ray.put),
-    per-batch numpy matmul, global top-k by groupby over query id."""
-    qt = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    qmask = pc.less(qt.column("vec_id"), pa.scalar(ANN_NUM_QUERIES))
-    qt = qt.filter(qmask)
+    per-batch numpy matmul, global top-k by groupby over query id.
+    Query vectors are selected with a pushed-down parquet predicate —
+    the driver never reads the full embeddings column."""
+    from embulk_input_marketo_ray.stages.similarity import read_query_vectors
+
+    qt = read_query_vectors(_t(sf_dir, "embeddings"), ANN_NUM_QUERIES)
     qm = list_column_matrix(qt.column("embedding"))
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     qids = np.asarray(qt.column("vec_id"))
@@ -1055,6 +1057,12 @@ def q_doc_vocab_topk(sf_dir: str):
         return batch.take(order.slice(0, VOCAB_TOP_K))
 
     parts = counts.map_batches(local_top, batch_format="pyarrow").take_all()
+    if not parts:
+        # empty corpus: from_pylist([]) would yield a ZERO-COLUMN table
+        # and the sort below would raise on the missing keys
+        return pa.table(
+            {"token": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+        )
     merged = pa.Table.from_pylist(parts)
     order = pc.sort_indices(
         merged, sort_keys=[("n", "descending"), ("token", "ascending")]

@@ -67,6 +67,21 @@ def _embedding_matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
     return emb / norms
 
 
+def read_query_vectors(embeddings_path: str, n_queries: int) -> pa.Table:
+    """Query rows (``vec_id < n_queries``) via a PUSHED-DOWN parquet
+    predicate: ``filters=`` prunes row groups whose vec_id statistics
+    exclude the range and row-filters the survivors inside the reader,
+    so the driver cost is O(n_queries + one row group) — never the
+    whole embeddings column (the round-2 scale-killer: a full
+    ``pq.read_table`` then in-memory filter materialized the entire
+    corpus on the driver just to keep 3 rows)."""
+    return pq.read_table(
+        embeddings_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, table_idx: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed + 1000 * table_idx)
     return rng.standard_normal((dim, n_planes))
@@ -415,8 +430,7 @@ def _exact_topk(
 
     # broadcast the (tiny) normalized query matrix once, rows sorted by
     # query id so the per-batch row lookup is a vectorized searchsorted
-    qt = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
-    qt = qt.filter(pc.less(qt.column("vec_id"), pa.scalar(n_queries)))
+    qt = read_query_vectors(embeddings_path, n_queries)
     qm = list_column_matrix(qt.column("embedding"))
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     qids = np.asarray(qt.column("vec_id"), dtype=np.int64)
@@ -551,9 +565,9 @@ def ann_ivf_topk(
     centroids = kmeans_centroids(xs, n_centroids, seed=seed)
 
     # --- per-query probe lists (tiny, driver-side like the LSH query
-    # matrix); stable argsort so ties break identically in the oracle ---
-    qt = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
-    qt = qt.filter(pc.less(qt.column("vec_id"), pa.scalar(n_queries)))
+    # matrix, read via a pushed-down vec_id predicate); stable argsort
+    # so ties break identically in the oracle ---
+    qt = read_query_vectors(embeddings_path, n_queries)
     qm = _embedding_matrix(qt)
     probe = np.argsort(-(qm @ centroids.T), axis=1, kind="stable")[:, :n_probe]
     qids_arr = np.asarray(qt.column("vec_id"))
