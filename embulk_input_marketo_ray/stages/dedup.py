@@ -393,6 +393,7 @@ def resolve_dup_clusters(
         # acero's field resolution inside Ray's hash join)
         return pa.table({"nbr": batch.column("node"), "nbr_label": batch.column("label")})
 
+    converged = False
     for _ in range(max_rounds):
         cand = edges.join(
             labels.map_batches(as_nbr_label, batch_format="pyarrow"),
@@ -414,8 +415,24 @@ def resolve_dup_clusters(
         )
         new_sum = labels.aggregate(Sum("label"))
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # a component of diameter > max_rounds did not reach its fixed
+        # point: its labels are an upper bound, not the component min —
+        # downstream "canonical member" selection would be wrong for it.
+        # Near-dup clusters are dense/shallow in practice, so this warns
+        # rather than raises; callers needing exactness raise max_rounds.
+        import warnings
+
+        warnings.warn(
+            f"resolve_dup_clusters: min-label propagation did not converge "
+            f"within max_rounds={max_rounds}; cluster ids may be non-minimal "
+            f"for components of diameter > {max_rounds}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -35,3 +35,25 @@ def test_distributed_propagation_path_matches_union_find():
     }
     assert exact == prop
     assert exact[30] == 1  # deep chain resolves to global min
+
+
+def test_propagation_warns_when_max_rounds_insufficient():
+    # path graph 1-2-...-12: diameter 11; labels move one hop per round,
+    # so the far end can't reach the global min in 2 rounds and the
+    # label sum is still decreasing when the round budget runs out
+    rows = [(i + 1, i) for i in range(1, 12)]
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = resolve_dup_clusters(_pairs(rows), driver_pair_limit=0, max_rounds=2)
+        out.materialize()
+    # and with enough rounds the same graph converges silently
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in resolve_dup_clusters(
+                _pairs(rows), driver_pair_limit=0, max_rounds=16
+            ).take_all()
+        }
+    assert set(got.values()) == {1}
