@@ -100,6 +100,16 @@ def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+# Identity of the routing-hash function below. The raw hash decides the
+# persisted bucket of every lake row (stable_key_hash, extendible splits
+# in sinks/exactly_once.split_pieces), so changing the implementation —
+# algorithm, seed, or row-encoding — silently strands committed rows in
+# buckets new events no longer route to. Bump this string with ANY such
+# change; the replay manifest records it and refuses to replay into a
+# lake written under a different version.
+ROUTING_HASH_VERSION = "polars-hash_rows-seed42-v1"
+
+
 def stable_key_hash_raw(table: pa.Table, key_columns: list[str]) -> np.ndarray:
     """Deterministic uint64 hash per row over a composite string key.
 

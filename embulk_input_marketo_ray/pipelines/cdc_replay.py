@@ -501,6 +501,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     manifest = PartitionManifest(cfg.lake_dir)
     manifest.prepare()
     manifest_state = manifest.load()
+    manifest.check_routing_version(manifest_state)
     done_pids = {
         pid
         for pid, st in manifest_state["partitions"].items()

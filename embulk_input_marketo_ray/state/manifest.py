@@ -52,6 +52,32 @@ class PartitionManifest:
     def committed_ids(self) -> set[str]:
         return set(self.load()["partitions"].keys())
 
+    def check_routing_version(self, state: dict | None = None) -> None:
+        """Refuse to replay into a lake whose committed rows were routed
+        by a different hash implementation.
+
+        A key's bucket is a pure function of the routing hash; under a
+        changed hash the key's new events land in a different bucket
+        than its committed row, the per-bucket LWW merge never sees the
+        prior row, and the lake silently accumulates duplicate keys.
+        Lakes stamped before versioning existed (no ``routing_hash``
+        key, but partitions present) are accepted and stamped on the
+        next commit — they were necessarily written by the v1 hash.
+        """
+        from embulk_input_marketo_ray.functions.scalar import ROUTING_HASH_VERSION
+
+        state = self.load() if state is None else state
+        stamped = state.get("routing_hash")
+        if state["partitions"] and stamped is not None and stamped != ROUTING_HASH_VERSION:
+            raise RuntimeError(
+                f"lake at {self.out_dir} was written with routing-hash version "
+                f"{stamped!r} but this build uses {ROUTING_HASH_VERSION!r}; "
+                "replaying would route keys to different buckets than their "
+                "committed rows and duplicate them. Rebuild the lake (full "
+                "re-replay into an empty dir) or run the build matching the "
+                "stamped version."
+            )
+
     def data_path(self, pid: str) -> str:
         return os.path.join(self.out_dir, f"part-{pid}.parquet")
 
@@ -90,8 +116,14 @@ class PartitionManifest:
         promoted — the manifest write is the commit point; the watermark
         checkpoint advances only after this returns (W4).
         """
+        from embulk_input_marketo_ray.functions.scalar import ROUTING_HASH_VERSION
+
         state = self.load()
         state["partitions"].update(stats_by_pid)
+        # record which routing-hash implementation placed these rows;
+        # replay refuses a lake stamped with a different version (see
+        # check_routing_version) instead of silently double-keying it
+        state["routing_hash"] = ROUTING_HASH_VERSION
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f, sort_keys=True)

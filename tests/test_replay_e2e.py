@@ -355,3 +355,35 @@ def test_delta_layout_compaction_and_resume(tmp_path):
     assert sorted(map(tuple, before.itertuples(index=False))) == sorted(
         map(tuple, after.itertuples(index=False))
     )
+
+
+def test_routing_hash_version_guard(events_dir, tmp_path):
+    """A lake stamped with a different routing-hash version must refuse
+    incremental replay (a changed hash would route keys away from their
+    committed buckets and duplicate them)."""
+    lake = str(tmp_path / "lake")
+    cfg1 = cfg_for(events_dir, lake)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    replay(cfg1)
+
+    mpath = os.path.join(lake, "manifest.json")
+    with open(mpath) as f:
+        state = json.load(f)
+    from embulk_input_marketo_ray.functions.scalar import ROUTING_HASH_VERSION
+
+    assert state["routing_hash"] == ROUTING_HASH_VERSION
+    state["routing_hash"] = "some-other-hash-v9"
+    with open(mpath, "w") as f:
+        json.dump(state, f)
+
+    with pytest.raises(RuntimeError, match="routing-hash version"):
+        replay(cfg_for(events_dir, lake))
+
+    # pre-versioning lakes (no stamp, partitions present) are accepted
+    del state["routing_hash"]
+    with open(mpath, "w") as f:
+        json.dump(state, f)
+    r = replay(cfg_for(events_dir, lake))
+    assert not r["skipped"]
+    with open(mpath) as f:
+        assert json.load(f)["routing_hash"] == ROUTING_HASH_VERSION
