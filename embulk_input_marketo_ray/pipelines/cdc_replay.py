@@ -253,6 +253,7 @@ class LateIngestStage:
         winners_ref,
         shuffle_dir,
         frag_fmt,
+        done_buckets=(),
     ) -> None:
         import ray
 
@@ -269,6 +270,13 @@ class LateIngestStage:
         # zero-copy plasma view of the broadcast winner-key set
         self.winner_set = ray.get(winners_ref)
         self.fw = FragmentWriter(shuffle_dir, num_buckets, frag_fmt)
+        # exact committed-bucket exclusion (mirrors the eager path's
+        # drop_committed). The scan already excludes done buckets, but
+        # only through the uint64 winner-hash membership set — a hash
+        # collision with a row in a committed bucket would otherwise
+        # write a fragment there and re-merge an already-committed
+        # partition; this filter makes the guarantee exact again.
+        self.skip_buckets = pa.array(done_buckets) if len(done_buckets) else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = self.extractor(batch)
@@ -286,6 +294,10 @@ class LateIngestStage:
             )
         batch = self.normalizer(batch)
         t = add_bucket_and_partial_lww(batch, self.num_buckets, directory=self.directory)
+        if self.skip_buckets is not None:
+            t = t.filter(
+                pc.invert(pc.is_in(t.column(BUCKET_COLUMN), value_set=self.skip_buckets))
+            )
         return self.fw(t)
 
 
@@ -304,10 +316,15 @@ def _winner_scan(
     to its per-key max version, exchange the tiny candidates by bucket
     via fragments, and reduce each bucket to its global winners.
 
-    Returns ``(winners_table, scanned_rows)`` where winners has columns
-    (repo, path, commit_seq). The winner count is bounded by the
-    window's key cardinality — the same bound as the lake rows this
-    window can touch."""
+    Returns ``(winner_hash_ds, scanned_rows)`` where the dataset is the
+    MATERIALIZED per-bucket uint64 winner-hash sets (column ``wh``, 8
+    bytes/winner, ``None`` when the window has no candidates). Hashing
+    happens inside the per-bucket reduce, so nothing reaches the driver
+    here — the caller sizes the broadcast from block metadata
+    (``count()``) and only ``ray.get``s the set after the
+    ``late_broadcast_limit`` check passes. The winner count is bounded
+    by the window's key cardinality — the same bound as the lake rows
+    this window can touch."""
     import ray
 
     from embulk_input_marketo_ray.sinks.exactly_once import FragmentWriter, read_fragment
@@ -359,15 +376,8 @@ def _winner_scan(
     stat_rows = frag_stats.take_all()
     scanned = int(sum(r["rows_in"] for r in stat_rows))
     buckets_present = sorted({r["bucket"] for r in stat_rows if r["bucket"] >= 0})
-    empty = pa.table(
-        {
-            "repo": pa.array([], type=pa.string()),
-            "path": pa.array([], type=pa.string()),
-            "commit_seq": pa.array([], type=pa.int64()),
-        }
-    )
     if not buckets_present:
-        return empty, scanned
+        return None, scanned
     specs = ray.data.from_items(
         [{"bucket": b} for b in buckets_present],
         override_num_blocks=len(buckets_present),
@@ -395,12 +405,15 @@ def _winner_scan(
                 frags = [read_fragment(f) for f in files]
             cands = pa.concat_tables(frags)
             tables.append(winner_candidates(cands))
-        return pa.concat_tables(tables) if tables else empty
+        if not tables:
+            return pa.table({"wh": pa.array([], type=pa.uint64())})
+        # hash in the reduce task: the driver never sees winner strings,
+        # only (after the budget check) the 8-byte membership hashes
+        w = pa.concat_tables(tables)
+        return pa.table({"wh": pa.array(winner_hash(w))})
 
     winners_ds = specs.map_batches(reduce_bucket, batch_size=None, batch_format="pyarrow")
-    parts = [t for t in ray.get(winners_ds.to_arrow_refs()) if t.num_rows]
-    winners = pa.concat_tables(parts, promote_options="none") if parts else empty
-    return winners.combine_chunks(), scanned
+    return winners_ds.materialize(), scanned
 
 
 def replay(cfg: ReplayConfig) -> dict:
@@ -714,16 +727,20 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     if consider_late:
         scan_dir = scratch_root + "_scan"
         _shutil.rmtree(scan_dir, ignore_errors=True)
-        winners, scanned_n = _winner_scan(
+        winners_ds, scanned_n = _winner_scan(
             cfg, slices, ts_column, blocks, directory, done_buckets, scan_dir, frag_fmt
         )
         _shutil.rmtree(scan_dir, ignore_errors=True)
-        winners_n = winners.num_rows
-        too_big = winners.nbytes > cfg.late_broadcast_limit
+        # size the broadcast from BLOCK METADATA (count of 8-byte
+        # hashes) before any driver collection: a high-cardinality
+        # window must fall back to eager without the driver ever
+        # holding the winner set it is refusing to broadcast
+        winners_n = winners_ds.count() if winners_ds is not None else 0
+        too_big = 8 * winners_n > cfg.late_broadcast_limit
         low_dedup = scanned_n == 0 or winners_n > cfg.late_ratio * scanned_n
         if cfg.materialization == "late" and too_big:
             raise ValueError(
-                f"late-materialization winner set ({winners.nbytes} bytes) exceeds "
+                f"late-materialization winner set ({8 * winners_n} bytes) exceeds "
                 f"late_broadcast_limit ({cfg.late_broadcast_limit}); use "
                 "materialization='auto' (falls back to eager) or raise the limit"
             )
@@ -735,8 +752,18 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
         # ONE broadcast of the winner-hash set (ray.put): every pass-2
         # task reads the same plasma object zero-copy — never re-shipped
-        # per batch
-        winners_ref = ray.put(pa.array(winner_hash(winners)))
+        # per batch. This is the FIRST driver collection of the set,
+        # and it runs only after the 8*winners_n budget check above.
+        if winners_ds is None:
+            wh = pa.array([], type=pa.uint64())
+        else:
+            parts = [t for t in ray.get(winners_ds.to_arrow_refs()) if t.num_rows]
+            wh = (
+                pa.concat_tables(parts).column("wh").combine_chunks()
+                if parts
+                else pa.array([], type=pa.uint64())
+            )
+        winners_ref = ray.put(wh)
         ds2 = read_change_events(
             cfg.events_dir,
             slices,
@@ -749,6 +776,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             winners_ref=winners_ref,
             shuffle_dir=shuffle_dir,
             frag_fmt=frag_fmt,
+            done_buckets=done_buckets,
         )
         if cfg.ingest_mode == "tasks":
 
