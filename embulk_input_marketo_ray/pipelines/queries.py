@@ -805,36 +805,94 @@ def q_doc_dup_clusters(sf_dir: str):
     return resolve_dup_clusters(pairs)
 
 
-def q_doc_dedup_near(sf_dir: str):
+def q_doc_dedup_near(sf_dir: str, loser_broadcast_limit: int = 256 << 20):
     """End-to-end near-dedup of the corpus: MinHash+LSH candidates ->
     exact-Jaccard verify -> connected components -> drop every
     non-canonical cluster member.
 
-    The drop set (cluster losers) is ∝ the duplicate count, orders of
-    magnitude smaller than the corpus, so it broadcasts once
-    (``ray.put``) and the corpus-wide step is a fused searchsorted
-    filter — the 10^10-row path never shuffles the corpus itself."""
-    clusters = q_doc_dup_clusters(sf_dir).to_pandas()
-    if "doc_id" in clusters.columns:  # empty pair set -> 0-column frame
+    Two drop strategies, budgeted like the flagship's
+    ``late_broadcast_limit``:
+
+    - loser set within budget (the normal case — near-dup losers are ∝
+      the duplicate count, orders of magnitude smaller than the corpus):
+      broadcast the sorted loser ids once (``ray.put``) and run a fused
+      searchsorted filter — the 10^10-row path never shuffles;
+    - over budget (a 50%-duplicate web crawl: billions of losers would
+      be a multi-GB broadcast re-read by every task): keyed anti-join —
+      one hash exchange of (corpus ids ⋈ loser ids), no driver
+      materialization of the loser set at all. The budget check itself
+      is block metadata (``count()`` of 8-byte ids), not a collect."""
+    # set the shuffle strategy BEFORE creating datasets: a Dataset
+    # snapshots the DataContext at creation, and the anti-join fallback
+    # needs both sides planned under HASH_SHUFFLE
+    _ensure_hash_shuffle()
+    clusters_ds = q_doc_dup_clusters(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    if clusters_ds.count() == 0:  # empty pair set -> nothing to drop
+        return ds
+
+    def to_losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("doc_id"), batch.column("cluster_id"))
+        return pa.table(
+            {"loser_id": batch.filter(keep).column("doc_id").cast(pa.int64())}
+        )
+
+    losers_ds = clusters_ds.map_batches(to_losers, batch_format="pyarrow").materialize()
+    n_losers = losers_ds.count()
+    if n_losers == 0:
+        return ds
+
+    if 8 * n_losers <= loser_broadcast_limit:
         losers = np.sort(
-            clusters.doc_id[clusters.doc_id != clusters.cluster_id].to_numpy(
-                dtype=np.int64
+            np.concatenate(
+                [
+                    np.asarray(t.column("loser_id"), dtype=np.int64)
+                    for t in ray.get(losers_ds.to_arrow_refs())
+                    if t.num_rows
+                ]
             )
         )
-    else:
-        losers = np.empty(0, dtype=np.int64)
-    ref = ray.put(losers)
+        ref = ray.put(losers)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        losers = ray.get(ref)  # zero-copy plasma view after first fetch
-        if not len(losers):
-            return batch
-        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        pos = np.clip(np.searchsorted(losers, ids), 0, len(losers) - 1)
-        return batch.filter(pa.array(losers[pos] != ids))
+        def keep(batch: pa.Table) -> pa.Table:
+            losers = ray.get(ref)  # zero-copy plasma view after first fetch
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            pos = np.clip(np.searchsorted(losers, ids), 0, len(losers) - 1)
+            return batch.filter(pa.array(losers[pos] != ids))
 
-    ds = _read(sf_dir, "documents", columns=["doc_id"])
-    return ds.map_batches(keep, batch_format="pyarrow")
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    # anti-join fallback: Ray Data has no anti join, so left-outer join
+    # against a marker column and keep the null (non-matching) rows
+    _ensure_hash_shuffle()
+
+    def add_marker(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__loser", pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        )
+
+    # drop the schema-less empty blocks the upstream keyed exchanges
+    # emit for empty partitions — Dataset.join can't resolve the key
+    # field on them (see stages/dedup.drop_schemaless_blocks)
+    from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
+
+    marked = drop_schemaless_blocks(
+        losers_ds.map_batches(add_marker, batch_format="pyarrow").materialize(),
+        pa.schema([("loser_id", pa.int64()), ("__loser", pa.int8())]),
+    )
+    joined = ds.join(
+        marked,
+        "left_outer",
+        num_partitions=16,
+        on=("doc_id",),
+        right_on=("loser_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch.column("__loser"))).select(["doc_id"])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 def q_token_paged_source(sf_dir: str):

@@ -148,3 +148,19 @@ def test_fingerprint_vectorized_matches_reference_kernel():
         f"{f._fingerprint((x or '').encode()):016x}" if x is not None else None for x in texts
     ]
     assert f(t).column("fingerprint").to_pylist() == expect
+
+
+def test_dedup_near_anti_join_fallback_matches_broadcast():
+    """Over the loser-broadcast budget the corpus dedup must switch to
+    the keyed anti-join and produce the identical surviving-id set."""
+    from embulk_input_marketo_ray.pipelines.queries import q_doc_dedup_near
+
+    sf = "/root/testdata/sf0.001"
+    bcast = sorted(r["doc_id"] for r in q_doc_dedup_near(sf).take_all())
+    # limit=0 forces the join path for ANY non-empty loser set
+    joined = sorted(
+        r["doc_id"]
+        for r in q_doc_dedup_near(sf, loser_broadcast_limit=0).take_all()
+    )
+    assert len(bcast) > 0
+    assert bcast == joined
