@@ -910,6 +910,23 @@ def q_offset_paged_source(sf_dir: str):
     return read_offset_paged(3000, fail_plan={0: "606"})
 
 
+def q_program_by_tag(sf_dir: str):
+    """Program target with ``query_by=tag``: the tagType/tagValue pair
+    is a SERVER-side filter — only matching programs are fetched
+    (rest/MarketoRestClient.java:373-391, ProgramInputPlugin.java:83-133)."""
+    from embulk_input_marketo_ray.registry import build_target
+
+    return build_target(
+        "program",
+        {
+            "query_by": "tag",
+            "n_records": 3000,
+            "tag_type": "type",
+            "tag_value": "trigger",
+        },
+    )
+
+
 CUSTOM_OBJECT_FROM = 1
 CUSTOM_OBJECT_TO = 700
 

@@ -160,6 +160,15 @@ def _program(config: dict) -> "ray.data.Dataset":
         raise ValueError("query_by=tag requires tag_type and tag_value")
     from embulk_input_marketo_ray.sources.paged import read_offset_paged
 
+    if query_by == "tag":
+        # the tag query changes the fetched RECORD SET, not just the
+        # config shape: tagType/tagValue are passed to the server and
+        # only matching programs come back (MarketoRestClient.java:373-391)
+        return read_offset_paged(
+            int(config.get("n_records", 1000)),
+            tag_type=str(config["tag_type"]),
+            tag_value=str(config["tag_value"]),
+        )
     return read_offset_paged(int(config.get("n_records", 1000)))
 
 

@@ -61,6 +61,28 @@ class FixtureServer:
     valid_token: str = "tok-0"
     calls: int = 0
     _fired: set = field(default_factory=set)
+    # program-by-tag filter (rest/MarketoRestClient.java:373-391: the
+    # SERVER filters; tagType/tagValue are query params). The fixture's
+    # tag space is the record's own fields: tag_type names a field
+    # ('type' or 'workspaceName'), tag_value its required value.
+    tag_type: str | None = None
+    tag_value: str | None = None
+
+    def _id_space(self) -> range | list[int]:
+        """Record ids this server serves: all of them, or — under a tag
+        filter — only the matching ones (paging offsets then index the
+        FILTERED stream, like the real API)."""
+        if self.tag_type is None:
+            return range(self.n_records)
+        if self.tag_type not in ("type", "workspaceName"):
+            raise MarketoApiError(
+                610, f"Requested resource not found: tagType {self.tag_type!r}"
+            )
+        return [
+            i
+            for i in range(self.n_records)
+            if self._record(i)[self.tag_type] == self.tag_value
+        ]
 
     def issue_token(self) -> str:
         self.valid_token = f"tok-{self.calls}"
@@ -114,11 +136,12 @@ class FixtureServer:
         bad = self._maybe_fail(page_index, token)
         if bad is not None:
             return bad
-        end = min(offset + min(max_return, OFFSET_PAGE_SIZE), self.n_records)
+        ids = self._id_space()
+        end = min(offset + min(max_return, OFFSET_PAGE_SIZE), len(ids))
         env = {
             "requestId": f"req{self.calls:x}",
             "success": True,
-            "result": [self._record(i) for i in range(offset, end)],
+            "result": [self._record(i) for i in ids[offset:end]],
         }
         return json.dumps(env)
 
@@ -267,17 +290,29 @@ def read_offset_paged(
     fail_plan: dict[int, str] | None = None,
     max_return: int = OFFSET_PAGE_SIZE,
     window_pages: int = 8,
+    tag_type: str | None = None,
+    tag_value: str | None = None,
 ) -> "ray.data.Dataset":
     """Offset-paged source: offsets are precomputable, so windows of
     ``window_pages`` pages fan out as parallel tasks (S5: 'offset
     windows are precomputable -> parallel'); each task walks its
-    window with full retry/renew protocol state."""
+    window with full retry/renew protocol state.
+
+    ``tag_type``/``tag_value`` select the program-by-tag record set
+    (server-side filter, rest/MarketoRestClient.java:373-391); windows
+    past the end of the filtered stream return an empty first page and
+    stop."""
     window = max_return * window_pages
     starts = list(range(0, n_records, window))
     specs = ray.data.from_items([{"start": s} for s in starts])
 
     def fetch(batch: pa.Table):
-        server = FixtureServer(n_records=n_records, fail_plan=fail_plan or {})
+        server = FixtureServer(
+            n_records=n_records,
+            fail_plan=fail_plan or {},
+            tag_type=tag_type,
+            tag_value=tag_value,
+        )
         client = _PagedClient(server)
         for start in batch.column("start").to_pylist():
             offset = start

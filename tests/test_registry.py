@@ -58,3 +58,26 @@ def test_lead_target_builds_lake():
     names = ds.schema().names
     assert {"repo", "path", "content_sha256", "mk_score"} <= set(names)
     assert ds.count() > 0
+
+
+def test_program_tag_filters_record_set():
+    """query_by=tag must change the FETCHED data, not just validate
+    config (MarketoRestClient.java:373-391): every row carries the tag
+    value and the set differs from the unfiltered date_range fetch."""
+    full = build_target("program", {"n_records": 900}).take_all()
+    tagged = build_target(
+        "program",
+        {"query_by": "tag", "n_records": 900, "tag_type": "type", "tag_value": "trigger"},
+    ).take_all()
+    assert 0 < len(tagged) < len(full)
+    assert all(r["type"] == "trigger" for r in tagged)
+    expected_ids = sorted(r["id"] for r in full if r["type"] == "trigger")
+    assert sorted(r["id"] for r in tagged) == expected_ids
+    # workspace tag selects a different, disjoint-rule subset
+    ws = build_target(
+        "program",
+        {"query_by": "tag", "n_records": 900, "tag_type": "workspaceName", "tag_value": "ws3"},
+    ).take_all()
+    assert sorted(r["id"] for r in ws) == sorted(
+        r["id"] for r in full if r["workspaceName"] == "ws3"
+    )
