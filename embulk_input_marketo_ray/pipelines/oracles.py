@@ -3,12 +3,27 @@
 For operators whose semantics a SQL engine cannot express directly
 (simhash/fingerprint bit kernels, MinHash+LSH banding, LSH bucketing),
 the correctness oracle is a SECOND implementation: straightforward
-per-row / single-process Python+numpy with none of the engine's
+per-row / single-process Python with none of the engine's
 batch-vectorized or distributed machinery. ``materialize(sf_dir)``
 writes each expected result as a parquet file under ``/tmp`` and
 returns {query_name: path}; ``__ray_entry__.oracle_sql`` points DuckDB
 at those files, so the driver's rows/schema/value-hash comparison runs
 against genuinely recomputed values.
+
+Independence rules (round-2 VERDICT "Next round #4"):
+
+- NO imports from ``embulk_input_marketo_ray.stages`` anywhere — every
+  kernel below is re-derived from its mathematical definition, not
+  shared with the engine;
+- shared CONSTANTS are fine and necessary: the seeds, multipliers and
+  parameter counts below are part of each algorithm's published spec
+  (an oracle with a different seed would correctly compute a different
+  function). They are declared once at the top of this module;
+- where an algorithm consumes floating point (LSH projections,
+  k-means), the oracle follows the spec's operation ORDER so results
+  are bit-reproducible — IEEE float ops are deterministic, so two
+  faithful implementations of "seeded kmeans++ then 10 Lloyd rounds"
+  agree exactly; a reordered reduction would be a different spec.
 
 No Ray imports anywhere in this module — it must stay an independent
 code path.
@@ -16,13 +31,34 @@ code path.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 ORACLE_DIR = "/tmp/graft_oracles"
+
+# --------------------------------------------------------------------------
+# shared algorithm constants (the spec, not the code)
+# --------------------------------------------------------------------------
+_MASK64 = (1 << 64) - 1
+_MERSENNE61 = (1 << 61) - 1
+_WORD_RE = re.compile(r"\w+")
+_SHINGLE_K = 3
+# rolling shingle-combine multipliers (odd -> full period mod 2^64)
+_COMBINE = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+_MINHASH_SEED = 1234
+_MINHASH_NUM_PERM = 64
+_BAND_MULT_SEED = 0xBA9D
+_FP_WINDOW = 16
+_FP_STRIDE = 64
+_FP_BASE = 1000003
+_LSH_SEED = 7
+_KMEANS_SEED = 7
+_KMEANS_ITER = 10
 
 
 def _docs(sf_dir: str) -> tuple[list[int], list[str]]:
@@ -39,16 +75,147 @@ def _write(name: str, table: pa.Table, out_dir: str) -> str:
     return path
 
 
-def oracle_doc_simhash(sf_dir: str) -> pa.Table:
-    """Per-row SimHash via the scalar reference kernel; int64 output to
-    match the query's unsafe uint64->int64 reinterpret cast."""
-    from embulk_input_marketo_ray.stages.dedup import SimHasher
+# --------------------------------------------------------------------------
+# text kernels, re-derived: token hash, shingles, minhash, simhash,
+# winnowing fingerprint, n-gram jaccard
+# --------------------------------------------------------------------------
 
+
+def _tok_hash(tok: str) -> int:
+    """Token hash spec: first 8 bytes of blake2b(token), big-endian."""
+    return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+
+
+def _tokens(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
+
+
+def _shingle_hashes(text: str) -> list[int]:
+    """Word k-shingle hash set. Spec: shingle hash at position i is
+    ``sum_j tok_hash[i+j] * COMBINE[j mod 3]`` wrapped mod 2^64; a doc
+    with no tokens contributes the single hash 0; a doc shorter than k
+    contributes its single partial combination. Plain Python ints (the
+    engine is vectorized uint64 numpy — same wrap semantics)."""
+    th = [_tok_hash(t) for t in _tokens(text)]
+    k = _SHINGLE_K
+    if not th:
+        return [0]
+    if len(th) < k:
+        v = 0
+        for i, h in enumerate(th):
+            v = (v + h * _COMBINE[i % k]) & _MASK64
+        return [v]
+    out = set()
+    for i in range(len(th) - k + 1):
+        v = 0
+        for j in range(k):
+            v = (v + th[i + j] * _COMBINE[j % len(_COMBINE)]) & _MASK64
+        out.add(v)
+    return sorted(out)
+
+
+def _minhash_params() -> tuple[list[int], list[int]]:
+    """(a, b) permutation parameters: the seeded draw IS the spec."""
+    rng = np.random.default_rng(_MINHASH_SEED)
+    a = rng.integers(1, _MERSENNE61, size=_MINHASH_NUM_PERM, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE61, size=_MINHASH_NUM_PERM, dtype=np.uint64)
+    return [int(v) for v in a], [int(v) for v in b]
+
+
+def _minhash_signature(text: str, a: list[int], b: list[int]) -> list[int]:
+    """sig[p] = min over shingle hashes h of ((a_p*h + b_p) mod 2^64)
+    mod (2^61 - 1). The inner mod-2^64 wrap is part of the spec (the
+    engine computes in uint64)."""
+    hs = _shingle_hashes(text)
+    return [
+        min(((ap * h + bp) & _MASK64) % _MERSENNE61 for h in hs)
+        for ap, bp in zip(a, b)
+    ]
+
+
+def _band_mult() -> list[int]:
+    rng = np.random.default_rng(_BAND_MULT_SEED)
+    m = rng.integers(1, np.iinfo(np.uint64).max, size=4096, dtype=np.uint64)
+    return [int(v) | 1 for v in m]
+
+
+def _band_hash(sig_slice: list[int], mult_slice: list[int]) -> int:
+    """Universal multiply-sum hash of a band's signature slice, mod 2^64."""
+    v = 0
+    for s, m in zip(sig_slice, mult_slice):
+        v = (v + s * m) & _MASK64
+    return v
+
+
+def _ngram_set(s: str, n: int = 3) -> set[str]:
+    toks = _tokens(s)
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    ga, gb = _ngram_set(a, n), _ngram_set(b, n)
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    return inter / (len(ga) + len(gb) - inter)
+
+
+def _simhash(text: str) -> int:
+    """64-bit SimHash spec: bit b of the output is 1 iff more than half
+    of the (repeating) token hashes have bit b set; no tokens -> 0."""
+    toks = _tokens(text)
+    if not toks:
+        return 0
+    n = len(toks)
+    votes = [0] * 64
+    for t in toks:
+        h = _tok_hash(t)
+        for bit in range(64):
+            votes[bit] += (h >> bit) & 1
+    out = 0
+    for bit in range(64):
+        if 2 * votes[bit] - n > 0:
+            out |= 1 << bit
+    return out
+
+
+def _fingerprint(raw: bytes) -> int:
+    """Winnowing fingerprint spec: polynomial window hash
+    ``h_i = sum_j raw[i+j] * base^j mod 2^64`` over a 16-byte sliding
+    window (docs shorter than the window are NUL-padded), minimum per
+    64-position stride block, XOR of the block minima. Computed here
+    with a scalar rolling recurrence in Python ints (the engine is a
+    flat prefix-sum numpy kernel)."""
+    w, stride, base = _FP_WINDOW, _FP_STRIDE, _FP_BASE
+    if len(raw) < w:
+        raw = raw + b"\x00" * (w - len(raw))
+    inv = pow(base, -1, 1 << 64)
+    pow_top = pow(base, w - 1, 1 << 64)
+    h = 0
+    for j in range(w - 1, -1, -1):
+        h = (h * base + raw[j]) & _MASK64
+    n = len(raw) - w + 1
+    hs = [h]
+    for i in range(1, n):
+        h = ((h - raw[i - 1]) * inv + raw[i + w - 1] * pow_top) & _MASK64
+        hs.append(h)
+    out = 0
+    for b0 in range(0, n, stride):
+        out ^= min(hs[b0 : b0 + stride])
+    return out
+
+
+def oracle_doc_simhash(sf_dir: str) -> pa.Table:
+    """Per-row SimHash; int64 output to match the query's unsafe
+    uint64->int64 reinterpret cast."""
     ids, texts = _docs(sf_dir)
-    sh = SimHasher()
     vals = []
     for x in texts:
-        v = sh.simhash(x or "")
+        v = _simhash(x or "")
         vals.append(v - (1 << 64) if v >= (1 << 63) else v)
     return pa.table(
         {"doc_id": pa.array(ids, type=pa.int64()), "simhash": pa.array(vals, type=pa.int64())}
@@ -56,12 +223,9 @@ def oracle_doc_simhash(sf_dir: str) -> pa.Table:
 
 
 def oracle_doc_fingerprint(sf_dir: str) -> pa.Table:
-    from embulk_input_marketo_ray.stages.text import Fingerprinter
-
     ids, texts = _docs(sf_dir)
-    fp = Fingerprinter()
     vals = [
-        f"{fp._fingerprint((x or '').encode()):016x}" if x is not None else None
+        f"{_fingerprint((x or '').encode()):016x}" if x is not None else None
         for x in texts
     ]
     return pa.table(
@@ -70,23 +234,20 @@ def oracle_doc_fingerprint(sf_dir: str) -> pa.Table:
 
 
 def _minhash_pairs(sf_dir: str, num_bands: int = 16, threshold: float = 0.5):
-    """Single-process MinHash+LSH: per-doc signatures (scalar kernel),
-    band-hash dict buckets, min-id pairing, exact Jaccard filter —
-    mirrors the distributed pipeline's parameters but none of its code
-    paths (no batching, no shuffles, no factorize machinery)."""
-    from embulk_input_marketo_ray.stages.dedup import _BAND_MULT, MinHasher, ngram_jaccard
-
+    """Single-process MinHash+LSH: per-doc signatures, band-hash dict
+    buckets, min-id pairing, exact Jaccard filter — the distributed
+    pipeline's parameters, none of its code."""
     ids, texts = _docs(sf_dir)
-    mh = MinHasher()
-    rows_per_band = mh.num_perm // num_bands
+    a, b = _minhash_params()
+    mult = _band_mult()
+    rows_per_band = _MINHASH_NUM_PERM // num_bands
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in zip(ids, texts):
-        sig = mh.signature(text or "")
-        for b in range(num_bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            mult = _BAND_MULT[b * rows_per_band : (b + 1) * rows_per_band]
-            h = int((chunk * mult).sum(dtype=np.uint64))
-            buckets.setdefault((b, h), []).append(int(doc_id))
+        sig = _minhash_signature(text or "", a, b)
+        for band in range(num_bands):
+            lo, hi = band * rows_per_band, (band + 1) * rows_per_band
+            h = _band_hash(sig[lo:hi], mult[lo:hi])
+            buckets.setdefault((band, h), []).append(int(doc_id))
     pair_set: set[tuple[int, int]] = set()
     for members in buckets.values():
         if len(members) < 2:
@@ -96,10 +257,10 @@ def _minhash_pairs(sf_dir: str, num_bands: int = 16, threshold: float = 0.5):
             pair_set.add((other, ms[0]))
     text_of = dict(zip(ids, texts))
     out = []
-    for a, b in sorted(pair_set):
-        j = ngram_jaccard(text_of.get(a) or "", text_of.get(b) or "")
+    for x, y in sorted(pair_set):
+        j = _ngram_jaccard(text_of.get(x) or "", text_of.get(y) or "")
         if j >= threshold:
-            out.append((a, b, j))
+            out.append((x, y, j))
     return out
 
 
@@ -147,6 +308,11 @@ def oracle_doc_dup_clusters(sf_dir: str) -> pa.Table:
     )
 
 
+# --------------------------------------------------------------------------
+# embedding kernels, re-derived: hyperplane LSH, spherical k-means
+# --------------------------------------------------------------------------
+
+
 def _normalized_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(t.column("vec_id"))
@@ -155,12 +321,24 @@ def _normalized_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids, x
 
 
-def _lsh_buckets(x: np.ndarray, n_planes: int, n_tables: int):
-    from embulk_input_marketo_ray.stages.similarity import _bucket_keys, _hyperplanes
+def _oracle_hyperplanes(dim: int, n_planes: int, table_idx: int) -> np.ndarray:
+    """Hyperplane spec: standard-normal (dim, n_planes) matrix drawn
+    from seed ``LSH_SEED + 1000*table``. The draw is the spec."""
+    rng = np.random.default_rng(_LSH_SEED + 1000 * table_idx)
+    return rng.standard_normal((dim, n_planes))
 
+
+def _oracle_bucket_keys(x: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Bucket key spec: bit p is the sign of the projection onto plane
+    p; key = sum of set bits. (Two-line mathematical formula — any
+    faithful implementation reads the same.)"""
+    signs = (x @ planes) > 0
+    return signs @ (1 << np.arange(planes.shape[1], dtype=np.int64))
+
+
+def _lsh_buckets(x: np.ndarray, n_planes: int, n_tables: int):
     for t in range(n_tables):
-        planes = _hyperplanes(x.shape[1], n_planes, t)
-        keys = _bucket_keys(x, planes)
+        keys = _oracle_bucket_keys(x, _oracle_hyperplanes(x.shape[1], n_planes, t))
         buckets: dict[int, list[int]] = {}
         for row, k in enumerate(keys):
             buckets.setdefault(int(k), []).append(row)
@@ -199,6 +377,34 @@ def oracle_ann_lsh_topk(
     )
 
 
+def _oracle_kmeans(x: np.ndarray, n_centroids: int) -> np.ndarray:
+    """Spherical k-means spec: kmeans++ init consuming the seeded RNG
+    as (first: integers(n); each next: choice(n, p) over the clamped
+    cosine-distance-to-nearest distribution, uniform when degenerate),
+    then ``KMEANS_ITER`` Lloyd rounds assigning by max cosine and
+    re-normalizing the member mean. The RNG call sequence and the
+    reduction order are part of the spec (bit-reproducibility)."""
+    n = len(x)
+    k = min(n_centroids, n)
+    rng = np.random.default_rng(_KMEANS_SEED)
+    cents = [x[int(rng.integers(n))]]
+    while len(cents) < k:
+        d = np.min(np.stack([1.0 - x @ c for c in cents]), axis=0)
+        d = np.maximum(d, 0)
+        s = d.sum()
+        p = d / s if s > 0 else np.full(n, 1.0 / n)
+        cents.append(x[int(rng.choice(n, p=p))])
+    c = np.stack(cents)
+    for _ in range(_KMEANS_ITER):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            members = assign == j
+            if members.any():
+                v = x[members].sum(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-30)
+    return c
+
+
 def oracle_ann_ivf_topk(
     sf_dir: str,
     n_queries: int = 3,
@@ -206,17 +412,12 @@ def oracle_ann_ivf_topk(
     n_centroids: int = 32,
     n_probe: int = 8,
     train_rows: int = 4096,
-    seed: int = 7,
 ) -> pa.Table:
-    """Single-process IVF recompute. The coarse quantizer
-    (``kmeans_centroids``) is a driver-side scalar function in both
-    paths (reused here like the SimHash scalar kernel); sample =
-    first ``train_rows`` rows in file order, exactly as the engine
-    reads them."""
-    from embulk_input_marketo_ray.stages.similarity import kmeans_centroids
-
+    """Single-process IVF recompute: retrain the coarse quantizer from
+    the spec (same seed, same sample = first ``train_rows`` rows in
+    file order), assign, probe, exact top-k."""
     ids, x = _normalized_embeddings(sf_dir)
-    centroids = kmeans_centroids(x[:train_rows], n_centroids, seed=seed)
+    centroids = _oracle_kmeans(x[:train_rows], n_centroids)
     assign = np.argmax(x @ centroids.T, axis=1)
     row_of = {int(v): i for i, v in enumerate(ids)}
     out_q, out_n, out_r = [], [], []
@@ -280,8 +481,9 @@ def oracle_multimodal(sf_dir: str, n: int = 256) -> pa.Table:
     """The multimodal pipeline's observable output (media_id,
     media_type, decode_ok) recomputed from the deterministic synth
     rule; decode_ok is payload-validity (the stub decode succeeds on
-    every non-null payload)."""
-    from embulk_input_marketo_ray.stages.multimodal import synth_media_table
+    every non-null payload). Imports only the shared INPUT generator
+    (synth.py), no engine stage."""
+    from embulk_input_marketo_ray.synth import synth_media_table
 
     t = synth_media_table(n)
     payload = t.column("payload")

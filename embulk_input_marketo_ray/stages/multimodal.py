@@ -37,28 +37,10 @@ MEDIA_SCHEMA = pa.schema(
 DEFAULT_MEDIA_BATCH_SIZE = 64  # large binary rows -> small batches
 
 
-def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media corpus (no real codecs in the sandbox)."""
-    rng = np.random.default_rng(seed)
-    kinds = np.array(["image", "audio", "video"], dtype=object)[
-        rng.integers(0, 3, size=n)
-    ]
-    payloads = [
-        hashlib.blake2b(f"media:{i}".encode(), digest_size=32).digest()
-        * (payload_bytes // 32)
-        for i in range(n)
-    ]
-    return pa.table(
-        {
-            "media_id": pa.array(range(n), type=pa.int64()),
-            "media_type": pa.array(kinds, type=pa.string()),
-            "payload": pa.array(payloads, type=pa.binary()),
-            "meta_width": pa.array(rng.integers(64, 1920, size=n), type=pa.int32()),
-            "meta_height": pa.array(rng.integers(64, 1080, size=n), type=pa.int32()),
-            "meta_sample_rate": pa.array(np.full(n, 16000), type=pa.int32()),
-            "meta_n_frames": pa.array(rng.integers(8, 240, size=n), type=pa.int32()),
-        }
-    )
+# input synthesis lives with the other synthetic-input generators;
+# re-exported here because the media stages and their tests are the
+# natural import site
+from embulk_input_marketo_ray.synth import synth_media_table  # noqa: F401
 
 
 def _codec_available(name: str) -> bool:
