@@ -99,6 +99,12 @@ class ReplayConfig:
     # retries per worker, real OAuth token reuse).
     ingest_mode: str = "tasks"
     batch_size: int = 32768
+    # Rows per fused ingest batch (tasks mode). None = planner-automatic:
+    # sized from the window's footer-stats estimate so the disk
+    # shuffle's per-bucket fragment count stays ~flat across window
+    # sizes instead of growing linearly (see _auto_ingest_batch_rows);
+    # an int pins it (bench sweeps, tests).
+    ingest_batch_rows: int | None = None
     # reference configs: case-insensitive dynamic-field keep-list and
     # output column prefix (included_fields / column_prefix)
     included_fields: list[str] | None = None
@@ -173,34 +179,65 @@ class ReplayConfig:
     late_min_events: int = 200_000
 
 
-def _estimate_window_rows(files: list[str], slices, ts_column: str) -> int:
-    """Upper-bound row count of the watermark window from parquet FOOTER
-    statistics only (no data read; partially-overlapping row groups are
-    counted whole). Drives the auto planner's small-window floor — a
-    window below ``late_min_events`` goes eager without even paying the
-    winner scan's dataset launches."""
+def _estimate_window_rows(files: list[str], slices, ts_column: str) -> tuple[int, int]:
+    """Upper-bound (rows, compressed bytes) of the watermark window from
+    parquet FOOTER statistics only (no data read; partially-overlapping
+    row groups are counted whole). Drives the auto planner's
+    small-window floor — a window below ``late_min_events`` goes eager
+    without even paying the winner scan's dataset launches — and the
+    automatic ingest-batch sizing (``_auto_ingest_batch_rows``)."""
     import pyarrow.parquet as pq
 
     total = 0
+    total_bytes = 0
     for f in files:
         md = pq.ParquetFile(f).metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         try:
             ci = names.index(ts_column)
         except ValueError:
-            return 1 << 62  # unknown layout: assume big, let the scan decide
+            return 1 << 62, 1 << 62  # unknown layout: assume big, let the scan decide
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             st = rg.column(ci).statistics
             if st is None or not st.has_min_max:
                 total += rg.num_rows
+                total_bytes += rg.total_byte_size
                 continue
             lo, hi = st.min, st.max
             for s in slices:
                 if hi >= s.from_ts and lo <= s.to_ts:
                     total += rg.num_rows
+                    total_bytes += rg.total_byte_size
                     break
-    return total
+    return total, total_bytes
+
+
+# Automatic fragment sizing for the disk shuffle. Each ingest batch
+# writes at most ONE fragment file per touched bucket, so per-bucket
+# fragment count ~= ceil(window_rows / ingest_batch_rows): a fixed
+# 128k-row batch grows the fragment count linearly with the window
+# (126 files/bucket measured at 9.79M events) and the phase-B merge
+# pays a per-file open each. Scale the batch so fragments/bucket stays
+# ~flat, bounded above by a per-task memory budget. ``est_bytes`` is
+# footer ``total_byte_size`` (UNcompressed, ~Arrow heap size), so the
+# budget caps per-task heap directly; Ray's streaming backpressure
+# bounds how many such batches are in flight. Past the budget knee
+# (windows whose flat-fragment batch would exceed it) fragment counts
+# grow again, linearly but 6x+ slower than the fixed batch — at that
+# scale the lake's bucket count itself grows (split_threshold_rows),
+# which re-flattens per-bucket merge cost.
+_TARGET_FRAGS_PER_BUCKET = 48
+_MAX_BATCH_EST_BYTES = 256 << 20
+
+
+def _auto_ingest_batch_rows(est_rows: int, est_bytes: int) -> int:
+    if est_rows <= 0 or est_rows >= (1 << 61):  # unknown layout: keep default
+        return _INGEST_BATCH_ROWS
+    by_frags = -(-est_rows // _TARGET_FRAGS_PER_BUCKET)
+    bytes_per_row = max(est_bytes / est_rows, 1e-9)
+    by_memory = int(_MAX_BATCH_EST_BYTES / bytes_per_row)
+    return max(_INGEST_BATCH_ROWS, min(by_frags, max(by_memory, _INGEST_BATCH_ROWS)))
 
 
 def _merge_fragments(shuffle_dir: str, writer, frag_stats):
@@ -310,6 +347,7 @@ def _winner_scan(
     done_buckets,
     scan_dir: str,
     frag_fmt: str,
+    batch_rows: int = _INGEST_BATCH_ROWS,
 ):
     """Pass 1 of the late plan: read ONLY the key + version columns
     (parquet pruning — content never leaves storage), reduce each block
@@ -338,7 +376,7 @@ def _winner_scan(
         # or pass 2 would dead-letter the winner row and lose the key
         columns=["repo", "path", "commit_seq", "op"],
         override_num_blocks=blocks,
-        batch_size=_INGEST_BATCH_ROWS,
+        batch_size=batch_rows,
     )
     nb = cfg.num_buckets
     skip = pa.array(done_buckets) if len(done_buckets) else None
@@ -369,7 +407,7 @@ def _winner_scan(
 
     frag_stats = ds.map_batches(
         scan_block,
-        batch_size=_INGEST_BATCH_ROWS,
+        batch_size=batch_rows,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -608,12 +646,17 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     # fusion; only genuinely under-partitioned layouts pay the split.
     if len(event_files) >= total_cpus:
         blocks = min(blocks, len(event_files))
+    # footer-stats window estimate drives BOTH the ingest-batch sizing
+    # (fragments/bucket stay ~flat across window sizes) and the auto
+    # planner's small-window floor below
+    est_rows, est_bytes = _estimate_window_rows(event_files, slices, ts_column)
+    batch_rows = cfg.ingest_batch_rows or _auto_ingest_batch_rows(est_rows, est_bytes)
     ds = read_change_events(
         cfg.events_dir,
         slices,
         ts_column=ts_column,
         override_num_blocks=blocks,
-        batch_size=_INGEST_BATCH_ROWS,
+        batch_size=batch_rows,
     )
     stage_kwargs = {
         "evolution_log": cfg.evolution_log,
@@ -641,8 +684,9 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             # batches, so "whole block" degrades to per-record-batch
             # calls (measured ~1,700 stage constructions per window and
             # a weak partial combine); an explicit 128k batch re-batches
-            # once and amortizes (see _INGEST_BATCH_ROWS)
-            batch_size=_INGEST_BATCH_ROWS,
+            # once and amortizes (see _INGEST_BATCH_ROWS); sized by the
+            # planner so fragments/bucket stay flat at big windows
+            batch_size=batch_rows,
             zero_copy_batch=True,
         )
     else:
@@ -719,7 +763,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     if (
         cfg.materialization == "auto"
         and cfg.late_min_events
-        and _estimate_window_rows(event_files, slices, ts_column) < cfg.late_min_events
+        and est_rows < cfg.late_min_events
     ):
         # footer-only estimate: the window is too small for the late
         # plan's extra dataset launches to pay off — skip even the scan
@@ -728,7 +772,8 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         scan_dir = scratch_root + "_scan"
         _shutil.rmtree(scan_dir, ignore_errors=True)
         winners_ds, scanned_n = _winner_scan(
-            cfg, slices, ts_column, blocks, directory, done_buckets, scan_dir, frag_fmt
+            cfg, slices, ts_column, blocks, directory, done_buckets, scan_dir, frag_fmt,
+            batch_rows=batch_rows,
         )
         _shutil.rmtree(scan_dir, ignore_errors=True)
         # size the broadcast from BLOCK METADATA (count of 8-byte
@@ -769,7 +814,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             slices,
             ts_column=ts_column,
             override_num_blocks=blocks,
-            batch_size=_INGEST_BATCH_ROWS,
+            batch_size=batch_rows,
         )
         late_kwargs = dict(
             stage_kwargs,
@@ -785,7 +830,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
 
             frag_stats = ds2.map_batches(
                 late_ingest,
-                batch_size=_INGEST_BATCH_ROWS,
+                batch_size=batch_rows,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
@@ -820,7 +865,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
 
         frag_stats = ds.map_batches(
             write_fragments,
-            batch_size=_INGEST_BATCH_ROWS,
+            batch_size=batch_rows,
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -908,6 +953,8 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         "materialization": mat_used,
         "winner_rows": winners_n,
         "scanned_rows": scanned_n,
+        # planner-chosen ingest batch (fragments/bucket ~= ceil(rows/batch))
+        "ingest_batch_rows": batch_rows,
     }
 
 

@@ -239,3 +239,55 @@ def test_invalid_events_dead_lettered_both_plans(events_dir, tmp_path):
         multiset(clean_lake),
         fingerprints(clean_lake),
     )
+
+
+def test_auto_ingest_batch_bounds_fragments_per_bucket():
+    """Planner-automatic fragment sizing: per-bucket fragment count
+    (= ceil(window_rows / batch_rows)) stays ~flat across 1x/4x/16x
+    windows instead of growing linearly with the fixed 128k batch."""
+    import math
+
+    from embulk_input_marketo_ray.pipelines.cdc_replay import (
+        _INGEST_BATCH_ROWS,
+        _MAX_BATCH_EST_BYTES,
+        _TARGET_FRAGS_PER_BUCKET,
+        _auto_ingest_batch_rows,
+    )
+
+    bytes_per_row = 322  # measured footer bytes/row of the synth events
+    base = 2_500_000
+    frags = []
+    for mult in (1, 4, 16):
+        rows = base * mult
+        b = _auto_ingest_batch_rows(rows, rows * bytes_per_row)
+        assert b >= _INGEST_BATCH_ROWS  # never below the fusion floor
+        assert b * bytes_per_row <= max(
+            _MAX_BATCH_EST_BYTES, _INGEST_BATCH_ROWS * bytes_per_row
+        )  # never above the per-task memory budget
+        frags.append(math.ceil(rows / b))
+    assert max(frags) <= _TARGET_FRAGS_PER_BUCKET + 2
+    # the fixed batch would have been ~6x worse at the 16x window
+    assert math.ceil(base * 16 / _INGEST_BATCH_ROWS) > 5 * max(frags)
+    # unknown layout keeps the measured default
+    assert _auto_ingest_batch_rows(1 << 62, 1 << 62) == _INGEST_BATCH_ROWS
+    # tiny window: floor wins
+    assert _auto_ingest_batch_rows(10_000, 10_000 * 600) == _INGEST_BATCH_ROWS
+
+
+def test_window_estimator_rows_and_bytes(events_dir):
+    """Footer-stats estimator returns a row upper bound covering the
+    window and a positive byte estimate, without reading data pages."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from embulk_input_marketo_ray.pipelines.cdc_replay import _estimate_window_rows
+    from embulk_input_marketo_ray.state.watermark import slice_range
+    from embulk_input_marketo_ray.synth import BASE_TS
+
+    files = sorted(glob.glob(f"{events_dir}/events_*.parquet"))
+    slices = slice_range(BASE_TS, BASE_TS + timedelta(days=30), timedelta(days=30))
+    rows, nbytes = _estimate_window_rows(files, slices, "event_ts")
+    assert rows > 0 and nbytes > 0
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert rows <= total
