@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_paged_source": q.q_token_paged_source,
         "offset_paged_source": q.q_offset_paged_source,
         "program_by_tag": q.q_program_by_tag,
+        "offset_paged_csv": q.q_offset_paged_csv,
         "custom_object_source": q.q_custom_object_source,
         "lead_by_list_join": q.q_lead_by_list_join,
         "csv_parse": q.q_csv_parse,
@@ -238,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "token_paged_source": _fixture_record_sql(2000),
         "offset_paged_source": _fixture_record_sql(3000),
         "program_by_tag": f"SELECT * FROM ({_fixture_record_sql(3000)}) WHERE type = 'trigger'",
+        "offset_paged_csv": _fixture_record_sql(1500),
         "custom_object_source": _fixture_record_sql(
             co_n, id_expr=f"i + {CUSTOM_OBJECT_FROM}", local_expr="i % 300"
         ),

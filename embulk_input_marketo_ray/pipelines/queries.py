@@ -910,6 +910,16 @@ def q_offset_paged_source(sf_dir: str):
     return read_offset_paged(3000, fail_plan={0: "606"})
 
 
+def q_offset_paged_csv(sf_dir: str):
+    """S5 through the U4 decoder seam: the server serves raw CSV bodies
+    (the bulk-extract stream shape) and ``csv_payload_decoder`` feeds
+    the SAME offset-paging protocol — result set identical to the JSON
+    envelope path."""
+    from embulk_input_marketo_ray.sources.paged import read_offset_paged
+
+    return read_offset_paged(1500, payload_format="csv")
+
+
 def q_program_by_tag(sf_dir: str):
     """Program target with ``query_by=tag``: the tagType/tagValue pair
     is a SERVER-side filter — only matching programs are fetched

@@ -67,6 +67,12 @@ class FixtureServer:
     # ('type' or 'workspaceName'), tag_value its required value.
     tag_type: str | None = None
     tag_value: str | None = None
+    # payload shape served (U4 decoder seam): "json" = response
+    # envelope (MarketoResponseJettyEntityReader), "csv" = raw CSV body
+    # (MarketoInputStreamResponseEntityReader — the bulk-extract stream
+    # shape; no envelope, so end-of-data is the empty page). Protocol
+    # ERRORS arrive as JSON in both modes, as in the real API.
+    payload_format: str = "json"
 
     def _id_space(self) -> range | list[int]:
         """Record ids this server serves: all of them, or — under a tag
@@ -138,10 +144,16 @@ class FixtureServer:
             return bad
         ids = self._id_space()
         end = min(offset + min(max_return, OFFSET_PAGE_SIZE), len(ids))
+        records = [self._record(i) for i in ids[offset:end]]
+        if self.payload_format == "csv":
+            cols = ["id", "name", "type", "workspaceName"]
+            lines = [",".join(cols)]
+            lines.extend(",".join(str(r[c]) for c in cols) for r in records)
+            return "\n".join(lines) + "\n"
         env = {
             "requestId": f"req{self.calls:x}",
             "success": True,
-            "result": [self._record(i) for i in ids[offset:end]],
+            "result": records,
         }
         return json.dumps(env)
 
@@ -177,7 +189,9 @@ def csv_payload_decoder(raw: str) -> dict:
     """Alternate decoder strategy: a raw CSV body (the bulk-extract
     stream shape, rest/MarketoInputStreamResponseEntityReader.java:49-60)
     decoded into the same envelope dict the paging protocol consumes.
-    The header row keys the records; parse errors are retryable."""
+    The header row keys the records; integer-looking values are typed
+    (the reference types CSV values downstream via the schema); parse
+    errors are retryable."""
     from embulk_input_marketo_ray.sources.csv_source import CsvParseError, records_to_table
 
     if raw.lstrip().startswith("{"):  # protocol errors still arrive as JSON
@@ -186,7 +200,14 @@ def csv_payload_decoder(raw: str) -> dict:
         table = records_to_table(raw)
     except (CsvParseError, ValueError) as e:
         raise PayloadDecodeError(str(e)) from e
-    return {"success": True, "result": table.to_pylist(), "moreResult": False}
+    records = [
+        {
+            k: (int(v) if isinstance(v, str) and v.lstrip("-").isdigit() else v)
+            for k, v in r.items()
+        }
+        for r in table.to_pylist()
+    ]
+    return {"success": True, "result": records, "moreResult": False}
 
 
 class _PagedClient:
@@ -226,9 +247,11 @@ class _PagedClient:
                         raise
 
 
-def iter_token_pages(server: FixtureServer, batch_size: int = TOKEN_PAGE_SIZE):
-    """Sequential token-cursor stream; yields one Arrow table per page."""
-    client = _PagedClient(server)
+def iter_token_pages(server: FixtureServer, batch_size: int = TOKEN_PAGE_SIZE, decoder=None):
+    """Sequential token-cursor stream; yields one Arrow table per page.
+    Token paging requires the JSON envelope (the cursor rides in it),
+    but ``decoder`` stays pluggable for envelope variants (U4)."""
+    client = _PagedClient(server, decoder=decoder)
     next_token: str | None = None
     while True:
         env = client.call(server.token_page, next_token, batch_size)
@@ -240,7 +263,10 @@ def iter_token_pages(server: FixtureServer, batch_size: int = TOKEN_PAGE_SIZE):
 
 
 def read_token_paged(
-    n_records: int, fail_plan: dict[int, str] | None = None, batch_size: int = TOKEN_PAGE_SIZE
+    n_records: int,
+    fail_plan: dict[int, str] | None = None,
+    batch_size: int = TOKEN_PAGE_SIZE,
+    decoder=None,
 ) -> "ray.data.Dataset":
     """Token-paged source as a Dataset: the cursor chain is sequential,
     so a single spec row fans into a generator task that streams pages;
@@ -248,7 +274,7 @@ def read_token_paged(
 
     def gen(_batch):
         server = FixtureServer(n_records=n_records, fail_plan=fail_plan or {})
-        yield from iter_token_pages(server, batch_size)
+        yield from iter_token_pages(server, batch_size, decoder=decoder)
 
     return ray.data.range(1).map_batches(gen, batch_size=None)
 
@@ -292,6 +318,8 @@ def read_offset_paged(
     window_pages: int = 8,
     tag_type: str | None = None,
     tag_value: str | None = None,
+    payload_format: str = "json",
+    decoder=None,
 ) -> "ray.data.Dataset":
     """Offset-paged source: offsets are precomputable, so windows of
     ``window_pages`` pages fan out as parallel tasks (S5: 'offset
@@ -301,10 +329,18 @@ def read_offset_paged(
     ``tag_type``/``tag_value`` select the program-by-tag record set
     (server-side filter, rest/MarketoRestClient.java:373-391); windows
     past the end of the filtered stream return an empty first page and
-    stop."""
+    stop.
+
+    ``payload_format``/``decoder`` are the U4 strategy seam: the server
+    serves JSON envelopes or raw CSV bodies, and the matching (or a
+    caller-supplied) ``decoder`` turns each raw payload into the
+    envelope dict the paging protocol consumes — a third format plugs
+    in by passing its own callable, no source changes."""
     window = max_return * window_pages
     starts = list(range(0, n_records, window))
     specs = ray.data.from_items([{"start": s} for s in starts])
+    if decoder is None and payload_format == "csv":
+        decoder = csv_payload_decoder
 
     def fetch(batch: pa.Table):
         server = FixtureServer(
@@ -312,8 +348,9 @@ def read_offset_paged(
             fail_plan=fail_plan or {},
             tag_type=tag_type,
             tag_value=tag_value,
+            payload_format=payload_format,
         )
-        client = _PagedClient(server)
+        client = _PagedClient(server, decoder=decoder)
         for start in batch.column("start").to_pylist():
             offset = start
             stop = min(start + window, n_records)

@@ -107,8 +107,8 @@ def test_decoder_strategy_seam():
 
     env = csv_payload_decoder("id,name\n1,a\n2,null\n")
     assert env["success"] and env["result"] == [
-        {"id": "1", "name": "a"},
-        {"id": "2", "name": None},
+        {"id": 1, "name": "a"},
+        {"id": 2, "name": None},
     ]
     # protocol errors still arrive as JSON even in CSV mode
     env = csv_payload_decoder('{"success": true, "result": []}')
@@ -121,3 +121,34 @@ def test_decoder_strategy_seam():
     client = _PagedClient(server, decoder=json_envelope_decoder)
     out = client.call(server.token_page, None, 300)
     assert len(out["result"]) == 5 and client.retries == 1
+
+
+def test_offset_paged_csv_seam_matches_json():
+    """The CSV-body decoder path returns the identical record set as
+    the JSON-envelope path, through the same paging protocol."""
+    from embulk_input_marketo_ray.sources.paged import read_offset_paged
+
+    js = sorted(r["id"] for r in read_offset_paged(700).take_all())
+    cs = read_offset_paged(700, payload_format="csv").take_all()
+    assert sorted(r["id"] for r in cs) == js
+    assert all(isinstance(r["id"], int) for r in cs[:5])
+    assert cs[0]["name"].startswith("Campaign_")
+
+
+def test_third_decoder_plugs_in_without_source_changes():
+    """U4: a caller-supplied decoder strategy slots into the seam — no
+    paged.py internals touched."""
+    from embulk_input_marketo_ray.sources.paged import (
+        json_envelope_decoder,
+        read_offset_paged,
+    )
+
+    def shouting_decoder(raw: str) -> dict:
+        env = json_envelope_decoder(raw)
+        for r in env.get("result", []):
+            r["name"] = r["name"].upper()
+        return env
+
+    out = read_offset_paged(250, decoder=shouting_decoder).take_all()
+    assert len(out) == 250
+    assert all(r["name"].startswith("CAMPAIGN_") for r in out)
