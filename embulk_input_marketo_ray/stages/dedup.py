@@ -177,6 +177,16 @@ class MinHasher:
         # window count, and the (shingles x num_perm) modulo dominates.
         # (A fully flat reduceat over NON-unique shingles was measured
         # 17x slower on the sf0.1 corpus.)
+        # Measured alternative (round 3, 50k-doc corpus): replacing this
+        # loop with a flat batched kernel — (doc, shingle) pair
+        # explosion + lexsort dedup + chunked (n_uniq x 64) modulo with
+        # segmented minimum.reduceat — is bit-identical but SLOWER:
+        # 5.7 s (4.1 s lexsort-unique prep + 1.7 s best-chunk modulo at
+        # 4k shingles/chunk; 8.9 s at 256k/chunk) vs 3.8 s for this
+        # loop. Per-doc arrays (~10^2 shingles x 64 perms) keep the
+        # multiply/add/mod temporaries L2-resident, and per-doc
+        # np.unique on small arrays beats one global 2.7M-pair lexsort.
+        # The loop stays; see BASELINE.md "MinHash kernel A/B".
         for d in range(n_docs):
             s, e = starts[d], ends[d]
             n_tok = e - s
