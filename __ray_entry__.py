@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": q.q_doc_simhash,
         "doc_minhash_dup_pairs": q.q_doc_minhash_dup_pairs,
         "doc_dup_clusters": q.q_doc_dup_clusters,
+        "doc_simhash_dup_pairs": q.q_doc_simhash_dup_pairs,
         "token_paged_source": q.q_token_paged_source,
         "offset_paged_source": q.q_offset_paged_source,
         "program_by_tag": q.q_program_by_tag,
@@ -279,6 +280,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{oracle_paths['doc_minhash_dup_pairs']}')"
         ),
         "doc_dup_clusters": f"SELECT * FROM read_parquet('{oracle_paths['doc_dup_clusters']}')",
+        "doc_simhash_dup_pairs": (
+            f"SELECT * FROM read_parquet('{oracle_paths['doc_simhash_dup_pairs']}')"
+        ),
         "doc_dedup_near": f"""
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (

@@ -308,6 +308,41 @@ def oracle_doc_dup_clusters(sf_dir: str) -> pa.Table:
     )
 
 
+def oracle_doc_simhash_dup_pairs(
+    sf_dir: str, num_blocks: int = 4, max_hamming: int = 3
+) -> pa.Table:
+    """Single-process SimHash hamming-block pairs: dict buckets per
+    (block, 16-bit block value), min-id pairing per bucket, exact
+    popcount hamming filter, cross-block set-dedup."""
+    ids, texts = _docs(sf_dir)
+    hs = {int(i): _simhash(x or "") for i, x in zip(ids, texts)}
+    width = 64 // num_blocks
+    mask = (1 << width) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in ids:
+        for b in range(num_blocks):
+            buckets.setdefault((b, (hs[int(i)] >> (b * width)) & mask), []).append(int(i))
+    pair_set: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        ms = sorted(members)
+        for other in ms[1:]:
+            pair_set.add((other, ms[0]))
+    out = [
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a, b in sorted(pair_set)
+        if bin(hs[a] ^ hs[b]).count("1") <= max_hamming
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([a for a, _, _ in out], type=pa.int64()),
+            "dup_of": pa.array([b for _, b, _ in out], type=pa.int64()),
+            "hamming": pa.array([h for _, _, h in out], type=pa.int64()),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # embedding kernels, re-derived: hyperplane LSH, spherical k-means
 # --------------------------------------------------------------------------
@@ -502,6 +537,7 @@ _ORACLE_BUILDERS = {
     "doc_fingerprint": oracle_doc_fingerprint,
     "doc_minhash_dup_pairs": oracle_doc_minhash_dup_pairs,
     "doc_dup_clusters": oracle_doc_dup_clusters,
+    "doc_simhash_dup_pairs": oracle_doc_simhash_dup_pairs,
     "ann_lsh_topk": oracle_ann_lsh_topk,
     "ann_ivf_topk": oracle_ann_ivf_topk,
     "embedding_near_dup": oracle_embedding_near_dup,

@@ -1021,6 +1021,33 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
     return verify_pairs_jaccard(pairs, docs, threshold=0.5)
 
 
+def q_doc_simhash_dup_pairs(sf_dir: str):
+    """SimHash near-dup pairs via hamming-block banding: simhash (actor
+    pool) -> explode to (block, block_value) rows with the 8-byte hash
+    riding along -> ONE keyed exchange -> fused candidate+hamming-verify
+    run-slicing kernel -> pair-keyed exchange for exact cross-block
+    dedup. Unlike the MinHash path the verification payload is the hash
+    itself, so the corpus text never moves."""
+    from embulk_input_marketo_ray.stages.dedup import (
+        SimHasher,
+        distinct_pair_rows,
+        explode_simhash_blocks,
+        simhash_block_to_pairs,
+    )
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(_task_stage(SimHasher), batch_format="pyarrow", batch_size=2048)
+    ds = ds.drop_columns(["text"])
+    blocks = ds.map_batches(explode_simhash_blocks, batch_format="pyarrow")
+    pairs = _keyed_repartition(blocks, 16, ["block", "block_value"]).map_batches(
+        simhash_block_to_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _keyed_repartition(pairs, 16, ["doc_id", "dup_of"]).map_batches(
+        distinct_pair_rows, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data corpus operators: split / curation / semantic dedup clusters
 # ---------------------------------------------------------------------------

@@ -773,3 +773,118 @@ def _jaccard_sets(ga: set, gb: set) -> float:
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Exact word n-gram Jaccard similarity (verification kernel)."""
     return _jaccard_sets(_ngram_set(a, n), _ngram_set(b, n))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (hamming-block banding)
+# ---------------------------------------------------------------------------
+
+# byte-table popcount (numpy 1.26 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hamming distance: byte-view of the xor through
+    a 256-entry popcount table, summed per word."""
+    x = np.ascontiguousarray(a ^ b).view(np.uint8).reshape(-1, 8)
+    return _POP8[x].sum(axis=1, dtype=np.int64)
+
+
+def explode_simhash_blocks(
+    batch: pa.Table,
+    num_blocks: int = 4,
+    id_column: str = "doc_id",
+    hash_column: str = "simhash",
+) -> pa.Table:
+    """(doc, simhash) -> one row per (block, block_value): Charikar-style
+    hamming-block candidate generation. Pigeonhole: two 64-bit hashes
+    within hamming distance < num_blocks must agree on at least one of
+    the num_blocks equal-width bit blocks, so a groupby on
+    (block, block_value) co-locates every pair the verify can accept.
+    The 8-byte simhash rides each row so the in-block verify needs no
+    second exchange (unlike MinHash, whose verification payload is the
+    document text)."""
+    h = np.asarray(batch.column(hash_column).combine_chunks() if isinstance(
+        batch.column(hash_column), pa.ChunkedArray) else batch.column(hash_column))
+    ids = np.asarray(batch.column(id_column), dtype=np.int64)
+    width = 64 // num_blocks
+    mask = np.uint64((1 << width) - 1)
+    vals = np.stack(
+        [(h >> np.uint64(b * width)) & mask for b in range(num_blocks)], axis=1
+    )
+    return pa.table(
+        {
+            id_column: pa.array(np.repeat(ids, num_blocks), type=pa.int64()),
+            "block": pa.array(
+                np.tile(np.arange(num_blocks, dtype=np.int32), len(ids)), type=pa.int32()
+            ),
+            "block_value": pa.array(vals.reshape(-1), type=pa.uint64()),
+            hash_column: pa.array(np.repeat(h, num_blocks), type=pa.uint64()),
+        }
+    )
+
+
+_SIMHASH_PAIRS_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("dup_of", pa.int64()), ("hamming", pa.int64())]
+)
+
+
+def simhash_block_to_pairs(
+    block: pa.Table, max_hamming: int = 3, id_column: str = "doc_id"
+) -> pa.Table:
+    """Whole-block pair emission + hamming verify for a key-partitioned
+    block of (doc_id, block, block_value, simhash) rows: one vectorized
+    run-detection pass over ALL buckets in the block (the same
+    run-slicing shape as ``lsh_block_to_pairs``), pairing each bucket
+    member with the bucket's min id and keeping pairs within
+    ``max_hamming`` bits. Verification is local — the simhash rides the
+    candidate row — so this single kernel is both candidate generation
+    and exact check."""
+    if block.num_rows == 0:
+        return _SIMHASH_PAIRS_SCHEMA.empty_table()
+    order = pc.sort_indices(
+        block,
+        sort_keys=[
+            ("block", "ascending"),
+            ("block_value", "ascending"),
+            (id_column, "ascending"),
+        ],
+    )
+    b = block.take(order)
+    blk = np.asarray(b.column("block"))
+    bv = np.asarray(b.column("block_value"))
+    ids = np.asarray(b.column(id_column), dtype=np.int64)
+    sh = np.asarray(b.column("simhash"))
+    new_run = np.r_[True, (blk[1:] != blk[:-1]) | (bv[1:] != bv[:-1])]
+    starts = np.flatnonzero(new_run)
+    counts = np.diff(np.r_[starts, len(ids)])
+    keep = ~new_run
+    a_ids = ids[keep]
+    a_sh = sh[keep]
+    first_ids = np.repeat(ids[starts], counts - 1)
+    first_sh = np.repeat(sh[starts], counts - 1)
+    d = hamming64(a_sh, first_sh)
+    m = d <= max_hamming
+    return pa.table(
+        {
+            "doc_id": pa.array(a_ids[m], type=pa.int64()),
+            "dup_of": pa.array(first_ids[m], type=pa.int64()),
+            "hamming": pa.array(d[m], type=pa.int64()),
+        }
+    )
+
+
+def distinct_pair_rows(block: pa.Table) -> pa.Table:
+    """Per-block distinct over (doc_id, dup_of) — run after a keyed
+    repartition on the pair so cross-block duplicates (the same pair
+    surfacing from several hamming blocks) collapse exactly."""
+    if block.num_rows == 0:
+        return block
+    order = pc.sort_indices(
+        block, sort_keys=[("doc_id", "ascending"), ("dup_of", "ascending")]
+    )
+    b = block.take(order)
+    a = np.asarray(b.column("doc_id"))
+    c = np.asarray(b.column("dup_of"))
+    first = np.r_[True, (a[1:] != a[:-1]) | (c[1:] != c[:-1])]
+    return b.filter(pa.array(first))

@@ -164,3 +164,34 @@ def test_dedup_near_anti_join_fallback_matches_broadcast():
     )
     assert len(bcast) > 0
     assert bcast == joined
+
+
+def test_hamming64_and_simhash_block_pairs():
+    from embulk_input_marketo_ray.stages.dedup import (
+        explode_simhash_blocks,
+        hamming64,
+        simhash_block_to_pairs,
+    )
+
+    a = np.array([0, 0xFFFFFFFFFFFFFFFF, 0b1011], dtype=np.uint64)
+    b = np.array([0, 0, 0b0010], dtype=np.uint64)
+    assert hamming64(a, b).tolist() == [0, 64, 2]
+
+    # doc 1 and 2 differ in one low bit (same 3 high blocks -> candidates,
+    # hamming 1 -> kept); doc 3 is far from both (no shared block)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "simhash": pa.array(
+                [0x1111222233334444, 0x1111222233334445, 0x9999AAAABBBBCCCC],
+                type=pa.uint64(),
+            ),
+        }
+    )
+    blocks = explode_simhash_blocks(t)
+    assert blocks.num_rows == 12  # 3 docs x 4 blocks
+    pairs = simhash_block_to_pairs(blocks)
+    rows = {(r["doc_id"], r["dup_of"]): r["hamming"] for r in pairs.to_pylist()}
+    # the (2, 1) pair surfaces from each of the 3 shared blocks
+    assert set(rows) == {(2, 1)}
+    assert rows[(2, 1)] == 1
