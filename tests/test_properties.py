@@ -286,3 +286,48 @@ def test_block_candidates_matches_brute_force(rows, n_queries):
                 for m in members:
                     exp.add((q, m))
     assert got == exp
+
+
+@given(
+    hashes=st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=80),
+    max_h=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_simhash_block_pairs_match_brute_force(hashes, max_h):
+    """The fused run-slicing candidate+hamming kernel equals the naive
+    per-bucket dict construction: same pair set, same distances."""
+    import pyarrow as pa
+
+    from embulk_input_marketo_ray.stages.dedup import (
+        explode_simhash_blocks,
+        simhash_block_to_pairs,
+    )
+
+    ids = list(range(len(hashes)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "simhash": pa.array(hashes, type=pa.uint64()),
+        }
+    )
+    got = {
+        (r["doc_id"], r["dup_of"]): r["hamming"]
+        for r in simhash_block_to_pairs(
+            explode_simhash_blocks(t), max_hamming=max_h
+        ).to_pylist()
+    }
+
+    buckets = {}
+    for i, h in zip(ids, hashes):
+        for b in range(4):
+            buckets.setdefault((b, (h >> (b * 16)) & 0xFFFF), []).append(i)
+    want = {}
+    for ms in buckets.values():
+        if len(ms) < 2:
+            continue
+        ms = sorted(ms)
+        for o in ms[1:]:
+            d = bin(hashes[o] ^ hashes[ms[0]]).count("1")
+            if d <= max_h:
+                want[(o, ms[0])] = d
+    assert got == want
