@@ -518,14 +518,80 @@ class FragmentMerger:
         return pa.concat_tables(out)
 
 
-def read_lake(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+def _file_window_tag(path: str) -> str | None:
+    """Window tag baked into delta-layout file names
+    (``delta-<pid>-<tag>.parquet`` / ``base-<pid>-<tag>.parquet``);
+    the tag is the window's ISO watermark stripped to alnum, fixed
+    width, so lexicographic order == time order. ``part-`` files
+    (rewrite layout) carry no history -> None."""
+    import re as _re
+
+    m = _re.match(
+        r"(?:delta|base)-\d+-([0-9A-Za-z]+)\.parquet$", os.path.basename(path)
+    )
+    return m.group(1) if m else None
+
+
+def _as_of_tag(as_of) -> str:
+    import re as _re
+    from datetime import datetime as _dt
+
+    if isinstance(as_of, _dt):
+        as_of = as_of.isoformat()
+    return _re.sub(r"[^0-9A-Za-z]", "", str(as_of))
+
+
+def select_files_as_of(sets: dict[str, list[str]], as_of) -> dict[str, list[str]]:
+    """Time travel over the delta lake: per partition, keep only the
+    files of windows committed at-or-before ``as_of`` (ISO watermark
+    string or datetime). History granularity is the WINDOW — each
+    window appends one delta per touched bucket — and retention ends
+    at the last compaction: once a bucket compacts its deltas into a
+    ``base-`` file, states older than that base are gone (raise, don't
+    silently return the wrong snapshot). Partitions first touched
+    after ``as_of`` are simply absent from the snapshot."""
+    tag = _as_of_tag(as_of)
+    out: dict[str, list[str]] = {}
+    for pid, fs in sorted(sets.items()):
+        kept: list[str] = []
+        compacted_past = False
+        for p in fs:
+            t = _file_window_tag(p)
+            if t is None:
+                raise ValueError(
+                    f"as_of read requires the delta lake layout; {os.path.basename(p)} "
+                    "is a rewrite-layout partition with no window history"
+                )
+            if t <= tag:
+                kept.append(p)
+            elif os.path.basename(p).startswith("base-"):
+                compacted_past = True
+        if not kept:
+            if compacted_past:
+                raise ValueError(
+                    f"partition {pid}: history before its base compaction was "
+                    f"discarded; as_of={as_of!r} predates the oldest retained state "
+                    "(raise compact_threshold to retain more windows)"
+                )
+            continue  # partition did not exist yet at as_of
+        out[pid] = kept
+    return out
+
+
+def read_lake(
+    lake_dir: str, columns: list[str] | None = None, as_of=None
+) -> "ray.data.Dataset":
     """Read the committed lake partitions (manifest-listed files only).
 
     Rewrite layout (one file per pid): plain parallel parquet read.
     Delta layout: merge-on-read — one task per bucket LWW-merges its
     base+delta set (no shuffle needed: the file set is already
-    partitioned by the bucket hash of the upsert key)."""
+    partitioned by the bucket hash of the upsert key). ``as_of``
+    (delta layout only) reads the lake AS OF an earlier window's
+    watermark (see select_files_as_of)."""
     sets = PartitionManifest(lake_dir).committed_file_sets()
+    if as_of is not None:
+        sets = select_files_as_of(sets, as_of)
     if not sets:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")
     if all(len(fs) == 1 and _is_merged_file(fs[0]) for fs in sets.values()):
@@ -544,9 +610,14 @@ def read_lake(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Data
     return specs.map_batches(merge_read, batch_format="pyarrow", batch_size=None)
 
 
-def read_lake_table(lake_dir: str, columns: list[str] | None = None) -> pa.Table:
-    """Driver-side (small-result) materialization of the lake."""
+def read_lake_table(
+    lake_dir: str, columns: list[str] | None = None, as_of=None
+) -> pa.Table:
+    """Driver-side (small-result) materialization of the lake;
+    ``as_of`` = time travel (delta layout, see select_files_as_of)."""
     sets = PartitionManifest(lake_dir).committed_file_sets()
+    if as_of is not None:
+        sets = select_files_as_of(sets, as_of)
     if not sets:
         return None
     tables = []

@@ -387,3 +387,50 @@ def test_routing_hash_version_guard(events_dir, tmp_path):
     assert not r["skipped"]
     with open(mpath) as f:
         assert json.load(f)["routing_hash"] == ROUTING_HASH_VERSION
+
+
+def test_delta_lake_time_travel_as_of(events_dir, tmp_path):
+    """as_of reads reconstruct an earlier window's exact lake state
+    from the delta history (merge-on-read over only the files whose
+    window tag <= as_of)."""
+    from embulk_input_marketo_ray.sinks.exactly_once import select_files_as_of
+
+    lake = str(tmp_path / "lake")
+    cfg1 = cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    r1 = replay(cfg1)
+    snap1 = lake_multiset(read_lake_table(lake))
+
+    cfg2 = cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100)
+    r2 = replay(cfg2)
+    assert lake_multiset(read_lake_table(lake)) != snap1  # lake moved on
+
+    # time travel back to window 1's watermark
+    back = read_lake_table(lake, as_of=r1["to"])
+    assert lake_multiset(back) == snap1
+    # as_of the current watermark == the current lake
+    assert lake_multiset(read_lake_table(lake, as_of=r2["to"])) == lake_multiset(
+        read_lake_table(lake)
+    )
+    # an as_of before the first window: every partition absent -> empty
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake
+
+    with pytest.raises(FileNotFoundError):
+        read_lake(lake, as_of="1999-01-01T00:00:00")
+
+    # rewrite layout has no history
+    lake_rw = str(tmp_path / "lake_rw")
+    replay(cfg_for(events_dir, lake_rw))
+    with pytest.raises(ValueError, match="rewrite-layout"):
+        read_lake_table(lake_rw, as_of=r1["to"])
+
+    # compaction discards pre-base history: force compaction each window
+    lake_c = str(tmp_path / "lake_c")
+    cfgc = cfg_for(events_dir, lake_c, lake_layout="delta", compact_threshold=1)
+    cfgc.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    rc1 = replay(cfgc)
+    replay(cfg_for(events_dir, lake_c, lake_layout="delta", compact_threshold=1))
+    with pytest.raises(ValueError, match="compaction"):
+        from embulk_input_marketo_ray.state.manifest import PartitionManifest as PM
+
+        select_files_as_of(PM(lake_c).committed_file_sets(), rc1["to"])
