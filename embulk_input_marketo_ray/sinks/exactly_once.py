@@ -578,6 +578,65 @@ def select_files_as_of(sets: dict[str, list[str]], as_of) -> dict[str, list[str]
     return out
 
 
+def changes_between(
+    lake_dir: str, since, until=None, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """CDC feed OUT of the delta lake: one row per key changed in the
+    windows committed after ``since`` and at-or-before ``until``
+    (watermark ISO strings / datetimes; ``until=None`` = everything
+    after ``since``). Rows keep the ``op`` column — a consumer applies
+    upserts and deletes downstream; the row is each key's LATEST state
+    within the range (per-window deltas are already LWW-combined, the
+    range merge LWW-combines across windows).
+
+    Requires the delta layout, and history back to ``since``: a bucket
+    whose ``base-`` compaction is newer than ``since`` folded earlier
+    windows into one state and can no longer isolate the range —
+    raises instead of emitting a wrong feed. One merge task per bucket,
+    no shuffle (files are already key-partitioned)."""
+    since_tag = _as_of_tag(since)
+    until_tag = _as_of_tag(until) if until is not None else None
+    sets = PartitionManifest(lake_dir).committed_file_sets()
+    selected: dict[str, list[str]] = {}
+    for pid, fs in sorted(sets.items()):
+        kept: list[str] = []
+        for p in fs:
+            t = _file_window_tag(p)
+            if t is None:
+                raise ValueError(
+                    f"changes_between requires the delta lake layout; "
+                    f"{os.path.basename(p)} is a rewrite-layout partition"
+                )
+            name = os.path.basename(p)
+            if name.startswith("base-") and t > since_tag:
+                raise ValueError(
+                    f"partition {pid}: its base compaction ({t}) is newer than "
+                    f"since={since!r}; the per-window history of the requested "
+                    "range was folded into the base (raise compact_threshold "
+                    "to retain more windows)"
+                )
+            if name.startswith("delta-") and t > since_tag and (
+                until_tag is None or t <= until_tag
+            ):
+                kept.append(p)
+        if kept:
+            selected[pid] = kept
+    if not selected:
+        import ray.data as _rd
+
+        return _rd.from_items([]).limit(0)
+    specs = ray.data.from_items(
+        [{"pid": pid, "paths": "\n".join(fs)} for pid, fs in sorted(selected.items())]
+    ).repartition(len(selected))
+
+    def merge_read(batch: pa.Table):
+        for paths in batch.column("paths").to_pylist():
+            merged = merge_bucket_files(paths.split("\n"), drop_tombstones=False)
+            yield merged.select(columns) if columns else merged
+
+    return specs.map_batches(merge_read, batch_format="pyarrow", batch_size=None)
+
+
 def read_lake(
     lake_dir: str, columns: list[str] | None = None, as_of=None
 ) -> "ray.data.Dataset":

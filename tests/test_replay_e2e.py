@@ -434,3 +434,37 @@ def test_delta_lake_time_travel_as_of(events_dir, tmp_path):
         from embulk_input_marketo_ray.state.manifest import PartitionManifest as PM
 
         select_files_as_of(PM(lake_c).committed_file_sets(), rc1["to"])
+
+
+def test_changes_between_emits_window_cdc_feed(events_dir, tmp_path):
+    """changes_between = CDC OUT of the lake: per-key latest state (op
+    kept, deletes included) over exactly the windows in (since, until]."""
+    import glob
+
+    from embulk_input_marketo_ray.sinks.exactly_once import changes_between
+
+    lake = str(tmp_path / "lake")
+    cfg1 = cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    r1 = replay(cfg1)
+    r2 = replay(cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100))
+
+    feed = changes_between(lake, since=r1["to"]).take_all()
+    got = {(r["repo"], r["path"]): r["op"] for r in feed}
+
+    # pandas oracle: LWW (op kept) over the second window's event range
+    # (the engine re-pulls the boundary second: from == prior to, inclusive)
+    df = pd.concat(
+        pd.read_parquet(f) for f in sorted(glob.glob(f"{events_dir}/events_*.parquet"))
+    )
+    lo, hi = datetime.fromisoformat(r2["from"]), datetime.fromisoformat(r2["to"])
+    df = df[(df.event_ts >= lo) & (df.event_ts <= hi)]
+    df = df.sort_values("commit_seq", kind="stable").drop_duplicates(
+        ["repo", "path"], keep="last"
+    )
+    want = {(r.repo, r.path): r.op for r in df.itertuples(index=False)}
+    assert got == want
+    assert any(op == "delete" for op in got.values())  # deletes ride the feed
+
+    # empty range
+    assert changes_between(lake, since=r2["to"]).count() == 0
