@@ -1,3 +1,8 @@
-from embulk_input_marketo_ray.sinks.exactly_once import BucketMergeWriter, read_lake
+from embulk_input_marketo_ray.sinks.exactly_once import (
+    BucketMergeWriter,
+    changes_between,
+    read_lake,
+    read_lake_table,
+)
 
-__all__ = ["BucketMergeWriter", "read_lake"]
+__all__ = ["BucketMergeWriter", "changes_between", "read_lake", "read_lake_table"]
