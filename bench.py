@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "doc_vocab_topk",
     "doc_dedup_near",
     "doc_topk_per_lang",
+    "doc_simhash_dup_pairs",
+    "program_by_tag",
+    "offset_paged_csv",
 ]
 
 
