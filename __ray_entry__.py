@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dup_pairs": q.q_doc_minhash_dup_pairs,
         "doc_dup_clusters": q.q_doc_dup_clusters,
         "doc_simhash_dup_pairs": q.q_doc_simhash_dup_pairs,
+        "doc_repetition": q.q_doc_repetition,
         "token_paged_source": q.q_token_paged_source,
         "offset_paged_source": q.q_offset_paged_source,
         "program_by_tag": q.q_program_by_tag,
@@ -280,6 +281,33 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{oracle_paths['doc_minhash_dup_pairs']}')"
         ),
         "doc_dup_clusters": f"SELECT * FROM read_parquet('{oracle_paths['doc_dup_clusters']}')",
+        "doc_repetition": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              FROM pos
+            ),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_grams,
+                     count(DISTINCT gram)::BIGINT AS n_distinct_grams
+              FROM g GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(agg.n_grams, 0) AS n_grams,
+                   coalesce(agg.n_distinct_grams, 0) AS n_distinct_grams,
+                   CASE WHEN coalesce(agg.n_grams, 0) > 0
+                        THEN 1.0 - (agg.n_distinct_grams::DOUBLE / agg.n_grams::DOUBLE)
+                        ELSE 0.0 END AS rep_ratio
+            FROM t LEFT JOIN agg USING (doc_id)
+        """,
         "doc_simhash_dup_pairs": (
             f"SELECT * FROM read_parquet('{oracle_paths['doc_simhash_dup_pairs']}')"
         ),

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "doc_simhash_dup_pairs",
     "program_by_tag",
     "offset_paged_csv",
+    "doc_repetition",
 ]
 
 

@@ -1021,6 +1021,18 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
     return verify_pairs_jaccard(pairs, docs, threshold=0.5)
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signal: per-doc duplicate
+    word-3-gram fraction (template/boilerplate detector). One fused
+    streaming map, no shuffle."""
+    from embulk_input_marketo_ray.stages.text import repetition_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_scores, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_grams", "n_distinct_grams", "rep_ratio"]
+    )
+
+
 def q_doc_simhash_dup_pairs(sf_dir: str):
     """SimHash near-dup pairs via hamming-block banding: simhash (actor
     pool) -> explode to (block, block_value) rows with the 8-byte hash

@@ -237,3 +237,65 @@ class Fingerprinter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = self._fingerprints_vectorized(batch.column(self.text_column))
         return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# repetition ratio (Gopher-style duplicate-n-gram quality signal)
+# ---------------------------------------------------------------------------
+
+
+def repetition_scores(
+    batch: pa.Table, text_column: str = "text", n: int = 3
+) -> pa.Table:
+    """Per-document duplicate word-n-gram fraction: ``n_grams`` (total
+    n-gram positions), ``n_distinct_grams``, and ``rep_ratio`` =
+    1 - distinct/total (0.0 for docs with no n-gram). High ratios mark
+    boilerplate / template spam (the Gopher repetition filters).
+
+    Vectorized: Arrow regex split -> pandas factorize (token identity
+    as int codes, no hashing — gram equality is EXACT) -> per-doc
+    3-gram ids as a base-V positional combine -> per-doc np.unique
+    (small arrays; the measured-fast shape, see MinHasher)."""
+    import pandas as pd
+
+    col = batch.column(text_column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lower = pc.utf8_lower(pc.coalesce(col, pa.scalar("")))
+    toks = pc.split_pattern_regex(lower, pattern=r"\W+")
+    flat = toks.flatten()
+    offsets = np.asarray(toks.offsets)
+    n_docs = len(col)
+
+    words = np.asarray(flat, dtype=object)
+    nonempty = words != ""
+    codes, uniques = pd.factorize(words, use_na_sentinel=False)
+    keep_idx = np.flatnonzero(nonempty)
+    kept = codes[keep_idx].astype(np.uint64)
+    new_offsets = np.searchsorted(keep_idx, offsets)
+
+    v = np.uint64(max(len(uniques), 1))
+    n_flat = len(kept)
+    if n_flat >= n:
+        m = n_flat - n + 1
+        gram = np.zeros(m, dtype=np.uint64)
+        mult = np.uint64(1)
+        for j in range(n):
+            gram += kept[j : j + m] * mult
+            mult *= v
+    else:
+        gram = np.zeros(0, dtype=np.uint64)
+
+    starts = new_offsets[:-1]
+    ends = new_offsets[1:]
+    total = np.maximum(ends - starts - n + 1, 0).astype(np.int64)
+    distinct = np.zeros(n_docs, dtype=np.int64)
+    for d in range(n_docs):
+        if total[d] > 0:
+            distinct[d] = len(np.unique(gram[starts[d] : starts[d] + total[d]]))
+    ratio = np.zeros(n_docs, dtype=np.float64)
+    nz = total > 0
+    ratio[nz] = 1.0 - (distinct[nz].astype(np.float64) / total[nz].astype(np.float64))
+    return batch.append_column("n_grams", pa.array(total)).append_column(
+        "n_distinct_grams", pa.array(distinct)
+    ).append_column("rep_ratio", pa.array(ratio))

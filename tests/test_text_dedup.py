@@ -195,3 +195,21 @@ def test_hamming64_and_simhash_block_pairs():
     # the (2, 1) pair surfaces from each of the 3 shared blocks
     assert set(rows) == {(2, 1)}
     assert rows[(2, 1)] == 1
+
+
+def test_repetition_scores_kernel():
+    from embulk_input_marketo_ray.stages.text import repetition_scores
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                ["a b c a b c a b c", "one two three four", "x y", None, ""]
+            )
+        }
+    )
+    out = repetition_scores(t).to_pylist()
+    assert (out[0]["n_grams"], out[0]["n_distinct_grams"]) == (7, 3)
+    assert abs(out[0]["rep_ratio"] - (1 - 3 / 7)) < 1e-12
+    assert (out[1]["n_grams"], out[1]["rep_ratio"]) == (2, 0.0)
+    for r in out[2:]:
+        assert r["n_grams"] == 0 and r["rep_ratio"] == 0.0
