@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": q.q_doc_dup_clusters,
         "doc_simhash_dup_pairs": q.q_doc_simhash_dup_pairs,
         "doc_repetition": q.q_doc_repetition,
+        "doc_pii_scan": q.q_doc_pii_scan,
         "token_paged_source": q.q_token_paged_source,
         "offset_paged_source": q.q_offset_paged_source,
         "program_by_tag": q.q_program_by_tag,
@@ -235,6 +236,8 @@ def oracle_sql() -> dict[str, str]:
     oracle_paths = oracles.materialize(ORACLE_SF_DIR)
     co_n = CUSTOM_OBJECT_TO - CUSTOM_OBJECT_FROM + 1
 
+    from embulk_input_marketo_ray.stages.text import PII_EMAIL, PII_IPV4, PII_URL
+
     cdc_to = f"TIMESTAMP '2024-01-01' + INTERVAL {CDC_N_QUERY + 50} SECONDS"
     return {
         # --- sources (exact synthetic row sets, pure SQL) ---
@@ -281,6 +284,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{oracle_paths['doc_minhash_dup_pairs']}')"
         ),
         "doc_dup_clusters": f"SELECT * FROM read_parquet('{oracle_paths['doc_dup_clusters']}')",
+        "doc_pii_scan": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text,''), '{PII_EMAIL}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(coalesce(text,''), '{PII_URL}'))::BIGINT AS n_urls,
+                   len(regexp_extract_all(coalesce(text,''), '{PII_IPV4}'))::BIGINT AS n_ipv4,
+                   (len(regexp_extract_all(coalesce(text,''), '{PII_EMAIL}'))
+                    + len(regexp_extract_all(coalesce(text,''), '{PII_URL}'))
+                    + len(regexp_extract_all(coalesce(text,''), '{PII_IPV4}'))) > 0 AS has_pii
+            FROM documents
+        """,
         "doc_repetition": """
             WITH t AS (
               SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks

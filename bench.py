@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "program_by_tag",
     "offset_paged_csv",
     "doc_repetition",
+    "doc_pii_scan",
 ]
 
 

@@ -1021,6 +1021,17 @@ def q_doc_minhash_dup_pairs(sf_dir: str):
     return verify_pairs_jaccard(pairs, docs, threshold=0.5)
 
 
+def q_doc_pii_scan(sf_dir: str):
+    """PII / contamination counters per document (emails, URLs, IPv4) —
+    the pre-publication filter signal. One fused streaming map."""
+    from embulk_input_marketo_ray.stages.text import pii_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(pii_scan, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_emails", "n_urls", "n_ipv4", "has_pii"]
+    )
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signal: per-doc duplicate
     word-3-gram fraction (template/boilerplate detector). One fused

@@ -299,3 +299,33 @@ def repetition_scores(
     return batch.append_column("n_grams", pa.array(total)).append_column(
         "n_distinct_grams", pa.array(distinct)
     ).append_column("rep_ratio", pa.array(ratio))
+
+
+# ---------------------------------------------------------------------------
+# PII / contamination scan
+# ---------------------------------------------------------------------------
+
+# deliberately simple, deterministic patterns (RE2 on both the Arrow
+# and the DuckDB side, so the oracle is the same regex engine class):
+# emails, http(s) URLs, dotted-quad IPs
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scan(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Per-document PII / contamination counters — the filter signal a
+    training-data pipeline runs before publication: ``n_emails``,
+    ``n_urls``, ``n_ipv4`` and a composite ``has_pii``. Fully
+    Arrow-vectorized (one RE2 scan per pattern per batch)."""
+    text = pc.coalesce(batch.column(text_column), pa.scalar(""))
+    n_emails = pc.count_substring_regex(text, pattern=PII_EMAIL).cast(pa.int64())
+    n_urls = pc.count_substring_regex(text, pattern=PII_URL).cast(pa.int64())
+    n_ipv4 = pc.count_substring_regex(text, pattern=PII_IPV4).cast(pa.int64())
+    total = pc.add(pc.add(n_emails, n_urls), n_ipv4)
+    return (
+        batch.append_column("n_emails", n_emails)
+        .append_column("n_urls", n_urls)
+        .append_column("n_ipv4", n_ipv4)
+        .append_column("has_pii", pc.greater(total, 0))
+    )

@@ -213,3 +213,22 @@ def test_repetition_scores_kernel():
     assert (out[1]["n_grams"], out[1]["rep_ratio"]) == (2, 0.0)
     for r in out[2:]:
         assert r["n_grams"] == 0 and r["rep_ratio"] == 0.0
+
+
+def test_pii_scan_counters():
+    from embulk_input_marketo_ray.stages.text import pii_scan
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "mail bob@example.com or https://x.io/a and 10.0.0.1",
+                    "clean prose only",
+                    None,
+                ]
+            )
+        }
+    )
+    out = pii_scan(t).to_pylist()
+    assert (out[0]["n_emails"], out[0]["n_urls"], out[0]["n_ipv4"]) == (1, 1, 1)
+    assert out[0]["has_pii"] and not out[1]["has_pii"] and not out[2]["has_pii"]
