@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "cdc_replay": _q_cdc_replay,
+        "time_travel": q.q_time_travel,
+        "cdc_feed": q.q_cdc_feed,
+        "repo_head_stats": q.q_repo_head_stats,
+        "repo_churn_topk": q.q_repo_churn_topk,
         "watermark_slice": q.q_watermark_slice,
         "lww_latest": q.q_lww_latest,
         "dedup_first": q.q_dedup_first,
@@ -223,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
     from embulk_input_marketo_ray.pipelines import oracles
     from embulk_input_marketo_ray.pipelines.queries import (
         ANN_NUM_QUERIES,
+        CHURN_TOP_K,
         ANN_TOP_K,
         CUSTOM_OBJECT_FROM,
         CUSTOM_OBJECT_TO,
@@ -239,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
     from embulk_input_marketo_ray.stages.text import PII_EMAIL, PII_IPV4, PII_URL
 
     cdc_to = f"TIMESTAMP '2024-01-01' + INTERVAL {CDC_N_QUERY + 50} SECONDS"
+    cdc_w1_to = f"TIMESTAMP '2024-01-01' + INTERVAL {CDC_N_QUERY // 2} SECONDS"
     return {
         # --- sources (exact synthetic row sets, pure SQL) ---
         "token_paged_source": _fixture_record_sql(2000),
@@ -376,6 +382,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT repo, path, commit_seq, sha256(content) AS content_sha256
             FROM ranked WHERE rn = 1 AND op = 'upsert'
+        """,
+        # time travel: lake AS OF window 1's watermark == LWW over only
+        # window-1 events ([from, to] inclusive; the engine re-pulls the
+        # boundary second in window 2, idempotent under LWW)
+        "time_travel": f"""
+            WITH e AS (
+              SELECT * FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              WHERE event_ts >= TIMESTAMP '2024-01-01' AND event_ts <= {cdc_w1_to}
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+              FROM e
+            )
+            SELECT repo, path, commit_seq, sha256(content) AS content_sha256
+            FROM ranked WHERE rn = 1 AND op = 'upsert'
+        """,
+        # CDC feed out of the lake: per-key LATEST state (op kept,
+        # deletes included) over exactly the second window's event range
+        "cdc_feed": f"""
+            WITH e AS (
+              SELECT * FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              WHERE event_ts >= {cdc_w1_to} AND event_ts <= {cdc_to}
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+              FROM e
+            )
+            SELECT repo, path, commit_seq, op FROM ranked WHERE rn = 1
+        """,
+        "repo_head_stats": f"""
+            WITH e AS (
+              SELECT * FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              WHERE event_ts >= TIMESTAMP '2024-01-01' AND event_ts <= {cdc_to}
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+              FROM e
+            ),
+            head AS (SELECT * FROM ranked WHERE rn = 1 AND op = 'upsert')
+            SELECT repo, lang, CAST(sum(length(content)) AS BIGINT) AS n_bytes,
+                   count(*) AS n_files, max(commit_seq) AS last_seq
+            FROM head GROUP BY repo, lang
+        """,
+        "repo_churn_topk": f"""
+            WITH c AS (
+              SELECT repo, path, count(*) AS n_changes
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              GROUP BY repo, path
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo ORDER BY n_changes DESC, path) AS rank
+              FROM c
+            )
+            SELECT repo, path, n_changes, rank FROM r WHERE rank <= {CHURN_TOP_K}
         """,
         "watermark_slice": f"""
             SELECT event_id, ts, user_id, event_type FROM events

@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "offset_paged_csv",
     "doc_repetition",
     "doc_pii_scan",
+    "time_travel",
+    "cdc_feed",
+    "repo_head_stats",
+    "repo_churn_topk",
 ]
 
 

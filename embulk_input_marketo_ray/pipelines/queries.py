@@ -1273,3 +1273,190 @@ def q_embedding_dup_clusters(sf_dir: str):
     return resolve_dup_clusters(pairs).map_batches(
         _rename(["vec_id", "cluster_id"]), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# lake-history + lake-analytics queries over the synthetic change-event table
+# (the engine's own CDC surface as oracle-checked operators: time travel,
+# CDC feed out of the lake, head-state analytics, churn ranking)
+# ---------------------------------------------------------------------------
+
+# must match __ray_entry__.CDC_N_QUERY — the driver's oracle SQL reads the
+# same cached parquet directory
+CDC_QUERY_EVENTS = 20_000
+CHURN_TOP_K = 3
+
+
+def _cdc_events_dir(n: int = CDC_QUERY_EVENTS) -> str:
+    """Deterministic cached change-event table (synth._SUCCESS marker)."""
+    from embulk_input_marketo_ray.synth import (
+        default_events_dir,
+        generate_change_events,
+    )
+
+    return generate_change_events(default_events_dir(n), n)
+
+
+def _replay_windows(window_end_seconds, n: int = CDC_QUERY_EVENTS):
+    """Incremental replay of consecutive watermark windows into a fresh
+    delta-layout lake (compaction deferred so the per-window history is
+    retained for as_of / changes_between). Returns (lake_dir, [results]).
+
+    Window boundaries are inclusive on both ends and each follow-up
+    window re-pulls the boundary second (from == prior to) — LWW makes
+    the overlap idempotent (W3/W4, MarketoUtils.sliceRange analog)."""
+    import tempfile
+    from datetime import timedelta
+
+    from embulk_input_marketo_ray.pipelines.cdc_replay import ReplayConfig, replay
+    from embulk_input_marketo_ray.synth import BASE_TS, load_evolution_log
+
+    events = _cdc_events_dir(n)
+    lake = tempfile.mkdtemp(prefix="graft_lake_hist_")
+    results = []
+    for js in window_end_seconds:
+        cfg = ReplayConfig(
+            events_dir=events,
+            lake_dir=lake,
+            evolution_log=load_evolution_log(events),
+            from_ts=BASE_TS,
+            job_start=BASE_TS + timedelta(seconds=js),
+            fetch_days=100,
+            num_buckets=16,
+            lake_layout="delta",
+            compact_threshold=100,
+        )
+        results.append(replay(cfg))
+    return lake, results
+
+
+def q_time_travel(sf_dir: str):
+    """Time travel over the delta lake (S8+W4): replay two incremental
+    windows, then read the lake AS OF window 1's committed watermark —
+    the snapshot must equal the LWW state over only window-1 events
+    even though window 2 already moved the lake on. Merge-on-read over
+    the per-partition file sets whose window tag <= as_of; one merge
+    task per bucket, no shuffle (sinks/exactly_once.select_files_as_of)."""
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake
+
+    n = CDC_QUERY_EVENTS
+    lake, (r1, _r2) = _replay_windows([n // 2, n + 50])
+    return read_lake(lake, as_of=r1["to"]).select_columns(
+        ["repo", "path", "commit_seq", "content_sha256"]
+    )
+
+
+def q_cdc_feed(sf_dir: str):
+    """CDC feed OUT of the lake (S8 downstream contract): after two
+    incremental windows, changes_between(w1, w2] emits one row per key
+    changed in window 2 — each key's LATEST state with the op column
+    kept (deletes ride the feed as tombstones for downstream apply).
+    One merge task per bucket over only the window-2 delta files; the
+    boundary second is re-pulled by window 2, so the feed range is
+    inclusive of w1's watermark (sinks/exactly_once.changes_between)."""
+    from embulk_input_marketo_ray.sinks.exactly_once import changes_between
+
+    n = CDC_QUERY_EVENTS
+    lake, (r1, r2) = _replay_windows([n // 2, n + 50])
+    return changes_between(
+        lake, since=r1["to"], until=r2["to"],
+        columns=["repo", "path", "commit_seq", "op"],
+    )
+
+
+def q_repo_head_stats(sf_dir: str):
+    """Analytics over the replayed lake head state (A1/A2 analog at the
+    table level): per (repo, lang) live-file count, total content bytes
+    and latest commit_seq. The lake read is merge-on-read with column
+    pushdown; byte counts compute in the same fused pass; the exchange
+    moves only per-block partial rows (two-phase grouped aggregate)."""
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake
+
+    n = CDC_QUERY_EVENTS
+    lake, _ = _replay_windows([n + 50])
+    ds = read_lake(lake, columns=["repo", "lang", "content", "commit_seq"])
+
+    def measure(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "lang": batch.column("lang"),
+                "n_bytes": pc.utf8_length(batch.column("content")).cast(pa.int64()),
+                "commit_seq": batch.column("commit_seq"),
+            }
+        )
+
+    measured = ds.map_batches(measure, batch_format="pyarrow")
+    return grouped_aggregate(
+        measured,
+        ["repo", "lang"],
+        [
+            ("n_bytes", "sum", "n_bytes"),
+            ("", "count", "n_files"),
+            ("commit_seq", "max", "last_seq"),
+        ],
+    )
+
+
+def q_repo_churn_topk(sf_dir: str):
+    """Churn hotspots: the CHURN_TOP_K most-changed paths per repo over
+    the raw change-event stream — `row_number() OVER (PARTITION BY repo
+    ORDER BY n_changes DESC, path)` semantics with ONE keyed exchange:
+    per-block (repo, path) counts shrink each block before the shuffle
+    (keyed by repo alone, so a repo's partials all land together), then
+    a vectorized merge + run-rank per block. No global sort."""
+    import glob
+
+    events = _cdc_events_dir()
+    files = sorted(glob.glob(f"{events}/events_*.parquet"))
+    ds = ray.data.read_parquet(files, columns=["repo", "path"])
+
+    def _n_changes(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [
+                "n_changes" if c in ("count_all", "n_changes_sum") else c
+                for c in t.column_names
+            ]
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _n_changes(
+            batch.group_by(["repo", "path"]).aggregate([([], "count_all")])
+        )
+
+    def topk(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                    "n_changes": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        merged = _n_changes(
+            block.group_by(["repo", "path"]).aggregate([("n_changes", "sum")])
+        )
+        order = pc.sort_indices(
+            merged,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("n_changes", "descending"),
+                ("path", "ascending"),
+            ],
+        )
+        t = merged.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        starts = np.flatnonzero(np.r_[True, repo[1:] != repo[:-1]])
+        rank = np.arange(len(repo), dtype=np.int64)
+        rank = rank - np.repeat(rank[starts], np.diff(np.r_[starts, len(repo)])) + 1
+        t = t.append_column("rank", pa.array(rank, type=pa.int64()))
+        return t.select(["repo", "path", "n_changes", "rank"]).filter(
+            pa.array(rank <= CHURN_TOP_K)
+        )
+
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+    shuffled = _keyed_repartition(partial_ds, _shuffle_width(), ["repo"])
+    return shuffled.map_batches(
+        topk, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
