@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_feed": q.q_cdc_feed,
         "repo_head_stats": q.q_repo_head_stats,
         "repo_churn_topk": q.q_repo_churn_topk,
+        "cdc_parent_seq": q.q_cdc_parent_seq,
+        "doc_sample_stratified": q.q_doc_sample_stratified,
         "watermark_slice": q.q_watermark_slice,
         "lww_latest": q.q_lww_latest,
         "dedup_first": q.q_dedup_first,
@@ -228,6 +230,10 @@ def oracle_sql() -> dict[str, str]:
     from embulk_input_marketo_ray.pipelines.queries import (
         ANN_NUM_QUERIES,
         CHURN_TOP_K,
+        SAMPLE_DEFAULT_PER_MILLE,
+        SAMPLE_RATES_PER_MILLE,
+        SPLIT_HASH_MOD,
+        SPLIT_HASH_MULT,
         ANN_TOP_K,
         CUSTOM_OBJECT_FROM,
         CUSTOM_OBJECT_TO,
@@ -245,6 +251,9 @@ def oracle_sql() -> dict[str, str]:
 
     cdc_to = f"TIMESTAMP '2024-01-01' + INTERVAL {CDC_N_QUERY + 50} SECONDS"
     cdc_w1_to = f"TIMESTAMP '2024-01-01' + INTERVAL {CDC_N_QUERY // 2} SECONDS"
+    _sample_rate_cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES_PER_MILLE.items())
+    )
     return {
         # --- sources (exact synthetic row sets, pure SQL) ---
         "token_paged_source": _fixture_record_sql(2000),
@@ -427,6 +436,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, lang, CAST(sum(length(content)) AS BIGINT) AS n_bytes,
                    count(*) AS n_files, max(commit_seq) AS last_seq
             FROM head GROUP BY repo, lang
+        """,
+        "cdc_parent_seq": f"""
+            SELECT repo, path, commit_seq,
+                   coalesce(lag(commit_seq) OVER (
+                     PARTITION BY repo, path ORDER BY commit_seq), -1) AS parent_seq
+            FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+        """,
+        "doc_sample_stratified": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     (CAST(doc_id % {SPLIT_HASH_MOD} AS HUGEINT) * {SPLIT_HASH_MULT})
+                       % {SPLIT_HASH_MOD} AS h
+              FROM documents
+            )
+            WHERE h % 1000 < CASE lang {_sample_rate_cases} ELSE {SAMPLE_DEFAULT_PER_MILLE} END
         """,
         "repo_churn_topk": f"""
             WITH c AS (

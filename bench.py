@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "cdc_feed",
     "repo_head_stats",
     "repo_churn_topk",
+    "cdc_parent_seq",
+    "doc_sample_stratified",
 ]
 
 

@@ -1460,3 +1460,97 @@ def q_repo_churn_topk(sf_dir: str):
     return shuffled.map_batches(
         topk, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# per-lang keep rates out of 1000 for the stratified sampler: downsample
+# hot languages, keep the tail whole (the corpus-balancing move of a
+# training-data pipeline). Deterministic and re-partition-stable: the
+# decision is a pure function of doc_id.
+SAMPLE_RATES_PER_MILLE = {"en": 250, "es": 500, "unknown": 100}
+SAMPLE_DEFAULT_PER_MILLE = 1000
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """Stratified downsampling by language: keep a doc iff its
+    multiplicative doc_id hash lands under the language's per-mille
+    rate. One fused map+filter with the read — no shuffle, no RNG
+    state, stable under re-partitioning and resumable (same doc_id ->
+    same decision on every run/worker). Reuses the q_doc_split hash so
+    sampling composes consistently with split assignment."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = ((ids % SPLIT_HASH_MOD) * SPLIT_HASH_MULT) % SPLIT_HASH_MOD
+        lang = np.asarray(batch.column("lang"), dtype=object)
+        rates = np.array(
+            [SAMPLE_RATES_PER_MILLE.get(l, SAMPLE_DEFAULT_PER_MILLE) for l in lang],
+            dtype=np.uint64,
+        )
+        keep = (h % 1000) < rates
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "lang": batch.column("lang").filter(pa.array(keep)),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def q_cdc_parent_seq(sf_dir: str):
+    """Parent-commit attribution (as-of/lag over the change stream):
+    for every change event, the commit_seq of the SAME key's previous
+    change (`lag() OVER (PARTITION BY repo, path ORDER BY commit_seq)`)
+    — the pointer a diff/blame consumer chains on. One keyed exchange
+    on (repo, path) then a single vectorized sort + shifted-compare per
+    block: a key's run is contiguous after the sort, so parent = the
+    previous row unless a new key starts there. No global sort."""
+    import glob
+
+    events = _cdc_events_dir()
+    files = sorted(glob.glob(f"{events}/events_*.parquet"))
+    ds = ray.data.read_parquet(files, columns=["repo", "path", "commit_seq"])
+
+    def attach_parent(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                    "commit_seq": pa.array([], pa.int64()),
+                    "parent_seq": pa.array([], pa.int64()),
+                }
+            )
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("commit_seq", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        path = np.asarray(t.column("path"), dtype=object)
+        seq = np.asarray(t.column("commit_seq"), dtype=np.int64)
+        new_key = np.r_[True, (repo[1:] != repo[:-1]) | (path[1:] != path[:-1])]
+        parent = np.empty(len(seq), dtype=np.int64)
+        parent[0] = 0
+        parent[1:] = seq[:-1]
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "path": t.column("path"),
+                "commit_seq": t.column("commit_seq"),
+                # -1 marks a key's first change (SQL side: coalesce(lag(), -1))
+                "parent_seq": pa.array(
+                    np.where(new_key, np.int64(-1), parent), type=pa.int64()
+                ),
+            }
+        )
+
+    shuffled = _keyed_repartition(ds, _shuffle_width(), ["repo", "path"])
+    return shuffled.map_batches(
+        attach_parent, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
