@@ -1297,10 +1297,18 @@ def _cdc_events_dir(n: int = CDC_QUERY_EVENTS) -> str:
     return generate_change_events(default_events_dir(n), n)
 
 
+# per-process fixture cache: q_time_travel and q_cdc_feed read the SAME
+# deterministic two-window lake — building it once per process halves
+# their combined cost in the driver / test runs. Replay output is a pure
+# function of (events table, window ends), so reuse is exact.
+_HIST_LAKE_CACHE: dict = {}
+
+
 def _replay_windows(window_end_seconds, n: int = CDC_QUERY_EVENTS):
     """Incremental replay of consecutive watermark windows into a fresh
     delta-layout lake (compaction deferred so the per-window history is
-    retained for as_of / changes_between). Returns (lake_dir, [results]).
+    retained for as_of / changes_between). Returns (lake_dir, [results]),
+    cached per (n, windows) within the process.
 
     Window boundaries are inclusive on both ends and each follow-up
     window re-pulls the boundary second (from == prior to) — LWW makes
@@ -1311,6 +1319,9 @@ def _replay_windows(window_end_seconds, n: int = CDC_QUERY_EVENTS):
     from embulk_input_marketo_ray.pipelines.cdc_replay import ReplayConfig, replay
     from embulk_input_marketo_ray.synth import BASE_TS, load_evolution_log
 
+    key = (n, tuple(window_end_seconds))
+    if key in _HIST_LAKE_CACHE:
+        return _HIST_LAKE_CACHE[key]
     events = _cdc_events_dir(n)
     lake = tempfile.mkdtemp(prefix="graft_lake_hist_")
     results = []
@@ -1327,6 +1338,7 @@ def _replay_windows(window_end_seconds, n: int = CDC_QUERY_EVENTS):
             compact_threshold=100,
         )
         results.append(replay(cfg))
+    _HIST_LAKE_CACHE[key] = (lake, results)
     return lake, results
 
 
