@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_churn_topk": q.q_repo_churn_topk,
         "cdc_parent_seq": q.q_cdc_parent_seq,
         "doc_sample_stratified": q.q_doc_sample_stratified,
+        "evolved_attrs": q.q_evolved_attrs,
         "watermark_slice": q.q_watermark_slice,
         "lww_latest": q.q_lww_latest,
         "dedup_first": q.q_dedup_first,
@@ -451,6 +452,25 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             WHERE h % 1000 < CASE lang {_sample_rate_cases} ELSE {SAMPLE_DEFAULT_PER_MILLE} END
+        """,
+        "evolved_attrs": f"""
+            WITH e AS (
+              SELECT * FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              WHERE event_ts >= TIMESTAMP '2024-01-01' AND event_ts <= {cdc_to}
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+              FROM e
+            ),
+            head AS (SELECT * FROM ranked WHERE rn = 1 AND op = 'upsert')
+            SELECT repo, path, commit_seq,
+                   CAST(nullif(nullif(attr_score, ''), 'null') AS DOUBLE) AS mk_score,
+                   CAST(nullif(nullif(attr_revenue, ''), 'null') AS DOUBLE) AS mk_revenue,
+                   lower(nullif(nullif(attr_active, ''), 'null')) = 'true' AS mk_active,
+                   CAST(strptime(nullif(nullif(attr_updated, ''), 'null'),
+                                 '%Y-%m-%dT%H:%M:%S%z') AS TIMESTAMP) AS mk_updated
+            FROM head
         """,
         "repo_churn_topk": f"""
             WITH c AS (

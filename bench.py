@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "repo_churn_topk",
     "cdc_parent_seq",
     "doc_sample_stratified",
+    "evolved_attrs",
 ]
 
 

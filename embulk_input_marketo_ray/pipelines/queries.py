@@ -1566,3 +1566,26 @@ def q_cdc_parent_seq(sf_dir: str):
     return shuffled.map_batches(
         attach_parent, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_evolved_attrs(sf_dir: str):
+    """Schema-evolution end-state check (F1/F5/M3 + the evolution log):
+    the lake's typed dynamic columns — mk_score widened int->float
+    mid-stream, mk_revenue currency->double, mk_active boolean
+    (Boolean.parseBoolean semantics), mk_updated datetime — must equal
+    a pure-SQL recomputation from the winner rows' raw attr strings
+    (null literals ""/"null" normalized, pre-add rows null). Exercises
+    parse_typed + ChangeEventNormalizer across an add_column and a
+    widen_type boundary, per-value (the flagship oracle checks only
+    key + content sha)."""
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake
+
+    n = CDC_QUERY_EVENTS
+    lake, _ = _replay_windows([n + 50])
+    return read_lake(
+        lake,
+        columns=[
+            "repo", "path", "commit_seq",
+            "mk_score", "mk_revenue", "mk_active", "mk_updated",
+        ],
+    )
