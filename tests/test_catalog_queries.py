@@ -1,0 +1,59 @@
+"""Unit tests for round-3 catalog helpers: the history-lake fixture
+cache and the stratified sampler's determinism (correctness of the
+query RESULTS is covered by the DuckDB mirror in test_entry.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from embulk_input_marketo_ray.pipelines import queries as q
+
+
+def test_history_lake_cache_reuses_fixture(ray_session):
+    """q_time_travel and q_cdc_feed share one two-window lake per
+    process: same (n, windows) key -> the identical lake dir and replay
+    results; a different key builds a separate lake."""
+    n = 2500
+    lake_a, res_a = q._replay_windows([n // 2, n + 50], n=n)
+    lake_b, res_b = q._replay_windows([n // 2, n + 50], n=n)
+    assert lake_a == lake_b
+    assert res_a is res_b
+
+    lake_c, _ = q._replay_windows([n + 50], n=n)
+    assert lake_c != lake_a
+
+
+def test_stratified_sampler_deterministic_and_rate_bounded(ray_session, tmp_path):
+    """The keep decision is a pure function of doc_id: the same corpus
+    re-partitioned arbitrarily yields the identical sample, and each
+    language's realized rate tracks its configured per-mille rate."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    langs = np.array(["en", "es", "de", "unknown"], dtype=object)[
+        rng.integers(0, 4, size=n)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array(np.ones(n, dtype=np.int64)),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/documents.parquet")
+
+    got1 = set(q.q_doc_sample_stratified(sf_dir).to_pandas()["doc_id"])
+    got2 = set(q.q_doc_sample_stratified(sf_dir).to_pandas()["doc_id"])
+    assert got1 == got2  # deterministic across executions
+
+    df = q.q_doc_sample_stratified(sf_dir).to_pandas()
+    counts = df.groupby("lang").size()
+    totals = {l: int((langs == l).sum()) for l in ("en", "es", "de", "unknown")}
+    for lang, total in totals.items():
+        rate = q.SAMPLE_RATES_PER_MILLE.get(lang, q.SAMPLE_DEFAULT_PER_MILLE)
+        realized = counts.get(lang, 0) / total
+        # multiplicative-hash uniformity: within 5 points of the target
+        assert abs(realized - rate / 1000) < 0.05, (lang, realized, rate)
