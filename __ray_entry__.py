@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_parent_seq": q.q_cdc_parent_seq,
         "doc_sample_stratified": q.q_doc_sample_stratified,
         "evolved_attrs": q.q_evolved_attrs,
+        "key_lookup": q.q_key_lookup,
         "watermark_slice": q.q_watermark_slice,
         "lww_latest": q.q_lww_latest,
         "dedup_first": q.q_dedup_first,
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
     from embulk_input_marketo_ray.pipelines.queries import (
         ANN_NUM_QUERIES,
         CHURN_TOP_K,
+        LOOKUP_KEYS,
         SAMPLE_DEFAULT_PER_MILLE,
         SAMPLE_RATES_PER_MILLE,
         SPLIT_HASH_MOD,
@@ -252,6 +254,9 @@ def oracle_sql() -> dict[str, str]:
 
     cdc_to = f"TIMESTAMP '2024-01-01' + INTERVAL {CDC_N_QUERY + 50} SECONDS"
     cdc_w1_to = f"TIMESTAMP '2024-01-01' + INTERVAL {CDC_N_QUERY // 2} SECONDS"
+    _lookup_key_rows = ", ".join(
+        f"('{repo}', '{path}')" for repo, path in LOOKUP_KEYS
+    )
     _sample_rate_cases = " ".join(
         f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES_PER_MILLE.items())
     )
@@ -471,6 +476,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strptime(nullif(nullif(attr_updated, ''), 'null'),
                                  '%Y-%m-%dT%H:%M:%S%z') AS TIMESTAMP) AS mk_updated
             FROM head
+        """,
+        "key_lookup": f"""
+            WITH e AS (
+              SELECT * FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              WHERE event_ts >= TIMESTAMP '2024-01-01' AND event_ts <= {cdc_to}
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+              FROM e
+            )
+            SELECT repo, path, commit_seq, sha256(content) AS content_sha256
+            FROM ranked WHERE rn = 1 AND op = 'upsert'
+              AND (repo, path) IN ({_lookup_key_rows})
         """,
         "repo_churn_topk": f"""
             WITH c AS (

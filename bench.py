@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "cdc_parent_seq",
     "doc_sample_stratified",
     "evolved_attrs",
+    "key_lookup",
 ]
 
 

@@ -921,7 +921,11 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
                 **({"depth": r["depth"]} if r["depth"] >= 0 else {}),
             }
             for r in stats_rows
-        }
+        },
+        # point-lookup readers recompute a key's bucket route from this
+        # (empty buckets have no partition entry, so the count cannot be
+        # inferred from the manifest's partition list)
+        extra={"num_buckets": cfg.num_buckets},
     )
     # ConfigDiff analog: from := to, only after commit; report_duration
     # carried like the program target (ProgramInputPlugin.java:181-201).

@@ -1589,3 +1589,29 @@ def q_evolved_attrs(sf_dir: str):
             "mk_score", "mk_revenue", "mk_active", "mk_updated",
         ],
     )
+
+
+# fixed probe keys for the key_lookup oracle query (present in the 20k
+# change-event table; whether each is live at head is decided identically
+# by both sides — a tombstoned key simply drops out of both results)
+LOOKUP_KEYS = [
+    ("org/repo-00000", "src/m00/f_0000.py"),
+    ("org/repo-00000", "src/m00/f_0026.ts"),
+    ("org/repo-00003", "src/m11/f_0063.py"),
+    ("org/repo-99999", "src/m00/f_0000.py"),  # never existed
+]
+
+
+def q_key_lookup(sf_dir: str):
+    """Point lookup with partition pruning (the lake's primary-key read
+    path): route each (repo, path) to its bucket exactly as the writer
+    placed it and merge-read ONLY those partitions — O(keys) partitions
+    touched, not O(lake). Missing / tombstoned keys are absent from the
+    result on both sides."""
+    from embulk_input_marketo_ray.sinks.exactly_once import lookup_keys
+
+    n = CDC_QUERY_EVENTS
+    lake, _ = _replay_windows([n + 50])
+    return lookup_keys(
+        lake, LOOKUP_KEYS, columns=["repo", "path", "commit_seq", "content_sha256"]
+    )

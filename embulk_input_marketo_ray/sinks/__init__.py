@@ -1,8 +1,15 @@
 from embulk_input_marketo_ray.sinks.exactly_once import (
     BucketMergeWriter,
     changes_between,
+    lookup_keys,
     read_lake,
     read_lake_table,
 )
 
-__all__ = ["BucketMergeWriter", "changes_between", "read_lake", "read_lake_table"]
+__all__ = [
+    "BucketMergeWriter",
+    "changes_between",
+    "lookup_keys",
+    "read_lake",
+    "read_lake_table",
+]

@@ -694,3 +694,80 @@ def _is_merged_file(path: str) -> bool:
     delta- files still carry tombstones and need merge-on-read."""
     base = os.path.basename(path)
     return base.startswith("part-") or base.startswith("base-")
+
+
+def lookup_keys(
+    lake_dir: str,
+    keys: list[tuple[str, str]],
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Point lookup with partition pruning: read ONLY the buckets the
+    requested ``(repo, path)`` keys route to, never the whole lake.
+
+    The reader recomputes each key's bucket exactly the way the writer
+    placed it — the extendible-hash directory when the manifest carries
+    split depths, else ``stable_key_hash % num_buckets`` — so a lookup
+    touches 1 partition per distinct routed bucket (O(keys), not
+    O(lake)). Keys whose head state is a tombstone (or that never
+    existed) are simply absent from the result. Driver-side by design:
+    point lookups are small; bulk access goes through ``read_lake``.
+
+    Requires a lake committed with the ``num_buckets`` manifest stamp
+    (written since round 3); raises on older lakes rather than guessing
+    a route."""
+    from embulk_input_marketo_ray.functions.scalar import stable_key_hash
+    from embulk_input_marketo_ray.stages.lww import (
+        LAKE_KEY,
+        bucket_depths,
+        build_directory,
+        route_buckets,
+    )
+    from embulk_input_marketo_ray.state.manifest import PartitionManifest
+
+    manifest = PartitionManifest(lake_dir)
+    state = manifest.load()
+    num_buckets = state.get("num_buckets")
+    if num_buckets is None:
+        raise ValueError(
+            f"{lake_dir}: manifest carries no num_buckets stamp — this lake "
+            "predates point-lookup support; read it via read_lake instead"
+        )
+    keys_tbl = pa.table(
+        {
+            "repo": pa.array([k[0] for k in keys], type=pa.string()),
+            "path": pa.array([k[1] for k in keys], type=pa.string()),
+        }
+    )
+    has_depths = any(
+        "depth" in entry for entry in state.get("partitions", {}).values()
+    )
+    if has_depths:
+        directory = build_directory(bucket_depths(state, num_buckets))
+        buckets = route_buckets(keys_tbl, directory, LAKE_KEY)
+    else:
+        buckets = stable_key_hash(keys_tbl, LAKE_KEY, num_buckets)
+
+    committed = manifest.committed_file_sets()
+    wanted = pc.binary_join_element_wise(
+        keys_tbl.column("repo"), keys_tbl.column("path"), "\x00"
+    )
+    out: list[pa.Table] = []
+    for b in sorted(set(int(x) for x in buckets)):
+        fs = committed.get(f"{int(b):05d}")
+        if not fs:
+            continue  # bucket never received data -> keys absent
+        merged = merge_bucket_files(fs, drop_tombstones=True)
+        joined = pc.binary_join_element_wise(
+            merged.column("repo").cast(pa.string()),
+            merged.column("path").cast(pa.string()),
+            "\x00",
+        )
+        hit = pc.is_in(joined, value_set=wanted)
+        part = merged.filter(hit)
+        out.append(part.select(columns) if columns else part)
+    if not out:
+        empty = merge_bucket_files(
+            [fs[0] for fs in list(committed.values())[:1]], drop_tombstones=True
+        ).slice(0, 0)
+        return empty.select(columns) if columns else empty
+    return pa.concat_tables(out, promote_options="permissive")

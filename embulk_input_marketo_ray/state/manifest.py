@@ -109,17 +109,21 @@ class PartitionManifest:
             return list(entry["files"])
         return [f"part-{pid}.parquet"]
 
-    def commit(self, stats_by_pid: dict[str, dict]) -> None:
+    def commit(self, stats_by_pid: dict[str, dict], extra: dict | None = None) -> None:
         """Merge partition stats into the manifest and write it atomically.
 
         Called once on the driver after all partitions of a run have been
         promoted — the manifest write is the commit point; the watermark
-        checkpoint advances only after this returns (W4).
+        checkpoint advances only after this returns (W4). ``extra``
+        merges top-level run metadata (e.g. ``num_buckets``, which
+        point-lookup readers need to recompute a key's bucket route).
         """
         from embulk_input_marketo_ray.functions.scalar import ROUTING_HASH_VERSION
 
         state = self.load()
         state["partitions"].update(stats_by_pid)
+        if extra:
+            state.update(extra)
         # record which routing-hash implementation placed these rows;
         # replay refuses a lake stamped with a different version (see
         # check_routing_version) instead of silently double-keying it

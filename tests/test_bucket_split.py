@@ -242,3 +242,35 @@ def test_split_disabled_manifest_has_no_depth(events_dir, tmp_path, ray_session)
     replay(cfg_for(events_dir, lake, split_threshold_rows=None))
     state = PartitionManifest(lake).load()["partitions"]
     assert state and all("depth" not in e for e in state.values())
+
+
+def test_lookup_keys_prunes_to_routed_buckets(events_dir, tmp_path):
+    """Point lookup routes through the SPLIT directory (not plain
+    modulo) and returns exactly the head state of the requested keys;
+    missing keys are absent; the num_buckets manifest stamp is present."""
+    from embulk_input_marketo_ray.sinks.exactly_once import lookup_keys
+
+    lake = str(tmp_path / "lake")
+    replay(cfg_for(events_dir, lake))
+    state = PartitionManifest(lake).load()
+    assert state["num_buckets"] == 4
+    assert any("depth" in e for e in state["partitions"].values())  # split happened
+
+    full = read_lake_table(lake).to_pandas()
+    keys = [tuple(r) for r in full[["repo", "path"]].head(5).itertuples(index=False)]
+    keys.append(("org/no-such-repo", "nope.py"))
+    got = (
+        lookup_keys(lake, keys, columns=["repo", "path", "content_sha256"])
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = (
+        full[[(r, p) in set(keys) for r, p in zip(full.repo, full.path)]][
+            ["repo", "path", "content_sha256"]
+        ]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 5  # the missing key contributed nothing
