@@ -2,6 +2,7 @@ from embulk_input_marketo_ray.sinks.exactly_once import (
     BucketMergeWriter,
     changes_between,
     lookup_keys,
+    vacuum,
     read_lake,
     read_lake_table,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "BucketMergeWriter",
     "changes_between",
     "lookup_keys",
+    "vacuum",
     "read_lake",
     "read_lake_table",
 ]

@@ -771,3 +771,45 @@ def lookup_keys(
         ).slice(0, 0)
         return empty.select(columns) if columns else empty
     return pa.concat_tables(out, promote_options="permissive")
+
+
+def vacuum(lake_dir: str, dry_run: bool = False) -> list[str]:
+    """Remove lake data files the manifest no longer references:
+    compaction-superseded deltas (a compaction rewrites a partition's
+    file list to its single ``base-`` file, orphaning the old per-window
+    deltas on disk) and ``_tmp/`` leftovers of crashed runs (the
+    exactly-once sink promotes tmp files atomically, so anything still
+    under ``_tmp/`` was never committed).
+
+    Returns the removed absolute paths (``dry_run=True`` lists without
+    deleting). Reclaims space only — readers never see orphans (every
+    read path lists files THROUGH the manifest), so vacuum is safe to
+    skip and safe to re-run. Single-writer discipline applies: do not
+    vacuum concurrently with a replay into the same lake (an in-flight
+    run's promoted-but-uncommitted window files would be collected).
+    Note time travel: deltas superseded by compaction are already
+    unreachable (``select_files_as_of`` raises for pre-base states), so
+    vacuum does not reduce the reachable history."""
+    from embulk_input_marketo_ray.state.manifest import PartitionManifest
+
+    manifest = PartitionManifest(lake_dir)
+    referenced = {os.path.basename(p) for fs in manifest.committed_file_sets().values() for p in fs}
+    removed: list[str] = []
+    for name in sorted(os.listdir(lake_dir)):
+        full = os.path.join(lake_dir, name)
+        if not os.path.isfile(full):
+            continue
+        is_data = name.endswith(".parquet") and (
+            name.startswith(("part-", "base-", "delta-"))
+        )
+        if is_data and name not in referenced:
+            removed.append(full)
+    tmp_dir = os.path.join(lake_dir, "_tmp")
+    if os.path.isdir(tmp_dir):
+        removed.extend(
+            os.path.join(tmp_dir, n) for n in sorted(os.listdir(tmp_dir))
+        )
+    if not dry_run:
+        for p in removed:
+            os.remove(p)
+    return removed

@@ -468,3 +468,37 @@ def test_changes_between_emits_window_cdc_feed(events_dir, tmp_path):
 
     # empty range
     assert changes_between(lake, since=r2["to"]).count() == 0
+
+
+def test_vacuum_collects_compacted_deltas_and_tmp(events_dir, tmp_path):
+    """Compaction rewrites a partition's file list to its base file,
+    orphaning the old deltas on disk; vacuum removes exactly those (and
+    _tmp leftovers) without changing what any reader sees."""
+    import os
+
+    from embulk_input_marketo_ray.sinks.exactly_once import vacuum
+
+    lake = str(tmp_path / "lake")
+    # compact_threshold=1: every second window folds the history
+    cfg1 = cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=1)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    replay(cfg1)
+    replay(cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=1))
+    before = lake_multiset(read_lake_table(lake))
+
+    # a crashed-run leftover under _tmp
+    leftover = os.path.join(lake, "_tmp", "delta-99999-x.parquet")
+    with open(leftover, "wb") as f:
+        f.write(b"junk")
+
+    listed = vacuum(lake, dry_run=True)
+    assert leftover in listed
+    assert any(os.path.basename(p).startswith("delta-") for p in listed)
+    assert all(os.path.exists(p) for p in listed)  # dry run deletes nothing
+
+    removed = vacuum(lake)
+    assert sorted(removed) == sorted(listed)
+    assert not any(os.path.exists(p) for p in removed)
+    # readers see the identical lake afterwards; re-vacuum is a no-op
+    assert lake_multiset(read_lake_table(lake)) == before
+    assert vacuum(lake) == []
