@@ -502,3 +502,44 @@ def test_vacuum_collects_compacted_deltas_and_tmp(events_dir, tmp_path):
     # readers see the identical lake afterwards; re-vacuum is a no-op
     assert lake_multiset(read_lake_table(lake)) == before
     assert vacuum(lake) == []
+
+
+def test_history_surfaces_never_see_uncommitted_window(events_dir, tmp_path):
+    """Exactly-once extends to the history surfaces: a window-2 crash
+    (after some buckets already wrote files) leaves as_of, the CDC feed
+    and point lookups exactly at window-1 state; the clean rerun
+    converges and the feed then emits exactly window 2."""
+    from embulk_input_marketo_ray.sinks.exactly_once import (
+        changes_between,
+        lookup_keys,
+    )
+
+    lake = str(tmp_path / "lake")
+    kw = dict(lake_layout="delta", compact_threshold=100)
+    cfg1 = cfg_for(events_dir, lake, **kw)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    r1 = replay(cfg1)
+    snap1 = lake_multiset(read_lake_table(lake))
+    keys = sorted({t[:2] for t in snap1})[:3]
+    look1 = lookup_keys(lake, keys).select(["repo", "path", "content_sha256"])
+
+    with pytest.raises(Exception):
+        replay(cfg_for(events_dir, lake, fail_buckets=frozenset({1}), **kw))
+
+    # nothing from the crashed window is visible on ANY surface
+    assert lake_multiset(read_lake_table(lake)) == snap1
+    assert lake_multiset(read_lake_table(lake, as_of=r1["to"])) == snap1
+    assert changes_between(lake, since=r1["to"]).count() == 0
+    got = lookup_keys(lake, keys).select(["repo", "path", "content_sha256"])
+    assert got.sort_by([("repo", "ascending"), ("path", "ascending")]).equals(
+        look1.sort_by([("repo", "ascending"), ("path", "ascending")])
+    )
+
+    # clean rerun converges; the feed emits exactly window 2
+    r2 = replay(cfg_for(events_dir, lake, **kw))
+    assert not r2["skipped"]
+    want = oracle_lake(events_dir, BASE_TS, datetime.fromisoformat(r2["to"]))
+    assert lake_multiset(read_lake_table(lake)) == sorted(
+        map(tuple, want[["repo", "path", "content_sha256"]].itertuples(index=False))
+    )
+    assert changes_between(lake, since=r1["to"]).count() > 0
