@@ -543,3 +543,38 @@ def test_history_surfaces_never_see_uncommitted_window(events_dir, tmp_path):
         map(tuple, want[["repo", "path", "content_sha256"]].itertuples(index=False))
     )
     assert changes_between(lake, since=r1["to"]).count() > 0
+
+
+def test_cdc_feed_applies_downstream_to_source_head(events_dir, tmp_path):
+    """The downstream-consumer contract of changes_between: a consumer
+    holding the window-1 snapshot (as_of) that applies the (w1, w2]
+    feed — upserts replace, deletes drop — ends at exactly the source
+    lake's head state."""
+    from embulk_input_marketo_ray.sinks.exactly_once import changes_between
+
+    lake = str(tmp_path / "lake")
+    kw = dict(lake_layout="delta", compact_threshold=100)
+    cfg1 = cfg_for(events_dir, lake, **kw)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    r1 = replay(cfg1)
+    r2 = replay(cfg_for(events_dir, lake, **kw))
+
+    snap = read_lake_table(lake, as_of=r1["to"]).select(
+        ["repo", "path", "commit_seq", "content_sha256"]
+    ).to_pandas()
+    feed = (
+        changes_between(lake, since=r1["to"], until=r2["to"])
+        .select_columns(["repo", "path", "commit_seq", "content_sha256", "op"])
+        .to_pandas()
+    )
+    # consumer apply: feed rows win over snapshot rows (they are newer
+    # by construction); deletes drop the key
+    snap["op"] = "upsert"
+    applied = (
+        pd.concat([snap, feed])
+        .sort_values("commit_seq", kind="stable")
+        .drop_duplicates(["repo", "path"], keep="last")
+    )
+    applied = applied[applied.op == "upsert"][["repo", "path", "content_sha256"]]
+    got = sorted(map(tuple, applied.itertuples(index=False)))
+    assert got == lake_multiset(read_lake_table(lake))
