@@ -1353,9 +1353,8 @@ def q_time_travel(sf_dir: str):
 
     n = CDC_QUERY_EVENTS
     lake, (r1, _r2) = _replay_windows([n // 2, n + 50])
-    return read_lake(lake, as_of=r1["to"]).select_columns(
-        ["repo", "path", "commit_seq", "content_sha256"]
-    )
+    cols = ["repo", "path", "commit_seq", "content_sha256"]
+    return read_lake(lake, as_of=r1["to"], columns=cols)
 
 
 def q_cdc_feed(sf_dir: str):

@@ -394,11 +394,31 @@ class DeltaBucketWriter(BucketMergeWriter):
         return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
 
 
-def merge_bucket_files(paths: list[str], drop_tombstones: bool = True) -> pa.Table:
+def merge_bucket_files(
+    paths: list[str],
+    drop_tombstones: bool = True,
+    columns: list[str] | None = None,
+) -> pa.Table:
     """LWW merge-on-read of one bucket's committed file set (optional
     base + per-window deltas). Schemas may differ across windows
-    (evolution) — unified permissively (missing columns -> nulls)."""
-    tables = [pq.read_table(p) for p in paths]
+    (evolution) — unified permissively (missing columns -> nulls).
+
+    ``columns`` pushes projection INTO the parquet reads: only the
+    requested columns plus the merge's own needs (key, commit_seq, op)
+    leave storage — a narrow read over a content-heavy lake skips the
+    content bytes entirely instead of pruning after the merge. Columns
+    a given window's file predates (schema evolution) are skipped at
+    that file and surface as nulls via the permissive concat."""
+    need = None
+    if columns is not None:
+        need = list(dict.fromkeys(list(columns) + LAKE_KEY + ["commit_seq", "op"]))
+    def _read_one(p: str) -> pa.Table:
+        if need is None:
+            return pq.read_table(p)
+        present = set(pq.read_schema(p).names)
+        return pq.read_table(p, columns=[c for c in need if c in present])
+
+    tables = [_read_one(p) for p in paths]
     if len(tables) == 1 and drop_tombstones is False:
         return tables[0]
     merged_input = (
@@ -631,7 +651,9 @@ def changes_between(
 
     def merge_read(batch: pa.Table):
         for paths in batch.column("paths").to_pylist():
-            merged = merge_bucket_files(paths.split("\n"), drop_tombstones=False)
+            merged = merge_bucket_files(
+                paths.split("\n"), drop_tombstones=False, columns=columns
+            )
             yield merged.select(columns) if columns else merged
 
     return specs.map_batches(merge_read, batch_format="pyarrow", batch_size=None)
@@ -663,7 +685,9 @@ def read_lake(
 
     def merge_read(batch: pa.Table):
         for paths in batch.column("paths").to_pylist():
-            merged = merge_bucket_files(paths.split("\n"), drop_tombstones=True)
+            merged = merge_bucket_files(
+                paths.split("\n"), drop_tombstones=True, columns=columns
+            )
             yield merged.select(columns) if columns else merged
 
     return specs.map_batches(merge_read, batch_format="pyarrow", batch_size=None)
@@ -682,9 +706,13 @@ def read_lake_table(
     tables = []
     for _, fs in sorted(sets.items()):
         if len(fs) == 1 and _is_merged_file(fs[0]):
-            merged = pq.read_table(fs[0])
+            if columns:
+                present = set(pq.read_schema(fs[0]).names)
+                merged = pq.read_table(fs[0], columns=[c for c in columns if c in present])
+            else:
+                merged = pq.read_table(fs[0])
         else:  # delta sets (even singletons) still hold tombstones
-            merged = merge_bucket_files(fs, drop_tombstones=True)
+            merged = merge_bucket_files(fs, drop_tombstones=True, columns=columns)
         tables.append(merged.select(columns) if columns else merged)
     return pa.concat_tables(tables, promote_options="permissive")
 
@@ -756,7 +784,7 @@ def lookup_keys(
         fs = committed.get(f"{int(b):05d}")
         if not fs:
             continue  # bucket never received data -> keys absent
-        merged = merge_bucket_files(fs, drop_tombstones=True)
+        merged = merge_bucket_files(fs, drop_tombstones=True, columns=columns)
         joined = pc.binary_join_element_wise(
             merged.column("repo").cast(pa.string()),
             merged.column("path").cast(pa.string()),
