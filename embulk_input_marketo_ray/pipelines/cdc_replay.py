@@ -553,6 +553,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     manifest.prepare()
     manifest_state = manifest.load()
     manifest.check_routing_version(manifest_state)
+    manifest.check_num_buckets(cfg.num_buckets, manifest_state)
     done_pids = {
         pid
         for pid, st in manifest_state["partitions"].items()

@@ -78,6 +78,26 @@ class PartitionManifest:
                 "stamped version."
             )
 
+    def check_num_buckets(self, num_buckets: int, state: dict | None = None) -> None:
+        """Refuse to replay into a lake committed with a DIFFERENT
+        bucket count — the same silent-duplicate failure mode as a
+        routing-hash change (``bucket = hash % num_buckets``): a key's
+        new events would land in a different partition than its
+        committed row and the LWW merge would never see the prior row.
+        Pre-stamp lakes (partitions present, no ``num_buckets`` key)
+        are accepted and stamped on the next commit."""
+        state = self.load() if state is None else state
+        stamped = state.get("num_buckets")
+        if state["partitions"] and stamped is not None and stamped != num_buckets:
+            raise RuntimeError(
+                f"lake at {self.out_dir} was committed with num_buckets="
+                f"{stamped} but this run is configured with {num_buckets}; "
+                "replaying would route keys to different partitions than "
+                "their committed rows and duplicate them. Keep the lake's "
+                "bucket count (growth is handled by split_threshold_rows, "
+                "not by changing num_buckets) or re-replay into an empty dir."
+            )
+
     def data_path(self, pid: str) -> str:
         return os.path.join(self.out_dir, f"part-{pid}.parquet")
 

@@ -578,3 +578,31 @@ def test_cdc_feed_applies_downstream_to_source_head(events_dir, tmp_path):
     applied = applied[applied.op == "upsert"][["repo", "path", "content_sha256"]]
     got = sorted(map(tuple, applied.itertuples(index=False)))
     assert got == lake_multiset(read_lake_table(lake))
+
+
+def test_replay_refuses_changed_num_buckets(events_dir, tmp_path):
+    """Changing num_buckets on an existing lake would re-route keys
+    away from their committed rows (silent duplicates) — refused, like
+    a routing-hash change. Same count replays fine; pre-stamp lakes
+    (no num_buckets key) are accepted and stamped on the next commit."""
+    lake = str(tmp_path / "lake")
+    cfg = cfg_for(events_dir, lake)
+    cfg.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    replay(cfg)
+
+    cfg_wide = cfg_for(events_dir, lake)
+    cfg_wide.num_buckets = 16
+    with pytest.raises(RuntimeError, match="num_buckets"):
+        replay(cfg_wide)
+
+    # pre-stamp lake: drop the stamp, replay with ANY count is accepted
+    mpath = PartitionManifest(lake).path
+    with open(mpath) as f:
+        state = json.load(f)
+    del state["num_buckets"]
+    with open(mpath, "w") as f:
+        json.dump(state, f)
+    r = replay(cfg_for(events_dir, lake))  # same count, next window
+    assert not r["skipped"]
+    with open(mpath) as f:
+        assert json.load(f)["num_buckets"] == 8
