@@ -776,6 +776,8 @@ def lookup_keys(
         buckets = stable_key_hash(keys_tbl, LAKE_KEY, num_buckets)
 
     committed = manifest.committed_file_sets()
+    if not committed:
+        raise FileNotFoundError(f"no committed partitions under {lake_dir}")
     wanted = pc.binary_join_element_wise(
         keys_tbl.column("repo"), keys_tbl.column("path"), "\x00"
     )
