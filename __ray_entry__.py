@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": q.q_doc_sample_stratified,
         "evolved_attrs": q.q_evolved_attrs,
         "key_lookup": q.q_key_lookup,
+        "commit_windows": q.q_commit_windows,
         "watermark_slice": q.q_watermark_slice,
         "lww_latest": q.q_lww_latest,
         "dedup_first": q.q_dedup_first,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
     from embulk_input_marketo_ray.pipelines.queries import (
         ANN_NUM_QUERIES,
         CHURN_TOP_K,
+        COMMIT_WINDOW_SECONDS,
         LOOKUP_KEYS,
         SAMPLE_DEFAULT_PER_MILLE,
         SAMPLE_RATES_PER_MILLE,
@@ -490,6 +492,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, commit_seq, sha256(content) AS content_sha256
             FROM ranked WHERE rn = 1 AND op = 'upsert'
               AND (repo, path) IN ({_lookup_key_rows})
+        """,
+        "commit_windows": f"""
+            SELECT repo, CAST(commit_seq // {COMMIT_WINDOW_SECONDS} AS BIGINT) AS win,
+                   count(*) AS n_events, count(DISTINCT path) AS n_paths
+            FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            GROUP BY repo, win
         """,
         "repo_churn_topk": f"""
             WITH c AS (

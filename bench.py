@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "doc_sample_stratified",
     "evolved_attrs",
     "key_lookup",
+    "commit_windows",
 ]
 
 

@@ -1614,3 +1614,61 @@ def q_key_lookup(sf_dir: str):
     return lookup_keys(
         lake, LOOKUP_KEYS, columns=["repo", "path", "commit_seq", "content_sha256"]
     )
+
+
+COMMIT_WINDOW_SECONDS = 1000
+
+
+def q_commit_windows(sf_dir: str):
+    """Tumbling-window aggregate over the change stream: events and
+    distinct-path churn per (repo, fixed window of commit_seq). The
+    window id computes in the same fused pass as the read; the exchange
+    moves only per-block partial rows; distinct paths resolve exactly
+    because the exchange keys on repo (a repo's partials co-locate) and
+    the merge groups (repo, window, path) before counting."""
+    import glob
+
+    events = _cdc_events_dir()
+    files = sorted(glob.glob(f"{events}/events_*.parquet"))
+    ds = ray.data.read_parquet(files, columns=["repo", "path", "commit_seq"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.divide(batch.column("commit_seq"), COMMIT_WINDOW_SECONDS)
+        t = pa.table(
+            {
+                "repo": batch.column("repo"),
+                "win": pc.cast(win, pa.int64()),
+                "path": batch.column("path"),
+            }
+        )
+        out = t.group_by(["repo", "win", "path"]).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        )
+
+    def finish(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "win": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_paths": pa.array([], pa.int64()),
+                }
+            )
+        per_path = block.group_by(["repo", "win", "path"]).aggregate([("n", "sum")])
+        out = per_path.group_by(["repo", "win"]).aggregate(
+            [("n_sum", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(
+            [
+                {"n_sum_sum": "n_events", "count_all": "n_paths"}.get(c, c)
+                for c in out.column_names
+            ]
+        ).select(["repo", "win", "n_events", "n_paths"])
+
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+    shuffled = _keyed_repartition(partial_ds, _shuffle_width(), ["repo"])
+    return shuffled.map_batches(
+        finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
