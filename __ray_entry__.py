@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evolved_attrs": q.q_evolved_attrs,
         "key_lookup": q.q_key_lookup,
         "commit_windows": q.q_commit_windows,
+        "co_change_pairs": q.q_co_change_pairs,
         "watermark_slice": q.q_watermark_slice,
         "lww_latest": q.q_lww_latest,
         "dedup_first": q.q_dedup_first,
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
     from embulk_input_marketo_ray.pipelines.queries import (
         ANN_NUM_QUERIES,
         CHURN_TOP_K,
+        CO_CHANGE_MIN_WINDOWS,
         COMMIT_WINDOW_SECONDS,
         LOOKUP_KEYS,
         SAMPLE_DEFAULT_PER_MILLE,
@@ -498,6 +500,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, count(DISTINCT path) AS n_paths
             FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
             GROUP BY repo, win
+        """,
+        "co_change_pairs": f"""
+            WITH d AS (
+              SELECT DISTINCT repo, CAST(commit_seq // {COMMIT_WINDOW_SECONDS} AS BIGINT) AS win, path
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            )
+            SELECT a.repo, a.path AS path_a, b.path AS path_b,
+                   count(*) AS n_windows
+            FROM d a JOIN d b ON a.repo = b.repo AND a.win = b.win AND a.path < b.path
+            GROUP BY a.repo, a.path, b.path
+            HAVING count(*) >= {CO_CHANGE_MIN_WINDOWS}
         """,
         "repo_churn_topk": f"""
             WITH c AS (

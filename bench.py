@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "evolved_attrs",
     "key_lookup",
     "commit_windows",
+    "co_change_pairs",
 ]
 
 

@@ -1672,3 +1672,104 @@ def q_commit_windows(sf_dir: str):
     return shuffled.map_batches(
         finish, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+CO_CHANGE_MIN_WINDOWS = 5
+
+
+def q_co_change_pairs(sf_dir: str):
+    """Co-change (logical-coupling) mining: pairs of paths in the same
+    repo that changed within the same commit window, counted across
+    windows, kept at support >= CO_CHANGE_MIN_WINDOWS — the windowed
+    SELF-JOIN operator class, without a join: one keyed exchange on
+    repo co-locates each repo's (win, path) set, then a vectorized
+    sort + run-slice emits each window-group's within-group pairs
+    (np.triu per group; the loop is over GROUPS, bounded by distinct
+    (repo, win), not rows) and counts collapse in the same block.
+
+    Partitioning assumption (100 TB note): pair fan-out is O(churn^2)
+    per (repo, window) — bounded by COMMIT_WINDOW_SECONDS, the knob
+    that caps per-window churn. A monorepo window touching 10^5 paths
+    would emit 5e9 pairs; shrink the window (or pre-filter to hot
+    paths via repo_churn_topk) before mining such repos."""
+    import glob
+
+    events = _cdc_events_dir()
+    files = sorted(glob.glob(f"{events}/events_*.parquet"))
+    ds = ray.data.read_parquet(files, columns=["repo", "path", "commit_seq"])
+
+    def distinct_win_path(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.divide(batch.column("commit_seq"), COMMIT_WINDOW_SECONDS), pa.int64()
+        )
+        t = pa.table(
+            {"repo": batch.column("repo"), "win": win, "path": batch.column("path")}
+        )
+        return t.group_by(["repo", "win", "path"]).aggregate([]).select(
+            ["repo", "win", "path"]
+        )
+
+    def pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "repo": pa.array([], pa.string()),
+                "path_a": pa.array([], pa.string()),
+                "path_b": pa.array([], pa.string()),
+                "n_windows": pa.array([], pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        # partials from different source blocks may repeat a (repo, win,
+        # path) row — exact-distinct again now that the repo co-locates
+        d = block.group_by(["repo", "win", "path"]).aggregate([])
+        order = pc.sort_indices(
+            d,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("win", "ascending"),
+                ("path", "ascending"),
+            ],
+        )
+        t = d.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        win = np.asarray(t.column("win"), dtype=np.int64)
+        path = np.asarray(t.column("path"), dtype=object)
+        key_change = np.r_[
+            True, (repo[1:] != repo[:-1]) | (win[1:] != win[:-1])
+        ]
+        starts = np.flatnonzero(key_change)
+        ends = np.r_[starts[1:], len(repo)]
+        ra, pa_, pb = [], [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            i, j = np.triu_indices(g, k=1)
+            ra.append(np.repeat(repo[s], len(i)))
+            pa_.append(path[s:e][i])
+            pb.append(path[s:e][j])
+        if not ra:
+            return empty
+        pair_tbl = pa.table(
+            {
+                "repo": pa.array(np.concatenate(ra), type=pa.string()),
+                "path_a": pa.array(np.concatenate(pa_), type=pa.string()),
+                "path_b": pa.array(np.concatenate(pb), type=pa.string()),
+            }
+        )
+        counts = pair_tbl.group_by(["repo", "path_a", "path_b"]).aggregate(
+            [([], "count_all")]
+        )
+        counts = counts.rename_columns(
+            ["n_windows" if c == "count_all" else c for c in counts.column_names]
+        )
+        return counts.filter(
+            pc.greater_equal(counts.column("n_windows"), CO_CHANGE_MIN_WINDOWS)
+        ).select(["repo", "path_a", "path_b", "n_windows"])
+
+    partial_ds = ds.map_batches(distinct_win_path, batch_format="pyarrow")
+    shuffled = _keyed_repartition(partial_ds, _shuffle_width(), ["repo"])
+    return shuffled.map_batches(
+        pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
