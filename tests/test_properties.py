@@ -331,3 +331,72 @@ def test_simhash_block_pairs_match_brute_force(hashes, max_h):
             if d <= max_h:
                 want[(o, ms[0])] = d
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["r0", "r1", "r2"]),       # repo
+            st.integers(min_value=0, max_value=4),      # window
+            st.sampled_from(["a", "b", "c", "d", "e"]), # path
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    min_support=st.integers(min_value=1, max_value=3),
+)
+def test_co_change_pair_kernel_matches_brute_force(rows, min_support):
+    """The run-slice + np.triu pair kernel of q_co_change_pairs equals
+    the O(n^2) itertools brute force on arbitrary (repo, win, path)
+    multisets (duplicates collapse first, pairs ordered path_a<path_b,
+    support counted across windows)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    # brute force
+    distinct = sorted(set(rows))
+    by_group: dict = {}
+    for repo, win, path in distinct:
+        by_group.setdefault((repo, win), set()).add(path)
+    want = Counter()
+    for (repo, _win), paths in by_group.items():
+        for a, b in combinations(sorted(paths), 2):
+            want[(repo, a, b)] += 1
+    want = {k: n for k, n in want.items() if n >= min_support}
+
+    # engine kernel (same code shape as q_co_change_pairs.pairs)
+    block = pa.table(
+        {
+            "repo": pa.array([r for r, _, _ in rows], type=pa.string()),
+            "win": pa.array([w for _, w, _ in rows], type=pa.int64()),
+            "path": pa.array([p for _, _, p in rows], type=pa.string()),
+        }
+    )
+    d = block.group_by(["repo", "win", "path"]).aggregate([])
+    if d.num_rows == 0:
+        assert want == {}
+        return
+    order = pc.sort_indices(
+        d,
+        sort_keys=[("repo", "ascending"), ("win", "ascending"), ("path", "ascending")],
+    )
+    t = d.take(order)
+    repo = np.asarray(t.column("repo"), dtype=object)
+    win = np.asarray(t.column("win"), dtype=np.int64)
+    path = np.asarray(t.column("path"), dtype=object)
+    starts = np.flatnonzero(np.r_[True, (repo[1:] != repo[:-1]) | (win[1:] != win[:-1])])
+    ends = np.r_[starts[1:], len(repo)]
+    got = Counter()
+    for s, e in zip(starts, ends):
+        g = e - s
+        if g < 2:
+            continue
+        i, j = np.triu_indices(g, k=1)
+        for a, b in zip(path[s:e][i], path[s:e][j]):
+            got[(repo[s], a, b)] += 1
+    got = {k: n for k, n in got.items() if n >= min_support}
+    assert got == want
