@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_lookup": q.q_key_lookup,
         "commit_windows": q.q_commit_windows,
         "co_change_pairs": q.q_co_change_pairs,
+        "doc_jaccard_pairs": q.q_doc_jaccard_pairs,
         "watermark_slice": q.q_watermark_slice,
         "lww_latest": q.q_lww_latest,
         "dedup_first": q.q_dedup_first,
@@ -511,6 +512,39 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.repo = b.repo AND a.win = b.win AND a.path < b.path
             GROUP BY a.repo, a.path, b.path
             HAVING count(*) >= {CO_CHANGE_MIN_WINDOWS}
+        """,
+        "doc_jaccard_pairs": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+              FROM documents
+            ),
+            long AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                FROM t WHERE len(toks) >= 3
+              )
+            ),
+            short AS (
+              SELECT doc_id, array_to_string(toks, ' ') AS gram
+              FROM t WHERE len(toks) BETWEEN 1 AND 2
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, gram
+              FROM (SELECT * FROM long UNION ALL SELECT * FROM short)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, count(*) AS i
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT inter.doc_id, inter.dup_of
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.doc_id
+            JOIN sizes sb ON sb.doc_id = inter.dup_of
+            WHERE 2 * i >= sa.n + sb.n - i
         """,
         "repo_churn_topk": f"""
             WITH c AS (

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "key_lookup",
     "commit_windows",
     "co_change_pairs",
+    "doc_jaccard_pairs",
 ]
 
 

@@ -1773,3 +1773,88 @@ def q_co_change_pairs(sf_dir: str):
     return shuffled.map_batches(
         pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_doc_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram-Jaccard duplicate pairs via a gram inverted index —
+    the approximation-free counterpart of the MinHash path (same final
+    verify, but candidates come from exact gram co-occurrence, so
+    recall is 1.0 by construction: any pair with J >= threshold shares
+    at least one gram). Explode per-doc DISTINCT word-3-grams -> ONE
+    keyed exchange on gram -> per-posting-list pair candidates
+    (run-slice + triu; duplicates collapse in the verify's pair-keyed
+    shuffle) -> the existing distributed exact-Jaccard verify.
+
+    Partitioning assumption (100 TB note): candidate fan-out is
+    O(posting_list^2) per gram — boilerplate "stop grams" in a web
+    corpus need a document-frequency cap (drop grams with df > K, at
+    the cost of missing pairs whose ONLY shared grams are stop grams);
+    at that scale prefer the MinHash path and keep this as the exact
+    small/medium-corpus baseline."""
+    from embulk_input_marketo_ray.stages.dedup import _ngram_set, verify_pairs_jaccard
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_g: list[str] = []
+        for i, t in zip(ids, texts):
+            for g in _ngram_set(t or ""):
+                out_id.append(i)
+                out_g.append(g)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "gram": pa.array(out_g, type=pa.string()),
+            }
+        )
+
+    def postings_to_pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "dup_of": pa.array([], pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            block, sort_keys=[("gram", "ascending"), ("doc_id", "ascending")]
+        )
+        t = block.take(order)
+        gram = np.asarray(t.column("gram"), dtype=object)
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
+        ends = np.r_[starts[1:], len(gram)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            i, j = np.triu_indices(g, k=1)
+            out_a.append(ids[s:e][i])
+            out_b.append(ids[s:e][j])
+        if not out_a:
+            return empty
+        pair_tbl = pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "dup_of": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+        # in-block dedup shrinks the verify's input (cross-gram dups
+        # still collapse later in the pair-keyed shuffle)
+        return pair_tbl.group_by(["doc_id", "dup_of"]).aggregate([]).select(
+            ["doc_id", "dup_of"]
+        )
+
+    grams = ds.map_batches(explode_grams, batch_format="pyarrow")
+    cands = _keyed_repartition(grams, _shuffle_width(), ["gram"]).map_batches(
+        postings_to_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return verify_pairs_jaccard(cands, docs, threshold=0.5).select_columns(
+        ["doc_id", "dup_of"]
+    )
