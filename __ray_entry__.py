@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": q.q_doc_vocab_topk,
         "doc_dedup_near": q.q_doc_dedup_near,
         "doc_topk_per_lang": q.q_doc_topk_per_lang,
+        "doc_decontaminate": q.q_doc_decontaminate,
+        "token_quantiles": q.q_token_quantiles,
+        "doc_token_rarity": q.q_doc_token_rarity,
     }
 
 
@@ -249,6 +252,8 @@ def oracle_sql() -> dict[str, str]:
         SLICE_FROM,
         SLICE_TO,
         VOCAB_TOP_K,
+        DECONTAM_BENCH_MOD,
+        TOKEN_QUANTILE_PS,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -545,6 +550,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = inter.doc_id
             JOIN sizes sb ON sb.doc_id = inter.dup_of
             WHERE 2 * i >= sa.n + sb.n - i
+        """,
+        "doc_decontaminate": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                FROM t WHERE len(toks) >= 3
+              )
+            ),
+            bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+            ),
+            hits AS (
+              SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_hits
+              FROM g JOIN bench USING (gram)
+              WHERE g.doc_id % {DECONTAM_BENCH_MOD} <> 0
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
+        """,
+        "token_quantiles": " UNION ALL ".join(
+            f"""
+            SELECT {p!r}::DOUBLE AS p,
+                   quantile_disc(len(regexp_extract_all(coalesce(text, ''), '\\S+')), {p!r})::BIGINT AS n_tokens
+            FROM documents
+            """
+            for p in TOKEN_QUANTILE_PS
+        ),
+        "doc_token_rarity": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS token
+              FROM documents
+            ),
+            cnt AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token)
+            SELECT t.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(c.n)::BIGINT AS sum_freq,
+                   min(c.n)::BIGINT AS min_tok_freq,
+                   sum(c.n)::DOUBLE / count(*)::DOUBLE AS mean_tok_freq
+            FROM tok t JOIN cnt c USING (token)
+            GROUP BY t.doc_id
         """,
         "repo_churn_topk": f"""
             WITH c AS (

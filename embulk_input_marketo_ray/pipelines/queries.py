@@ -1858,3 +1858,215 @@ def q_doc_jaccard_pairs(sf_dir: str):
     return verify_pairs_jaccard(cands, docs, threshold=0.5).select_columns(
         ["doc_id", "dup_of"]
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination / exact quantiles / corpus-frequency rarity
+# ---------------------------------------------------------------------------
+
+# benchmark membership: every doc_id divisible by DECONTAM_BENCH_MOD is
+# "held out" as benchmark data; the rest is the training corpus
+DECONTAM_BENCH_MOD = 97
+DECONTAM_NGRAM = 3
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination scan (the GPT-3-style held-out-overlap
+    filter): flag every corpus document sharing a word-3-gram with the
+    benchmark subset (``doc_id % 97 == 0``).
+
+    Shape: the benchmark side reduces to DISTINCT grams in-block, the
+    small result is union'd on the driver and broadcast ONCE
+    (``ray.put``); the corpus side streams — each batch grams, probes
+    the broadcast ``is_in`` set and counts distinct hits locally, so
+    the 10^10-row corpus never shuffles. The broadcast is the
+    legitimately-small side: a benchmark suite's gram set is bounded by
+    the BENCHMARK size, not the corpus (at 100 TB the corpus:benchmark
+    ratio only grows). Zero-hit rows are kept (``n_hits = 0``) so the
+    output is a full per-doc audit, not just the kill list."""
+    from embulk_input_marketo_ray.stages.text import Decontaminator, doc_grams
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_gram_block(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        bench = batch.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+        grams = doc_grams(bench, n=DECONTAM_NGRAM)
+        # distinct within the block before anything moves
+        return grams.group_by(["gram"]).aggregate([]).select(["gram"])
+
+    gram_set: set = set()
+    for block in ray.get(
+        ds.map_batches(bench_gram_block, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if block.num_rows:
+            gram_set.update(block.column("gram").to_pylist())
+    bench_ref = ray.put(pa.array(sorted(gram_set), type=pa.string()))
+
+    def corpus_only(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(ids % DECONTAM_BENCH_MOD != 0))
+
+    scan = _task_stage(Decontaminator, bench_ref=bench_ref, n=DECONTAM_NGRAM)
+    return (
+        ds.map_batches(corpus_only, batch_format="pyarrow")
+        .map_batches(scan, batch_format="pyarrow")
+    )
+
+
+TOKEN_QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_token_quantiles(sf_dir: str):
+    """EXACT distributed percentiles of per-doc whitespace token counts
+    (the sequence-length distribution a training pipeline sizes its
+    packing / truncation against).
+
+    No global sort: token counts live in a bounded integer domain, so
+    the exact distribution is a (value, count) histogram — in-block
+    group_by shrinks each batch to its distinct counts, one keyed
+    aggregate merges (payload = distinct values x blocks, independent
+    of corpus rows), and the driver walks the tiny cumulative histogram
+    to read off ``percentile_disc`` values (first value whose
+    cumulative count >= ceil(p*N) — DuckDB's quantile_disc rule)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def measure(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.coalesce(batch.column("text"), pa.scalar("")), pattern=r"\S+"
+        ).cast(pa.int64())
+        t = pa.table({"n_tokens": n})
+        out = t.group_by(["n_tokens"]).aggregate([([], "count_all")])
+        return out.rename_columns(["n_tokens", "cnt"])
+
+    partial = ds.map_batches(measure, batch_format="pyarrow")
+    hist = grouped_aggregate(partial, ["n_tokens"], [("cnt", "sum", "cnt")])
+    rows = hist.take_all()
+    schema = {"p": pa.array([], type=pa.float64()), "n_tokens": pa.array([], type=pa.int64())}
+    if not rows:
+        return pa.table(schema)
+    values = np.array([r["n_tokens"] for r in rows], dtype=np.int64)
+    counts = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    order = np.argsort(values)
+    values, cum = values[order], np.cumsum(counts[order])
+    total = int(cum[-1])
+    out_v = [
+        int(values[np.searchsorted(cum, max(int(np.ceil(p * total)), 1))])
+        for p in TOKEN_QUANTILE_PS
+    ]
+    return pa.table(
+        {
+            "p": pa.array(list(TOKEN_QUANTILE_PS), type=pa.float64()),
+            "n_tokens": pa.array(out_v, type=pa.int64()),
+        }
+    )
+
+
+def q_doc_token_rarity(sf_dir: str):
+    """Corpus-statistics quality score: per document, the mean / min
+    CORPUS frequency of its tokens (high mean = boilerplate of common
+    tokens; min = 1 marks docs carrying corpus-unique junk tokens).
+
+    Fully distributed two-phase + join shape — no vocabulary broadcast
+    (a web-corpus vocab is 10^7-10^8 entries, over any sane broadcast
+    budget): (1) global token counts via the two-phase grouped
+    aggregate; (2) docs explode to DISTINCT (doc_id, token, k) rows
+    in-block (payload = distinct tokens per doc, not occurrences);
+    (3) one keyed hash join on token attaches counts; (4) a grouped
+    aggregate by doc_id folds back to one row per doc. All integer
+    arithmetic until the single final division, so the value-hash
+    comparison vs SQL is exact. Docs with zero tokens drop (inner-join
+    semantics, matching the SQL oracle)."""
+    from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+            pattern="[^a-z]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets)
+        doc_of = (
+            np.searchsorted(offsets, np.arange(len(flat), dtype=np.int64), side="right")
+            - 1
+        )
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)[doc_of]
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "token": flat}).filter(
+            pc.not_equal(flat, pa.scalar(""))
+        )
+        out = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["k" if c == "count_all" else c for c in out.column_names]
+        ).select(["doc_id", "token", "k"])
+
+    def token_counts_block(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+            pattern="[^a-z]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pa.table({"token": toks.flatten()})
+        flat = flat.filter(pc.not_equal(flat.column("token"), pa.scalar("")))
+        out = flat.group_by(["token"]).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        ).select(["token", "n"])
+
+    counts = grouped_aggregate(
+        ds.map_batches(token_counts_block, batch_format="pyarrow"),
+        ["token"],
+        [("n", "sum", "n")],
+    )
+    pairs = ds.map_batches(explode_tokens, batch_format="pyarrow")
+
+    counts = drop_schemaless_blocks(
+        counts.materialize(), pa.schema([("token", pa.string()), ("n", pa.int64())])
+    )
+    joined = pairs.join(
+        counts,
+        "inner",
+        num_partitions=max(8, _shuffle_width() // 2),
+        on=("token",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def weight(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").cast(pa.int64())
+        n = batch.column("n").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "w": pc.multiply(k, n),
+                "k": k,
+                "n": n,
+            }
+        )
+
+    folded = grouped_aggregate(
+        joined.map_batches(weight, batch_format="pyarrow"),
+        ["doc_id"],
+        [("w", "sum", "sum_freq"), ("k", "sum", "n_tokens"), ("n", "min", "min_tok_freq")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sum_freq = batch.column("sum_freq").cast(pa.int64())
+        n_tokens = batch.column("n_tokens").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n_tokens,
+                "sum_freq": sum_freq,
+                "min_tok_freq": batch.column("min_tok_freq").cast(pa.int64()),
+                "mean_tok_freq": pc.divide(
+                    sum_freq.cast(pa.float64()), n_tokens.cast(pa.float64())
+                ),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -329,3 +329,108 @@ def pii_scan(batch: pa.Table, text_column: str = "text") -> pa.Table:
         .append_column("n_ipv4", n_ipv4)
         .append_column("has_pii", pc.greater(total, 0))
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap scan)
+# ---------------------------------------------------------------------------
+
+
+def doc_grams(
+    batch: pa.Table, text_column: str = "text", id_column: str = "doc_id", n: int = 3
+) -> pa.Table:
+    """Explode every document into its word-``n``-grams as STRINGS
+    (``(doc_id, gram)`` rows) — the exchange-able gram identity the
+    decontamination scan and any cross-corpus overlap join need
+    (``repetition_scores`` uses batch-local factorize codes, which
+    cannot be compared across batches).
+
+    Vectorized end to end: one Arrow regex split, one Arrow filter for
+    empty tokens, ``binary_join_element_wise`` over ``n`` shifted
+    slices builds all gram strings in one kernel, and doc membership
+    is a searchsorted over the token offsets (grams spanning a doc
+    boundary are masked out)."""
+    col = batch.column(text_column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lower = pc.utf8_lower(pc.coalesce(col, pa.scalar("")))
+    toks = pc.split_pattern_regex(lower, pattern=r"\W+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = np.asarray(toks.offsets)
+
+    nonempty = pc.not_equal(flat, pa.scalar(""))
+    keep_idx = np.flatnonzero(np.asarray(nonempty))
+    kept = flat.filter(nonempty)
+    new_offsets = np.searchsorted(keep_idx, offsets)
+
+    empty = pa.table(
+        {
+            id_column: pa.array([], type=pa.int64()),
+            "gram": pa.array([], type=pa.string()),
+        }
+    )
+    n_flat = len(kept)
+    if n_flat < n:
+        return empty
+    m = n_flat - n + 1
+    # doc of a gram start / end position: last doc whose offset <= pos
+    # (repeated offsets = empty docs resolve to the later doc)
+    pos = np.arange(m, dtype=np.int64)
+    doc_start = np.searchsorted(new_offsets, pos, side="right") - 1
+    doc_end = np.searchsorted(new_offsets, pos + (n - 1), side="right") - 1
+    valid = doc_start == doc_end
+    if not valid.any():
+        return empty
+    grams = pc.binary_join_element_wise(
+        *[kept.slice(j, m) for j in range(n)], pa.scalar(" ")
+    )
+    ids = np.asarray(batch.column(id_column), dtype=np.int64)[doc_start]
+    return pa.table(
+        {id_column: pa.array(ids, type=pa.int64()), "gram": grams}
+    ).filter(pa.array(valid))
+
+
+class Decontaminator:
+    """Benchmark-contamination scan (the GPT-3/FLAN decontamination
+    step): flag corpus documents sharing any word-n-gram with a held
+    benchmark set.
+
+    The benchmark gram set is the legitimately-small broadcast side
+    (a benchmark suite is ~10^5-10^6 grams regardless of corpus size):
+    ``ray.put`` once, fetched zero-copy per actor in ``__init__``, and
+    ``pc.is_in``'s value-set hash table is built ONCE here, not per
+    batch. The corpus never shuffles — each batch grams, probes and
+    aggregates locally (a doc's grams never leave its batch)."""
+
+    def __init__(self, bench_ref, n: int = 3, id_column: str = "doc_id") -> None:
+        import ray
+
+        bench = ray.get(bench_ref)
+        self._bench = bench if isinstance(bench, pa.Array) else pa.array(bench, type=pa.string())
+        self._n = n
+        self._id = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams = doc_grams(batch, id_column=self._id, n=self._n)
+        ids = np.asarray(batch.column(self._id), dtype=np.int64)
+        n_hits = np.zeros(len(ids), dtype=np.int64)
+        if grams.num_rows and len(self._bench):
+            hit = grams.filter(pc.is_in(grams.column("gram"), value_set=self._bench))
+            if hit.num_rows:
+                agg = hit.group_by([self._id]).aggregate([("gram", "count_distinct")])
+                aid = np.asarray(agg.column(self._id), dtype=np.int64)
+                acnt = np.asarray(agg.column("gram_count_distinct"), dtype=np.int64)
+                order = np.argsort(aid)
+                aid, acnt = aid[order], acnt[order]
+                p = np.clip(np.searchsorted(aid, ids), 0, len(aid) - 1)
+                match = aid[p] == ids
+                n_hits[match] = acnt[p[match]]
+        return pa.table(
+            {
+                self._id: batch.column(self._id).cast(pa.int64()),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )

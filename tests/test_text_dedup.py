@@ -232,3 +232,54 @@ def test_pii_scan_counters():
     out = pii_scan(t).to_pylist()
     assert (out[0]["n_emails"], out[0]["n_urls"], out[0]["n_ipv4"]) == (1, 1, 1)
     assert out[0]["has_pii"] and not out[1]["has_pii"] and not out[2]["has_pii"]
+
+
+def test_doc_grams_boundaries():
+    from embulk_input_marketo_ray.stages.text import doc_grams
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(
+                ["a b c d", "", "x, Y!  z", None, "one two"]  # punct/case/null
+            ),
+        }
+    )
+    out = doc_grams(t)
+    rows = set(zip(out.column("doc_id").to_pylist(), out.column("gram").to_pylist()))
+    # no gram crosses a document boundary; short/empty/null docs emit none
+    assert rows == {(1, "a b c"), (1, "b c d"), (3, "x y z")}
+
+
+def test_doc_grams_all_short():
+    from embulk_input_marketo_ray.stages.text import doc_grams
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], type=pa.int64()), "text": pa.array(["a b", ""])}
+    )
+    out = doc_grams(t)
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "gram"]
+
+
+def test_decontaminator_distinct_hits_and_empty_bench():
+    import ray
+
+    from embulk_input_marketo_ray.stages.text import Decontaminator
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([10, 11], type=pa.int64()),
+            # doc 10 repeats the benchmark gram twice -> still ONE distinct hit
+            "text": pa.array(["p q r s p q r", "clean words only here"]),
+        }
+    )
+    ref = ray.put(pa.array(["p q r", "zzz yyy xxx"], type=pa.string()))
+    out = Decontaminator(ref).__call__(batch).to_pylist()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[10]["n_hits"] == 1 and by_id[10]["contaminated"]
+    assert by_id[11]["n_hits"] == 0 and not by_id[11]["contaminated"]
+
+    empty_ref = ray.put(pa.array([], type=pa.string()))
+    out2 = Decontaminator(empty_ref).__call__(batch).to_pylist()
+    assert all(r["n_hits"] == 0 and not r["contaminated"] for r in out2)
