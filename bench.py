@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "commit_windows",
     "co_change_pairs",
     "doc_jaccard_pairs",
+    "doc_decontaminate",
+    "token_quantiles",
+    "doc_token_rarity",
 ]
 
 
