@@ -1,6 +1,7 @@
 from embulk_input_marketo_ray.sinks.exactly_once import (
     BucketMergeWriter,
     changes_between,
+    compact,
     lookup_keys,
     vacuum,
     read_lake,
@@ -10,6 +11,7 @@ from embulk_input_marketo_ray.sinks.exactly_once import (
 __all__ = [
     "BucketMergeWriter",
     "changes_between",
+    "compact",
     "lookup_keys",
     "vacuum",
     "read_lake",

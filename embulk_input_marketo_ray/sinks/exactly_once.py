@@ -843,3 +843,99 @@ def vacuum(lake_dir: str, dry_run: bool = False) -> list[str]:
         for p in removed:
             os.remove(p)
     return removed
+
+
+def compact(
+    lake_dir: str, min_files: int = 2, dry_run: bool = False
+) -> list[dict]:
+    """Standalone lake maintenance: fold every delta-layout partition's
+    base+delta files into ONE fresh base file (tombstones dropped) —
+    the explicit counterpart of the inline ``compact_threshold``
+    compaction that otherwise only triggers when a replay happens to
+    touch an over-threshold bucket. Run it between replays to bound
+    merge-on-read fan-in (and then ``vacuum`` to reclaim the superseded
+    deltas).
+
+    Scale shape: partitions are independent, so compaction is one wave
+    of per-partition Ray tasks (read files -> LWW merge -> write base)
+    when a Ray session exists, else a local loop. The driver only
+    handles file NAMES and lineage rows, never data. Exactly-once: new
+    base files are written via tmp + atomic rename and the manifest is
+    committed ONCE after every partition succeeds — a crash beforehand
+    leaves the manifest unchanged and the new bases unreferenced
+    (reclaimed by ``vacuum``, invisible to readers, which list files
+    only through the manifest).
+
+    Retention: the new base carries the partition's LATEST window tag,
+    so ``as_of`` reads at-or-after that window are unchanged while
+    older snapshots raise (same rule as inline compaction —
+    ``select_files_as_of`` refuses to silently serve a wrong snapshot).
+    ``changes_between`` with ``since`` older than the compaction
+    likewise raises. Compact only what your history consumers no
+    longer need.
+
+    Returns one ``{"pid", "files_merged", "rows"}`` row per compacted
+    partition (``dry_run=True`` plans without writing). Single-writer
+    discipline: don't run concurrently with a replay into this lake.
+    """
+    import json as _json
+
+    from embulk_input_marketo_ray.state.manifest import PartitionManifest
+
+    manifest = PartitionManifest(lake_dir)
+    state = manifest.load()
+    work: list[tuple[str, list[str], str]] = []
+    for pid, entry in sorted(state["partitions"].items()):
+        names = entry.get("files")
+        if not names or len(names) < min_files:
+            continue  # rewrite layout or already a single base
+        tags = [_file_window_tag(manifest.file_path(n)) for n in names]
+        if any(t is None for t in tags):
+            raise ValueError(
+                f"partition {pid}: compact requires the delta lake layout "
+                f"(found untagged file in {names})"
+            )
+        work.append((pid, names, max(tags)))
+    if dry_run or not work:
+        return [{"pid": pid, "files_merged": len(ns), "rows": None} for pid, ns, _ in work]
+
+    def _compact_one(pid: str, names: list[str], tag: str) -> dict:
+        m = PartitionManifest(lake_dir)
+        merged = merge_bucket_files(
+            [m.file_path(n) for n in names], drop_tombstones=True
+        )
+        base = f"base-{pid}-{tag}.parquet"
+        tmp = m.tmp_file_path(base)
+        with open(tmp, "wb") as f:
+            pq.write_table(merged, f)
+            f.flush()
+            os.fsync(f.fileno())
+        m.promote_file(base)
+        return {
+            "pid": pid,
+            "base": base,
+            "rows": merged.num_rows,
+            "fingerprint": _fingerprint(merged),
+            "files_merged": len(names),
+        }
+
+    import ray as _ray
+
+    if _ray.is_initialized() and len(work) > 1:
+        remote = _ray.remote(num_cpus=1)(_compact_one)
+        results = _ray.get([remote.remote(pid, ns, tag) for pid, ns, tag in work])
+    else:
+        results = [_compact_one(pid, ns, tag) for pid, ns, tag in work]
+
+    stats_by_pid = {}
+    for r in results:
+        entry = dict(state["partitions"][r["pid"]])
+        entry.update(
+            {"rows": r["rows"], "fingerprint": r["fingerprint"], "files": [r["base"]]}
+        )
+        stats_by_pid[r["pid"]] = entry
+    manifest.commit(stats_by_pid)
+    return [
+        {"pid": r["pid"], "files_merged": r["files_merged"], "rows": r["rows"]}
+        for r in results
+    ]

@@ -606,3 +606,98 @@ def test_replay_refuses_changed_num_buckets(events_dir, tmp_path):
     assert not r["skipped"]
     with open(mpath) as f:
         assert json.load(f)["num_buckets"] == 8
+
+
+def test_compact_folds_deltas_preserves_reads(events_dir, tmp_path):
+    """Standalone compact(): two delta windows -> one base file per
+    partition; live reads and point lookups identical before/after;
+    vacuum then reclaims the superseded deltas; pre-compaction history
+    raises instead of serving a wrong snapshot; re-compact is a no-op."""
+    import os
+
+    import pytest as _pytest
+
+    from embulk_input_marketo_ray.sinks.exactly_once import (
+        changes_between,
+        compact,
+        read_lake_table,
+        vacuum,
+    )
+
+    lake = str(tmp_path / "lake")
+    # high threshold: inline compaction never fires, both windows stay deltas
+    cfg1 = cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    r1 = replay(cfg1)
+    r2 = replay(cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100))
+    before = lake_multiset(read_lake_table(lake))
+    as_of_w1_before = lake_multiset(read_lake_table(lake, as_of=r1["to"]))
+    assert as_of_w1_before is not None
+
+    plan = compact(lake, dry_run=True)
+    assert plan and all(p["files_merged"] == 2 for p in plan)
+    # dry run changes nothing
+    assert lake_multiset(read_lake_table(lake)) == before
+
+    done = compact(lake)
+    assert [p["pid"] for p in done] == [p["pid"] for p in plan]
+    assert lake_multiset(read_lake_table(lake)) == before
+
+    # every partition now lists exactly one base- file
+    from embulk_input_marketo_ray.state.manifest import PartitionManifest
+
+    manifest = PartitionManifest(lake)
+    for pid, entry in manifest.load()["partitions"].items():
+        assert len(entry["files"]) == 1 and entry["files"][0].startswith("base-")
+
+    # history before the compaction is gone -> loud refusal, not a wrong answer
+    with _pytest.raises(ValueError, match="base compaction"):
+        read_lake_table(lake, as_of=r1["to"])
+    with _pytest.raises(ValueError):
+        changes_between(lake, since=r1["to"], until=r2["to"])
+    # the latest snapshot is still addressable by as_of
+    assert lake_multiset(read_lake_table(lake, as_of=r2["to"])) == before
+
+    removed = vacuum(lake)
+    assert any(os.path.basename(p).startswith("delta-") for p in removed)
+    assert lake_multiset(read_lake_table(lake)) == before
+
+    # nothing left to fold
+    assert compact(lake) == []
+
+
+def test_compact_crash_before_commit_is_invisible(events_dir, tmp_path, monkeypatch):
+    """A compact() that dies after writing base files but BEFORE the
+    manifest commit leaves readers on the old file lists; the orphan
+    bases are vacuumable; a rerun converges."""
+    from embulk_input_marketo_ray.sinks import exactly_once as xo
+    from embulk_input_marketo_ray.state.manifest import PartitionManifest
+
+    lake = str(tmp_path / "lake")
+    cfg1 = cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    replay(cfg1)
+    replay(cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100))
+    before = lake_multiset(xo.read_lake_table(lake))
+    files_before = PartitionManifest(lake).committed_file_sets()
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(PartitionManifest, "commit", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        xo.compact(lake)
+    monkeypatch.undo()
+
+    # manifest untouched: readers see the identical lake via the OLD files
+    assert PartitionManifest(lake).committed_file_sets() == files_before
+    assert lake_multiset(xo.read_lake_table(lake)) == before
+    # the orphaned new bases are unreferenced -> vacuum lists them
+    orphans = [p for p in xo.vacuum(lake, dry_run=True) if "base-" in p]
+    assert orphans
+    # rerun converges (overwrites the same deterministic base names)
+    done = xo.compact(lake)
+    assert done and lake_multiset(xo.read_lake_table(lake)) == before
+    assert xo.vacuum(lake) != []
