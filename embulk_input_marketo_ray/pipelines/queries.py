@@ -1940,7 +1940,19 @@ def q_token_quantiles(sf_dir: str):
         return out.rename_columns(["n_tokens", "cnt"])
 
     partial = ds.map_batches(measure, batch_format="pyarrow")
-    hist = grouped_aggregate(partial, ["n_tokens"], [("cnt", "sum", "cnt")])
+
+    # all partials feed ONE cumulative walk anyway, so a keyed hash
+    # exchange buys nothing here — its aggregator spin-up (~2-3 s) IS
+    # the query cost at any input size. Task-based repartition(1) +
+    # one merge block ships the same payload (distinct values x blocks,
+    # bounded by the token-count domain, never by corpus rows).
+    def merge_hist(block: pa.Table) -> pa.Table:
+        out = block.group_by(["n_tokens"]).aggregate([("cnt", "sum")])
+        return out.rename_columns(["n_tokens", "cnt"])
+
+    hist = partial.repartition(1).map_batches(
+        merge_hist, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
     rows = hist.take_all()
     schema = {"p": pa.array([], type=pa.float64()), "n_tokens": pa.array([], type=pa.int64())}
     if not rows:
