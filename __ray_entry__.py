@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": q.q_doc_decontaminate,
         "token_quantiles": q.q_token_quantiles,
         "doc_token_rarity": q.q_doc_token_rarity,
+        "event_asof_join": q.q_event_asof_join,
     }
 
 
@@ -550,6 +551,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = inter.doc_id
             JOIN sizes sb ON sb.doc_id = inter.dup_of
             WHERE 2 * i >= sa.n + sb.n - i
+        """,
+        "event_asof_join": """
+            WITH m AS (
+              SELECT user_id, ts AS purchase_ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                   m.purchase_ts AS last_purchase_ts,
+                   date_diff('microsecond', m.purchase_ts, e.ts)::BIGINT AS lag_us
+            FROM events e ASOF LEFT JOIN m
+              ON e.user_id = m.user_id AND e.ts >= m.purchase_ts
         """,
         "doc_decontaminate": f"""
             WITH t AS (

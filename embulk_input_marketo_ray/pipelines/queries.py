@@ -2082,3 +2082,109 @@ def q_doc_token_rarity(sf_dir: str):
         )
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+ASOF_MARKER_TYPE = "purchase"
+
+
+def q_event_asof_join(sf_dir: str):
+    """Distributed AS-OF JOIN (time-series point-in-time attribution):
+    every event joined to the SAME USER's latest ``purchase`` at or
+    before it — ``ASOF LEFT JOIN`` semantics (inclusive ``>=``; events
+    before the user's first purchase keep NULLs).
+
+    Ray Data has no asof join; the shape here is the repo's standard
+    one-exchange composition: tag the marker rows, union them with the
+    event stream (markers are a FILTER of the same table, so the union
+    costs one extra filtered pass, not a second shuffle side), ONE
+    keyed exchange on user_id, then a per-block vectorized kernel —
+    sort by (user, ts, tag), forward-fill the last marker index with
+    ``np.maximum.accumulate``, reset at user-run starts, gather. No
+    per-row loop, no driver state; payload = events + markers moving
+    once. Partitioning assumption (documented): each user's rows fit
+    one partition — the same per-key-locality every keyed operator in
+    this catalog relies on; hot users would need ts-range sub-splits
+    WITHIN a user, which the kernel's run-slicing would support
+    unchanged if fed presorted sub-ranges."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        ev = pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "ts": batch.column("ts"),
+                "event_type": batch.column("event_type"),
+                "tag": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            }
+        )
+        markers = ev.filter(
+            pc.equal(batch.column("event_type"), pa.scalar(ASOF_MARKER_TYPE))
+        )
+        markers = markers.set_column(
+            markers.schema.get_field_index("tag"),
+            "tag",
+            pa.array(np.zeros(markers.num_rows, dtype=np.int8)),
+        )
+        return pa.concat_tables([ev, markers])
+
+    tagged = ds.map_batches(tag_rows, batch_format="pyarrow")
+    shuffled = _keyed_repartition(tagged, _shuffle_width(), ["user_id"])
+
+    def asof_kernel(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "event_type": pa.array([], type=pa.string()),
+                "last_purchase_ts": pa.array([], type=pa.timestamp("us")),
+                "lag_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("tag", "ascending"),  # marker sorts before its own event row
+            ],
+        )
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts_us = np.asarray(t.column("ts")).astype("datetime64[us]").view(np.int64)
+        tag = np.asarray(t.column("tag"), dtype=np.int8)
+        n = len(user)
+        idx = np.arange(n, dtype=np.int64)
+        # forward-fill last marker position; a fill from BEFORE this
+        # user's run start means "no marker yet for this user"
+        marker_idx = np.where(tag == 0, idx, -1)
+        ffill = np.maximum.accumulate(marker_idx)
+        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        run_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        valid = ffill >= run_start
+        last_us = np.where(valid, ts_us[np.clip(ffill, 0, n - 1)], 0)
+        ev = tag == 1
+        null_mask = ~valid[ev]
+        last_col = pa.array(last_us[ev], type=pa.int64(), mask=null_mask).cast(
+            pa.timestamp("us")
+        )
+        lag_col = pa.array(ts_us[ev] - last_us[ev], type=pa.int64(), mask=null_mask)
+        evm = pa.array(ev)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").filter(evm),
+                "user_id": t.column("user_id").filter(evm),
+                "ts": t.column("ts").filter(evm),
+                "event_type": t.column("event_type").filter(evm),
+                "last_purchase_ts": last_col,
+                "lag_us": lag_col,
+            }
+        )
+
+    return shuffled.map_batches(
+        asof_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -57,3 +57,42 @@ def test_stratified_sampler_deterministic_and_rate_bounded(ray_session, tmp_path
         realized = counts.get(lang, 0) / total
         # multiplicative-hash uniformity: within 5 points of the target
         assert abs(realized - rate / 1000) < 0.05, (lang, realized, rate)
+
+
+def test_event_asof_join_edges(ray_session, tmp_path):
+    """As-of join edge cases the sf tables can't guarantee: a marker
+    event matches ITSELF (inclusive >=), users with no marker keep
+    NULLs, and the forward-fill resets between users."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view, purchase, view (after), purchase is its own match
+        (1, 1, base + dt.timedelta(seconds=10), "view"),
+        (2, 1, base + dt.timedelta(seconds=20), "purchase"),
+        (3, 1, base + dt.timedelta(seconds=30), "view"),
+        # user 2: never purchases
+        (4, 2, base + dt.timedelta(seconds=5), "click"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = {
+        r["event_id"]: r
+        for r in q.q_event_asof_join(str(tmp_path)).take_all()
+    }
+    assert out[1]["last_purchase_ts"] is None and out[1]["lag_us"] is None
+    assert out[2]["last_purchase_ts"] == base + dt.timedelta(seconds=20)
+    assert out[2]["lag_us"] == 0  # a purchase matches itself
+    assert out[3]["last_purchase_ts"] == base + dt.timedelta(seconds=20)
+    assert out[3]["lag_us"] == 10_000_000
+    assert out[4]["last_purchase_ts"] is None  # no marker for user 2
+    assert len(out) == 4
