@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q.q_token_quantiles,
         "doc_token_rarity": q.q_doc_token_rarity,
         "event_asof_join": q.q_event_asof_join,
+        "doc_keyterms": q.q_doc_keyterms,
+        "event_hop_windows": q.q_event_hop_windows,
+        "bigram_collocations": q.q_bigram_collocations,
     }
 
 
@@ -255,6 +258,11 @@ def oracle_sql() -> dict[str, str]:
         VOCAB_TOP_K,
         DECONTAM_BENCH_MOD,
         TOKEN_QUANTILE_PS,
+        KEYTERMS_TOP_K,
+        HOP_SECONDS,
+        HOP_WINDOW_SECONDS,
+        COLLOC_MIN_PAIR,
+        COLLOC_LIFT,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -562,6 +570,65 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', m.purchase_ts, e.ts)::BIGINT AS lag_us
             FROM events e ASOF LEFT JOIN m
               ON e.user_id = m.user_id AND e.ts >= m.purchase_ts
+        """,
+        "doc_keyterms": f"""
+            WITH pairs AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS token
+                FROM documents
+              )
+              GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, count(*)::BIGINT AS df FROM pairs GROUP BY token),
+            ranked AS (
+              SELECT p.doc_id, p.token, p.tf, df.df,
+                     row_number() OVER (
+                       PARTITION BY p.doc_id
+                       ORDER BY df.df ASC, p.tf DESC, p.token ASC
+                     )::BIGINT AS rank
+              FROM pairs p JOIN df USING (token)
+            )
+            SELECT doc_id, token, tf, df, rank
+            FROM ranked WHERE rank <= {KEYTERMS_TOP_K}
+        """,
+        "event_hop_windows": f"""
+            WITH w AS (
+              SELECT event_type, user_id,
+                     (epoch_us(ts) // {HOP_SECONDS * 1_000_000})
+                       * {HOP_SECONDS * 1_000_000}
+                       - k.k * {HOP_SECONDS * 1_000_000} AS window_start_us
+              FROM events
+              CROSS JOIN (
+                SELECT unnest(range({HOP_WINDOW_SECONDS // HOP_SECONDS})) AS k
+              ) k
+            )
+            SELECT window_start_us, event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM w GROUP BY window_start_us, event_type
+        """,
+        "bigram_collocations": f"""
+            WITH tok AS (
+              SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ts
+              FROM documents
+            ),
+            big AS (
+              SELECT unnest(ts[1:len(ts)-1]) AS t1, unnest(ts[2:len(ts)]) AS t2
+              FROM tok WHERE len(ts) >= 2
+            ),
+            uni AS (SELECT unnest(ts) AS token FROM tok),
+            cx AS (SELECT token, count(*)::BIGINT AS n FROM uni GROUP BY token),
+            cxy AS (SELECT t1, t2, count(*)::BIGINT AS n_xy FROM big GROUP BY t1, t2),
+            tot AS (SELECT count(*)::BIGINT AS n FROM uni)
+            SELECT cxy.t1, cxy.t2, cxy.n_xy, cx1.n AS n_x, cx2.n AS n_y
+            FROM cxy
+            JOIN cx cx1 ON cx1.token = cxy.t1
+            JOIN cx cx2 ON cx2.token = cxy.t2
+            CROSS JOIN tot
+            WHERE cxy.n_xy >= {COLLOC_MIN_PAIR}
+              AND cxy.n_xy * tot.n >= {COLLOC_LIFT} * cx1.n * cx2.n
         """,
         "doc_decontaminate": f"""
             WITH t AS (

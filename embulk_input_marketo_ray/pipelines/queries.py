@@ -2188,3 +2188,317 @@ def q_event_asof_join(sf_dir: str):
     return shuffled.map_batches(
         asof_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style keyterm extraction / hopping windows / collocation mining
+# ---------------------------------------------------------------------------
+
+KEYTERMS_TOP_K = 3
+
+HOP_SECONDS = 300
+HOP_WINDOW_SECONDS = 600  # 2 hops: every event lands in exactly 2 windows
+
+COLLOC_MIN_PAIR = 2  # bigram must occur at least this often
+COLLOC_LIFT = 3      # n_xy * N >= LIFT * n_x * n_y  (all-integer PMI gate)
+
+
+def _explode_doc_tokens(batch: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Tokenize a documents block: (flat tokens, doc index of each
+    token, doc_id array) with boundary empties removed. Split on
+    ``[^a-z]+`` after lowercasing == ``regexp_extract_all('[a-z]+')``:
+    split empties only appear at string boundaries (separators
+    collapse), so dropping them preserves within-doc adjacency."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+        pattern="[^a-z]+",
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = np.asarray(toks.offsets)
+    doc_of = (
+        np.searchsorted(offsets, np.arange(len(flat), dtype=np.int64), side="right") - 1
+    )
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = flat.filter(keep)
+    doc_of = doc_of[np.asarray(keep)]
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    return flat, doc_of, ids
+
+
+def q_doc_keyterms(sf_dir: str):
+    """Per-document keyterm extraction (TF-IDF-flavored, integer-exact):
+    the top-k tokens of every doc ranked by CORPUS document-frequency
+    ascending (rare-across-corpus first — the idf axis), term-frequency
+    descending (the tf axis), token ascending. Ranking on the raw
+    integer (df, -tf, token) key instead of tf*log(N/df) keeps the
+    value-hash comparison vs SQL exact while selecting the same "rare
+    but locally frequent" terms TF-IDF surfaces.
+
+    Shape: per-doc (doc_id, token, tf) pairs fold in-block; df is the
+    standard two-phase grouped count over those globally-distinct
+    pairs; ONE keyed hash join attaches df (no vocabulary broadcast —
+    a web-corpus vocab is 1e7-1e8 rows); a keyed exchange on doc_id +
+    one vectorized sort/run-slice per block does the windowed ranking.
+    Same partitioning key discipline as q_doc_token_rarity."""
+    from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        flat, doc_of, ids = _explode_doc_tokens(batch)
+        t = pa.table(
+            {"doc_id": pa.array(ids[doc_of], type=pa.int64()), "token": flat}
+        )
+        out = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["tf" if c == "count_all" else c for c in out.column_names]
+        ).select(["doc_id", "token", "tf"])
+
+    # one doc lives wholly in one row/block, so in-block (doc_id, token)
+    # pairs are already globally distinct: df = row count per token
+    pairs = ds.map_batches(pairs_block, batch_format="pyarrow")
+    df = grouped_aggregate(pairs, ["token"], [("token", "count", "df")])
+    df = drop_schemaless_blocks(
+        df.materialize(), pa.schema([("token", pa.string()), ("df", pa.int64())])
+    )
+    joined = pairs.join(
+        df,
+        "inner",
+        num_partitions=max(8, _shuffle_width() // 2),
+        on=("token",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    shuffled = _keyed_repartition(joined, _shuffle_width(), ["doc_id"])
+
+    def rank_block(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "token": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        block = pa.table(
+            {
+                "doc_id": block.column("doc_id").cast(pa.int64()),
+                "token": block.column("token"),
+                "tf": block.column("tf").cast(pa.int64()),
+                "df": block.column("df").cast(pa.int64()),
+            }
+        )
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("df", "ascending"),
+                ("tf", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        rank = np.arange(len(ids), dtype=np.int64)
+        rank = rank - np.repeat(rank[starts], np.diff(np.r_[starts, len(ids)])) + 1
+        t = t.append_column("rank", pa.array(rank, type=pa.int64()))
+        return t.filter(pa.array(rank <= KEYTERMS_TOP_K))
+
+    return shuffled.map_batches(
+        rank_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_event_hop_windows(sf_dir: str):
+    """Hopping (sliding) window aggregate over the event stream:
+    600 s windows every 300 s — each event belongs to exactly
+    window/hop = 2 overlapping windows. Per (window_start, event_type):
+    event count and DISTINCT user count.
+
+    Shape: the window replication is a cheap in-block explode (2 rows
+    per event, integer arithmetic on the us timestamp — never a range
+    join); count-distinct is the standard two exchanges, both with
+    in-block partial folds so the payload is (window, type, user)
+    groups, then (window, type) groups — never raw events."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    hop_us = HOP_SECONDS * 1_000_000
+    n_hops = HOP_WINDOW_SECONDS // HOP_SECONDS
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        t_us = np.asarray(batch.column("ts")).astype("datetime64[us]").view(np.int64)
+        ws0 = (t_us // hop_us) * hop_us
+        parts = []
+        base = pa.table(
+            {
+                "window_start_us": pa.array(ws0, type=pa.int64()),
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+            }
+        )
+        for k in range(n_hops):
+            parts.append(
+                base.set_column(
+                    0, "window_start_us", pa.array(ws0 - k * hop_us, type=pa.int64())
+                )
+            )
+        exploded = pa.concat_tables(parts)
+        out = exploded.group_by(
+            ["window_start_us", "event_type", "user_id"]
+        ).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        ).select(["window_start_us", "event_type", "user_id", "n"])
+
+    per_user = grouped_aggregate(
+        ds.map_batches(explode_windows, batch_format="pyarrow"),
+        ["window_start_us", "event_type", "user_id"],
+        [("n", "sum", "n")],
+    )
+    # rows now globally unique per (window, type, user): distinct-user
+    # count is a row count, event count a sum
+    return grouped_aggregate(
+        per_user,
+        ["window_start_us", "event_type"],
+        [("n", "sum", "n_events"), ("user_id", "count", "n_users")],
+    )
+
+
+def q_bigram_collocations(sf_dir: str):
+    """Collocation mining for tokenizer/vocab construction: adjacent
+    token pairs that co-occur far more than independence predicts —
+    the PMI gate kept ALL-INTEGER (``n_xy * N >= LIFT * n_x * n_y``
+    with ``n_xy >= COLLOC_MIN_PAIR``) so the oracle comparison is
+    exact; pmi = log(lift) is monotone in the same ratio.
+
+    Shape: bigrams and unigrams both fold in-block before their
+    two-phase counts (payload = distinct pairs/tokens per block, not
+    occurrences); the unigram table attaches to the bigram table via
+    TWO keyed hash joins (one per side — no vocabulary broadcast);
+    the corpus total N is the only driver scalar (one int). Int64
+    overflow in the gate product surfaces loudly (Arrow raises) at
+    ~n_xy*N > 2^63 — switch the comparison to a two-limb product
+    before running corpora past ~1e9 x 1e9."""
+    from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bigrams_block(batch: pa.Table) -> pa.Table:
+        flat, doc_of, _ = _explode_doc_tokens(batch)
+        n = len(flat)
+        empty = pa.table(
+            {
+                "t1": pa.array([], type=pa.string()),
+                "t2": pa.array([], type=pa.string()),
+                "n_xy": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        valid = pa.array(doc_of[1:] == doc_of[:-1])
+        t = pa.table(
+            {"t1": flat.slice(0, n - 1), "t2": flat.slice(1)}
+        ).filter(valid)
+        out = t.group_by(["t1", "t2"]).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["n_xy" if c == "count_all" else c for c in out.column_names]
+        ).select(["t1", "t2", "n_xy"])
+
+    def unigrams_block(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _explode_doc_tokens(batch)
+        out = pa.table({"token": flat}).group_by(["token"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        ).select(["token", "n"])
+
+    pair_counts = grouped_aggregate(
+        ds.map_batches(bigrams_block, batch_format="pyarrow"),
+        ["t1", "t2"],
+        [("n_xy", "sum", "n_xy")],
+    )
+    uni = grouped_aggregate(
+        ds.map_batches(unigrams_block, batch_format="pyarrow"),
+        ["token"],
+        [("n", "sum", "n")],
+    ).materialize()
+    total_tokens = int(uni.sum(on="n") or 0)
+    uni = drop_schemaless_blocks(
+        uni, pa.schema([("token", pa.string()), ("n", pa.int64())])
+    )
+
+    join_parts = max(8, _shuffle_width() // 2)
+    left = pair_counts.map_batches(
+        lambda b: b.rename_columns(
+            ["token" if c == "t1" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = left.join(
+        uni,
+        "inner",
+        num_partitions=join_parts,
+        on=("token",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def swap_key(b: pa.Table) -> pa.Table:
+        names = []
+        for c in b.column_names:
+            names.append(
+                {"token": "t1", "n": "n_x", "t2": "token"}.get(c, c)
+            )
+        return b.rename_columns(names)
+
+    # a mostly-empty first join emits schema-less empty partitions that
+    # the second join cannot key through — drop them block-level
+    swapped = drop_schemaless_blocks(
+        j1.map_batches(swap_key, batch_format="pyarrow").materialize(),
+        pa.schema(
+            [
+                ("t1", pa.string()),
+                ("token", pa.string()),
+                ("n_xy", pa.int64()),
+                ("n_x", pa.int64()),
+            ]
+        ),
+    )
+    j2 = swapped.join(
+        uni,
+        "inner",
+        num_partitions=join_parts,
+        on=("token",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(
+            [{"token": "t2", "n": "n_y"}.get(c, c) for c in b.column_names]
+        )
+        n_xy = b.column("n_xy").cast(pa.int64())
+        n_x = b.column("n_x").cast(pa.int64())
+        n_y = b.column("n_y").cast(pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(n_xy, pa.scalar(COLLOC_MIN_PAIR)),
+            pc.greater_equal(
+                pc.multiply_checked(n_xy, pa.scalar(total_tokens, type=pa.int64())),
+                pc.multiply_checked(
+                    pa.scalar(COLLOC_LIFT, type=pa.int64()),
+                    pc.multiply_checked(n_x, n_y),
+                ),
+            ),
+        )
+        return pa.table(
+            {"t1": b.column("t1"), "t2": b.column("t2"), "n_xy": n_xy,
+             "n_x": n_x, "n_y": n_y}
+        ).filter(keep)
+
+    return j2.map_batches(gate, batch_format="pyarrow")

@@ -96,3 +96,74 @@ def test_event_asof_join_edges(ray_session, tmp_path):
     assert out[3]["lag_us"] == 10_000_000
     assert out[4]["last_purchase_ts"] is None  # no marker for user 2
     assert len(out) == 4
+
+
+def test_event_hop_windows_membership(ray_session, tmp_path):
+    """An event belongs to exactly window/hop overlapping windows, and
+    distinct-user counting survives the two-phase exchange (same user
+    in two source rows counts once per window)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)  # epoch-us divisible by the hop
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([base, base], type=pa.timestamp("us")),
+            "user_id": pa.array([7, 7], type=pa.int64()),
+            "event_type": pa.array(["view", "view"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    rows = q.q_event_hop_windows(str(tmp_path)).take_all()
+    hop_us = q.HOP_SECONDS * 1_000_000
+    t0 = int(base.timestamp()) * 1_000_000
+    got = {r["window_start_us"]: r for r in rows}
+    assert set(got) == {t0, t0 - hop_us}  # exactly 2 windows
+    for r in rows:
+        assert r["n_events"] == 2
+        assert r["n_users"] == 1  # same user deduped within the window
+
+
+def test_doc_keyterms_rank_order(ray_session, tmp_path):
+    """Rarity (df asc) dominates tf: a corpus-unique token outranks a
+    locally frequent but corpus-common one."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "common common common zebra",  # zebra unique to doc 1
+                    "common other",
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rows = q.q_doc_keyterms(str(tmp_path)).take_all()
+    d1 = sorted((r for r in rows if r["doc_id"] == 1), key=lambda r: r["rank"])
+    assert d1[0]["token"] == "zebra" and d1[0]["df"] == 1
+    assert d1[1]["token"] == "common" and d1[1]["tf"] == 3 and d1[1]["df"] == 2
+
+
+def test_bigram_collocations_gate(ray_session, tmp_path):
+    """The integer PMI gate keeps a pair that always co-occurs and
+    drops a pair of independent common tokens."""
+    import pyarrow.parquet as pq
+
+    # "san francisco" always adjacent; "the cat"/"the dog" dilute "the"
+    docs = ["san francisco " + "the cat the dog " * 5] * 3
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rows = q.q_bigram_collocations(str(tmp_path)).take_all()
+    pairs = {(r["t1"], r["t2"]) for r in rows}
+    assert ("san", "francisco") in pairs
+    assert ("the", "cat") not in pairs  # independent: lift ~2 < 3
