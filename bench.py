@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "doc_decontaminate",
     "token_quantiles",
     "doc_token_rarity",
+    "event_asof_join",
+    "doc_keyterms",
+    "event_hop_windows",
+    "bigram_collocations",
 ]
 
 

@@ -2201,6 +2201,9 @@ HOP_WINDOW_SECONDS = 600  # 2 hops: every event lands in exactly 2 windows
 
 COLLOC_MIN_PAIR = 2  # bigram must occur at least this often
 COLLOC_LIFT = 3      # n_xy * N >= LIFT * n_x * n_y  (all-integer PMI gate)
+# vocab rows at/below this broadcast once (sorted arrays, ~40 MB at the
+# bound); above it the unigram attach takes two keyed hash joins
+COLLOC_BROADCAST_VOCAB = 2_000_000
 
 
 def _explode_doc_tokens(batch: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray]:
@@ -2379,10 +2382,15 @@ def q_bigram_collocations(sf_dir: str):
 
     Shape: bigrams and unigrams both fold in-block before their
     two-phase counts (payload = distinct pairs/tokens per block, not
-    occurrences); the unigram table attaches to the bigram table via
-    TWO keyed hash joins (one per side — no vocabulary broadcast);
-    the corpus total N is the only driver scalar (one int). Int64
-    overflow in the gate product surfaces loudly (Arrow raises) at
+    occurrences). Attaching unigram counts to the bigram table is
+    BUDGETED like every small-side attach in this repo: a vocab at or
+    under ``broadcast_vocab_limit`` rows is ``ray.put`` once as a
+    sorted (token, count) pair of arrays and looked up in-block via
+    searchsorted (zero extra exchanges); a larger vocab falls back to
+    TWO keyed hash joins (one per bigram side — a web-corpus vocab of
+    1e7-1e8 rows never ships whole). The corpus total N is the only
+    unconditional driver scalar (one int). Int64 overflow in the gate
+    product surfaces loudly (Arrow/numpy raise on checked multiply) at
     ~n_xy*N > 2^63 — switch the comparison to a two-limb product
     before running corpora past ~1e9 x 1e9."""
     from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
@@ -2434,6 +2442,48 @@ def q_bigram_collocations(sf_dir: str):
     uni = drop_schemaless_blocks(
         uni, pa.schema([("token", pa.string()), ("n", pa.int64())])
     )
+
+    n_vocab = uni.count()
+    if n_vocab <= COLLOC_BROADCAST_VOCAB:
+        # small-vocab fast path: one broadcast, zero join exchanges
+        vt = pa.concat_tables(ray.get(uni.to_arrow_refs())).combine_chunks()
+        order = pc.sort_indices(vt, sort_keys=[("token", "ascending")])
+        vt = vt.take(order)
+        vocab_ref = ray.put(
+            (
+                np.asarray(vt.column("token"), dtype=object),
+                np.asarray(vt.column("n"), dtype=np.int64),
+            )
+        )
+
+        def gate_broadcast(b: pa.Table) -> pa.Table:
+            tokens, counts = ray.get(vocab_ref)
+            t1 = np.asarray(b.column("t1"), dtype=object)
+            t2 = np.asarray(b.column("t2"), dtype=object)
+            # every bigram token came from the same corpus: always found
+            n_x = counts[np.searchsorted(tokens, t1)]
+            n_y = counts[np.searchsorted(tokens, t2)]
+            n_xy = np.asarray(b.column("n_xy"), dtype=np.int64)
+            if n_xy.size and int(n_xy.max()) * total_tokens > np.iinfo(np.int64).max:
+                # exact at any corpus size: arbitrary-precision ints on
+                # the (distinct-bigram-sized) gate only
+                lhs = n_xy.astype(object) * total_tokens
+                rhs = COLLOC_LIFT * (n_x.astype(object) * n_y.astype(object))
+            else:
+                lhs = np.multiply(n_xy, total_tokens, dtype=np.int64)
+                rhs = COLLOC_LIFT * np.multiply(n_x, n_y, dtype=np.int64)
+            keep = (n_xy >= COLLOC_MIN_PAIR) & (lhs >= rhs)
+            return pa.table(
+                {
+                    "t1": b.column("t1").filter(pa.array(keep)),
+                    "t2": b.column("t2").filter(pa.array(keep)),
+                    "n_xy": pa.array(n_xy[keep], type=pa.int64()),
+                    "n_x": pa.array(n_x[keep], type=pa.int64()),
+                    "n_y": pa.array(n_y[keep], type=pa.int64()),
+                }
+            )
+
+        return pair_counts.map_batches(gate_broadcast, batch_format="pyarrow")
 
     join_parts = max(8, _shuffle_width() // 2)
     left = pair_counts.map_batches(

@@ -167,3 +167,28 @@ def test_bigram_collocations_gate(ray_session, tmp_path):
     pairs = {(r["t1"], r["t2"]) for r in rows}
     assert ("san", "francisco") in pairs
     assert ("the", "cat") not in pairs  # independent: lift ~2 < 3
+
+
+def test_bigram_collocations_join_fallback(ray_session, tmp_path, monkeypatch):
+    """Above the vocab broadcast budget the unigram attach must take
+    the two keyed joins and produce identical results."""
+    import pyarrow.parquet as pq
+
+    docs = ["san francisco " + "the cat the dog " * 5] * 3
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    fast = {
+        (r["t1"], r["t2"]): (r["n_xy"], r["n_x"], r["n_y"])
+        for r in q.q_bigram_collocations(str(tmp_path)).take_all()
+    }
+    monkeypatch.setattr(q, "COLLOC_BROADCAST_VOCAB", 0)
+    slow = {
+        (r["t1"], r["t2"]): (r["n_xy"], r["n_x"], r["n_y"])
+        for r in q.q_bigram_collocations(str(tmp_path)).take_all()
+    }
+    assert fast == slow and ("san", "francisco") in fast
