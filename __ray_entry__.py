@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q.q_token_quantiles,
         "doc_token_rarity": q.q_doc_token_rarity,
         "event_asof_join": q.q_event_asof_join,
+        "event_range_join": q.q_event_range_join,
         "doc_keyterms": q.q_doc_keyterms,
         "event_hop_windows": q.q_event_hop_windows,
         "bigram_collocations": q.q_bigram_collocations,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         HOP_WINDOW_SECONDS,
         COLLOC_MIN_PAIR,
         COLLOC_LIFT,
+        RANGE_JOIN_SECONDS,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -570,6 +572,16 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', m.purchase_ts, e.ts)::BIGINT AS lag_us
             FROM events e ASOF LEFT JOIN m
               ON e.user_id = m.user_id AND e.ts >= m.purchase_ts
+        """,
+        "event_range_join": f"""
+            SELECT p.event_id, p.user_id, p.ts,
+                   count(e.event_id)::BIGINT AS n_follow
+            FROM events p LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts > p.ts
+             AND e.ts <= p.ts + INTERVAL {RANGE_JOIN_SECONDS} SECONDS
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id, p.ts
         """,
         "doc_keyterms": f"""
             WITH pairs AS (

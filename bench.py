@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "token_quantiles",
     "doc_token_rarity",
     "event_asof_join",
+    "event_range_join",
     "doc_keyterms",
     "event_hop_windows",
     "bigram_collocations",

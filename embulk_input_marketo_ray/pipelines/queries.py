@@ -2552,3 +2552,132 @@ def q_bigram_collocations(sf_dir: str):
         ).filter(keep)
 
     return j2.map_batches(gate, batch_format="pyarrow")
+
+
+RANGE_JOIN_SECONDS = 600  # attribution window after each purchase
+
+
+def q_event_range_join(sf_dir: str):
+    """Distributed RANGE (interval/band) JOIN: for every ``purchase``
+    event, the count of same-user events inside its attribution window
+    ``(ts, ts + 600 s]`` — the bounded-range counterpart of
+    ``q_event_asof_join``.
+
+    The partitioning story is the point: keys are ``(user_id,
+    time_bucket)`` with bucket width == the window size, so a purchase
+    window spans AT MOST 2 buckets — each purchase ships exactly two
+    probe pairs, events ship once to their own bucket, and NO key ever
+    needs a whole user's history co-resident (a hot user's decade of
+    events splits across time buckets; the per-user-exchange operators
+    can't say that). Per block: one vectorized sort + cumulative event
+    count; each probe pair's cumsum difference counts the events in
+    ``(t, t+R]`` within its bucket — the bucket intersection falls out
+    of the run structure, no clamping. A final two-phase grouped sum
+    folds the <=2 partial counts per purchase (zero-match purchases
+    survive with 0: their probes always emit)."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    r_us = RANGE_JOIN_SECONDS * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t_us = np.asarray(batch.column("ts")).astype("datetime64[us]").view(np.int64)
+        user = np.asarray(batch.column("user_id"), dtype=np.int64)
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        is_p = np.asarray(
+            pc.equal(batch.column("event_type"), pa.scalar(ASOF_MARKER_TYPE))
+        )
+        # events: one row in their own bucket, kind 0
+        ev = {
+            "user_id": user,
+            "bucket": t_us // r_us,
+            "ts_us": t_us,
+            "kind": np.zeros(len(user), dtype=np.int8),
+            "pid": np.zeros(len(user), dtype=np.int64),
+            "pts": np.zeros(len(user), dtype=np.int64),
+        }
+        parts = [ev]
+        pu, pt, pe = user[is_p], t_us[is_p], eid[is_p]
+        for b_off in (0, 1):  # window (t, t+R] spans at most 2 buckets
+            for kind, probe_ts in ((1, pt), (2, pt + r_us)):
+                parts.append(
+                    {
+                        "user_id": pu,
+                        "bucket": pt // r_us + b_off,
+                        "ts_us": probe_ts,
+                        "kind": np.full(len(pu), kind, dtype=np.int8),
+                        "pid": pe,
+                        "pts": pt,
+                    }
+                )
+        cols = ["user_id", "bucket", "ts_us", "kind", "pid", "pts"]
+        return pa.table(
+            {c: pa.array(np.concatenate([p[c] for p in parts])) for c in cols}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    shuffled = _keyed_repartition(exploded, _shuffle_width(), ["user_id", "bucket"])
+
+    def count_kernel(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "ts_us": pa.array([], type=pa.int64()),
+                "n_partial": pa.array([], type=pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("bucket", "ascending"),
+                ("ts_us", "ascending"),
+                ("kind", "ascending"),  # events before probes at tie ts
+            ],
+        )
+        t = block.take(order)
+        kind = np.asarray(t.column("kind"), dtype=np.int8)
+        csum = np.cumsum(kind == 0)
+        pid = np.asarray(t.column("pid"), dtype=np.int64)
+        bucket = np.asarray(t.column("bucket"), dtype=np.int64)
+        m1, m2 = kind == 1, kind == 2
+        # pair each probe-minus with its probe-plus by (pid, bucket):
+        # both probe rows of a replica share them and are block-local
+        o1 = np.lexsort((bucket[m1], pid[m1]))
+        o2 = np.lexsort((bucket[m2], pid[m2]))
+        n_partial = csum[m2][o2] - csum[m1][o1]
+        return pa.table(
+            {
+                "event_id": pa.array(pid[m1][o1], type=pa.int64()),
+                "user_id": pa.array(
+                    np.asarray(t.column("user_id"), dtype=np.int64)[m1][o1],
+                    type=pa.int64(),
+                ),
+                "ts_us": pa.array(
+                    np.asarray(t.column("pts"), dtype=np.int64)[m1][o1],
+                    type=pa.int64(),
+                ),
+                "n_partial": pa.array(n_partial, type=pa.int64()),
+            }
+        )
+
+    counted = shuffled.map_batches(
+        count_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = grouped_aggregate(
+        counted, ["event_id", "user_id", "ts_us"], [("n_partial", "sum", "n_follow")]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts_us").cast(pa.timestamp("us")),
+                "n_follow": b.column("n_follow").cast(pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

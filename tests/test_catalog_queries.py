@@ -192,3 +192,43 @@ def test_bigram_collocations_join_fallback(ray_session, tmp_path, monkeypatch):
         for r in q.q_bigram_collocations(str(tmp_path)).take_all()
     }
     assert fast == slow and ("san", "francisco") in fast
+
+
+def test_event_range_join_edges(ray_session, tmp_path):
+    """Range-join boundary semantics: exclusive at t, inclusive at
+    t+R, windows spanning a bucket boundary sum their two partial
+    counts, and zero-match purchases survive with 0."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)  # bucket-aligned
+    R = q.RANGE_JOIN_SECONDS
+
+    def ev(eid, uid, sec, typ):
+        return (eid, uid, base + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        # user 1: purchase mid-bucket; window spans into the next bucket
+        ev(1, 1, R - 100, "purchase"),
+        ev(2, 1, R - 100, "view"),      # ts == t: excluded (strict >)
+        ev(3, 1, R - 50, "view"),       # same bucket: counted
+        ev(4, 1, R + 10, "view"),       # next bucket, in window: counted
+        ev(5, 1, 2 * R - 100, "view"),  # ts == t+R exactly: counted
+        ev(6, 1, 2 * R - 99, "view"),   # 1s past window: excluded
+        # user 2: purchase with no followers
+        ev(7, 2, 10, "purchase"),
+        # user 3 activity must not leak into user 1's window
+        ev(8, 3, R - 50, "view"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = {r["event_id"]: r["n_follow"] for r in q.q_event_range_join(str(tmp_path)).take_all()}
+    assert got == {1: 3, 7: 0}
