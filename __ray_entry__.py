@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_rarity": q.q_doc_token_rarity,
         "event_asof_join": q.q_event_asof_join,
         "event_range_join": q.q_event_range_join,
+        "doc_dup_windows": q.q_doc_dup_windows,
         "doc_keyterms": q.q_doc_keyterms,
         "event_hop_windows": q.q_event_hop_windows,
         "bigram_collocations": q.q_bigram_collocations,
@@ -265,6 +266,8 @@ def oracle_sql() -> dict[str, str]:
         COLLOC_MIN_PAIR,
         COLLOC_LIFT,
         RANGE_JOIN_SECONDS,
+        DUPWIN_W,
+        DUPWIN_MIN_DOCS,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -582,6 +585,24 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts <= p.ts + INTERVAL {RANGE_JOIN_SECONDS} SECONDS
             WHERE p.event_type = 'purchase'
             GROUP BY p.event_id, p.user_id, p.ts
+        """,
+        "doc_dup_windows": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ts
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     unnest([array_to_string(ts[i:i+{DUPWIN_W - 1}], ' ')
+                             for i in range(1, greatest(len(ts) - {DUPWIN_W} + 2, 1))]) AS gram
+              FROM tok
+            ),
+            per_doc AS (
+              SELECT gram, doc_id, count(*)::BIGINT AS k FROM w GROUP BY gram, doc_id
+            )
+            SELECT gram, count(*)::BIGINT AS n_docs, sum(k)::BIGINT AS n_occ
+            FROM per_doc GROUP BY gram HAVING count(*) >= {DUPWIN_MIN_DOCS}
         """,
         "doc_keyterms": f"""
             WITH pairs AS (

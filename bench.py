@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "doc_token_rarity",
     "event_asof_join",
     "event_range_join",
+    "doc_dup_windows",
     "doc_keyterms",
     "event_hop_windows",
     "bigram_collocations",

@@ -2681,3 +2681,80 @@ def q_event_range_join(sf_dir: str):
         )
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+DUPWIN_W = 8        # tokens per window (Lee-et-al-style substring dedup unit)
+DUPWIN_MIN_DOCS = 2  # windows repeated across at least this many docs
+
+
+def q_doc_dup_windows(sf_dir: str):
+    """Repeated n-gram WINDOW detection — the discovery core of
+    substring-level training-data dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022): every 8-token
+    window that appears in >= 2 distinct documents, with its document
+    and occurrence counts. Downstream, these windows are what a
+    substring-dedup pass cuts out of the corpus.
+
+    Shape: windows materialize in-block as joined strings
+    (``binary_join_element_wise`` over W shifted slices — no per-row
+    loop) and IMMEDIATELY fold to (gram, doc, k) partials, so the
+    first exchange moves distinct grams per doc, not occurrences; the
+    second two-phase fold by gram computes distinct-doc and total
+    counts. At 100 TB the gram payload dominates — swap the gram
+    string for a 128-bit hash in both exchanges and re-attach strings
+    only for the surviving (repeated) minority via one keyed join; the
+    string form here keeps the oracle comparison exact."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def windows_block(batch: pa.Table) -> pa.Table:
+        flat, doc_of, ids = _explode_doc_tokens(batch)
+        n = len(flat)
+        empty = pa.table(
+            {
+                "gram": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "k": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < DUPWIN_W:
+            return empty
+        m = n - DUPWIN_W + 1
+        shifted = [flat.slice(k, m) for k in range(DUPWIN_W)]
+        grams = pc.binary_join_element_wise(*shifted, pa.scalar(" "))
+        same_doc = pa.array(doc_of[: m] == doc_of[DUPWIN_W - 1 :])
+        t = pa.table(
+            {
+                "gram": grams,
+                "doc_id": pa.array(ids[doc_of[:m]], type=pa.int64()),
+            }
+        ).filter(same_doc)
+        out = t.group_by(["gram", "doc_id"]).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["k" if c == "count_all" else c for c in out.column_names]
+        ).select(["gram", "doc_id", "k"])
+
+    per_doc = grouped_aggregate(
+        ds.map_batches(windows_block, batch_format="pyarrow"),
+        ["gram", "doc_id"],
+        [("k", "sum", "k")],
+    )
+    folded = grouped_aggregate(
+        per_doc,
+        ["gram"],
+        [("doc_id", "count", "n_docs"), ("k", "sum", "n_occ")],
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        b = pa.table(
+            {
+                "gram": b.column("gram"),
+                "n_docs": b.column("n_docs").cast(pa.int64()),
+                "n_occ": b.column("n_occ").cast(pa.int64()),
+            }
+        )
+        return b.filter(
+            pc.greater_equal(b.column("n_docs"), pa.scalar(DUPWIN_MIN_DOCS))
+        )
+
+    return folded.map_batches(gate, batch_format="pyarrow")

@@ -232,3 +232,32 @@ def test_event_range_join_edges(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     got = {r["event_id"]: r["n_follow"] for r in q.q_event_range_join(str(tmp_path)).take_all()}
     assert got == {1: 3, 7: 0}
+
+
+def test_doc_dup_windows_cross_doc_only(ray_session, tmp_path):
+    """A window repeated WITHIN one doc does not pass the >=2-docs
+    gate, a window shared across docs does, and occurrence totals
+    count every repeat."""
+    import pyarrow.parquet as pq
+
+    w = q.DUPWIN_W
+    # tokenizer keeps [a-z]+ runs only — tokens must be pure letters
+    shared = " ".join(chr(ord("a") + i) * 2 for i in range(w))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    shared + " filler one",
+                    "other prefix " + shared + " " + shared,  # 2 occurrences
+                    # within-doc-only repeat, never shared:
+                    ("solo " * w + "solo " * w).strip(),
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rows = {r["gram"]: r for r in q.q_doc_dup_windows(str(tmp_path)).take_all()}
+    assert shared in rows
+    assert rows[shared]["n_docs"] == 2 and rows[shared]["n_occ"] == 3
+    assert all(g == shared or "solo" not in g for g in rows)
