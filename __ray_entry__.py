@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_asof_join": q.q_event_asof_join,
         "event_range_join": q.q_event_range_join,
         "doc_dup_windows": q.q_doc_dup_windows,
+        "doc_dup_coverage": q.q_doc_dup_coverage,
         "doc_keyterms": q.q_doc_keyterms,
         "event_hop_windows": q.q_event_hop_windows,
         "bigram_collocations": q.q_bigram_collocations,
@@ -603,6 +604,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, count(*)::BIGINT AS n_docs, sum(k)::BIGINT AS n_occ
             FROM per_doc GROUP BY gram HAVING count(*) >= {DUPWIN_MIN_DOCS}
+        """,
+        "doc_dup_coverage": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ts
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(len(ts) - {DUPWIN_W} + 2, 1))) AS i,
+                     unnest([array_to_string(ts[j:j+{DUPWIN_W - 1}], ' ')
+                             for j in range(1, greatest(len(ts) - {DUPWIN_W} + 2, 1))]) AS gram
+              FROM tok
+            ),
+            rep AS (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS c FROM w GROUP BY gram
+              ) WHERE c >= {DUPWIN_MIN_DOCS}
+            ),
+            hits AS (SELECT w.doc_id, w.i FROM w JOIN rep USING (gram)),
+            cov AS (
+              SELECT doc_id, count(DISTINCT pos)::BIGINT AS covered
+              FROM (SELECT doc_id, unnest(range(i, i + {DUPWIN_W})) AS pos FROM hits)
+              GROUP BY doc_id
+            )
+            SELECT tok.doc_id,
+                   len(tok.ts)::BIGINT AS n_tokens,
+                   coalesce(cov.covered, 0)::BIGINT AS covered,
+                   CASE WHEN len(tok.ts) > 0
+                        THEN coalesce(cov.covered, 0)::DOUBLE / len(tok.ts)::DOUBLE
+                        ELSE 0.0 END AS dup_ratio
+            FROM tok LEFT JOIN cov USING (doc_id)
         """,
         "doc_keyterms": f"""
             WITH pairs AS (

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "event_asof_join",
     "event_range_join",
     "doc_dup_windows",
+    "doc_dup_coverage",
     "doc_keyterms",
     "event_hop_windows",
     "bigram_collocations",

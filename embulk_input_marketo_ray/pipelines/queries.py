@@ -2758,3 +2758,133 @@ def q_doc_dup_windows(sf_dir: str):
         )
 
     return folded.map_batches(gate, batch_format="pyarrow")
+
+
+# repeated-gram sets at/below this row count broadcast once; above it
+# the membership test must fall back to a keyed join on gram (same
+# doctrine as q_doc_dedup_near's loser set)
+DUPWIN_BROADCAST_LIMIT = 5_000_000
+
+
+def q_doc_dup_coverage(sf_dir: str):
+    """Substring-dedup APPLICATION pass: per document, how many token
+    positions are covered by at least one cross-doc repeated 8-token
+    window (the spans a Lee-et-al substring dedup would cut), plus the
+    doc's token count and the coverage ratio — the standard
+    boilerplate/contamination signal.
+
+    Shape: stage 1 is the dup-window discovery fold (exchanges move
+    per-doc DISTINCT grams); the surviving repeated-gram set — small
+    at normal dup rates, ∝ duplication not corpus — broadcasts once
+    under ``DUPWIN_BROADCAST_LIMIT`` (sorted array + searchsorted
+    membership, exactly the decontaminate shape), so the corpus itself
+    NEVER shuffles: stage 2 is a second streaming read pass computing
+    each doc's interval union with one vectorized min(gap, W) fold —
+    no per-row loop, no driver state beyond the budgeted set. Above
+    the budget, raise loudly rather than silently materialize (the
+    keyed-join fallback of q_doc_dedup_near applies; wire it here when
+    a corpus actually trips the limit)."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def windows_block(batch: pa.Table) -> pa.Table:
+        flat, doc_of, ids = _explode_doc_tokens(batch)
+        n = len(flat)
+        empty = pa.table(
+            {
+                "gram": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < DUPWIN_W:
+            return empty
+        m = n - DUPWIN_W + 1
+        shifted = [flat.slice(k, m) for k in range(DUPWIN_W)]
+        grams = pc.binary_join_element_wise(*shifted, pa.scalar(" "))
+        same_doc = pa.array(doc_of[:m] == doc_of[DUPWIN_W - 1 :])
+        t = pa.table(
+            {"gram": grams, "doc_id": pa.array(ids[doc_of[:m]], type=pa.int64())}
+        ).filter(same_doc)
+        return t.group_by(["gram", "doc_id"]).aggregate([]).select(["gram", "doc_id"])
+
+    per_doc = ds.map_batches(windows_block, batch_format="pyarrow")
+    folded = grouped_aggregate(per_doc, ["gram"], [("doc_id", "count", "n_docs")])
+
+    def repeated_only(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            b.column("n_docs").cast(pa.int64()), pa.scalar(DUPWIN_MIN_DOCS)
+        )
+        return b.filter(keep).select(["gram"])
+
+    rep = folded.map_batches(repeated_only, batch_format="pyarrow").materialize()
+    n_rep = rep.count()
+    if n_rep > DUPWIN_BROADCAST_LIMIT:
+        raise ValueError(
+            f"repeated-gram set ({n_rep} rows) exceeds the broadcast budget "
+            f"({DUPWIN_BROADCAST_LIMIT}); use the keyed-join membership path"
+        )
+    if n_rep:
+        gt = pa.concat_tables(ray.get(rep.to_arrow_refs())).combine_chunks()
+        grams_sorted = np.sort(np.asarray(gt.column("gram"), dtype=object))
+    else:
+        grams_sorted = np.array([], dtype=object)
+    rep_ref = ray.put(grams_sorted)
+
+    def coverage_block(batch: pa.Table) -> pa.Table:
+        rep_grams = ray.get(rep_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+            pattern="[^a-z]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets)
+        doc_of = (
+            np.searchsorted(offsets, np.arange(len(flat), dtype=np.int64), side="right")
+            - 1
+        )
+        keep = pc.not_equal(flat, pa.scalar(""))
+        flat = flat.filter(keep)
+        keep_np = np.asarray(keep)
+        doc_of = doc_of[keep_np]
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        n_tokens = np.bincount(doc_of, minlength=len(ids)).astype(np.int64)
+        covered = np.zeros(len(ids), dtype=np.int64)
+        n = len(flat)
+        if n >= DUPWIN_W and len(rep_grams):
+            m = n - DUPWIN_W + 1
+            shifted = [flat.slice(k, m) for k in range(DUPWIN_W)]
+            grams = pc.binary_join_element_wise(*shifted, pa.scalar(" "))
+            same_doc = doc_of[:m] == doc_of[DUPWIN_W - 1 :]
+            g = np.asarray(grams, dtype=object)
+            pos = np.searchsorted(rep_grams, g)
+            pos = np.clip(pos, 0, len(rep_grams) - 1)
+            hit = same_doc & (rep_grams[pos] == g)
+            # interval union per doc: starts are already ascending
+            # within each doc; covered = sum(min(next_start - start, W))
+            # with W for each doc's last hit
+            starts = np.flatnonzero(hit)
+            if len(starts):
+                d = doc_of[starts]
+                gap = np.empty(len(starts), dtype=np.int64)
+                gap[:-1] = np.minimum(starts[1:] - starts[:-1], DUPWIN_W)
+                gap[-1] = DUPWIN_W
+                # last hit of each doc contributes the full window
+                last_of_doc = np.r_[d[1:] != d[:-1], True]
+                gap[last_of_doc] = DUPWIN_W
+                np.add.at(covered, d, gap)
+        ratio = np.divide(
+            covered, n_tokens, out=np.zeros(len(ids), dtype=np.float64),
+            where=n_tokens > 0,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "covered": pa.array(covered, type=pa.int64()),
+                "dup_ratio": pa.array(ratio, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(coverage_block, batch_format="pyarrow")

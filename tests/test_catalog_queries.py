@@ -261,3 +261,30 @@ def test_doc_dup_windows_cross_doc_only(ray_session, tmp_path):
     assert shared in rows
     assert rows[shared]["n_docs"] == 2 and rows[shared]["n_occ"] == 3
     assert all(g == shared or "solo" not in g for g in rows)
+
+
+def test_doc_dup_coverage_interval_union(ray_session, tmp_path):
+    """Overlapping repeated windows must not double-count positions:
+    two docs sharing a (W+1)-token run contain 2 overlapping repeated
+    windows whose union covers exactly W+1 positions."""
+    import pyarrow.parquet as pq
+
+    w = q.DUPWIN_W
+    run = " ".join(chr(ord("a") + i) * 2 for i in range(w + 1))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    run,                       # exactly the shared run
+                    run + " unique tail here",
+                    "nothing shared at all",   # coverage 0
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in q.q_doc_dup_coverage(str(tmp_path)).take_all()}
+    assert rows[1]["covered"] == w + 1 and rows[1]["dup_ratio"] == 1.0
+    assert rows[2]["covered"] == w + 1 and rows[2]["n_tokens"] == w + 4
+    assert rows[3]["covered"] == 0 and rows[3]["dup_ratio"] == 0.0
