@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_range_join": q.q_event_range_join,
         "doc_dup_windows": q.q_doc_dup_windows,
         "doc_dup_coverage": q.q_doc_dup_coverage,
+        "lang_token_quantiles": q.q_lang_token_quantiles,
         "doc_keyterms": q.q_doc_keyterms,
         "event_hop_windows": q.q_event_hop_windows,
         "bigram_collocations": q.q_bigram_collocations,
@@ -636,6 +637,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN coalesce(cov.covered, 0)::DOUBLE / len(tok.ts)::DOUBLE
                         ELSE 0.0 END AS dup_ratio
             FROM tok LEFT JOIN cov USING (doc_id)
+        """,
+        "lang_token_quantiles": f"""
+            WITH m AS (
+              SELECT lang,
+                     len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n
+              FROM documents
+            ),
+            qs AS (
+              SELECT lang,
+                     quantile_disc(n, {list(TOKEN_QUANTILE_PS)}) AS v
+              FROM m GROUP BY lang
+            )
+            SELECT lang,
+                   unnest({list(TOKEN_QUANTILE_PS)}) AS p,
+                   unnest(v) AS n_tokens
+            FROM qs
         """,
         "doc_keyterms": f"""
             WITH pairs AS (

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "event_range_join",
     "doc_dup_windows",
     "doc_dup_coverage",
+    "lang_token_quantiles",
     "doc_keyterms",
     "event_hop_windows",
     "bigram_collocations",

@@ -2888,3 +2888,72 @@ def q_doc_dup_coverage(sf_dir: str):
         )
 
     return ds.map_batches(coverage_block, batch_format="pyarrow")
+
+
+def q_lang_token_quantiles(sf_dir: str):
+    """GROUPED exact quantiles: per-language percentile_disc of per-doc
+    whitespace token counts — the per-subcorpus sequence-length
+    profile. Unlike the global ``q_token_quantiles`` (whose histogram
+    merges in one block), the grouped form stays fully distributed:
+    in-block (lang, value) histogram partials, ONE keyed exchange on
+    lang, then each partition walks its own languages' cumulative
+    histograms — the driver never sees a histogram. Payload is
+    distinct (lang, value) pairs x blocks, independent of corpus rows;
+    the per-language walk is per-GROUP work (#langs per block), not
+    per-row."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def measure(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.coalesce(batch.column("text"), pa.scalar("")), pattern=r"\S+"
+        ).cast(pa.int64())
+        t = pa.table({"lang": batch.column("lang"), "n_tokens": n})
+        out = t.group_by(["lang", "n_tokens"]).aggregate([([], "count_all")])
+        return out.rename_columns(["lang", "n_tokens", "cnt"])
+
+    partial = ds.map_batches(measure, batch_format="pyarrow")
+    shuffled = _keyed_repartition(partial, _shuffle_width(), ["lang"])
+
+    def quantile_kernel(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "p": pa.array([], type=pa.float64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        merged = block.group_by(["lang", "n_tokens"]).aggregate([("cnt", "sum")])
+        merged = merged.rename_columns(["lang", "n_tokens", "cnt"])
+        order = pc.sort_indices(
+            merged,
+            sort_keys=[("lang", "ascending"), ("n_tokens", "ascending")],
+        )
+        t = merged.take(order)
+        lang = np.asarray(t.column("lang"), dtype=object)
+        vals = np.asarray(t.column("n_tokens"), dtype=np.int64)
+        cnts = np.asarray(t.column("cnt"), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, lang[1:] != lang[:-1]])
+        bounds = np.r_[starts, len(lang)]
+        out_lang, out_p, out_v = [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):  # per-GROUP, not per-row
+            cum = np.cumsum(cnts[a:b])
+            total = int(cum[-1])
+            for p in TOKEN_QUANTILE_PS:
+                k = max(int(np.ceil(p * total)), 1)
+                out_lang.append(lang[a])
+                out_p.append(p)
+                out_v.append(int(vals[a:b][np.searchsorted(cum, k)]))
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, type=pa.string()),
+                "p": pa.array(out_p, type=pa.float64()),
+                "n_tokens": pa.array(out_v, type=pa.int64()),
+            }
+        )
+
+    return shuffled.map_batches(
+        quantile_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
