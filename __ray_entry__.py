@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_windows": q.q_doc_dup_windows,
         "doc_dup_coverage": q.q_doc_dup_coverage,
         "lang_token_quantiles": q.q_lang_token_quantiles,
+        "token_packing": q.q_token_packing,
         "doc_keyterms": q.q_doc_keyterms,
         "event_hop_windows": q.q_event_hop_windows,
         "bigram_collocations": q.q_bigram_collocations,
@@ -270,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         RANGE_JOIN_SECONDS,
         DUPWIN_W,
         DUPWIN_MIN_DOCS,
+        PACK_SEQ_LEN,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -653,6 +655,25 @@ def oracle_sql() -> dict[str, str]:
                    unnest({list(TOKEN_QUANTILE_PS)}) AS p,
                    unnest(v) AS n_tokens
             FROM qs
+        """,
+        "token_packing": f"""
+            WITH m AS (
+              SELECT doc_id, lang,
+                     len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, lang, n_tokens,
+                     (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                      - n_tokens)::BIGINT AS start_off
+              FROM m
+            )
+            SELECT doc_id, lang, n_tokens, start_off,
+                   (start_off // {PACK_SEQ_LEN})::BIGINT AS first_seq,
+                   CASE WHEN n_tokens > 0
+                        THEN ((start_off + n_tokens - 1) // {PACK_SEQ_LEN})::BIGINT
+                        ELSE (start_off // {PACK_SEQ_LEN})::BIGINT END AS last_seq
+            FROM o
         """,
         "doc_keyterms": f"""
             WITH pairs AS (

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "doc_dup_windows",
     "doc_dup_coverage",
     "lang_token_quantiles",
+    "token_packing",
     "doc_keyterms",
     "event_hop_windows",
     "bigram_collocations",

@@ -2957,3 +2957,84 @@ def q_lang_token_quantiles(sf_dir: str):
     return shuffled.map_batches(
         quantile_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+PACK_SEQ_LEN = 2048  # tokens per packed training sequence
+
+
+def q_token_packing(sf_dir: str):
+    """Document -> packed-training-sequence mapping: concatenate each
+    language's documents in doc_id order and chunk the stream into
+    2048-token sequences (the standard packed-pretraining layout).
+    Per document: its token count, its start offset in the language
+    stream, and the first/last sequence index it lands in — the
+    metadata a packing loader needs to slice sequences without ever
+    materializing the concatenation.
+
+    Shape: token counts compute in the fused read pass; ONE keyed
+    exchange on lang; the running offset is a per-block vectorized
+    cumsum over the (lang, doc_id)-sorted run — ``sum() OVER
+    (PARTITION BY lang ORDER BY doc_id)`` without a global sort. The
+    partitioning assumption (each language wholly in one partition) is
+    the operator's semantic requirement, not a convenience: offsets
+    are defined by the language-stream order. A corpus where ONE
+    language outgrows a partition would shard the stream by doc_id
+    range and prefix-sum the shard totals — one extra tiny exchange."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def measure(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pc.count_substring_regex(
+                    pc.coalesce(batch.column("text"), pa.scalar("")), pattern=r"\S+"
+                ).cast(pa.int64()),
+            }
+        )
+
+    measured = ds.map_batches(measure, batch_format="pyarrow")
+    shuffled = _keyed_repartition(measured, _shuffle_width(), ["lang"])
+
+    def pack_kernel(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "start_off": pa.array([], type=pa.int64()),
+                "first_seq": pa.array([], type=pa.int64()),
+                "last_seq": pa.array([], type=pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            block, sort_keys=[("lang", "ascending"), ("doc_id", "ascending")]
+        )
+        t = block.take(order)
+        lang = np.asarray(t.column("lang"), dtype=object)
+        n = np.asarray(t.column("n_tokens"), dtype=np.int64)
+        cum = np.cumsum(n)
+        starts = np.flatnonzero(np.r_[True, lang[1:] != lang[:-1]])
+        base = np.repeat(cum[starts] - n[starts], np.diff(np.r_[starts, len(n)]))
+        start_off = cum - n - base
+        end_off = start_off + n  # exclusive
+        first_seq = start_off // PACK_SEQ_LEN
+        # an empty doc occupies no sequence: pin last == first
+        last_seq = np.where(n > 0, (end_off - 1) // PACK_SEQ_LEN, first_seq)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_tokens": pa.array(n, type=pa.int64()),
+                "start_off": pa.array(start_off, type=pa.int64()),
+                "first_seq": pa.array(first_seq, type=pa.int64()),
+                "last_seq": pa.array(last_seq, type=pa.int64()),
+            }
+        )
+
+    return shuffled.map_batches(
+        pack_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
