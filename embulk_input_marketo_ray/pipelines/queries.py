@@ -2241,10 +2241,14 @@ def q_doc_keyterms(sf_dir: str):
 
     Shape: per-doc (doc_id, token, tf) pairs fold in-block; df is the
     standard two-phase grouped count over those globally-distinct
-    pairs; ONE keyed hash join attaches df (no vocabulary broadcast —
-    a web-corpus vocab is 1e7-1e8 rows); a keyed exchange on doc_id +
-    one vectorized sort/run-slice per block does the windowed ranking.
-    Same partitioning key discipline as q_doc_token_rarity."""
+    pairs. Attaching df is BUDGETED like the collocation attach: a
+    vocab at or under COLLOC_BROADCAST_VOCAB rows broadcasts once as
+    sorted arrays (in-block searchsorted — and the doc_id exchange
+    drops entirely: pairs of one doc never leave their block, so the
+    ranking fuses into the same pass); a web-corpus vocab (1e7-1e8
+    rows) falls back to ONE keyed hash join plus the keyed exchange on
+    doc_id + per-block run-rank. Same partitioning key discipline as
+    q_doc_token_rarity."""
     from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
 
     _ensure_hash_shuffle()
@@ -2267,14 +2271,39 @@ def q_doc_keyterms(sf_dir: str):
     df = drop_schemaless_blocks(
         df.materialize(), pa.schema([("token", pa.string()), ("df", pa.int64())])
     )
-    joined = pairs.join(
-        df,
-        "inner",
-        num_partitions=max(8, _shuffle_width() // 2),
-        on=("token",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
-    shuffled = _keyed_repartition(joined, _shuffle_width(), ["doc_id"])
+
+    n_vocab = df.count()
+    if n_vocab <= COLLOC_BROADCAST_VOCAB:
+        vt = (
+            pa.concat_tables(ray.get(df.to_arrow_refs())).combine_chunks()
+            if n_vocab
+            else pa.table({"token": pa.array([], type=pa.string()),
+                           "df": pa.array([], type=pa.int64())})
+        )
+        vt = vt.take(pc.sort_indices(vt, sort_keys=[("token", "ascending")]))
+        vocab_ref = ray.put(
+            (
+                np.asarray(vt.column("token"), dtype=object),
+                np.asarray(vt.column("df"), dtype=np.int64),
+            )
+        )
+
+        def attach_df(b: pa.Table) -> pa.Table:
+            tokens, dfs = ray.get(vocab_ref)
+            tok = np.asarray(b.column("token"), dtype=object)
+            pos = np.searchsorted(tokens, tok) if len(tokens) else np.zeros(0, int)
+            return b.append_column("df", pa.array(dfs[pos], type=pa.int64()))
+
+        shuffled = pairs.map_batches(attach_df, batch_format="pyarrow")
+    else:
+        joined = pairs.join(
+            df,
+            "inner",
+            num_partitions=max(8, _shuffle_width() // 2),
+            on=("token",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        )
+        shuffled = _keyed_repartition(joined, _shuffle_width(), ["doc_id"])
 
     def rank_block(block: pa.Table) -> pa.Table:
         empty = pa.table(

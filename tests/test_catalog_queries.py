@@ -288,3 +288,29 @@ def test_doc_dup_coverage_interval_union(ray_session, tmp_path):
     assert rows[1]["covered"] == w + 1 and rows[1]["dup_ratio"] == 1.0
     assert rows[2]["covered"] == w + 1 and rows[2]["n_tokens"] == w + 4
     assert rows[3]["covered"] == 0 and rows[3]["dup_ratio"] == 0.0
+
+
+def test_doc_keyterms_join_fallback(ray_session, tmp_path, monkeypatch):
+    """Above the vocab broadcast budget keyterms must take the keyed
+    join + doc exchange and produce identical rankings."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(
+                ["common common common zebra", "common other words here"]
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    fast = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["df"])
+        for r in q.q_doc_keyterms(str(tmp_path)).take_all()
+    }
+    monkeypatch.setattr(q, "COLLOC_BROADCAST_VOCAB", 0)
+    slow = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["df"])
+        for r in q.q_doc_keyterms(str(tmp_path)).take_all()
+    }
+    assert fast == slow and fast[(1, 1)][0] == "zebra"
