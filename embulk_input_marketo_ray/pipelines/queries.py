@@ -1974,21 +1974,42 @@ def q_token_quantiles(sf_dir: str):
     )
 
 
+def _budgeted_vocab_broadcast(counts_ds, key_col: str, val_col: str, limit: int):
+    """``ray.put`` a (sorted keys, values) pair for a small count table,
+    or return None when it exceeds ``limit`` rows (caller falls back to
+    the keyed hash join). The shared small-side attach of the token
+    operators (rarity / keyterms / collocations): one broadcast object,
+    in-block ``searchsorted`` lookups, zero join exchanges."""
+    n = counts_ds.count()
+    if n > limit:
+        return None
+    if n:
+        t = pa.concat_tables(ray.get(counts_ds.to_arrow_refs())).combine_chunks()
+        t = t.take(pc.sort_indices(t, sort_keys=[(key_col, "ascending")]))
+        keys = np.asarray(t.column(key_col), dtype=object)
+        vals = np.asarray(t.column(val_col), dtype=np.int64)
+    else:
+        keys, vals = np.array([], dtype=object), np.array([], dtype=np.int64)
+    return ray.put((keys, vals))
+
+
 def q_doc_token_rarity(sf_dir: str):
     """Corpus-statistics quality score: per document, the mean / min
     CORPUS frequency of its tokens (high mean = boilerplate of common
     tokens; min = 1 marks docs carrying corpus-unique junk tokens).
 
-    Fully distributed two-phase + join shape — no vocabulary broadcast
-    (a web-corpus vocab is 10^7-10^8 entries, over any sane broadcast
-    budget): (1) global token counts via the two-phase grouped
-    aggregate; (2) docs explode to DISTINCT (doc_id, token, k) rows
-    in-block (payload = distinct tokens per doc, not occurrences);
-    (3) one keyed hash join on token attaches counts; (4) a grouped
-    aggregate by doc_id folds back to one row per doc. All integer
-    arithmetic until the single final division, so the value-hash
-    comparison vs SQL is exact. Docs with zero tokens drop (inner-join
-    semantics, matching the SQL oracle)."""
+    (1) global token counts via the two-phase grouped aggregate;
+    (2) docs explode to DISTINCT (doc_id, token, k) rows in-block
+    (payload = distinct tokens per doc, not occurrences); (3) the
+    count attach is BUDGETED: a vocab at or under the broadcast limit
+    ships once as sorted arrays, and because one doc's pairs never
+    leave their block the per-doc fold happens in the SAME streaming
+    pass — zero exchanges after the count aggregate; a web-corpus
+    vocab (10^7-10^8 rows) falls back to one keyed hash join on token
+    plus a grouped aggregate by doc_id. All integer arithmetic until
+    the single final division, so the value-hash comparison vs SQL is
+    exact. Docs with zero tokens drop (inner-join semantics, matching
+    the SQL oracle)."""
     from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
 
     _ensure_hash_shuffle()
@@ -2040,6 +2061,52 @@ def q_doc_token_rarity(sf_dir: str):
     counts = drop_schemaless_blocks(
         counts.materialize(), pa.schema([("token", pa.string()), ("n", pa.int64())])
     )
+
+    vocab_ref = _budgeted_vocab_broadcast(counts, "token", "n", COLLOC_BROADCAST_VOCAB)
+    if vocab_ref is not None:
+        def fold_block(b: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "sum_freq": pa.array([], type=pa.int64()),
+                    "min_tok_freq": pa.array([], type=pa.int64()),
+                    "mean_tok_freq": pa.array([], type=pa.float64()),
+                }
+            )
+            if b.num_rows == 0:
+                return empty
+            tokens, ns = ray.get(vocab_ref)
+            tok = np.asarray(b.column("token"), dtype=object)
+            n = ns[np.searchsorted(tokens, tok)]
+            k = np.asarray(b.column("k"), dtype=np.int64)
+            t = pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    "w": pa.array(k * n, type=pa.int64()),
+                    "k": pa.array(k, type=pa.int64()),
+                    "n": pa.array(n, type=pa.int64()),
+                }
+            )
+            g = t.group_by(["doc_id"]).aggregate(
+                [("w", "sum"), ("k", "sum"), ("n", "min")]
+            )
+            sum_freq = g.column("w_sum").cast(pa.int64())
+            n_tokens = g.column("k_sum").cast(pa.int64())
+            return pa.table(
+                {
+                    "doc_id": g.column("doc_id"),
+                    "n_tokens": n_tokens,
+                    "sum_freq": sum_freq,
+                    "min_tok_freq": g.column("n_min").cast(pa.int64()),
+                    "mean_tok_freq": pc.divide(
+                        sum_freq.cast(pa.float64()), n_tokens.cast(pa.float64())
+                    ),
+                }
+            )
+
+        return pairs.map_batches(fold_block, batch_format="pyarrow")
+
     joined = pairs.join(
         counts,
         "inner",
@@ -2272,21 +2339,8 @@ def q_doc_keyterms(sf_dir: str):
         df.materialize(), pa.schema([("token", pa.string()), ("df", pa.int64())])
     )
 
-    n_vocab = df.count()
-    if n_vocab <= COLLOC_BROADCAST_VOCAB:
-        vt = (
-            pa.concat_tables(ray.get(df.to_arrow_refs())).combine_chunks()
-            if n_vocab
-            else pa.table({"token": pa.array([], type=pa.string()),
-                           "df": pa.array([], type=pa.int64())})
-        )
-        vt = vt.take(pc.sort_indices(vt, sort_keys=[("token", "ascending")]))
-        vocab_ref = ray.put(
-            (
-                np.asarray(vt.column("token"), dtype=object),
-                np.asarray(vt.column("df"), dtype=np.int64),
-            )
-        )
+    vocab_ref = _budgeted_vocab_broadcast(df, "token", "df", COLLOC_BROADCAST_VOCAB)
+    if vocab_ref is not None:
 
         def attach_df(b: pa.Table) -> pa.Table:
             tokens, dfs = ray.get(vocab_ref)
@@ -2472,18 +2526,9 @@ def q_bigram_collocations(sf_dir: str):
         uni, pa.schema([("token", pa.string()), ("n", pa.int64())])
     )
 
-    n_vocab = uni.count()
-    if n_vocab <= COLLOC_BROADCAST_VOCAB:
-        # small-vocab fast path: one broadcast, zero join exchanges
-        vt = pa.concat_tables(ray.get(uni.to_arrow_refs())).combine_chunks()
-        order = pc.sort_indices(vt, sort_keys=[("token", "ascending")])
-        vt = vt.take(order)
-        vocab_ref = ray.put(
-            (
-                np.asarray(vt.column("token"), dtype=object),
-                np.asarray(vt.column("n"), dtype=np.int64),
-            )
-        )
+    # small-vocab fast path: one broadcast, zero join exchanges
+    vocab_ref = _budgeted_vocab_broadcast(uni, "token", "n", COLLOC_BROADCAST_VOCAB)
+    if vocab_ref is not None:
 
         def gate_broadcast(b: pa.Table) -> pa.Table:
             tokens, counts = ray.get(vocab_ref)

@@ -314,3 +314,33 @@ def test_doc_keyterms_join_fallback(ray_session, tmp_path, monkeypatch):
         for r in q.q_doc_keyterms(str(tmp_path)).take_all()
     }
     assert fast == slow and fast[(1, 1)][0] == "zebra"
+
+
+def test_doc_token_rarity_join_fallback(ray_session, tmp_path, monkeypatch):
+    """Above the vocab budget rarity must take the keyed join + doc
+    fold and produce identical scores."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                ["alpha beta beta", "beta gamma", ""]  # doc 3 drops (no tokens)
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    def snap():
+        return {
+            r["doc_id"]: (r["n_tokens"], r["sum_freq"], r["min_tok_freq"], r["mean_tok_freq"])
+            for r in q.q_doc_token_rarity(str(tmp_path)).take_all()
+        }
+
+    fast = snap()
+    monkeypatch.setattr(q, "COLLOC_BROADCAST_VOCAB", 0)
+    slow = snap()
+    assert fast == slow
+    assert set(fast) == {1, 2}  # zero-token doc drops on both paths
+    # doc 1: 3 occurrences; freq sum = alpha(1) + 2 x beta(3) = 7
+    assert fast[1] == (3, 7, 1, 7 / 3)
