@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_churn_topk": q.q_repo_churn_topk,
         "cdc_parent_seq": q.q_cdc_parent_seq,
         "doc_sample_stratified": q.q_doc_sample_stratified,
+        "doc_mix_sample": q.q_doc_mix_sample,
         "evolved_attrs": q.q_evolved_attrs,
         "key_lookup": q.q_key_lookup,
         "commit_windows": q.q_commit_windows,
@@ -252,6 +253,8 @@ def oracle_sql() -> dict[str, str]:
         LOOKUP_KEYS,
         SAMPLE_DEFAULT_PER_MILLE,
         SAMPLE_RATES_PER_MILLE,
+        MIX_WEIGHTS_PER_MILLE,
+        MIX_BUDGET_PER_MILLE,
         SPLIT_HASH_MOD,
         SPLIT_HASH_MULT,
         ANN_TOP_K,
@@ -287,6 +290,9 @@ def oracle_sql() -> dict[str, str]:
     )
     _sample_rate_cases = " ".join(
         f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES_PER_MILLE.items())
+    )
+    _mix_weight_cases = " ".join(
+        f"WHEN '{lang}' THEN {w}" for lang, w in sorted(MIX_WEIGHTS_PER_MILLE.items())
     )
     return {
         # --- sources (exact synthetic row sets, pure SQL) ---
@@ -485,6 +491,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             WHERE h % 1000 < CASE lang {_sample_rate_cases} ELSE {SAMPLE_DEFAULT_PER_MILLE} END
+        """,
+        "doc_mix_sample": f"""
+            WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+            tot AS (SELECT sum(n)::BIGINT AS n_total FROM c),
+            r AS (
+              SELECT c.lang,
+                     least(1000, (1000 * (((tot.n_total * {MIX_BUDGET_PER_MILLE}) // 1000)
+                       * (CASE c.lang {_mix_weight_cases} ELSE 0 END) // 1000)) // c.n) AS rate
+              FROM c CROSS JOIN tot
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE ((CAST(d.doc_id % {SPLIT_HASH_MOD} AS HUGEINT) * {SPLIT_HASH_MULT})
+                     % {SPLIT_HASH_MOD}) % 1000 < r.rate
         """,
         "evolved_attrs": f"""
             WITH e AS (

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "repo_churn_topk",
     "cdc_parent_seq",
     "doc_sample_stratified",
+    "doc_mix_sample",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

@@ -3112,3 +3112,85 @@ def q_token_packing(sf_dir: str):
     return shuffled.map_batches(
         pack_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# data-recipe mixing sampler
+# ---------------------------------------------------------------------------
+
+# The training-mix recipe: per-mille share of the OUTPUT corpus each
+# language should occupy (a Pile/Dolma-style data recipe), and the
+# output budget as a per-mille fraction of the input corpus. Languages
+# absent from the recipe are excluded (weight 0). All integer math so
+# the DuckDB oracle replicates the decision bit-for-bit.
+MIX_WEIGHTS_PER_MILLE = {"en": 400, "zh": 150, "es": 150, "de": 150, "fr": 150}
+MIX_BUDGET_PER_MILLE = 500
+
+
+def q_doc_mix_sample(sf_dir: str):
+    """Data-recipe mixing sampler: downsample each language so the
+    output approximates the configured mixture weights within an
+    output budget (``budget = N * MIX_BUDGET_PER_MILLE // 1000`` docs;
+    language ``l`` targets ``budget * weight_l // 1000`` of them).
+
+    Shape: pass 1 reads ONLY the ``lang`` column and shrinks each block
+    to a per-language histogram in-block — the merged histogram is
+    bounded by the language domain, never by corpus rows, so a
+    ``repartition(1)`` + one merge block beats a keyed exchange at any
+    scale. The driver turns it into per-language accept rates (tiny:
+    #langs entries) broadcast via ``ray.put`` once; pass 2 fuses the
+    keep decision with the read — the same multiplicative doc_id hash
+    as ``q_doc_split``/``q_doc_sample_stratified``, so mixing composes
+    deterministically with splitting and is stable under
+    re-partitioning and resume (same doc_id -> same decision). A
+    language whose corpus share is below its recipe share saturates at
+    rate 1000 (keep all) — rate-based sampling cannot upsample; the
+    realized mix is the closest achievable under the budget."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["lang"])
+
+    def lang_hist(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["lang"]).aggregate([([], "count_all")])
+        return out.rename_columns(["lang", "cnt"])
+
+    def lang_hist_merge(block: pa.Table) -> pa.Table:
+        out = block.group_by(["lang"]).aggregate([("cnt", "sum")])
+        return out.rename_columns(["lang", "cnt"])
+
+    hist = (
+        ds.map_batches(lang_hist, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lang_hist_merge,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    rows = hist.take_all()
+    n_total = sum(int(r["cnt"]) for r in rows)
+    budget = n_total * MIX_BUDGET_PER_MILLE // 1000
+    rates = {}
+    for r in rows:
+        lang, n_lang = r["lang"], int(r["cnt"])
+        want = budget * MIX_WEIGHTS_PER_MILLE.get(lang, 0) // 1000
+        rates[lang] = min(1000, 1000 * want // n_lang) if n_lang else 0
+    rates_ref = ray.put(rates)
+
+    full = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rate_by_lang = ray.get(rates_ref)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = ((ids % SPLIT_HASH_MOD) * SPLIT_HASH_MULT) % SPLIT_HASH_MOD
+        lang = np.asarray(batch.column("lang"), dtype=object)
+        rate = np.array([rate_by_lang.get(l, 0) for l in lang], dtype=np.uint64)
+        keep = pa.array((h % 1000) < rate)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(keep),
+                "lang": batch.column("lang").filter(keep),
+            }
+        )
+
+    return full.map_batches(sample, batch_format="pyarrow")

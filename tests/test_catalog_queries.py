@@ -344,3 +344,41 @@ def test_doc_token_rarity_join_fallback(ray_session, tmp_path, monkeypatch):
     assert set(fast) == {1, 2}  # zero-token doc drops on both paths
     # doc 1: 3 occurrences; freq sum = alpha(1) + 2 x beta(3) = 7
     assert fast[1] == (3, 7, 1, 7 / 3)
+
+
+def test_doc_mix_sample_rates_and_saturation(ray_session, tmp_path):
+    """The mixing sampler solves per-language accept rates from the
+    recipe: an over-represented language is downsampled toward its
+    target share; a language scarcer than its recipe share saturates
+    at keep-all (rate 1000); unlisted languages are excluded; and the
+    decision is deterministic across executions."""
+    import pyarrow.parquet as pq
+
+    n_en, n_zh, n_xx = 18_000, 300, 500
+    ids = np.arange(n_en + n_zh + n_xx, dtype=np.int64)
+    langs = np.array(["en"] * n_en + ["zh"] * n_zh + ["xx"] * n_xx, dtype=object)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(["x"] * len(ids)),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * len(ids)),
+            "n_chars": pa.array(np.ones(len(ids), dtype=np.int64)),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/documents.parquet")
+
+    df = q.q_doc_mix_sample(sf_dir).to_pandas()
+    counts = df.groupby("lang").size()
+
+    # zh: budget=9400, want=9400*150//1000=1410 > 300 available -> keep all
+    assert counts.get("zh", 0) == n_zh
+    # xx: not in the recipe -> excluded entirely
+    assert counts.get("xx", 0) == 0
+    # en: want = 9400*400//1000 = 3760 of 18000 -> realized within hash noise
+    want_en = (len(ids) * q.MIX_BUDGET_PER_MILLE // 1000) * q.MIX_WEIGHTS_PER_MILLE["en"] // 1000
+    assert abs(counts.get("en", 0) - want_en) / want_en < 0.05
+
+    df2 = q.q_doc_mix_sample(sf_dir).to_pandas()
+    assert set(df["doc_id"]) == set(df2["doc_id"])
