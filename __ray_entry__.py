@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": q.q_doc_split,
         "doc_curation": q.q_doc_curation,
         "doc_vocab_topk": q.q_doc_vocab_topk,
+        "doc_heavy_hitters": q.q_doc_heavy_hitters,
         "doc_dedup_near": q.q_doc_dedup_near,
         "doc_topk_per_lang": q.q_doc_topk_per_lang,
         "doc_decontaminate": q.q_doc_decontaminate,
@@ -254,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         SAMPLE_DEFAULT_PER_MILLE,
         SAMPLE_RATES_PER_MILLE,
         MIX_WEIGHTS_PER_MILLE,
+        HH_K,
         MIX_BUDGET_PER_MILLE,
         SPLIT_HASH_MOD,
         SPLIT_HASH_MULT,
@@ -403,6 +405,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS n FROM tok GROUP BY token
             ORDER BY n DESC, token LIMIT {VOCAB_TOP_K}
+        """,
+        "doc_heavy_hitters": f"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS token
+              FROM documents
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n_total FROM tok),
+            c AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token)
+            SELECT c.token, c.n FROM c CROSS JOIN tot
+            WHERE c.n * {HH_K} > tot.n_total
         """,
         "doc_topk_per_lang": rf"""
             WITH m AS (

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "cdc_parent_seq",
     "doc_sample_stratified",
     "doc_mix_sample",
+    "doc_heavy_hitters",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

@@ -3194,3 +3194,121 @@ def q_doc_mix_sample(sf_dir: str):
         )
 
     return full.map_batches(sample, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed heavy hitters (frequent-items sketch, exact final answer)
+# ---------------------------------------------------------------------------
+
+# phi = 1/HH_K: report every token whose corpus frequency strictly
+# exceeds total_tokens / HH_K
+HH_K = 100
+
+
+def q_doc_heavy_hitters(sf_dir: str):
+    """Heavy hitters: every token with corpus frequency > N/``HH_K``
+    — the frequent-items primitive (stopword discovery, boilerplate
+    token detection) at a scale where the full vocabulary must never
+    shuffle.
+
+    Two streaming passes, sketch-then-verify:
+
+    Pass 1 (candidates): each block reduces to its in-block token
+    counts (a groupby — the vectorized equivalent of a Misra-Gries
+    summary with exact in-block counts) and keeps only tokens with
+    ``block_count * HH_K > block_tokens``. Pigeonhole guarantee: a
+    token with global frequency > N/K must exceed B_i/K in at least
+    one block (if f_i <= B_i/K everywhere, summing gives f <= N/K),
+    so the union of per-block survivors is a SUPERSET of the true
+    heavy hitters — at most K-1 candidates per block, independent of
+    vocabulary size. Each block also emits one null-token row carrying
+    its token total, so N folds out of the same pass.
+
+    Pass 2 (exact verify): the candidate set (<= (K-1) x blocks rows)
+    broadcasts once via ``ray.put``; each block counts ONLY candidate
+    occurrences (vectorized ``is_in`` probe), the per-candidate
+    partials merge through one tiny exchange, and the driver applies
+    the exact threshold ``n * HH_K > N``. The corpus never shuffles;
+    the only moved payload is candidate counts. False candidates cost
+    one is_in probe and are dropped by the exact filter."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def _block_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+            pattern="[^a-z]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pa.table({"token": toks.flatten()})
+        return flat.filter(pc.not_equal(flat.column("token"), pa.scalar("")))
+
+    def block_candidates(batch: pa.Table) -> pa.Table:
+        flat = _block_tokens(batch)
+        out = flat.group_by(["token"]).aggregate([([], "count_all")])
+        out = out.rename_columns(["token", "cnt"])
+        b_total = flat.num_rows
+        keep = pc.greater(pc.multiply(out.column("cnt"), pa.scalar(HH_K)), pa.scalar(b_total))
+        cand = out.filter(keep)
+        total_row = pa.table(
+            {
+                "token": pa.array([None], type=pa.string()),
+                "cnt": pa.array([b_total], type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([cand.set_column(1, "cnt", cand.column("cnt").cast(pa.int64())), total_row])
+
+    def merge_summaries(block: pa.Table) -> pa.Table:
+        # distinct candidates + the summed token total: the driver
+        # payload is bounded by DISTINCT frequent-ish tokens, not by
+        # (K-1) x blocks
+        out = block.group_by(["token"]).aggregate([("cnt", "sum")])
+        return out.rename_columns(["token", "cnt"])
+
+    summaries = (
+        ds.map_batches(block_candidates, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            merge_summaries, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .take_all()
+    )
+    n_total = sum(int(r["cnt"]) for r in summaries if r["token"] is None)
+    cand_tokens = sorted({r["token"] for r in summaries if r["token"] is not None})
+    empty = pa.table(
+        {"token": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+    )
+    if not cand_tokens or n_total == 0:
+        return empty
+    cand_ref = ray.put(pa.array(cand_tokens, type=pa.string()))
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        flat = _block_tokens(batch)
+        hits = flat.filter(pc.is_in(flat.column("token"), value_set=ray.get(cand_ref)))
+        out = hits.group_by(["token"]).aggregate([([], "count_all")])
+        return out.rename_columns(["token", "n"])
+
+    merged = (
+        ds.map_batches(count_candidates, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda block: block.group_by(["token"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["token", "n"]),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )
+    rows = [r for r in merged if int(r["n"]) * HH_K > n_total]
+    if not rows:
+        return empty
+    t = pa.Table.from_pylist(rows)
+    return pa.table(
+        {
+            "token": t.column("token").cast(pa.string()),
+            "n": t.column("n").cast(pa.int64()),
+        }
+    )

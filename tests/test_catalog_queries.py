@@ -382,3 +382,70 @@ def test_doc_mix_sample_rates_and_saturation(ray_session, tmp_path):
 
     df2 = q.q_doc_mix_sample(sf_dir).to_pandas()
     assert set(df["doc_id"]) == set(df2["doc_id"])
+
+
+def test_doc_heavy_hitters_exact_threshold(ray_session, tmp_path):
+    """Sketch-then-verify is EXACT: a token at exactly N/K is excluded
+    (strict >), one just above is included, and a token hot inside one
+    block but rare globally is killed by the verify pass. Expected set
+    computed by brute-force python count."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    K = q.HH_K
+    # ~40k filler tokens, each unique; "hothot" above threshold;
+    # "edge" placed at EXACTLY N/K once totals are known
+    def word(i: int) -> str:
+        # alphabetic-only unique fillers (the tokenizer splits on [^a-z])
+        s = ""
+        while True:
+            s += chr(ord("a") + i % 26)
+            i //= 26
+            if not i:
+                return "f" + s
+
+    docs = []
+    per_doc = 97
+    fillers = 400 * per_doc
+    for i in range(400):
+        docs.append(" ".join(word(i * per_doc + j) for j in range(per_doc)))
+    # one doc where "localhot" is extremely hot in-block but globally rare
+    docs.append(" ".join(["localhot"] * 50))
+    hot_n = 600  # comfortably above the final ~N/K threshold (~399)
+    docs.append(" ".join(["hothot"] * hot_n))
+    # solve edge count e so that e * K == N exactly: N = base + e
+    base = fillers + 50 + hot_n
+    # e*K = base + e  ->  e = base / (K-1); pick base adjustment
+    rem = base % (K - 1)
+    if rem:  # pad fillers so base divides evenly
+        docs.append(" ".join(word(fillers + 100 + j) for j in range(K - 1 - rem)))
+        base += K - 1 - rem
+    e = base // (K - 1)
+    docs.append(" ".join(["edgeedge"] * e))
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(d) for d in docs], type=pa.int64()),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/documents.parquet", row_group_size=50)
+
+    counter = collections.Counter()
+    for d in docs:
+        counter.update(d.split())
+    n_total = sum(counter.values())
+    expected = {t for t, n in counter.items() if n * K > n_total}
+
+    res = q.q_doc_heavy_hitters(sf_dir)
+    got = {r["token"]: r["n"] for r in res.to_pylist()}
+    assert set(got) == expected
+    assert "hothot" in got and got["hothot"] == hot_n
+    assert "edgeedge" not in got  # n * K == N -> strictly-greater excluded
+    assert "localhot" not in got  # block-hot, globally rare -> verify kills it
+    assert counter["edgeedge"] * K == n_total  # the edge case really is at the boundary
