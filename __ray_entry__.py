@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_near": q.q_doc_dedup_near,
         "doc_topk_per_lang": q.q_doc_topk_per_lang,
         "doc_decontaminate": q.q_doc_decontaminate,
+        "doc_decontaminate_bloom": q.q_doc_decontaminate_bloom,
         "token_quantiles": q.q_token_quantiles,
         "doc_token_rarity": q.q_doc_token_rarity,
         "event_asof_join": q.q_event_asof_join,
@@ -765,6 +766,27 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             WHERE cxy.n_xy >= {COLLOC_MIN_PAIR}
               AND cxy.n_xy * tot.n >= {COLLOC_LIFT} * cx1.n * cx2.n
+        """,
+        "doc_decontaminate_bloom": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                FROM t WHERE len(toks) >= 3
+              )
+            ),
+            bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+            )
+            SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_hits
+            FROM g JOIN bench USING (gram)
+            WHERE g.doc_id % {DECONTAM_BENCH_MOD} <> 0
+            GROUP BY g.doc_id
         """,
         "doc_decontaminate": f"""
             WITH t AS (

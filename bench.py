@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "doc_sample_stratified",
     "doc_mix_sample",
     "doc_heavy_hitters",
+    "doc_decontaminate_bloom",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

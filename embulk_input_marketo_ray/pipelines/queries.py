@@ -3312,3 +3312,120 @@ def q_doc_heavy_hitters(sf_dir: str):
             "n": t.column("n").cast(pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered decontamination (fixed-size broadcast at any bench size)
+# ---------------------------------------------------------------------------
+
+# 4M bits = a 512 KiB broadcast regardless of benchmark gram count;
+# sized for ~10 bits/key at the benchmark scale this config targets —
+# at a larger benchmark, raise it with the suite (it is the ONLY
+# benchmark-proportional state, and it grows as bits, not strings)
+DECONTAM_BLOOM_BITS = 1 << 22
+
+
+def q_doc_decontaminate_bloom(sf_dir: str):
+    """Benchmark decontamination with a BLOOM prefilter — the shape
+    that survives a benchmark suite too big to broadcast as strings.
+
+    ``q_doc_decontaminate`` broadcasts the exact gram set (~30+ bytes
+    per gram); here the broadcast is a fixed 512 KiB bitarray. Bench
+    pass: per-block distinct grams fold into the driver's bit table
+    (only the table persists — gram strings are never collected).
+    Corpus pass: each block dedupes its (doc_id, gram) pairs and keeps
+    bloom-positive grams — the surviving stream is sized by true
+    contamination + the fp rate, never the corpus. Exact verify: the
+    survivors union the (re-streamed) bench grams through ONE
+    gram-keyed exchange; within a partition a vectorized ``is_in``
+    confirms true hits, cross-block duplicate pairs collapse (gram
+    partitioning makes pair-dedup local), and per-doc distinct-hit
+    counts fold through the standard two-phase aggregate. The final
+    answer is EXACT (bloom false positives die in the verify); output
+    is the contaminated-doc audit (``n_hits >= 1``) — the kill list a
+    pipeline feeds an anti-join, not the full per-doc table."""
+    from embulk_input_marketo_ray.stages.text import (
+        bloom_fold,
+        bloom_positions,
+        doc_grams,
+        BloomGramProber,
+    )
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_gram_block(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        bench = batch.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+        grams = doc_grams(bench, n=DECONTAM_NGRAM)
+        return grams.group_by(["gram"]).aggregate([]).select(["gram"])
+
+    bits = np.zeros(DECONTAM_BLOOM_BITS // 8, dtype=np.uint8)
+    for ref in ds.map_batches(bench_gram_block, batch_format="pyarrow").to_arrow_refs():
+        block = ray.get(ref)
+        if block.num_rows:
+            col = block.column("gram")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            bloom_fold(bits, bloom_positions(col, DECONTAM_BLOOM_BITS))
+    bits_ref = ray.put(bits.tobytes())
+
+    def corpus_only(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(ids % DECONTAM_BENCH_MOD != 0))
+
+    prober = _task_stage(
+        BloomGramProber, bits_ref=bits_ref, m_bits=DECONTAM_BLOOM_BITS, n=DECONTAM_NGRAM
+    )
+    survivors = (
+        ds.map_batches(corpus_only, batch_format="pyarrow")
+        .map_batches(prober, batch_format="pyarrow")
+    )
+
+    def bench_tagged(batch: pa.Table) -> pa.Table:
+        g = bench_gram_block(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array([None] * g.num_rows, type=pa.int64()),
+                "gram": g.column("gram"),
+            }
+        )
+
+    tagged = survivors.union(ds.map_batches(bench_tagged, batch_format="pyarrow"))
+    exchanged = _keyed_repartition(tagged, _shuffle_width(), ["gram"])
+
+    def verify_block(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_hits": pa.array([], type=pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        is_bench = pc.is_null(block.column("doc_id"))
+        bench_grams = block.filter(is_bench).column("gram")
+        cand = block.filter(pc.invert(is_bench))
+        if not len(bench_grams) or not cand.num_rows:
+            return empty
+        if isinstance(bench_grams, pa.ChunkedArray):
+            bench_grams = bench_grams.combine_chunks()
+        hit = cand.filter(pc.is_in(cand.column("gram"), value_set=bench_grams))
+        if not hit.num_rows:
+            return empty
+        # cross-block duplicate (doc_id, gram) pairs are co-partitioned
+        # by gram: collapse them here so the downstream sum counts
+        # DISTINCT grams per doc
+        hit = hit.group_by(["doc_id", "gram"]).aggregate([])
+        out = hit.group_by(["doc_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "n_hits": out.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    verified = exchanged.map_batches(
+        verify_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_aggregate(verified, ["doc_id"], [("n_hits", "sum", "n_hits")])

@@ -434,3 +434,78 @@ class Decontaminator:
                 "contaminated": pa.array(n_hits > 0),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# bloom filter over gram strings (decontamination prefilter)
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4  # probes per key; ~0.6% fp at 10 bits/key
+
+
+def bloom_positions(grams, m_bits: int, k: int = BLOOM_K) -> np.ndarray:
+    """``(len, k)`` bit positions for each gram: two independent
+    vectorized 64-bit string hashes (polars) combined by double
+    hashing (``h1 + i*h2``, ``h2`` forced odd so the probe sequence
+    cycles the full power-of-two table). No per-row Python."""
+    import polars as pl
+
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    s = pl.from_arrow(grams)
+    h1 = s.hash(seed=0x51ED2701).to_numpy().astype(np.uint64)
+    h2 = s.hash(seed=0x2545F491).to_numpy().astype(np.uint64) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m_bits - 1)
+
+
+def bloom_fold(bits: np.ndarray, pos: np.ndarray) -> None:
+    """OR the positions into a ``m_bits//8``-byte table in place."""
+    np.bitwise_or.at(
+        bits,
+        (pos >> np.uint64(3)).astype(np.int64).ravel(),
+        np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)).ravel(),
+    )
+
+
+def bloom_probe(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Boolean membership (maybe-present) per row of ``pos``."""
+    got = bits[(pos >> np.uint64(3)).astype(np.int64)] & np.left_shift(
+        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+    )
+    return (got != 0).all(axis=1)
+
+
+class BloomGramProber:
+    """Corpus-side decontamination prefilter: explode a batch into
+    deduped ``(doc_id, gram)`` rows and keep only grams the broadcast
+    bloom table says MAY be benchmark grams. The bitarray is fetched
+    zero-copy once per worker (``__init__``); probing is two vector
+    hashes + a byte-table gather per batch. Output is the sparse
+    candidate stream the exact gram-keyed verify exchange consumes —
+    sized by true hits + the bloom's fp rate, never by the corpus."""
+
+    def __init__(self, bits_ref, m_bits: int, n: int = 3, id_column: str = "doc_id") -> None:
+        import ray
+
+        self._bits = np.frombuffer(ray.get(bits_ref), dtype=np.uint8)
+        self._m = m_bits
+        self._n = n
+        self._id = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams = doc_grams(batch, id_column=self._id, n=self._n)
+        if grams.num_rows:
+            grams = grams.group_by([self._id, "gram"]).aggregate([])
+        if not grams.num_rows:
+            return pa.table(
+                {
+                    self._id: pa.array([], type=pa.int64()),
+                    "gram": pa.array([], type=pa.string()),
+                }
+            )
+        col = grams.column("gram")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keep = bloom_probe(self._bits, bloom_positions(col, self._m))
+        return grams.filter(pa.array(keep))

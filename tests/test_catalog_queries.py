@@ -449,3 +449,26 @@ def test_doc_heavy_hitters_exact_threshold(ray_session, tmp_path):
     assert "edgeedge" not in got  # n * K == N -> strictly-greater excluded
     assert "localhot" not in got  # block-hot, globally rare -> verify kills it
     assert counter["edgeedge"] * K == n_total  # the edge case really is at the boundary
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(ray_session):
+    """Bloom prefilter contract: every inserted key probes TRUE (no
+    false negatives — exactness of the decontamination scan depends on
+    it), and the fp rate on disjoint keys stays near the 10-bits/key
+    design point (well under 5%)."""
+    from embulk_input_marketo_ray.stages.text import (
+        bloom_fold,
+        bloom_positions,
+        bloom_probe,
+    )
+
+    m_bits = 1 << 17  # 131072 bits for 10k keys ~= 13 bits/key
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    inserted = pa.array([f"in gram {i}" for i in range(10_000)], type=pa.string())
+    bloom_fold(bits, bloom_positions(inserted, m_bits))
+
+    assert bloom_probe(bits, bloom_positions(inserted, m_bits)).all()
+
+    absent = pa.array([f"out gram {i}" for i in range(20_000)], type=pa.string())
+    fp = bloom_probe(bits, bloom_positions(absent, m_bits)).mean()
+    assert fp < 0.05, fp
