@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_topk_per_lang": q.q_doc_topk_per_lang,
         "doc_decontaminate": q.q_doc_decontaminate,
         "doc_decontaminate_bloom": q.q_doc_decontaminate_bloom,
+        "doc_incremental_dedup": q.q_doc_incremental_dedup,
         "token_quantiles": q.q_token_quantiles,
         "doc_token_rarity": q.q_doc_token_rarity,
         "event_asof_join": q.q_event_asof_join,
@@ -429,6 +430,9 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             ) WHERE rank <= {GROUP_TOP_K}
         """,
+        "doc_incremental_dedup": (
+            f"SELECT * FROM read_parquet('{oracle_paths['doc_incremental_dedup']}')"
+        ),
         "multimodal_pipeline": (
             f"SELECT * FROM read_parquet('{oracle_paths['multimodal_pipeline']}')"
         ),

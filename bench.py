@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "doc_mix_sample",
     "doc_heavy_hitters",
     "doc_decontaminate_bloom",
+    "doc_incremental_dedup",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

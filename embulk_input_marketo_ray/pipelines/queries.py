@@ -3429,3 +3429,59 @@ def q_doc_decontaminate_bloom(sf_dir: str):
         verify_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
     return grouped_aggregate(verified, ["doc_id"], [("n_hits", "sum", "n_hits")])
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup against a persisted signature index (CDC x dedup)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_incremental_dedup(sf_dir: str):
+    """Two-wave incremental dedup through the persisted LSH signature
+    index (``stages/sig_index.py``): wave 1 (even doc_ids) builds the
+    index; wave 2 (odd) is checked against wave 1's ADMITTED docs and
+    itself — the CDC-shaped dedup where each arriving batch probes
+    committed state instead of re-shuffling the corpus. Output is the
+    full audit: (doc_id, wave, status, dup_of).
+
+    Scale shape: per ingest the historical corpus never moves — the
+    index probe reads only the band-hash buckets the batch touches,
+    the verify fetches only the doc-id buckets holding candidate old
+    ids, and the only broadcast is the batch's own dup id set. See the
+    module docstring for the exactly-once commit protocol."""
+    import shutil
+    import tempfile
+
+    from embulk_input_marketo_ray.stages.sig_index import init_index, ingest
+
+    _ensure_hash_shuffle()
+    index_dir = tempfile.mkdtemp(prefix="graft_sigidx_")
+    try:
+        init_index(index_dir)
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def wave_filter(parity: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+                return batch.filter(pa.array(ids % 2 == parity))
+
+            return fn
+
+        parts = []
+        for wave_no, parity in ((1, 0), (2, 1)):
+            res = ingest(
+                index_dir,
+                docs.map_batches(wave_filter(parity), batch_format="pyarrow"),
+                f"wave{wave_no}",
+            )
+            parts.append(
+                res.add_column(
+                    1, "wave", pa.array([wave_no] * res.num_rows, type=pa.int64())
+                )
+            )
+        out = pa.concat_tables(parts)
+        return out.take(
+            pc.sort_indices(out, sort_keys=[("doc_id", "ascending")])
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)

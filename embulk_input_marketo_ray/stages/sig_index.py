@@ -1,0 +1,625 @@
+"""Persisted MinHash-LSH signature index with incremental ingest —
+the CDC x dedup fusion: near-duplicate detection of each ARRIVING
+batch against everything already admitted, without ever rescanning or
+re-shuffling the historical corpus.
+
+This extends the reference's incremental-import model (watermark
+windows that only ever touch the new slice —
+``MarketoUtils.java``/``MarketoInputPluginDelegate.java`` advance a
+persisted watermark and fetch only ``[from, to)``) to the LLM-pipeline
+dedup family: the persisted state here is an LSH band index + a
+signature store instead of a timestamp.
+
+Layout (all state under ``index_dir``):
+
+- ``manifest.json`` — parameters + the COMMITTED ingest list. Readers
+  resolve data files through the manifest only, so a crashed ingest's
+  partial files are invisible until its manifest commit (the same
+  manifest-last visibility rule as ``sinks/exactly_once.py``).
+- ``bands/bucket=<b>/<ingest_id>.parquet`` — ``(band, band_hash,
+  doc_id)`` rows of ADMITTED docs, bucketed by ``band_hash %
+  num_buckets``: an arriving batch prunes its index probe to the
+  buckets its own band hashes touch.
+- ``sigs/bucket=<b>/<ingest_id>.parquet`` — ``(doc_id, minhash)``
+  signatures of admitted docs, bucketed by ``doc_id % num_buckets``:
+  the pair verify fetches only the buckets containing candidate ids.
+- ``results/<ingest_id>.parquet`` — the per-doc verdicts, making
+  re-ingest of a committed ``ingest_id`` a pure replay (idempotent,
+  returns the recorded result without recomputation).
+
+Dup semantics (deterministic, replicated by the independent oracle in
+``pipelines/oracles.py``):
+
+- candidate pairs: within every ``(band, band_hash)`` run, each NEW
+  doc pairs with the MIN admitted (old) id in the run, and each
+  non-min NEW doc pairs with the run's min NEW id. Pairing only with
+  the run minimum bounds candidates at O(new rows x bands) even on a
+  degenerate hot bucket (a width cap, the standard LSH guard).
+- verify: a pair is a duplicate iff >= ``agree_slots`` of the
+  ``num_perm`` minhash slots agree (the unbiased Jaccard estimator,
+  thresholded in integer slot counts so the decision is exact).
+- verdict: any verified old target -> ``status='dup'``, ``dup_of`` =
+  min verified old id (old matches dominate new ones); else any
+  verified new target -> dup of that batch-minimum; else ``admitted``.
+  Only admitted docs enter the index, so a dup chain inside one batch
+  points at its batch representative, which may itself be a dup of an
+  old doc — cluster resolution stays a downstream concern
+  (``resolve_dup_clusters``).
+
+Scale shape: the historical corpus never moves — every ingest touches
+index bytes proportional to the BATCH's band/sig buckets. The only
+driver state is the per-ingest dup id set (bounded by the ingest batch
+size, which is the small side by design — a CDC batch, not the lake).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from embulk_input_marketo_ray.stages.dedup import MinHasher, explode_lsh_bands
+
+_BANDS_SCHEMA = pa.schema(
+    [("band", pa.int32()), ("band_hash", pa.uint64()), ("doc_id", pa.int64())]
+)
+_RESULT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("status", pa.string()), ("dup_of", pa.int64())]
+)
+
+
+def _sigs_schema(num_perm: int) -> pa.Schema:
+    return pa.schema(
+        [("doc_id", pa.int64()), ("minhash", pa.list_(pa.uint64(), num_perm))]
+    )
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.json")
+
+
+def init_index(
+    index_dir: str,
+    num_bands: int = 16,
+    num_perm: int = 64,
+    num_buckets: int = 8,
+    agree_slots: int = 32,
+) -> dict:
+    """Create an empty index (idempotent: an existing manifest with the
+    same parameters is returned; different parameters raise — the band
+    hashes of two parameterizations are not comparable)."""
+    os.makedirs(index_dir, exist_ok=True)
+    params = {
+        "num_bands": num_bands,
+        "num_perm": num_perm,
+        "num_buckets": num_buckets,
+        "agree_slots": agree_slots,
+    }
+    path = _manifest_path(index_dir)
+    if os.path.exists(path):
+        state = json.load(open(path))
+        got = {k: state[k] for k in params}
+        if got != params:
+            raise ValueError(
+                f"index at {index_dir} was created with {got}, not {params}; "
+                "signatures/band hashes are not comparable across parameters"
+            )
+        return state
+    state = {**params, "ingests": {}}
+    _write_manifest(index_dir, state)
+    return state
+
+
+def _write_manifest(index_dir: str, state: dict) -> None:
+    path = _manifest_path(index_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _load_manifest(index_dir: str) -> dict:
+    return json.load(open(_manifest_path(index_dir)))
+
+
+def _committed_files(state: dict, index_dir: str, kind: str, buckets) -> list[str]:
+    """Data files visible through the manifest, pruned to ``buckets``
+    (None = all). Partial files of uncommitted ingests never appear."""
+    want = None if buckets is None else set(int(b) for b in buckets)
+    out = []
+    for ingest_id, meta in state["ingests"].items():
+        for b in meta.get(f"{kind}_buckets", []):
+            if want is None or int(b) in want:
+                out.append(
+                    os.path.join(index_dir, kind, f"bucket={b}", f"{ingest_id}.parquet")
+                )
+    return out
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+class _SideBands:
+    """Stage: tag band rows with probe side + band-hash bucket."""
+
+    def __init__(self, side: int, num_buckets: int) -> None:
+        self._side = side
+        self._nb = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bucket = (
+            np.asarray(batch.column("band_hash"), dtype=np.uint64)
+            % np.uint64(self._nb)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "band": batch.column("band").cast(pa.int32()),
+                "band_hash": batch.column("band_hash").cast(pa.uint64()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "side": pa.array(
+                    np.full(batch.num_rows, self._side, dtype=np.int32), type=pa.int32()
+                ),
+                "bucket": pa.array(bucket, type=pa.int32()),
+            }
+        )
+
+
+_PAIR_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("other", pa.int64()), ("other_is_old", pa.int32())]
+)
+
+
+def candidate_pairs_block(block: pa.Table) -> pa.Table:
+    """Run-slicing pair kernel over a (band, band_hash)-partitioned
+    block of tagged band rows: per run, every NEW id pairs with the
+    run's min OLD id (if any), and every non-min NEW id pairs with the
+    run's min NEW id. One vectorized pass, no per-bucket UDF calls."""
+    if block.num_rows == 0:
+        return _PAIR_SCHEMA.empty_table()
+    order = pc.sort_indices(
+        block,
+        sort_keys=[
+            ("band", "ascending"),
+            ("band_hash", "ascending"),
+            ("side", "ascending"),  # old (0) before new (1)
+            ("doc_id", "ascending"),
+        ],
+    )
+    b = block.take(order)
+    band = np.asarray(b.column("band"))
+    bh = np.asarray(b.column("band_hash"))
+    side = np.asarray(b.column("side"))
+    ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+    n = len(ids)
+    new_run = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+    run_idx = np.cumsum(new_run) - 1
+    starts = np.flatnonzero(new_run)
+    n_runs = len(starts)
+
+    # per-run min old id: rows sorted old-first + id asc, so the run's
+    # first row is the min old id when that row IS old
+    first_is_old = side[starts] == 0
+    min_old = np.where(first_is_old, ids[starts], -1)
+
+    # per-run min NEW id: first new row of each run
+    is_new = side == 1
+    # index of first new row per run (n if none)
+    first_new = np.full(n_runs, -1, dtype=np.int64)
+    new_pos = np.flatnonzero(is_new)
+    if len(new_pos):
+        # first new position per run via reduceat over sorted positions
+        run_of_new = run_idx[new_pos]
+        first_mask = np.r_[True, run_of_new[1:] != run_of_new[:-1]]
+        first_new[run_of_new[first_mask]] = new_pos[first_mask]
+
+    out_doc, out_other, out_old = [], [], []
+    # new-vs-old: every new row in a run with an old min pairs with it
+    has_old = min_old[run_idx] >= 0
+    sel = is_new & has_old
+    if sel.any():
+        out_doc.append(ids[sel])
+        out_other.append(min_old[run_idx[sel]])
+        out_old.append(np.ones(int(sel.sum()), dtype=np.int32))
+    # new-vs-new: non-first new rows pair with the run's first new id
+    pos = np.arange(n)
+    fn = first_new[run_idx]
+    sel2 = is_new & (fn >= 0) & (pos > fn)
+    if sel2.any():
+        out_doc.append(ids[sel2])
+        out_other.append(ids[fn[sel2]])
+        out_old.append(np.zeros(int(sel2.sum()), dtype=np.int32))
+    if not out_doc:
+        return _PAIR_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+            "other": pa.array(np.concatenate(out_other), type=pa.int64()),
+            "other_is_old": pa.array(np.concatenate(out_old), type=pa.int32()),
+        }
+    )
+
+
+def _slots_schema(num_perm: int) -> pa.Schema:
+    return pa.schema(
+        [
+            ("key", pa.int64()),
+            ("pair_doc", pa.int64()),
+            ("pair_other", pa.int64()),
+            ("other_is_old", pa.int32()),
+            ("slot", pa.int32()),
+            ("minhash", pa.list_(pa.uint64(), num_perm)),
+        ]
+    )
+
+
+def attach_and_verify_sigs(pairs, sigs, num_perm: int, agree_slots: int):
+    """Signature-agreement verification of candidate pairs via the
+    tagged-union keyed-exchange shape of ``verify_pairs_jaccard``
+    (dedup.py): pair endpoints and signature rows co-partition on the
+    doc id (one fixed-size signature copy moves per sparse pair side,
+    never a corpus scan), then the signature-carrying slot rows
+    co-partition on the PAIR key and a vectorized slot-equality count
+    applies the integer ``agree_slots`` threshold. Duplicate candidate
+    pairs (same pair from several bands) collapse in the second
+    exchange. Returns verified pairs (doc_id, other, other_is_old)."""
+    from embulk_input_marketo_ray.pipelines.queries import (
+        _ensure_hash_shuffle,
+        _keyed_repartition,
+        _shuffle_width,
+    )
+
+    _ensure_hash_shuffle()
+    union_schema = _slots_schema(num_perm)
+
+    def explode_slots(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return union_schema.empty_table()
+        a = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        b = np.asarray(batch.column("other"), dtype=np.int64)
+        old = np.asarray(batch.column("other_is_old"), dtype=np.int32)
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "pair_doc": pa.array(np.tile(a, 2), type=pa.int64()),
+                "pair_other": pa.array(np.tile(b, 2), type=pa.int64()),
+                "other_is_old": pa.array(np.tile(old, 2), type=pa.int32()),
+                "slot": pa.array(
+                    np.repeat(np.array([0, 1], dtype=np.int32), n), type=pa.int32()
+                ),
+                "minhash": pa.nulls(2 * n, type=pa.list_(pa.uint64(), num_perm)),
+            }
+        )
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("doc_id").cast(pa.int64()),
+                "pair_doc": pa.nulls(n, type=pa.int64()),
+                "pair_other": pa.nulls(n, type=pa.int64()),
+                "other_is_old": pa.nulls(n, type=pa.int32()),
+                "slot": pa.array(np.full(n, -1, dtype=np.int32), type=pa.int32()),
+                "minhash": batch.column("minhash"),
+            }
+        )
+
+    u = pairs.map_batches(explode_slots, batch_format="pyarrow").union(
+        sigs.map_batches(sig_rows, batch_format="pyarrow")
+    )
+    by_key = _keyed_repartition(u, _shuffle_width(), ["key"])
+
+    slotted_schema = pa.schema(
+        [
+            ("pair_doc", pa.int64()),
+            ("pair_other", pa.int64()),
+            ("other_is_old", pa.int32()),
+            ("slot", pa.int32()),
+            ("minhash", pa.list_(pa.uint64(), num_perm)),
+        ]
+    )
+
+    def fill_sigs(block: pa.Table) -> pa.Table:
+        """Per key-partition: copy each key's signature onto every
+        pair-slot row that references it (sorted-run gather)."""
+        if block.num_rows == 0:
+            return slotted_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("key", "ascending"), ("slot", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("key"), dtype=np.int64)
+        slot = np.asarray(t.column("slot"), dtype=np.int32)
+        # a key's sig row sorts FIRST in its run (slot -1)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        run_idx = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        has_sig = slot[starts] == -1
+        sel = (slot >= 0) & has_sig[run_idx]
+        if not sel.any():
+            return slotted_schema.empty_table()
+        src = starts[run_idx[sel]]  # the sig row of each selected slot row
+        # Arrow-side gather: the pair-slot rows carry NULL minhash, so
+        # the copy must come from take() (numpy can't hold the nulls)
+        mh = t.column("minhash")
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        return pa.table(
+            {
+                "pair_doc": t.column("pair_doc").filter(pa.array(sel)),
+                "pair_other": t.column("pair_other").filter(pa.array(sel)),
+                "other_is_old": t.column("other_is_old").filter(pa.array(sel)),
+                "slot": t.column("slot").filter(pa.array(sel)),
+                "minhash": mh.take(pa.array(src, type=pa.int64())),
+            }
+        )
+
+    slotted = by_key.map_batches(
+        fill_sigs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    by_pair = _keyed_repartition(
+        slotted, _shuffle_width(), ["pair_doc", "pair_other"]
+    )
+
+    def judge(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("pair_doc", "ascending"),
+                ("pair_other", "ascending"),
+                ("slot", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        d = np.asarray(t.column("pair_doc"), dtype=np.int64)
+        o = np.asarray(t.column("pair_other"), dtype=np.int64)
+        slot = np.asarray(t.column("slot"), dtype=np.int32)
+        old = np.asarray(t.column("other_is_old"), dtype=np.int32)
+        sigs_m = np.asarray(t.column("minhash").combine_chunks().flatten()).reshape(
+            len(d), num_perm
+        )
+        new_run = np.r_[True, (d[1:] != d[:-1]) | (o[1:] != o[:-1])]
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.r_[starts, len(d)])
+        # duplicate candidates from several bands produce repeated
+        # (slot0, slot1) rows in one run; the first slot-0 and the
+        # LAST row (slot 1 sorts after every slot 0) are one of each
+        first = starts
+        last = starts + counts - 1
+        ok = (slot[first] == 0) & (slot[last] == 1) & (counts >= 2)
+        agree = (sigs_m[first] == sigs_m[last]).sum(axis=1)
+        keep = ok & (agree >= agree_slots)
+        if not keep.any():
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "doc_id": pa.array(d[first][keep], type=pa.int64()),
+                "other": pa.array(o[first][keep], type=pa.int64()),
+                "other_is_old": pa.array(old[first][keep], type=pa.int32()),
+            }
+        )
+
+    return by_pair.map_batches(
+        judge, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ingest(index_dir: str, docs, ingest_id: str):
+    """Incrementally ingest ``docs`` (a Dataset with doc_id + text):
+    flag each doc as duplicate-of-index / duplicate-within-batch /
+    admitted, append admitted docs' bands + signatures to the index,
+    and commit the manifest LAST. Returns the verdicts as a pyarrow
+    Table ``(doc_id, status, dup_of)``.
+
+    Exactly-once: a committed ``ingest_id`` replays its recorded result
+    without recomputation; a crashed ingest's partial files are
+    invisible (manifest-resolved reads) and are overwritten
+    deterministically on retry."""
+    import ray
+    import ray.data
+
+    from embulk_input_marketo_ray.pipelines.queries import (
+        _ensure_hash_shuffle,
+        _keyed_repartition,
+        _shuffle_width,
+    )
+
+    state = _load_manifest(index_dir)
+    result_path = os.path.join(index_dir, "results", f"{ingest_id}.parquet")
+    if ingest_id in state["ingests"]:
+        return pq.read_table(result_path)
+
+    num_bands = state["num_bands"]
+    num_perm = state["num_perm"]
+    num_buckets = state["num_buckets"]
+    agree_slots = state["agree_slots"]
+    _ensure_hash_shuffle()
+
+    # 1. signatures of the arriving batch (materialized: re-used by the
+    # band probe, the verify exchange and the index append — the batch
+    # is the small side by design, 64 uint64 slots per doc)
+    hasher = MinHasher(num_perm=num_perm)
+    sigs_new = docs.map_batches(
+        hasher, batch_format="pyarrow", batch_size=2048
+    ).select_columns(["doc_id", "minhash"]).materialize()
+
+    # 2. band rows of the batch + the PRUNED index probe: only the
+    # band-hash buckets the batch touches are read back
+    def new_bands(batch: pa.Table) -> pa.Table:
+        return explode_lsh_bands(batch, num_bands=num_bands)
+
+    bands_new = sigs_new.map_batches(new_bands, batch_format="pyarrow").map_batches(
+        _SideBands(side=1, num_buckets=num_buckets), batch_format="pyarrow"
+    )
+    bands_new = bands_new.materialize()
+    touched = sorted(
+        {
+            int(r["bucket"])
+            for r in bands_new.map_batches(
+                lambda b: pa.table({"bucket": pc.unique(b.column("bucket"))}),
+                batch_format="pyarrow",
+            ).take_all()
+        }
+    )
+    old_files = _committed_files(state, index_dir, "bands", touched)
+    if old_files:
+        bands_old = ray.data.read_parquet(old_files).map_batches(
+            _SideBands(side=0, num_buckets=num_buckets), batch_format="pyarrow"
+        )
+        tagged = bands_new.union(bands_old)
+    else:
+        tagged = bands_new
+    by_band = _keyed_repartition(tagged, _shuffle_width(), ["band", "band_hash"])
+    pairs = by_band.map_batches(
+        candidate_pairs_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # 3. verify pairs by signature agreement; old sigs fetched only
+    # from the doc_id buckets candidate old ids live in
+    pairs = pairs.materialize()
+    old_ids = [
+        r["other"]
+        for r in pairs.take_all()
+        if r["other_is_old"] == 1
+    ]
+    sig_buckets = sorted({int(i) % num_buckets for i in old_ids})
+    sig_files = _committed_files(state, index_dir, "sigs", sig_buckets)
+    sig_sides = [sigs_new]
+    if sig_files:
+        sig_sides.append(ray.data.read_parquet(sig_files))
+    sigs_all = sig_sides[0] if len(sig_sides) == 1 else sig_sides[0].union(sig_sides[1])
+    verified = attach_and_verify_sigs(pairs, sigs_all, num_perm, agree_slots)
+
+    # 4. verdicts: min verified old target dominates min new target
+    vrows = verified.take_all()
+    best_old: dict[int, int] = {}
+    best_new: dict[int, int] = {}
+    for r in vrows:
+        tgt = best_old if r["other_is_old"] == 1 else best_new
+        d = int(r["doc_id"])
+        o = int(r["other"])
+        if d not in tgt or o < tgt[d]:
+            tgt[d] = o
+    all_ids = sorted(
+        int(r["doc_id"]) for r in sigs_new.select_columns(["doc_id"]).take_all()
+    )
+    statuses, dups = [], []
+    dup_ids = set()
+    for d in all_ids:
+        if d in best_old:
+            statuses.append("dup")
+            dups.append(best_old[d])
+            dup_ids.add(d)
+        elif d in best_new:
+            statuses.append("dup")
+            dups.append(best_new[d])
+            dup_ids.add(d)
+        else:
+            statuses.append("admitted")
+            dups.append(None)
+    result = pa.table(
+        {
+            "doc_id": pa.array(all_ids, type=pa.int64()),
+            "status": pa.array(statuses, type=pa.string()),
+            "dup_of": pa.array(dups, type=pa.int64()),
+        }
+    )
+
+    # 5. append admitted docs' bands + sigs, one file per bucket;
+    # the dup id set is bounded by the ingest batch (broadcast is the
+    # small side — a CDC batch, never the lake)
+    dup_ref = ray.put(np.array(sorted(dup_ids), dtype=np.int64))
+
+    def admitted_only(batch: pa.Table) -> pa.Table:
+        dup_arr = ray.get(dup_ref)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        if not len(dup_arr):
+            return batch
+        pos = np.searchsorted(dup_arr, ids)
+        pos[pos >= len(dup_arr)] = len(dup_arr) - 1
+        keep = dup_arr[pos] != ids
+        return batch.filter(pa.array(keep))
+
+    def write_bucket_file(kind: str):
+        def _write(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return pa.table({"bucket": pa.array([], type=pa.int32())})
+            buckets = np.unique(np.asarray(block.column("bucket"), dtype=np.int32))
+            for bkt in buckets:
+                part = block.filter(
+                    pc.equal(block.column("bucket"), pa.scalar(int(bkt), pa.int32()))
+                ).drop_columns(["bucket"])
+                _atomic_write(
+                    part,
+                    os.path.join(
+                        index_dir, kind, f"bucket={int(bkt)}", f"{ingest_id}.parquet"
+                    ),
+                )
+            return pa.table({"bucket": pa.array(buckets, type=pa.int32())})
+
+        return _write
+
+    band_cols = bands_new.map_batches(admitted_only, batch_format="pyarrow").select_columns(
+        ["band", "band_hash", "doc_id", "bucket"]
+    )
+    written_band_buckets = sorted(
+        {
+            int(r["bucket"])
+            for r in _keyed_repartition(band_cols, _shuffle_width(), ["bucket"])
+            .map_batches(
+                write_bucket_file("bands"),
+                batch_size=None,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .take_all()
+        }
+    )
+
+    def sig_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            np.asarray(batch.column("doc_id"), dtype=np.int64) % num_buckets
+        ).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, type=pa.int32()))
+
+    sig_cols = sigs_new.map_batches(admitted_only, batch_format="pyarrow").map_batches(
+        sig_bucket, batch_format="pyarrow"
+    )
+    written_sig_buckets = sorted(
+        {
+            int(r["bucket"])
+            for r in _keyed_repartition(sig_cols, _shuffle_width(), ["bucket"])
+            .map_batches(
+                write_bucket_file("sigs"),
+                batch_size=None,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .take_all()
+        }
+    )
+
+    # 6. record the result, then commit the manifest LAST
+    _atomic_write(result, result_path)
+    state = _load_manifest(index_dir)  # re-read: no lost updates on params
+    state["ingests"][ingest_id] = {
+        "bands_buckets": written_band_buckets,
+        "sigs_buckets": written_sig_buckets,
+        "n_docs": len(all_ids),
+        "n_admitted": int(len(all_ids) - len(dup_ids)),
+    }
+    _write_manifest(index_dir, state)
+    return result

@@ -1,0 +1,125 @@
+"""Persisted signature index: ingest verdicts, exactly-once replay,
+crash invisibility, and the parameter guard. Result CORRECTNESS vs the
+sequential oracle is covered by the DuckDB mirror in test_entry.py
+(`doc_incremental_dedup`)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from embulk_input_marketo_ray.stages.sig_index import (
+    _load_manifest,
+    _manifest_path,
+    init_index,
+    ingest,
+)
+
+
+def _docs_ds(rows):
+    # the plan snapshots DataContext at dataset CREATION time, so the
+    # shuffle strategy must be set before from_arrow (the queries()
+    # wrapper does the same for catalog entries)
+    from embulk_input_marketo_ray.pipelines.queries import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+LONG_A = "the quick brown fox jumps over the lazy dog " * 30
+LONG_B = "entirely different content about distributed query engines " * 30
+
+
+def test_ingest_flags_cross_batch_and_in_batch_dups(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+
+    # wave 1: two distinct docs -> both admitted
+    r1 = ingest(idx, _docs_ds([(10, LONG_A), (20, LONG_B)]), "w1")
+    assert r1.column("status").to_pylist() == ["admitted", "admitted"]
+
+    # wave 2: 31 dups wave-1 doc 10; 40+41 dup each other (in-batch);
+    # 50 is novel
+    r2 = ingest(
+        idx,
+        _docs_ds(
+            [
+                (31, LONG_A),
+                (40, LONG_B.replace("query", "data")),
+                (41, LONG_B.replace("query", "data")),
+                (50, "totally novel text that matches nothing else here " * 30),
+            ]
+        ),
+        "w2",
+    )
+    got = {r["doc_id"]: (r["status"], r["dup_of"]) for r in r2.to_pylist()}
+    assert got[31] == ("dup", 10)  # cross-batch, against the index
+    assert got[40] == ("admitted", None)  # in-batch min is the keeper
+    assert got[41] == ("dup", 40)
+    assert got[50] == ("admitted", None)
+
+    # only admitted docs entered the index: a third wave dup of 41's
+    # text must resolve to 40 (the admitted representative), not 41
+    r3 = ingest(idx, _docs_ds([(60, LONG_B.replace("query", "data"))]), "w3")
+    assert r3.to_pylist() == [{"doc_id": 60, "status": "dup", "dup_of": 40}]
+
+
+def test_reingest_committed_id_replays_without_recompute(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    r1 = ingest(idx, _docs_ds([(1, LONG_A)]), "w1")
+    state_before = _load_manifest(idx)
+
+    # replay with DIFFERENT data under the SAME ingest_id: the recorded
+    # result returns and neither the manifest nor the index changes
+    r1b = ingest(idx, _docs_ds([(999, LONG_B)]), "w1")
+    assert r1b.to_pylist() == r1.to_pylist()
+    assert _load_manifest(idx) == state_before
+
+
+def test_uncommitted_partial_files_are_invisible(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    ingest(idx, _docs_ds([(10, LONG_A)]), "w1")
+
+    # simulate a crashed ingest: data files exist, manifest never
+    # committed -> a probe must not see doc 77
+    state = _load_manifest(idx)
+    some_bucket_dir = os.path.join(idx, "bands", "bucket=0")
+    os.makedirs(some_bucket_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "band": pa.array([0], type=pa.int32()),
+                "band_hash": pa.array([123], type=pa.uint64()),
+                "doc_id": pa.array([77], type=pa.int64()),
+            }
+        ),
+        os.path.join(some_bucket_dir, "crashed.parquet"),
+    )
+    assert _load_manifest(idx) == state  # manifest untouched
+
+    r2 = ingest(idx, _docs_ds([(30, LONG_A)]), "w2")
+    assert r2.to_pylist() == [{"doc_id": 30, "status": "dup", "dup_of": 10}]
+
+
+def test_param_mismatch_raises(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    init_index(idx, num_bands=16)
+    init_index(idx, num_bands=16)  # idempotent
+    try:
+        init_index(idx, num_bands=8)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "not comparable" in str(e)
