@@ -473,7 +473,12 @@ def ingest(index_dir: str, docs, ingest_id: str):
     )
     old_files = _committed_files(state, index_dir, "bands", touched)
     if old_files:
-        bands_old = ray.data.read_parquet(old_files).map_batches(
+        # columns= also suppresses hive-partition inference (the
+        # bucket=<b> path segment would otherwise be appended as a
+        # string column and break the union schema)
+        bands_old = ray.data.read_parquet(
+            old_files, columns=["band", "band_hash", "doc_id"]
+        ).map_batches(
             _SideBands(side=0, num_buckets=num_buckets), batch_format="pyarrow"
         )
         tagged = bands_new.union(bands_old)
@@ -499,7 +504,9 @@ def ingest(index_dir: str, docs, ingest_id: str):
     sig_files = _committed_files(state, index_dir, "sigs", sig_buckets)
     sig_sides = [sigs_new]
     if sig_files:
-        sig_sides.append(ray.data.read_parquet(sig_files))
+        sig_sides.append(
+            ray.data.read_parquet(sig_files, columns=["doc_id", "minhash"])
+        )
     sigs_all = sig_sides[0] if len(sig_sides) == 1 else sig_sides[0].union(sig_sides[1])
     verified = attach_and_verify_sigs(pairs, sigs_all, num_perm, agree_slots)
 
