@@ -462,24 +462,45 @@ def ingest(index_dir: str, docs, ingest_id: str):
         _SideBands(side=1, num_buckets=num_buckets), batch_format="pyarrow"
     )
     bands_new = bands_new.materialize()
-    touched = sorted(
-        {
-            int(r["bucket"])
-            for r in bands_new.map_batches(
-                lambda b: pa.table({"bucket": pc.unique(b.column("bucket"))}),
-                batch_format="pyarrow",
-            ).take_all()
-        }
-    )
+    touched = set()
+    batch_hashes: set[int] = set()
+    for ref in bands_new.to_arrow_refs():
+        blk = ray.get(ref)
+        if blk.num_rows:
+            touched.update(
+                int(v) for v in pc.unique(blk.column("bucket")).to_pylist()
+            )
+            batch_hashes.update(
+                int(v) for v in pc.unique(blk.column("band_hash")).to_pylist()
+            )
+    touched = sorted(touched)
+    # the batch's distinct band-hash set is bounded by batch_rows x
+    # num_bands (the small side by design): broadcast it so index band
+    # rows that cannot collide are dropped AT THE READ, before the
+    # exchange — per-ingest shuffle payload stays ∝ candidates even as
+    # the index grows
+    hash_ref = ray.put(np.array(sorted(batch_hashes), dtype=np.uint64))
+
+    def prune_to_batch_hashes(batch: pa.Table) -> pa.Table:
+        want = ray.get(hash_ref)
+        if not len(want):
+            return batch.slice(0, 0)
+        h = np.asarray(batch.column("band_hash"), dtype=np.uint64)
+        pos = np.searchsorted(want, h)
+        pos[pos >= len(want)] = len(want) - 1
+        return batch.filter(pa.array(want[pos] == h))
+
     old_files = _committed_files(state, index_dir, "bands", touched)
     if old_files:
         # columns= also suppresses hive-partition inference (the
         # bucket=<b> path segment would otherwise be appended as a
         # string column and break the union schema)
-        bands_old = ray.data.read_parquet(
-            old_files, columns=["band", "band_hash", "doc_id"]
-        ).map_batches(
-            _SideBands(side=0, num_buckets=num_buckets), batch_format="pyarrow"
+        bands_old = (
+            ray.data.read_parquet(old_files, columns=["band", "band_hash", "doc_id"])
+            .map_batches(prune_to_batch_hashes, batch_format="pyarrow")
+            .map_batches(
+                _SideBands(side=0, num_buckets=num_buckets), batch_format="pyarrow"
+            )
         )
         tagged = bands_new.union(bands_old)
     else:
@@ -504,8 +525,24 @@ def ingest(index_dir: str, docs, ingest_id: str):
     sig_files = _committed_files(state, index_dir, "sigs", sig_buckets)
     sig_sides = [sigs_new]
     if sig_files:
+        # same prefilter shape: only candidate old ids' signatures
+        # enter the verify exchange (the id set is ∝ the sparse
+        # candidate pairs, driver-known already)
+        old_ids_ref = ray.put(np.array(sorted(set(old_ids)), dtype=np.int64))
+
+        def prune_to_candidates(batch: pa.Table) -> pa.Table:
+            want = ray.get(old_ids_ref)
+            if not len(want):
+                return batch.slice(0, 0)
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            pos = np.searchsorted(want, ids)
+            pos[pos >= len(want)] = len(want) - 1
+            return batch.filter(pa.array(want[pos] == ids))
+
         sig_sides.append(
-            ray.data.read_parquet(sig_files, columns=["doc_id", "minhash"])
+            ray.data.read_parquet(sig_files, columns=["doc_id", "minhash"]).map_batches(
+                prune_to_candidates, batch_format="pyarrow"
+            )
         )
     sigs_all = sig_sides[0] if len(sig_sides) == 1 else sig_sides[0].union(sig_sides[1])
     verified = attach_and_verify_sigs(pairs, sigs_all, num_perm, agree_slots)
