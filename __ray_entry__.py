@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_parent_seq": q.q_cdc_parent_seq,
         "doc_sample_stratified": q.q_doc_sample_stratified,
         "doc_mix_sample": q.q_doc_mix_sample,
+        "doc_global_shuffle": q.q_doc_global_shuffle,
         "evolved_attrs": q.q_evolved_attrs,
         "key_lookup": q.q_key_lookup,
         "commit_windows": q.q_commit_windows,
@@ -258,6 +259,8 @@ def oracle_sql() -> dict[str, str]:
         SAMPLE_RATES_PER_MILLE,
         MIX_WEIGHTS_PER_MILLE,
         HH_K,
+        SHUFFLE_N_SHARDS,
+        SHUFFLE_HASH_MULT,
         MIX_BUDGET_PER_MILLE,
         SPLIT_HASH_MOD,
         SPLIT_HASH_MULT,
@@ -522,6 +525,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r ON d.lang = r.lang
             WHERE ((CAST(d.doc_id % {SPLIT_HASH_MOD} AS HUGEINT) * {SPLIT_HASH_MULT})
                      % {SPLIT_HASH_MOD}) % 1000 < r.rate
+        """,
+        "doc_global_shuffle": f"""
+            SELECT doc_id, shard,
+                   (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)
+                     ::BIGINT AS pos
+            FROM (
+              SELECT doc_id,
+                     CAST((CAST(doc_id % {SPLIT_HASH_MOD} AS HUGEINT) * {SHUFFLE_HASH_MULT})
+                       % {SPLIT_HASH_MOD} AS BIGINT) AS h,
+                     CAST(((CAST(doc_id % {SPLIT_HASH_MOD} AS HUGEINT) * {SHUFFLE_HASH_MULT})
+                       % {SPLIT_HASH_MOD}) % {SHUFFLE_N_SHARDS} AS BIGINT) AS shard
+              FROM documents
+            )
         """,
         "evolved_attrs": f"""
             WITH e AS (

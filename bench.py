@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "doc_heavy_hitters",
     "doc_decontaminate_bloom",
     "doc_incremental_dedup",
+    "doc_global_shuffle",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

@@ -3485,3 +3485,80 @@ def q_doc_incremental_dedup(sf_dir: str):
         )
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic global training shuffle (shard + position, no RNG state)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_N_SHARDS = 64
+# a second multiplicative scramble constant (Knuth 2^32 golden ratio is
+# SPLIT_HASH_MULT; this one keeps shuffle order independent of split
+# assignment so train/val membership doesn't correlate with position)
+SHUFFLE_HASH_MULT = 2246822519
+
+
+def q_doc_global_shuffle(sf_dir: str):
+    """Training-order assignment: give every doc a pseudo-random but
+    DETERMINISTIC (shard, pos) — the global shuffle a training run
+    needs, without ``random_shuffle``'s all-to-all of the payload or
+    any RNG state. A loader streams shard files in pos order; the same
+    corpus yields the same order on every run/resume, and admission of
+    new docs perturbs only their own shard.
+
+    Shape: the scramble hash and shard fuse with the read; ONE keyed
+    exchange on shard (the payload is ids + hashes, never text); ranks
+    come from a per-block vectorized sort + run-local arange (the
+    ``row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)``
+    semantics with no global sort). Each shard lives wholly in one
+    partition — at 10^10 docs a shard is ~10^8 rows of 16 bytes,
+    within a block; more shards, not bigger blocks, is the scale
+    knob."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def scramble(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = ((ids % SPLIT_HASH_MOD) * SHUFFLE_HASH_MULT) % SPLIT_HASH_MOD
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "h": pa.array(h.astype(np.int64), type=pa.int64()),
+                "shard": pa.array((h % SHUFFLE_N_SHARDS).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    hashed = ds.map_batches(scramble, batch_format="pyarrow")
+    by_shard = _keyed_repartition(hashed, _shuffle_width(), ["shard"])
+
+    def rank_kernel(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "shard": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            block,
+            sort_keys=[("shard", "ascending"), ("h", "ascending"), ("doc_id", "ascending")],
+        )
+        t = block.take(order)
+        shard = np.asarray(t.column("shard"), dtype=np.int64)
+        n = len(shard)
+        starts = np.flatnonzero(np.r_[True, shard[1:] != shard[:-1]])
+        base = np.repeat(starts, np.diff(np.r_[starts, n]))
+        pos = np.arange(n, dtype=np.int64) - base
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": t.column("shard"),
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    return by_shard.map_batches(
+        rank_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
