@@ -3360,8 +3360,12 @@ def q_doc_decontaminate_bloom(sf_dir: str):
         grams = doc_grams(bench, n=DECONTAM_NGRAM)
         return grams.group_by(["gram"]).aggregate([]).select(["gram"])
 
+    # the bench gram stream is small (bounded by the benchmark, not the
+    # corpus): materialize it once and reuse for BOTH the bloom fold and
+    # the verify union — one corpus read saved
+    bench_grams = ds.map_batches(bench_gram_block, batch_format="pyarrow").materialize()
     bits = np.zeros(DECONTAM_BLOOM_BITS // 8, dtype=np.uint8)
-    for ref in ds.map_batches(bench_gram_block, batch_format="pyarrow").to_arrow_refs():
+    for ref in bench_grams.to_arrow_refs():
         block = ray.get(ref)
         if block.num_rows:
             col = block.column("gram")
@@ -3383,15 +3387,16 @@ def q_doc_decontaminate_bloom(sf_dir: str):
     )
 
     def bench_tagged(batch: pa.Table) -> pa.Table:
-        g = bench_gram_block(batch)
         return pa.table(
             {
-                "doc_id": pa.array([None] * g.num_rows, type=pa.int64()),
-                "gram": g.column("gram"),
+                "doc_id": pa.array([None] * batch.num_rows, type=pa.int64()),
+                "gram": batch.column("gram"),
             }
         )
 
-    tagged = survivors.union(ds.map_batches(bench_tagged, batch_format="pyarrow"))
+    tagged = survivors.union(
+        bench_grams.map_batches(bench_tagged, batch_format="pyarrow")
+    )
     exchanged = _keyed_repartition(tagged, _shuffle_width(), ["gram"])
 
     def verify_block(block: pa.Table) -> pa.Table:

@@ -128,10 +128,17 @@ def _load_manifest(index_dir: str) -> dict:
 
 def _committed_files(state: dict, index_dir: str, kind: str, buckets) -> list[str]:
     """Data files visible through the manifest, pruned to ``buckets``
-    (None = all). Partial files of uncommitted ingests never appear."""
+    (None = all): the compacted base file per bucket (if any) plus the
+    per-ingest files of ingests NOT yet folded into a base. Partial
+    files of uncommitted ingests/compactions never appear."""
     want = None if buckets is None else set(int(b) for b in buckets)
     out = []
+    for b, fname in state.get("base", {}).get(kind, {}).items():
+        if want is None or int(b) in want:
+            out.append(os.path.join(index_dir, kind, f"bucket={b}", fname))
     for ingest_id, meta in state["ingests"].items():
+        if meta.get("folded"):
+            continue
         for b in meta.get(f"{kind}_buckets", []):
             if want is None or int(b) in want:
                 out.append(
@@ -667,3 +674,93 @@ def ingest(index_dir: str, docs, ingest_id: str):
     }
     _write_manifest(index_dir, state)
     return result
+
+
+# ---------------------------------------------------------------------------
+# index maintenance: compaction + vacuum (the lake's story, same rules)
+# ---------------------------------------------------------------------------
+
+
+def compact_index(index_dir: str) -> list[str]:
+    """Fold every bucket's per-ingest files into ONE base file per
+    (kind, bucket) — the read-amplification fix once many small
+    ingests have accumulated (a probe otherwise opens one file per
+    committed ingest per touched bucket).
+
+    One Ray task per (kind, bucket): reads that bucket's committed
+    files, writes ``base-<gen>.parquet`` atomically. The manifest
+    commit happens LAST and atomically flips resolution to the new
+    bases (ingest entries keep their results for replay but their
+    bucket lists are marked folded); a crash mid-compaction leaves the
+    manifest untouched and only orphans new base files, which
+    ``vacuum_index`` reclaims. Returns the new base file paths."""
+    import ray
+
+    state = _load_manifest(index_dir)
+    gen = int(state.get("base_gen", 0)) + 1
+
+    @ray.remote
+    def _fold(kind: str, bucket: int, files: list[str]) -> str:
+        parts = [pq.read_table(f) for f in files]
+        merged = pa.concat_tables(parts).combine_chunks()
+        path = os.path.join(index_dir, kind, f"bucket={bucket}", f"base-{gen}.parquet")
+        _atomic_write(merged, path)
+        return path
+
+    tasks = []
+    new_base: dict[str, dict[str, str]] = {"bands": {}, "sigs": {}}
+    for kind in ("bands", "sigs"):
+        by_bucket: dict[int, list[str]] = {}
+        # current resolution: existing base (if any) + unfolded ingests
+        base = state.get("base", {}).get(kind, {})
+        for b, fname in base.items():
+            by_bucket.setdefault(int(b), []).append(
+                os.path.join(index_dir, kind, f"bucket={b}", fname)
+            )
+        for ingest_id, meta in state["ingests"].items():
+            if meta.get("folded"):
+                continue
+            for b in meta.get(f"{kind}_buckets", []):
+                by_bucket.setdefault(int(b), []).append(
+                    os.path.join(index_dir, kind, f"bucket={b}", f"{ingest_id}.parquet")
+                )
+        for bucket, files in sorted(by_bucket.items()):
+            tasks.append((kind, bucket, _fold.remote(kind, bucket, files)))
+
+    out_paths = []
+    for kind, bucket, ref in tasks:
+        path = ray.get(ref)
+        new_base[kind][str(bucket)] = os.path.basename(path)
+        out_paths.append(path)
+
+    # commit: re-read so concurrent result fields are not clobbered
+    state = _load_manifest(index_dir)
+    state["base"] = new_base
+    state["base_gen"] = gen
+    for meta in state["ingests"].values():
+        meta["folded"] = True
+    _write_manifest(index_dir, state)
+    return out_paths
+
+
+def vacuum_index(index_dir: str) -> list[str]:
+    """Remove every data file the manifest does not reference:
+    superseded per-ingest files after a compaction, orphaned bases
+    from a crashed compaction, and ``.tmp`` leftovers. Never touches
+    the manifest or results. Returns the removed paths."""
+    state = _load_manifest(index_dir)
+    referenced = set(_committed_files(state, index_dir, "bands", None))
+    referenced.update(_committed_files(state, index_dir, "sigs", None))
+    removed = []
+    for kind in ("bands", "sigs"):
+        root = os.path.join(index_dir, kind)
+        if not os.path.isdir(root):
+            continue
+        for bucket_dir in sorted(os.listdir(root)):
+            d = os.path.join(root, bucket_dir)
+            for fname in sorted(os.listdir(d)):
+                path = os.path.join(d, fname)
+                if path not in referenced:
+                    os.remove(path)
+                    removed.append(path)
+    return removed

@@ -123,3 +123,63 @@ def test_param_mismatch_raises(ray_session, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "not comparable" in str(e)
+
+
+def test_compact_and_vacuum_preserve_probe_results(ray_session, tmp_path):
+    """compact_index folds per-ingest files into one base per bucket;
+    probes after compaction (and after vacuum reclaims the superseded
+    files) return identical verdicts; orphans from a simulated crashed
+    compaction are vacuumed; re-compact + re-vacuum converge."""
+    from embulk_input_marketo_ray.stages.sig_index import (
+        compact_index,
+        vacuum_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    ingest(idx, _docs_ds([(10, LONG_A), (20, LONG_B)]), "w1")
+    ingest(idx, _docs_ds([(30, LONG_A.replace("dog", "cat"))]), "w2")
+
+    before = ingest(
+        idx, _docs_ds([(90, LONG_A), (91, LONG_B), (92, "novel stuff " * 60)]), "probe1"
+    ).to_pylist()
+    assert [(r["status"], r["dup_of"]) for r in before] == [
+        ("dup", 10),
+        ("dup", 20),
+        ("admitted", None),  # 92 is admitted INTO the index here
+    ]
+
+    bases = compact_index(idx)
+    assert bases and all(os.path.basename(p).startswith("base-1") for p in bases)
+
+    # superseded per-ingest files still on disk until vacuum
+    removed = vacuum_index(idx)
+    assert removed  # the folded ingest files went away
+    assert not any("base-1" in p for p in removed)
+
+    # verdicts through the compacted+vacuumed index: same dup targets,
+    # plus 192 now matches the doc 92 probe1 admitted
+    after = ingest(
+        idx, _docs_ds([(190, LONG_A), (191, LONG_B), (192, "novel stuff " * 60)]), "probe2"
+    ).to_pylist()
+    assert [(r["status"], r["dup_of"]) for r in after] == [
+        ("dup", 10),
+        ("dup", 20),
+        ("dup", 92),
+    ]
+
+    # crashed compaction: orphan base file, manifest untouched
+    orphan = os.path.join(idx, "bands", "bucket=0", "base-99.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "band": pa.array([0], type=pa.int32()),
+                "band_hash": pa.array([1], type=pa.uint64()),
+                "doc_id": pa.array([777], type=pa.int64()),
+            }
+        ),
+        orphan,
+    )
+    assert orphan in vacuum_index(idx)
+    assert vacuum_index(idx) == []  # converged
