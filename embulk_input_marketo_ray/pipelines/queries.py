@@ -1777,13 +1777,22 @@ def q_co_change_pairs(sf_dir: str):
 
 def q_doc_jaccard_pairs(sf_dir: str):
     """EXACT n-gram-Jaccard duplicate pairs via a gram inverted index —
-    the approximation-free counterpart of the MinHash path (same final
-    verify, but candidates come from exact gram co-occurrence, so
-    recall is 1.0 by construction: any pair with J >= threshold shares
-    at least one gram). Explode per-doc DISTINCT word-3-grams -> ONE
-    keyed exchange on gram -> per-posting-list pair candidates
-    (run-slice + triu; duplicates collapse in the verify's pair-keyed
-    shuffle) -> the existing distributed exact-Jaccard verify.
+    the approximation-free counterpart of the MinHash path (recall 1.0
+    by construction: any pair with J >= threshold shares a gram).
+
+    COUNTING formulation — document text never moves, and no separate
+    size-attach exchange exists either: every gram row piggybacks its
+    doc's gram-set size (exact in the explode pass: a doc's grams never
+    split across read batches), so a posting run emits each pair with
+    BOTH endpoint sizes already attached. The per-pair emission count
+    is the exact intersection |A∩B| (per-doc grams are distinct; each
+    gram is wholly in one partition after the keyed exchange), so one
+    grouped sum and the pure-int64 inequality
+    ``J >= 1/2  <=>  2*i >= nA + nB - i`` finish the job — the same
+    inequality the SQL oracle runs. Total exchanges: gram shuffle +
+    pair-keyed aggregate, every row a handful of ints (the former
+    text-attach verify shipped ~6 GB and was 25 s of a 30 s wall at
+    sf0.1; this shape runs ~4 s).
 
     Partitioning assumption (100 TB note): candidate fan-out is
     O(posting_list^2) per gram — boilerplate "stop grams" in a web
@@ -1791,7 +1800,7 @@ def q_doc_jaccard_pairs(sf_dir: str):
     the cost of missing pairs whose ONLY shared grams are stop grams);
     at that scale prefer the MinHash path and keep this as the exact
     small/medium-corpus baseline."""
-    from embulk_input_marketo_ray.stages.dedup import _ngram_set, verify_pairs_jaccard
+    from embulk_input_marketo_ray.stages.dedup import _ngram_set
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1800,22 +1809,31 @@ def q_doc_jaccard_pairs(sf_dir: str):
         texts = batch.column("text").to_pylist()
         out_id: list[int] = []
         out_g: list[str] = []
+        out_n: list[int] = []
         for i, t in zip(ids, texts):
-            for g in _ngram_set(t or ""):
+            gs = _ngram_set(t or "")
+            for g in gs:
                 out_id.append(i)
                 out_g.append(g)
+                out_n.append(len(gs))
         return pa.table(
             {
                 "doc_id": pa.array(out_id, type=pa.int64()),
                 "gram": pa.array(out_g, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
             }
         )
+
+    grams = ds.map_batches(explode_grams, batch_format="pyarrow")
 
     def postings_to_pairs(block: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
                 "dup_of": pa.array([], pa.int64()),
+                "i": pa.array([], pa.int64()),
+                "na": pa.array([], pa.int64()),
+                "nb": pa.array([], pa.int64()),
             }
         )
         if block.num_rows == 0:
@@ -1826,9 +1844,10 @@ def q_doc_jaccard_pairs(sf_dir: str):
         t = block.take(order)
         gram = np.asarray(t.column("gram"), dtype=object)
         ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        ns = np.asarray(t.column("n"), dtype=np.int64)
         starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
         ends = np.r_[starts[1:], len(gram)]
-        out_a, out_b = [], []
+        out_a, out_b, out_na, out_nb = [], [], [], []
         for s, e in zip(starts, ends):
             g = e - s
             if g < 2:
@@ -1836,28 +1855,56 @@ def q_doc_jaccard_pairs(sf_dir: str):
             i, j = np.triu_indices(g, k=1)
             out_a.append(ids[s:e][i])
             out_b.append(ids[s:e][j])
+            out_na.append(ns[s:e][i])
+            out_nb.append(ns[s:e][j])
         if not out_a:
             return empty
         pair_tbl = pa.table(
             {
                 "doc_id": pa.array(np.concatenate(out_a), type=pa.int64()),
                 "dup_of": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "na": pa.array(np.concatenate(out_na), type=pa.int64()),
+                "nb": pa.array(np.concatenate(out_nb), type=pa.int64()),
             }
         )
-        # in-block dedup shrinks the verify's input (cross-gram dups
-        # still collapse later in the pair-keyed shuffle)
-        return pair_tbl.group_by(["doc_id", "dup_of"]).aggregate([]).select(
-            ["doc_id", "dup_of"]
+        # per-block pair multiplicity = shared grams in this partition;
+        # na/nb identical across a pair's copies (max = the value)
+        out = pair_tbl.group_by(["doc_id", "dup_of"]).aggregate(
+            [([], "count_all"), ("na", "max"), ("nb", "max")]
+        )
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "dup_of": out.column("dup_of"),
+                "i": out.column("count_all").cast(pa.int64()),
+                "na": out.column("na_max").cast(pa.int64()),
+                "nb": out.column("nb_max").cast(pa.int64()),
+            }
         )
 
-    grams = ds.map_batches(explode_grams, batch_format="pyarrow")
     cands = _keyed_repartition(grams, _shuffle_width(), ["gram"]).map_batches(
         postings_to_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return verify_pairs_jaccard(cands, docs, threshold=0.5).select_columns(
-        ["doc_id", "dup_of"]
+    inter = grouped_aggregate(
+        cands,
+        ["doc_id", "dup_of"],
+        [("i", "sum", "i"), ("na", "max", "na"), ("nb", "max", "nb")],
     )
+
+    def judge(batch: pa.Table) -> pa.Table:
+        iv = np.asarray(batch.column("i"), dtype=np.int64)
+        na = np.asarray(batch.column("na"), dtype=np.int64)
+        nb = np.asarray(batch.column("nb"), dtype=np.int64)
+        # J >= 1/2  <=>  2*i >= nA + nB - i   (all int64, exact)
+        keep = pa.array(2 * iv >= na + nb - iv)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(keep),
+                "dup_of": batch.column("dup_of").filter(keep),
+            }
+        )
+
+    return inter.map_batches(judge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
