@@ -400,3 +400,26 @@ def test_co_change_pair_kernel_matches_brute_force(rows, min_support):
             got[(repo[s], a, b)] += 1
     got = {k: n for k, n in got.items() if n >= min_support}
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    keys=st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=300, unique=True)
+)
+def test_bloom_never_false_negative(keys):
+    """Decontamination exactness depends on the bloom prefilter having
+    NO false negatives: every inserted key must probe true, for
+    arbitrary unicode keys and a small table (high collision rate)."""
+    import numpy as np
+
+    from embulk_input_marketo_ray.stages.text import (
+        bloom_fold,
+        bloom_positions,
+        bloom_probe,
+    )
+
+    m_bits = 1 << 10  # deliberately tiny: collisions guaranteed
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    arr = pa.array(keys, type=pa.string())
+    bloom_fold(bits, bloom_positions(arr, m_bits))
+    assert bloom_probe(bits, bloom_positions(arr, m_bits)).all()
