@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": q.q_doc_sample_stratified,
         "doc_mix_sample": q.q_doc_mix_sample,
         "doc_global_shuffle": q.q_doc_global_shuffle,
+        "doc_curation_quantile": q.q_doc_curation_quantile,
         "evolved_attrs": q.q_evolved_attrs,
         "key_lookup": q.q_key_lookup,
         "commit_windows": q.q_commit_windows,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         MIX_WEIGHTS_PER_MILLE,
         HH_K,
         SHUFFLE_N_SHARDS,
+        CURATION_QUANTILE_P,
         SHUFFLE_HASH_MULT,
         MIX_BUDGET_PER_MILLE,
         SPLIT_HASH_MOD,
@@ -538,6 +540,20 @@ def oracle_sql() -> dict[str, str]:
                        % {SPLIT_HASH_MOD}) % {SHUFFLE_N_SHARDS} AS BIGINT) AS shard
               FROM documents
             )
+        """,
+        "doc_curation_quantile": rf"""
+            WITH m AS (
+              SELECT doc_id, lang,
+                     len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            cut AS (
+              SELECT lang, quantile_disc(n_tokens, {CURATION_QUANTILE_P}) AS c
+              FROM m GROUP BY lang
+            )
+            SELECT m.doc_id, m.lang, m.n_tokens
+            FROM m JOIN cut USING (lang)
+            WHERE m.n_tokens >= cut.c
         """,
         "evolved_attrs": f"""
             WITH e AS (

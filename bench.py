@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "doc_decontaminate_bloom",
     "doc_incremental_dedup",
     "doc_global_shuffle",
+    "doc_curation_quantile",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

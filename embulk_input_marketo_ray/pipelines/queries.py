@@ -3614,3 +3614,83 @@ def q_doc_global_shuffle(sf_dir: str):
     return by_shard.map_batches(
         rank_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile-gated curation (per-language data-driven length cutoff)
+# ---------------------------------------------------------------------------
+
+CURATION_QUANTILE_P = 0.25
+
+
+def q_doc_curation_quantile(sf_dir: str):
+    """Data-driven curation: keep a doc iff its whitespace token count
+    reaches its OWN language's p25 — the adaptive variant of a fixed
+    length floor (a fixed floor tuned on English silently guts a
+    shorter-typical-length language; the quantile gate is
+    distribution-relative per subcorpus).
+
+    Shape: pass 1 folds the corpus to a (lang, n_tokens) histogram —
+    bounded by the token-count domain x languages, never by rows — via
+    in-block partials + one merge block; the driver walks each
+    language's tiny cumulative histogram with the same
+    ``quantile_disc`` rule as DuckDB (first value whose cumulative
+    count >= ceil(p*N)) and broadcasts the #langs-entry cutoff dict
+    once. Pass 2 fuses the keep decision with the read. The corpus
+    never shuffles in either pass."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def measure_hist(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.coalesce(batch.column("text"), pa.scalar("")), pattern=r"\S+"
+        ).cast(pa.int64())
+        t = pa.table({"lang": batch.column("lang"), "n_tokens": n})
+        out = t.group_by(["lang", "n_tokens"]).aggregate([([], "count_all")])
+        return out.rename_columns(["lang", "n_tokens", "cnt"])
+
+    def merge_hist(block: pa.Table) -> pa.Table:
+        out = block.group_by(["lang", "n_tokens"]).aggregate([("cnt", "sum")])
+        return out.rename_columns(["lang", "n_tokens", "cnt"])
+
+    rows = (
+        ds.map_batches(measure_hist, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            merge_hist, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .take_all()
+    )
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((int(r["n_tokens"]), int(r["cnt"])))
+    cutoffs: dict[str, int] = {}
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        vals = np.array([v for v, _ in pairs], dtype=np.int64)
+        cum = np.cumsum(np.array([c for _, c in pairs], dtype=np.int64))
+        k = max(int(np.ceil(CURATION_QUANTILE_P * int(cum[-1]))), 1)
+        cutoffs[lang] = int(vals[np.searchsorted(cum, k)])
+    cut_ref = ray.put(cutoffs)
+
+    full = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        cuts = ray.get(cut_ref)
+        n = np.asarray(
+            pc.count_substring_regex(
+                pc.coalesce(batch.column("text"), pa.scalar("")), pattern=r"\S+"
+            ).cast(pa.int64())
+        )
+        lang = np.asarray(batch.column("lang"), dtype=object)
+        cut = np.array([cuts.get(l, 0) for l in lang], dtype=np.int64)
+        keep = pa.array(n >= cut)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(keep),
+                "lang": batch.column("lang").filter(keep),
+                "n_tokens": pa.array(n, type=pa.int64()).filter(keep),
+            }
+        )
+
+    return full.map_batches(gate, batch_format="pyarrow")
