@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": q.q_doc_decontaminate,
         "doc_decontaminate_bloom": q.q_doc_decontaminate_bloom,
         "doc_incremental_dedup": q.q_doc_incremental_dedup,
+        "ann_incremental_topk": q.q_ann_incremental_topk,
         "token_quantiles": q.q_token_quantiles,
         "doc_token_rarity": q.q_doc_token_rarity,
         "event_asof_join": q.q_event_asof_join,
@@ -435,6 +436,9 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             ) WHERE rank <= {GROUP_TOP_K}
         """,
+        "ann_incremental_topk": (
+            f"SELECT * FROM read_parquet('{oracle_paths['ann_incremental_topk']}')"
+        ),
         "doc_incremental_dedup": (
             f"SELECT * FROM read_parquet('{oracle_paths['doc_incremental_dedup']}')"
         ),

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "doc_incremental_dedup",
     "doc_global_shuffle",
     "doc_curation_quantile",
+    "ann_incremental_topk",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

@@ -3694,3 +3694,55 @@ def q_doc_curation_quantile(sf_dir: str):
         )
 
     return full.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental ANN via the persisted IVF index (embeddings x CDC)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_incremental_topk(sf_dir: str):
+    """Two-wave incremental ANN through the persisted IVF index
+    (``stages/vec_index.py``): wave 1 (even vec_ids) trains the coarse
+    quantizer and seeds the inverted lists; wave 2 (odd) is assigned
+    against the FROZEN quantizer and appended — the add-after-train
+    contract of every production IVF store. Queries then probe the
+    union: top-5 exact-cosine neighbors of the first 3 vectors from
+    only the probed clusters' committed files.
+
+    Scale shape: the query pass reads ~n_probe/n_centroids of the
+    corpus (the cluster files carry their embeddings, so NO attach
+    exchange exists); each ingest touches only its own batch plus one
+    file per written cluster; the driver merge is (queries x k x
+    blocks) rows."""
+    import shutil
+    import tempfile
+
+    from embulk_input_marketo_ray.stages.similarity import read_query_vectors
+    from embulk_input_marketo_ray.stages.vec_index import (
+        ann_topk_index,
+        ingest_vectors,
+        init_vec_index,
+    )
+
+    _ensure_hash_shuffle()
+    index_dir = tempfile.mkdtemp(prefix="graft_vecidx_")
+    try:
+        init_vec_index(index_dir)
+
+        def wave_filter(parity: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+                return batch.filter(pa.array(ids % 2 == parity))
+
+            return fn
+
+        for wave_no, parity in ((1, 0), (2, 1)):
+            vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+                wave_filter(parity), batch_format="pyarrow"
+            )
+            ingest_vectors(index_dir, vecs, f"wave{wave_no}")
+        queries = read_query_vectors(_t(sf_dir, "embeddings"), ANN_NUM_QUERIES)
+        return ann_topk_index(index_dir, queries, k=ANN_TOP_K, n_probe=8)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)

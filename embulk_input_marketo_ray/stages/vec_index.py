@@ -1,0 +1,350 @@
+"""Persisted IVF (inverted-file) vector index with incremental ingest
+— the embedding-side sibling of ``stages/sig_index.py``: approximate
+nearest-neighbor search over a corpus that grows batch by batch,
+without retraining or rescanning what is already indexed.
+
+Same state discipline as the signature index and the lake
+(``sinks/exactly_once.py``): all reads resolve through
+``manifest.json``, data files commit before the manifest does, a
+crashed ingest's partial files are invisible and are rewritten
+deterministically on retry, and a committed ``ingest_id`` replays its
+recorded summary without recomputation.
+
+Layout (all under ``index_dir``):
+
+- ``manifest.json`` — parameters, ``trained`` flag, committed ingests
+  with their touched cluster lists.
+- ``centroids.parquet`` — the coarse quantizer, trained ONCE on the
+  ``train_rows`` SMALLEST vec_ids of the first ingest (deterministic
+  under any Ray block ordering; standard IVF practice is a bounded
+  sample, constant cost wrt corpus size).
+  Later ingests assign against the frozen quantizer: centroids never
+  move, so earlier cluster files stay valid (drift is a rebuild, not
+  an incremental op — documented, like FAISS's add-after-train).
+- ``vectors/cluster=<c>/<ingest_id>.parquet`` — ``(vec_id, embedding,
+  cluster)`` rows. The cluster id is materialized in-file so the query
+  path knows each row's list without re-deriving it.
+
+Query path: probe the ``n_probe`` closest centroid lists per query,
+read ONLY those clusters' committed files, and score exactly — the
+cluster files already carry the embeddings, so unlike the in-memory
+ANN pipelines there is NO attach exchange at all: one streaming pass
+over ~n_probe/n_centroids of the corpus, per-block partial top-k, and
+a tiny driver merge (queries x k rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from embulk_input_marketo_ray.stages.similarity import (
+    kmeans_centroids,
+    list_column_matrix,
+)
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.json")
+
+
+def _write_manifest(index_dir: str, state: dict) -> None:
+    path = _manifest_path(index_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _load_manifest(index_dir: str) -> dict:
+    return json.load(open(_manifest_path(index_dir)))
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def init_vec_index(
+    index_dir: str, n_centroids: int = 32, seed: int = 7, train_rows: int = 4096
+) -> dict:
+    """Create an empty index (idempotent; parameter mismatch raises —
+    cluster assignments are not comparable across quantizers)."""
+    os.makedirs(index_dir, exist_ok=True)
+    params = {"n_centroids": n_centroids, "seed": seed, "train_rows": train_rows}
+    path = _manifest_path(index_dir)
+    if os.path.exists(path):
+        state = json.load(open(path))
+        got = {k: state[k] for k in params}
+        if got != params:
+            raise ValueError(
+                f"vector index at {index_dir} was created with {got}, not "
+                f"{params}; cluster assignments are not comparable"
+            )
+        return state
+    state = {**params, "trained": False, "ingests": {}}
+    _write_manifest(index_dir, state)
+    return state
+
+
+def _centroids_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "centroids.parquet")
+
+
+def _load_centroids(index_dir: str) -> np.ndarray:
+    t = pq.read_table(_centroids_path(index_dir))
+    return list_column_matrix(t.column("centroid"))
+
+
+def _committed_files(state: dict, index_dir: str, clusters) -> list[str]:
+    want = None if clusters is None else set(int(c) for c in clusters)
+    out = []
+    for ingest_id, meta in state["ingests"].items():
+        for c in meta.get("clusters", []):
+            if want is None or int(c) in want:
+                out.append(
+                    os.path.join(
+                        index_dir, "vectors", f"cluster={c}", f"{ingest_id}.parquet"
+                    )
+                )
+    return out
+
+
+def ingest_vectors(index_dir: str, vecs, ingest_id: str) -> dict:
+    """Add a batch of ``(vec_id, embedding)`` rows: train the quantizer
+    if this is the first ingest (first ``train_rows`` rows, dataset
+    order), assign every vector distributedly against the frozen
+    centroids, append one file per touched cluster, commit the
+    manifest LAST. Returns ``{"n": ..., "clusters": [...]}``; a
+    committed ``ingest_id`` replays its recorded summary."""
+    import ray
+
+    from embulk_input_marketo_ray.pipelines.queries import (
+        _ensure_hash_shuffle,
+        _keyed_repartition,
+        _shuffle_width,
+    )
+
+    state = _load_manifest(index_dir)
+    if ingest_id in state["ingests"]:
+        return dict(state["ingests"][ingest_id])
+
+    _ensure_hash_shuffle()
+    if not state["trained"]:
+        # training sample = the train_rows SMALLEST vec_ids of this
+        # first batch — deterministic regardless of Ray block order
+        # (a dataset-order `limit` is not: block completion order can
+        # reorder or truncate the sample). Per-block partial top-N
+        # keeps the driver payload at train_rows x dim.
+        tr = int(state["train_rows"])
+
+        def first_rows(batch: pa.Table) -> pa.Table:
+            if batch.num_rows <= tr:
+                return batch
+            idx = pc.sort_indices(batch, sort_keys=[("vec_id", "ascending")])
+            return batch.take(idx.slice(0, tr))
+
+        parts = ray.get(
+            vecs.map_batches(first_rows, batch_format="pyarrow").to_arrow_refs()
+        )
+        sample = pa.concat_tables([p for p in parts if p.num_rows]).combine_chunks()
+        idx = pc.sort_indices(sample, sort_keys=[("vec_id", "ascending")])
+        sample = sample.take(idx.slice(0, tr))
+        x = list_column_matrix(sample.column("embedding"))
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        c = kmeans_centroids(x, state["n_centroids"], seed=state["seed"])
+        flat = pa.array(c.reshape(-1), type=pa.float64())
+        _atomic_write(
+            pa.table(
+                {"centroid": pa.FixedSizeListArray.from_arrays(flat, c.shape[1])}
+            ),
+            _centroids_path(index_dir),
+        )
+        # trained flips in the SAME commit as this ingest (below); a
+        # crash here leaves a deterministic centroid file to overwrite
+    centroids = _load_centroids(index_dir)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = list_column_matrix(batch.column("embedding"))
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        cid = np.argmax(x @ centroids.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "embedding": batch.column("embedding"),
+                "cluster": pa.array(cid, type=pa.int32()),
+            }
+        )
+
+    assigned = vecs.map_batches(assign, batch_format="pyarrow")
+
+    def write_cluster_file(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"cluster": pa.array([], type=pa.int32()), "n": pa.array([], type=pa.int64())})
+        clusters = np.unique(np.asarray(block.column("cluster"), dtype=np.int32))
+        ns = []
+        for c in clusters:
+            part = block.filter(
+                pc.equal(block.column("cluster"), pa.scalar(int(c), pa.int32()))
+            )
+            _atomic_write(
+                part,
+                os.path.join(
+                    index_dir, "vectors", f"cluster={int(c)}", f"{ingest_id}.parquet"
+                ),
+            )
+            ns.append(part.num_rows)
+        return pa.table(
+            {
+                "cluster": pa.array(clusters, type=pa.int32()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    written = (
+        _keyed_repartition(assigned, _shuffle_width(), ["cluster"])
+        .map_batches(
+            write_cluster_file,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )
+    clusters = sorted({int(r["cluster"]) for r in written})
+    n = int(sum(r["n"] for r in written))
+
+    state = _load_manifest(index_dir)
+    state["trained"] = True
+    state["ingests"][ingest_id] = {"clusters": clusters, "n": n}
+    _write_manifest(index_dir, state)
+    return dict(state["ingests"][ingest_id])
+
+
+def ann_topk_index(
+    index_dir: str, queries: pa.Table, k: int = 5, n_probe: int = 8
+) -> pa.Table:
+    """Exact top-k within the probed inverted lists: per query, the
+    ``n_probe`` centroids closest to it (stable argsort, oracle-equal
+    tie order); reads only those clusters' committed files; per-block
+    cosine scoring + per-block partial top-k; driver merges the tiny
+    (queries x k x blocks) partials. Returns
+    ``(query_id, neighbor_id, rank)``."""
+    import ray
+    import ray.data
+
+    from embulk_input_marketo_ray.pipelines.queries import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    state = _load_manifest(index_dir)
+    if not state["trained"]:
+        raise ValueError(f"vector index at {index_dir} has no committed ingest")
+    centroids = _load_centroids(index_dir)
+    qm = list_column_matrix(queries.column("embedding"))
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    qids = np.asarray(queries.column("vec_id"), dtype=np.int64)
+    probe = np.argsort(-(qm @ centroids.T), axis=1, kind="stable")[:, :n_probe]
+
+    probed_clusters = sorted({int(c) for row in probe for c in row})
+    probes_by_cluster: dict[int, list[int]] = {}
+    for qi, row in enumerate(probe):
+        for cid in row:
+            probes_by_cluster.setdefault(int(cid), []).append(qi)
+    files = _committed_files(state, index_dir, probed_clusters)
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+        }
+    )
+    if not files:
+        return empty
+    qref = ray.put((qids, qm, probes_by_cluster))
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("cos", pa.float64()),
+            ]
+        )
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        q_ids, q_mat, probing = ray.get(qref)
+        x = list_column_matrix(batch.column("embedding"))
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        cl = np.asarray(batch.column("cluster"), dtype=np.int32)
+        parts = []
+        for c in np.unique(cl):
+            qs = probing.get(int(c))
+            if not qs:
+                continue
+            rows = cl == c
+            sub_x, sub_ids = x[rows], ids[rows]
+            cos = sub_x @ q_mat[qs].T  # (n_rows, n_probing)
+            m = len(sub_ids)
+            part = pa.table(
+                {
+                    "query_id": pa.array(
+                        np.repeat(q_ids[qs], m), type=pa.int64()
+                    ),
+                    "neighbor_id": pa.array(np.tile(sub_ids, len(qs)), type=pa.int64()),
+                    "cos": pa.array(cos.T.reshape(-1), type=pa.float64()),
+                }
+            )
+            # per-block partial top-k per query keeps the driver merge
+            # at (queries x k x blocks) rows
+            idx = pc.sort_indices(
+                part,
+                sort_keys=[
+                    ("query_id", "ascending"),
+                    ("cos", "descending"),
+                    ("neighbor_id", "ascending"),
+                ],
+            )
+            t = part.take(idx)
+            qcol = np.asarray(t.column("query_id"), dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
+            base = np.repeat(starts, np.diff(np.r_[starts, len(qcol)]))
+            keep = (np.arange(len(qcol)) - base) < k
+            parts.append(t.filter(pa.array(keep)))
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    ds = ray.data.read_parquet(files, columns=["vec_id", "embedding", "cluster"])
+    rows = ds.map_batches(score_block, batch_format="pyarrow").take_all()
+    if not rows:
+        return empty
+    merged = pa.Table.from_pylist(rows)
+    idx = pc.sort_indices(
+        merged,
+        sort_keys=[
+            ("query_id", "ascending"),
+            ("cos", "descending"),
+            ("neighbor_id", "ascending"),
+        ],
+    )
+    t = merged.take(idx)
+    qcol = np.asarray(t.column("query_id"), dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
+    base = np.repeat(starts, np.diff(np.r_[starts, len(qcol)]))
+    rank = np.arange(len(qcol), dtype=np.int64) - base + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "query_id": t.column("query_id").filter(pa.array(keep)),
+            "neighbor_id": t.column("neighbor_id").filter(pa.array(keep)),
+            "rank": pa.array(rank[keep], type=pa.int64()),
+        }
+    )
