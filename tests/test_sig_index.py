@@ -183,3 +183,44 @@ def test_compact_and_vacuum_preserve_probe_results(ray_session, tmp_path):
     )
     assert orphan in vacuum_index(idx)
     assert vacuum_index(idx) == []  # converged
+
+
+def test_crashed_ingest_retry_converges(ray_session, tmp_path):
+    """A crash AFTER data files are written but BEFORE the manifest
+    commit leaves partials invisible; retrying the same ingest_id
+    rewrites them deterministically and commits — final state
+    byte-identical to a never-crashed run (same verdicts, same files
+    resolved, a later probe sees the same index)."""
+    import glob
+
+    from embulk_input_marketo_ray.stages import sig_index as si
+
+    # reference run, no crash
+    idx_a = str(tmp_path / "a")
+    init_index(idx_a)
+    ra1 = ingest(idx_a, _docs_ds([(10, LONG_A), (20, LONG_B)]), "w1")
+
+    # crashed run: monkey-simulate by doing the ingest, then rolling
+    # the manifest back to pre-ingest (data files stay = the crash
+    # state "files written, manifest not committed")
+    idx_b = str(tmp_path / "b")
+    state0 = init_index(idx_b)
+    ingest(idx_b, _docs_ds([(10, LONG_A), (20, LONG_B)]), "w1")
+    si._write_manifest(idx_b, state0)  # roll back the commit
+
+    # retry the SAME ingest: must recompute (not replay), overwrite the
+    # partials, and commit
+    rb1 = ingest(idx_b, _docs_ds([(10, LONG_A), (20, LONG_B)]), "w1")
+    assert rb1.to_pylist() == ra1.to_pylist()
+    files_a = sorted(
+        os.path.relpath(p, idx_a) for p in glob.glob(f"{idx_a}/*/bucket=*/*.parquet")
+    )
+    files_b = sorted(
+        os.path.relpath(p, idx_b) for p in glob.glob(f"{idx_b}/*/bucket=*/*.parquet")
+    )
+    assert files_a == files_b
+
+    # a later probe behaves identically on both indexes
+    pa_ = ingest(idx_a, _docs_ds([(30, LONG_A)]), "w2").to_pylist()
+    pb_ = ingest(idx_b, _docs_ds([(30, LONG_A)]), "w2").to_pylist()
+    assert pa_ == pb_ == [{"doc_id": 30, "status": "dup", "dup_of": 10}]
