@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_sample": q.q_doc_mix_sample,
         "doc_global_shuffle": q.q_doc_global_shuffle,
         "doc_curation_quantile": q.q_doc_curation_quantile,
+        "doc_source_report": q.q_doc_source_report,
         "evolved_attrs": q.q_evolved_attrs,
         "key_lookup": q.q_key_lookup,
         "commit_windows": q.q_commit_windows,
@@ -558,6 +559,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, m.lang, m.n_tokens
             FROM m JOIN cut USING (lang)
             WHERE m.n_tokens >= cut.c
+        """,
+        "doc_source_report": rf"""
+            SELECT source, lang, count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(coalesce(text, ''), '\S+')))::BIGINT AS n_tokens,
+                   sum(strlen(coalesce(text, '')))::BIGINT AS n_bytes
+            FROM documents GROUP BY source, lang
         """,
         "evolved_attrs": f"""
             WITH e AS (

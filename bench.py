@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "doc_global_shuffle",
     "doc_curation_quantile",
     "ann_incremental_topk",
+    "doc_source_report",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

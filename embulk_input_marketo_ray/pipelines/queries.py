@@ -3746,3 +3746,43 @@ def q_ann_incremental_topk(sf_dir: str):
         return ann_topk_index(index_dir, queries, k=ANN_TOP_K, n_probe=8)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus composition report (per-source/lang accounting)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_source_report(sf_dir: str):
+    """Corpus composition accounting: per (source, lang) — docs,
+    whitespace tokens, utf8 bytes. The table every mixing/curation
+    decision starts from. Token/byte measures fuse with the read; the
+    two-phase grouped aggregate ships one partial row per (source,
+    lang) per block — payload bounded by the group domain, never
+    rows."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["source", "lang", "text"])
+
+    def measure(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch.column("text"), pa.scalar(""))
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_tokens": pc.count_substring_regex(text, pattern=r"\S+").cast(
+                    pa.int64()
+                ),
+                "n_bytes": pc.binary_length(text).cast(pa.int64()),
+            }
+        )
+        out = t.group_by(["source", "lang"]).aggregate(
+            [([], "count_all"), ("n_tokens", "sum"), ("n_bytes", "sum")]
+        )
+        return out.rename_columns(["source", "lang", "n_docs", "n_tokens", "n_bytes"])
+
+    partial = ds.map_batches(measure, batch_format="pyarrow")
+    return grouped_aggregate(
+        partial,
+        ["source", "lang"],
+        [("n_docs", "sum", "n_docs"), ("n_tokens", "sum", "n_tokens"), ("n_bytes", "sum", "n_bytes")],
+    )
