@@ -104,9 +104,16 @@ def _load_centroids(index_dir: str) -> np.ndarray:
 
 
 def _committed_files(state: dict, index_dir: str, clusters) -> list[str]:
+    """Vector files visible through the manifest: the compacted base
+    per cluster (if any) plus per-ingest files of unfolded ingests."""
     want = None if clusters is None else set(int(c) for c in clusters)
     out = []
+    for c, fname in state.get("base", {}).items():
+        if want is None or int(c) in want:
+            out.append(os.path.join(index_dir, "vectors", f"cluster={c}", fname))
     for ingest_id, meta in state["ingests"].items():
+        if meta.get("folded"):
+            continue
         for c in meta.get("clusters", []):
             if want is None or int(c) in want:
                 out.append(
@@ -348,3 +355,76 @@ def ann_topk_index(
             "rank": pa.array(rank[keep], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# index maintenance (same rules as sig_index / the lake)
+# ---------------------------------------------------------------------------
+
+
+def compact_vec_index(index_dir: str) -> list[str]:
+    """Fold each cluster's per-ingest files into one ``base-<gen>``
+    file (a probe otherwise opens one file per ingest per probed
+    cluster). One Ray task per cluster; manifest commit LAST; a crash
+    orphans only new bases (vacuumable). Returns new base paths."""
+    import ray
+
+    state = _load_manifest(index_dir)
+    gen = int(state.get("base_gen", 0)) + 1
+
+    @ray.remote
+    def _fold(cluster: int, files: list[str]) -> str:
+        merged = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        path = os.path.join(
+            index_dir, "vectors", f"cluster={cluster}", f"base-{gen}.parquet"
+        )
+        _atomic_write(merged, path)
+        return path
+
+    by_cluster: dict[int, list[str]] = {}
+    base = state.get("base", {})
+    for c, fname in base.items():
+        by_cluster.setdefault(int(c), []).append(
+            os.path.join(index_dir, "vectors", f"cluster={c}", fname)
+        )
+    for ingest_id, meta in state["ingests"].items():
+        if meta.get("folded"):
+            continue
+        for c in meta.get("clusters", []):
+            by_cluster.setdefault(int(c), []).append(
+                os.path.join(index_dir, "vectors", f"cluster={c}", f"{ingest_id}.parquet")
+            )
+    refs = [(c, _fold.remote(c, files)) for c, files in sorted(by_cluster.items())]
+    new_base: dict[str, str] = {}
+    out = []
+    for c, ref in refs:
+        path = ray.get(ref)
+        new_base[str(c)] = os.path.basename(path)
+        out.append(path)
+
+    state = _load_manifest(index_dir)
+    state["base"] = new_base
+    state["base_gen"] = gen
+    for meta in state["ingests"].values():
+        meta["folded"] = True
+    _write_manifest(index_dir, state)
+    return out
+
+
+def vacuum_vec_index(index_dir: str) -> list[str]:
+    """Remove every vector file the manifest does not reference
+    (superseded per-ingest files, orphaned bases, .tmp leftovers)."""
+    state = _load_manifest(index_dir)
+    referenced = set(_committed_files(state, index_dir, None))
+    removed = []
+    root = os.path.join(index_dir, "vectors")
+    if not os.path.isdir(root):
+        return removed
+    for cluster_dir in sorted(os.listdir(root)):
+        d = os.path.join(root, cluster_dir)
+        for fname in sorted(os.listdir(d)):
+            path = os.path.join(d, fname)
+            if path not in referenced:
+                os.remove(path)
+                removed.append(path)
+    return removed

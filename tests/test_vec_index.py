@@ -105,3 +105,60 @@ def test_vec_param_mismatch_and_untrained_query(ray_session, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "no committed ingest" in str(e)
+
+
+def test_vec_compact_vacuum_and_crash_retry(ray_session, tmp_path):
+    """Compaction folds per-ingest cluster files into one base each;
+    queries identical before/after + after vacuum; a crashed ingest
+    (files written, manifest rolled back) retried under the same id
+    converges to the never-crashed state."""
+    import glob
+
+    from embulk_input_marketo_ray.stages import vec_index as vi
+    from embulk_input_marketo_ray.stages.vec_index import (
+        compact_vec_index,
+        vacuum_vec_index,
+    )
+
+    idx = str(tmp_path / "vidx")
+    init_vec_index(idx, n_centroids=4)
+    mat = _rand(64)
+    ingest_vectors(idx, _vecs_ds(np.arange(64), mat), "w1")
+    ingest_vectors(idx, _vecs_ds(np.arange(100, 132), _rand(32, seed=3)), "w2")
+
+    q = pa.table(
+        {
+            "vec_id": pa.array([5], type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat[5], type=pa.float64()), mat.shape[1]
+            ),
+        }
+    )
+    before = ann_topk_index(idx, q, k=5, n_probe=2).to_pylist()
+
+    bases = compact_vec_index(idx)
+    assert bases
+    removed = vacuum_vec_index(idx)
+    assert removed and not any("base-1" in p for p in removed)
+    after = ann_topk_index(idx, q, k=5, n_probe=2).to_pylist()
+    assert after == before
+    assert vacuum_vec_index(idx) == []
+
+    # crash-retry convergence (vs a reference index that never crashed)
+    idx_a, idx_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (idx_a, idx_b):
+        init_vec_index(d, n_centroids=4)
+    ingest_vectors(idx_a, _vecs_ds(np.arange(32), mat[:32]), "w1")
+    state0 = vi._load_manifest(idx_b)
+    # run, then roll the manifest back = "crash before commit"
+    ingest_vectors(idx_b, _vecs_ds(np.arange(32), mat[:32]), "w1")
+    vi._write_manifest(idx_b, {**state0, "trained": False, "ingests": {}})
+    r = ingest_vectors(idx_b, _vecs_ds(np.arange(32), mat[:32]), "w1")
+    assert r == vi._load_manifest(idx_a)["ingests"]["w1"]
+    files_a = sorted(
+        os.path.relpath(p, idx_a) for p in glob.glob(f"{idx_a}/vectors/*/*.parquet")
+    )
+    files_b = sorted(
+        os.path.relpath(p, idx_b) for p in glob.glob(f"{idx_b}/vectors/*/*.parquet")
+    )
+    assert files_a == files_b
