@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_global_shuffle": q.q_doc_global_shuffle,
         "doc_curation_quantile": q.q_doc_curation_quantile,
         "doc_source_report": q.q_doc_source_report,
+        "lineitem_rollup": q.q_lineitem_rollup,
+        "customer_nation_report": q.q_customer_nation_report,
         "evolved_attrs": q.q_evolved_attrs,
         "key_lookup": q.q_key_lookup,
         "commit_windows": q.q_commit_windows,
@@ -565,6 +567,17 @@ def oracle_sql() -> dict[str, str]:
                    sum(len(regexp_extract_all(coalesce(text, ''), '\S+')))::BIGINT AS n_tokens,
                    sum(strlen(coalesce(text, '')))::BIGINT AS n_bytes
             FROM documents GROUP BY source, lang
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_items,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "customer_nation_report": """
+            SELECT n.n_name, count(*)::BIGINT AS n_customers,
+                   sum(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS n_positive_bal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "evolved_attrs": f"""
             WITH e AS (

@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "doc_curation_quantile",
     "ann_incremental_topk",
     "doc_source_report",
+    "lineitem_rollup",
+    "customer_nation_report",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

@@ -3786,3 +3786,93 @@ def q_doc_source_report(sf_dir: str):
         ["source", "lang"],
         [("n_docs", "sum", "n_docs"), ("n_tokens", "sum", "n_tokens"), ("n_bytes", "sum", "n_bytes")],
     )
+
+
+# ---------------------------------------------------------------------------
+# relational rollup + broadcast-dim join (the warehouse shapes)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """TPC-H Q1-shaped pricing rollup (integer measures): per
+    (l_returnflag, l_linestatus) — row count and quantity sum. Reads
+    ONLY the three needed columns of the widest table; in-block
+    partials shrink every batch to <= |flag x status| rows before the
+    keyed exchange (two-phase aggregate — the shuffle payload is the
+    group domain x blocks, never lineitem rows)."""
+    _ensure_hash_shuffle()
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "l_quantity": batch.column("l_quantity").cast(pa.int64()),
+            }
+        )
+        out = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [([], "count_all"), ("l_quantity", "sum")]
+        )
+        return out.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_items", "sum_qty"]
+        )
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("n_items", "sum", "n_items"), ("sum_qty", "sum", "sum_qty")],
+    )
+
+
+def q_customer_nation_report(sf_dir: str):
+    """Broadcast-dimension join: customers per nation NAME. The nation
+    dim (25 rows at any scale — dimensions don't grow with the fact
+    side) is ``ray.put`` once and mapped into every customer batch as
+    a searchsorted lookup; the fact table never shuffles for the join,
+    only the tiny per-name partials do."""
+    _ensure_hash_shuffle()
+    nation = pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    ).combine_chunks()
+    order = pc.sort_indices(nation, sort_keys=[("n_nationkey", "ascending")])
+    nation = nation.take(order)
+    dim_ref = ray.put(
+        (
+            np.asarray(nation.column("n_nationkey"), dtype=np.int64),
+            np.asarray(nation.column("n_name"), dtype=object),
+        )
+    )
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def attach_and_partial(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(dim_ref)
+        nk = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+        pos = np.searchsorted(keys, nk)
+        pos[pos >= len(keys)] = len(keys) - 1
+        name = np.where(keys[pos] == nk, names[pos], None)
+        t = pa.table(
+            {
+                "n_name": pa.array(name, type=pa.string()),
+                "pos_bal": pa.array(
+                    (np.asarray(batch.column("c_acctbal"), dtype=np.float64) > 0).astype(
+                        np.int64
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+        # inner-join semantics: a fact row with no dim match drops
+        # (mirrors the oracle's JOIN; none exist in valid data)
+        t = t.filter(pc.is_valid(t.column("n_name")))
+        out = t.group_by(["n_name"]).aggregate([([], "count_all"), ("pos_bal", "sum")])
+        return out.rename_columns(["n_name", "n_customers", "n_positive_bal"])
+
+    return grouped_aggregate(
+        ds.map_batches(attach_and_partial, batch_format="pyarrow"),
+        ["n_name"],
+        [("n_customers", "sum", "n_customers"), ("n_positive_bal", "sum", "n_positive_bal")],
+    )
