@@ -423,3 +423,55 @@ def test_bloom_never_false_negative(keys):
     arr = pa.array(keys, type=pa.string())
     bloom_fold(bits, bloom_positions(arr, m_bits))
     assert bloom_probe(bits, bloom_positions(arr, m_bits)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # band
+            st.integers(min_value=0, max_value=5),    # band_hash
+            st.integers(min_value=0, max_value=1),    # side (0=old, 1=new)
+            st.integers(min_value=0, max_value=40),   # doc_id
+        ),
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_sig_index_pair_kernel_matches_brute_force(rows):
+    """candidate_pairs_block (vectorized run-slicing) == the dict-built
+    reference rule: per (band, band_hash) bucket, each new id pairs
+    with the bucket's min old id, and each non-min new id pairs with
+    the bucket's min new id."""
+    import numpy as np
+
+    from embulk_input_marketo_ray.stages.sig_index import candidate_pairs_block
+
+    # the engine dedupes (side, doc_id) within a bucket upstream (per-doc
+    # distinct bands); mirror that precondition
+    uniq = sorted({(b, h, s, d) for b, h, s, d in rows})
+    block = pa.table(
+        {
+            "band": pa.array([r[0] for r in uniq], type=pa.int32()),
+            "band_hash": pa.array([r[1] for r in uniq], type=pa.uint64()),
+            "side": pa.array([r[2] for r in uniq], type=pa.int32()),
+            "doc_id": pa.array([r[3] for r in uniq], type=pa.int64()),
+        }
+    )
+    got = {
+        (r["doc_id"], r["other"], r["other_is_old"])
+        for r in candidate_pairs_block(block).to_pylist()
+    }
+
+    buckets: dict[tuple[int, int], dict[int, list[int]]] = {}
+    for b, h, s, d in uniq:
+        buckets.setdefault((b, h), {0: [], 1: []})[s].append(d)
+    want = set()
+    for members in buckets.values():
+        olds, news = members[0], members[1]
+        for d in news:
+            if olds:
+                want.add((d, min(olds), 1))
+            if news and d != min(news):
+                want.add((d, min(news), 0))
+    assert got == want
