@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_report": q.q_doc_source_report,
         "lineitem_rollup": q.q_lineitem_rollup,
         "customer_nation_report": q.q_customer_nation_report,
+        "doc_boilerplate": q.q_doc_boilerplate,
         "evolved_attrs": q.q_evolved_attrs,
         "key_lookup": q.q_key_lookup,
         "commit_windows": q.q_commit_windows,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         HH_K,
         SHUFFLE_N_SHARDS,
         CURATION_QUANTILE_P,
+        BOILERPLATE_MIN_DF,
         SHUFFLE_HASH_MULT,
         MIX_BUDGET_PER_MILLE,
         SPLIT_HASH_MOD,
@@ -578,6 +580,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS n_positive_bal
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "doc_boilerplate": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                FROM t WHERE len(toks) >= 3
+              )
+            ),
+            df AS (SELECT gram, count(*)::BIGINT AS df FROM g GROUP BY gram)
+            SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN df.df >= {BOILERPLATE_MIN_DF} THEN 1 ELSE 0 END)::BIGINT AS n_common
+            FROM g JOIN df USING (gram)
+            GROUP BY g.doc_id
         """,
         "evolved_attrs": f"""
             WITH e AS (

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "doc_source_report",
     "lineitem_rollup",
     "customer_nation_report",
+    "doc_boilerplate",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

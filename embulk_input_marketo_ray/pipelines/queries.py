@@ -3876,3 +3876,76 @@ def q_customer_nation_report(sf_dir: str):
         ["n_name"],
         [("n_customers", "sum", "n_customers"), ("n_positive_bal", "sum", "n_positive_bal")],
     )
+
+
+# ---------------------------------------------------------------------------
+# per-doc boilerplate share (corpus-common gram fraction)
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_MIN_DF = 2
+
+
+def q_doc_boilerplate(sf_dir: str):
+    """Boilerplate signal: per doc, how many of its DISTINCT word
+    3-grams appear in at least ``BOILERPLATE_MIN_DF`` documents —
+    headers/footers/templates score high, original prose scores low.
+    Complements ``doc_repetition`` (within-doc duplication) and
+    ``doc_decontaminate`` (vs a held-out set): this one is
+    corpus-relative.
+
+    Shape: distinct (doc_id, gram) rows explode in-block; ONE
+    gram-keyed exchange serves both the document-frequency count and
+    the common-flag attach (each gram's postings are co-resident, so
+    the per-gram df and the per-(doc, gram) commonness fold in the
+    same kernel — no second join); per-doc sums return through the
+    standard two-phase aggregate. Integer output columns only."""
+    from embulk_input_marketo_ray.stages.text import doc_grams
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_distinct(batch: pa.Table) -> pa.Table:
+        g = doc_grams(batch, n=3)
+        if g.num_rows:
+            g = g.group_by(["doc_id", "gram"]).aggregate([])
+        return g
+
+    grams = ds.map_batches(explode_distinct, batch_format="pyarrow")
+    by_gram = _keyed_repartition(grams, _shuffle_width(), ["gram"])
+
+    def common_partial(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_grams": pa.array([], type=pa.int64()),
+                "n_common": pa.array([], type=pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(block, sort_keys=[("gram", "ascending")])
+        t = block.take(order)
+        gram = np.asarray(t.column("gram"), dtype=object)
+        new_run = np.r_[True, gram[1:] != gram[:-1]]
+        run_idx = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        df = np.diff(np.r_[starts, len(gram)])  # postings co-resident: exact df
+        common = (df >= BOILERPLATE_MIN_DF)[run_idx]
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(np.ones(len(gram), dtype=np.int64), type=pa.int64()),
+                "n_common": pa.array(common.astype(np.int64), type=pa.int64()),
+            }
+        )
+        agg = out.group_by(["doc_id"]).aggregate([("n_grams", "sum"), ("n_common", "sum")])
+        return agg.rename_columns(["doc_id", "n_grams", "n_common"])
+
+    partial = by_gram.map_batches(
+        common_partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_aggregate(
+        partial,
+        ["doc_id"],
+        [("n_grams", "sum", "n_grams"), ("n_common", "sum", "n_common")],
+    )
