@@ -64,20 +64,6 @@ import pyarrow.parquet as pq
 
 from embulk_input_marketo_ray.stages.dedup import MinHasher, explode_lsh_bands
 
-_BANDS_SCHEMA = pa.schema(
-    [("band", pa.int32()), ("band_hash", pa.uint64()), ("doc_id", pa.int64())]
-)
-_RESULT_SCHEMA = pa.schema(
-    [("doc_id", pa.int64()), ("status", pa.string()), ("dup_of", pa.int64())]
-)
-
-
-def _sigs_schema(num_perm: int) -> pa.Schema:
-    return pa.schema(
-        [("doc_id", pa.int64()), ("minhash", pa.list_(pa.uint64(), num_perm))]
-    )
-
-
 def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest.json")
 
