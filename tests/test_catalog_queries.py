@@ -472,3 +472,36 @@ def test_bloom_no_false_negatives_and_bounded_fp(ray_session):
     absent = pa.array([f"out gram {i}" for i in range(20_000)], type=pa.string())
     fp = bloom_probe(bits, bloom_positions(absent, m_bits)).mean()
     assert fp < 0.05, fp
+
+
+def test_new_operators_survive_empty_corpus(ray_session, tmp_path):
+    """Round-2 ADVICE found an empty-corpus crash in vocab_topk; every
+    round-3 doc operator must return an EMPTY result (not raise) on a
+    zero-row documents table."""
+    import pyarrow.parquet as pq
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+            "n_chars": pa.array([], type=pa.int64()),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(empty, f"{sf_dir}/documents.parquet")
+
+    for fn in (
+        q.q_doc_mix_sample,
+        q.q_doc_heavy_hitters,
+        q.q_doc_decontaminate_bloom,
+        q.q_doc_global_shuffle,
+        q.q_doc_curation_quantile,
+        q.q_doc_source_report,
+        q.q_doc_boilerplate,
+        q.q_doc_incremental_dedup,
+    ):
+        res = fn(sf_dir)
+        n = res.num_rows if isinstance(res, pa.Table) else res.count()
+        assert n == 0, fn.__name__
