@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": q.q_lineitem_rollup,
         "customer_nation_report": q.q_customer_nation_report,
         "doc_boilerplate": q.q_doc_boilerplate,
+        "doc_length_batches": q.q_doc_length_batches,
         "evolved_attrs": q.q_evolved_attrs,
         "key_lookup": q.q_key_lookup,
         "commit_windows": q.q_commit_windows,
@@ -268,6 +269,8 @@ def oracle_sql() -> dict[str, str]:
         SHUFFLE_N_SHARDS,
         CURATION_QUANTILE_P,
         BOILERPLATE_MIN_DF,
+        LENBATCH_BUCKET_TOKENS,
+        LENBATCH_DOCS_PER_BATCH,
         SHUFFLE_HASH_MULT,
         MIX_BUDGET_PER_MILLE,
         SPLIT_HASH_MOD,
@@ -600,6 +603,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN df.df >= {BOILERPLATE_MIN_DF} THEN 1 ELSE 0 END)::BIGINT AS n_common
             FROM g JOIN df USING (gram)
             GROUP BY g.doc_id
+        """,
+        "doc_length_batches": rf"""
+            SELECT doc_id, n_tokens, bucket,
+                   ((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                     // {LENBATCH_DOCS_PER_BATCH})::BIGINT AS batch_id
+            FROM (
+              SELECT doc_id,
+                     len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tokens,
+                     (len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                       // {LENBATCH_BUCKET_TOKENS})::BIGINT AS bucket
+              FROM documents
+            )
         """,
         "evolved_attrs": f"""
             WITH e AS (

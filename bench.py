@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "lineitem_rollup",
     "customer_nation_report",
     "doc_boilerplate",
+    "doc_length_batches",
     "evolved_attrs",
     "key_lookup",
     "commit_windows",

@@ -3949,3 +3949,79 @@ def q_doc_boilerplate(sf_dir: str):
         ["doc_id"],
         [("n_grams", "sum", "n_grams"), ("n_common", "sum", "n_common")],
     )
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batch assignment (dynamic batching for training/inference)
+# ---------------------------------------------------------------------------
+
+LENBATCH_BUCKET_TOKENS = 128  # bucket width in tokens
+LENBATCH_DOCS_PER_BATCH = 8
+
+
+def q_doc_length_batches(sf_dir: str):
+    """Dynamic-batching assignment: docs grouped into token-length
+    buckets (width ``LENBATCH_BUCKET_TOKENS``), then packed into
+    fixed-size batches of ``LENBATCH_DOCS_PER_BATCH`` docs WITHIN each
+    bucket, in doc_id order — the padding-efficient loader layout
+    (batching similar lengths together bounds pad waste to one bucket
+    width per row).
+
+    Shape: token counts + bucket fuse with the read; ONE keyed
+    exchange on the bucket; batch ids come from the same run-rank
+    kernel as ``q_doc_global_shuffle`` (``row_number() OVER (PARTITION
+    BY bucket ORDER BY doc_id)`` without a global sort). A bucket
+    lives wholly in one partition — the length distribution bounds any
+    bucket at a corpus share, and more/narrower buckets is the scale
+    knob."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def measure(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.coalesce(batch.column("text"), pa.scalar("")), pattern=r"\S+"
+        ).cast(pa.int64())
+        nv = np.asarray(n)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": n,
+                "bucket": pa.array(nv // LENBATCH_BUCKET_TOKENS, type=pa.int64()),
+            }
+        )
+
+    measured = ds.map_batches(measure, batch_format="pyarrow")
+    by_bucket = _keyed_repartition(measured, _shuffle_width(), ["bucket"])
+
+    def rank_kernel(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+                "batch_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            block, sort_keys=[("bucket", "ascending"), ("doc_id", "ascending")]
+        )
+        t = block.take(order)
+        bucket = np.asarray(t.column("bucket"), dtype=np.int64)
+        n = len(bucket)
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        base = np.repeat(starts, np.diff(np.r_[starts, n]))
+        pos = np.arange(n, dtype=np.int64) - base
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "bucket": t.column("bucket"),
+                "batch_id": pa.array(pos // LENBATCH_DOCS_PER_BATCH, type=pa.int64()),
+            }
+        )
+
+    return by_bucket.map_batches(
+        rank_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
