@@ -500,6 +500,7 @@ def test_new_operators_survive_empty_corpus(ray_session, tmp_path):
         q.q_doc_curation_quantile,
         q.q_doc_source_report,
         q.q_doc_boilerplate,
+        q.q_doc_length_batches,
         q.q_doc_incremental_dedup,
     ):
         res = fn(sf_dir)
