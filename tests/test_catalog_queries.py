@@ -506,3 +506,36 @@ def test_new_operators_survive_empty_corpus(ray_session, tmp_path):
         res = fn(sf_dir)
         n = res.num_rows if isinstance(res, pa.Table) else res.count()
         assert n == 0, fn.__name__
+
+
+def test_global_shuffle_partitioning_invariant(ray_session, tmp_path):
+    """The (shard, pos) assignment is a pure function of the doc_id
+    SET: writing the same corpus as one row group or many yields the
+    identical assignment (resume/re-partition stability), and each
+    shard's positions are exactly 0..n_shard-1."""
+    import pyarrow.parquet as pq
+
+    ids = np.arange(5_000, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(["x"] * len(ids)),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["s"] * len(ids)),
+            "n_chars": pa.array(np.ones(len(ids), dtype=np.int64)),
+        }
+    )
+    d1, d2 = tmp_path / "one", tmp_path / "many"
+    d1.mkdir(), d2.mkdir()
+    pq.write_table(tbl, str(d1 / "documents.parquet"))
+    pq.write_table(tbl, str(d2 / "documents.parquet"), row_group_size=137)
+
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in q.q_doc_global_shuffle(str(d1)).take_all()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in q.q_doc_global_shuffle(str(d2)).take_all()}
+    assert a == b and len(a) == len(ids)
+
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
