@@ -67,6 +67,15 @@ class FixtureServer:
     # ('type' or 'workspaceName'), tag_value its required value.
     tag_type: str | None = None
     tag_value: str | None = None
+    # program date-range query (rest/MarketoRestClient.java:476-488:
+    # earliestUpdatedAt/latestUpdatedAt are query params the SERVER
+    # filters by). The fixture's virtual updatedAt is day index
+    # ``i % 30``; the filter keeps records whose day falls in the
+    # inclusive [earliest_day, latest_day] window.
+    date_range: tuple[int, int] | None = None
+    # optional date-range refinement (same endpoint): filterType names
+    # a record field, filterValues its accepted values
+    field_filter: tuple[str, frozenset] | None = None
     # payload shape served (U4 decoder seam): "json" = response
     # envelope (MarketoResponseJettyEntityReader), "csv" = raw CSV body
     # (MarketoInputStreamResponseEntityReader — the bulk-extract stream
@@ -75,20 +84,47 @@ class FixtureServer:
     payload_format: str = "json"
 
     def _id_space(self) -> range | list[int]:
-        """Record ids this server serves: all of them, or — under a tag
-        filter — only the matching ones (paging offsets then index the
-        FILTERED stream, like the real API)."""
-        if self.tag_type is None:
+        """Record ids this server serves: all of them, or — under a
+        tag / date-range / field filter — only the matching ones
+        (paging offsets then index the FILTERED stream, like the real
+        API)."""
+        if (
+            self.tag_type is None
+            and self.date_range is None
+            and self.field_filter is None
+        ):
             return range(self.n_records)
-        if self.tag_type not in ("type", "workspaceName"):
+        if self.tag_type is not None and self.tag_type not in (
+            "type",
+            "workspaceName",
+        ):
             raise MarketoApiError(
                 610, f"Requested resource not found: tagType {self.tag_type!r}"
             )
-        return [
-            i
-            for i in range(self.n_records)
-            if self._record(i)[self.tag_type] == self.tag_value
-        ]
+        if self.field_filter is not None and self.field_filter[0] not in (
+            "id",
+            "type",
+            "workspaceName",
+        ):
+            raise MarketoApiError(
+                610,
+                f"Requested resource not found: filterType {self.field_filter[0]!r}",
+            )
+        out = []
+        for i in range(self.n_records):
+            rec = self._record(i)
+            if self.tag_type is not None and rec[self.tag_type] != self.tag_value:
+                continue
+            if self.date_range is not None:
+                lo, hi = self.date_range
+                if not (lo <= i % 30 <= hi):
+                    continue
+            if self.field_filter is not None:
+                fname, fvals = self.field_filter
+                if str(rec[fname]) not in fvals:
+                    continue
+            out.append(i)
+        return out
 
     def issue_token(self) -> str:
         self.valid_token = f"tok-{self.calls}"
@@ -279,34 +315,106 @@ def read_token_paged(
     return ray.data.range(1).map_batches(gen, batch_size=None)
 
 
-def read_custom_objects(
-    id_from: int,
-    id_to: int,
-    fail_plan: dict[int, str] | None = None,
-    chunk_size: int = 300,
-    batch_size: int = TOKEN_PAGE_SIZE,
-) -> "ray.data.Dataset":
-    """S6: offset+token hybrid source (custom objects).
+CUSTOM_OBJECT_CHUNK = 300  # MAX_REQUEST_SIZE, rest/MarketoRestClient.java:67
 
-    The reference enumerates the id range in 300-id chunks passed as
-    ``filterValues``, with nested token pages per chunk
-    (rest/MarketoRestClient.java:508-572). Chunks are precomputable ->
-    parallel fan-out; the nested token pagination runs inside the UDF.
-    """
+
+def _serve_id_chunk(requested, existing, fail_plan, batch_size):
+    """Token-paged pages for one chunk of requested custom-object ids:
+    the chunk's record space is the requested ids that EXIST (the
+    fixture universe), served in id order, each page's local indices
+    mapped back to the real ids. ``existing=None`` = every id exists
+    (the dense-range fixture)."""
+    import numpy as np
+
+    present = [i for i in requested if existing is None or i in existing]
+    if not present:
+        return
+    server = FixtureServer(n_records=len(present), fail_plan=fail_plan or {})
+    arr = np.array(present, dtype=np.int64)
+    for page in iter_token_pages(server, batch_size):
+        idx = np.asarray(page.column("id"), dtype=np.int64)
+        yield page.set_column(
+            page.schema.get_field_index("id"),
+            "id",
+            pa.array(arr[idx], type=pa.int64()),
+        )
+
+
+def read_custom_objects(
+    id_from: int = 1,
+    id_to: int | None = None,
+    fail_plan: dict[int, str] | None = None,
+    chunk_size: int = CUSTOM_OBJECT_CHUNK,
+    batch_size: int = TOKEN_PAGE_SIZE,
+    filter_values: list[int] | None = None,
+    existing_ids=None,
+) -> "ray.data.Dataset":
+    """S6: offset+token hybrid source (custom objects), all three
+    reference query modes (delegate/CustomObjectInputPlugin.java:85-96,
+    rest/MarketoRestClient.java:508-590):
+
+    - **explicit filter_values**: the refined value list is queried in
+      300-value chunks (``MAX_REQUEST_SIZE``) passed as filterValues;
+      chunks are precomputable -> parallel fan-out with nested token
+      pagination per chunk.
+    - **bounded range** (``id_to`` given): the id range enumerated in
+      300-id chunks, same parallel fan-out.
+    - **open-ended range** (``id_to=None``): the reference walks
+      consecutive 300-id chunks from ``id_from`` and STOPS at the
+      first chunk whose response is empty
+      (rest/MarketoRestClient.java:561-565 — ids past a >=300-id gap
+      are never reached). Inherently sequential (each chunk's
+      emptiness gates the next) -> one streaming generator task, like
+      token paging.
+
+    ``existing_ids`` is the fixture universe (which object ids exist);
+    ``None`` = every requested id exists. The open-ended mode requires
+    it (the walk must terminate)."""
+    existing = None if existing_ids is None else frozenset(int(i) for i in existing_ids)
+
+    if filter_values is not None:
+        vals = list(dict.fromkeys(int(v) for v in filter_values))
+        chunks = [vals[i : i + chunk_size] for i in range(0, len(vals), chunk_size)]
+        specs = ray.data.from_items([{"chunk": i} for i in range(len(chunks))])
+
+        def fetch_values(batch: pa.Table):
+            for ci in batch.column("chunk").to_pylist():
+                yield from _serve_id_chunk(chunks[ci], existing, fail_plan, batch_size)
+
+        return specs.map_batches(fetch_values, batch_format="pyarrow", batch_size=None)
+
+    if id_to is None:
+        if existing is None:
+            raise ValueError(
+                "open-ended custom-object scan requires existing_ids "
+                "(the walk stops at the first empty 300-id chunk)"
+            )
+
+        def walk(_batch):
+            lo = id_from
+            while True:
+                requested = range(lo, lo + chunk_size)
+                got = False
+                for page in _serve_id_chunk(requested, existing, fail_plan, batch_size):
+                    got = True
+                    yield page
+                if not got:
+                    return  # empty chunk ends the scan (reference rule)
+                lo += chunk_size
+
+        return ray.data.range(1).map_batches(
+            walk, batch_format="pyarrow", batch_size=None
+        )
+
     chunks = [
-        (lo, min(lo + chunk_size - 1, id_to)) for lo in range(id_from, id_to + 1, chunk_size)
+        (lo, min(lo + chunk_size - 1, id_to))
+        for lo in range(id_from, id_to + 1, chunk_size)
     ]
     specs = ray.data.from_items([{"lo": lo, "hi": hi} for lo, hi in chunks])
 
-    import pyarrow.compute as pc
-
     def fetch(batch: pa.Table):
         for lo, hi in zip(batch.column("lo").to_pylist(), batch.column("hi").to_pylist()):
-            # each chunk is its own record space served token-paged
-            server = FixtureServer(n_records=hi - lo + 1, fail_plan=fail_plan or {})
-            for page in iter_token_pages(server, batch_size):
-                ids = pc.add(page.column("id"), pa.scalar(lo, type=pa.int64()))
-                yield page.set_column(page.schema.get_field_index("id"), "id", ids)
+            yield from _serve_id_chunk(range(lo, hi + 1), existing, fail_plan, batch_size)
 
     return specs.map_batches(fetch, batch_format="pyarrow", batch_size=None)
 
@@ -318,6 +426,8 @@ def read_offset_paged(
     window_pages: int = 8,
     tag_type: str | None = None,
     tag_value: str | None = None,
+    date_range: tuple[int, int] | None = None,
+    field_filter: tuple[str, frozenset] | None = None,
     payload_format: str = "json",
     decoder=None,
 ) -> "ray.data.Dataset":
@@ -329,7 +439,12 @@ def read_offset_paged(
     ``tag_type``/``tag_value`` select the program-by-tag record set
     (server-side filter, rest/MarketoRestClient.java:373-391); windows
     past the end of the filtered stream return an empty first page and
-    stop.
+    stop. ``date_range`` is the program date-range query's
+    earliestUpdatedAt/latestUpdatedAt window (inclusive day indices
+    against the fixture's virtual ``i % 30`` day,
+    rest/MarketoRestClient.java:476-488), and ``field_filter`` its
+    optional filterType/filterValues refinement — all applied
+    SERVER-side, like the real endpoint.
 
     ``payload_format``/``decoder`` are the U4 strategy seam: the server
     serves JSON envelopes or raw CSV bodies, and the matching (or a
@@ -348,6 +463,8 @@ def read_offset_paged(
             fail_plan=fail_plan or {},
             tag_type=tag_type,
             tag_value=tag_value,
+            date_range=date_range,
+            field_filter=field_filter,
             payload_format=payload_format,
         )
         client = _PagedClient(server, decoder=decoder)

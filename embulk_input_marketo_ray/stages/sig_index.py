@@ -507,21 +507,35 @@ def ingest(index_dir: str, docs, ingest_id: str):
     )
 
     # 3. verify pairs by signature agreement; old sigs fetched only
-    # from the doc_id buckets candidate old ids live in
+    # from the doc_id buckets candidate old ids live in. The distinct
+    # old-id set (needed for the bucket prune + broadcast prefilter)
+    # is folded per block with arrow/numpy — never a per-row Python
+    # scan of the pair rows
     pairs = pairs.materialize()
-    old_ids = [
-        r["other"]
-        for r in pairs.take_all()
-        if r["other_is_old"] == 1
-    ]
-    sig_buckets = sorted({int(i) % num_buckets for i in old_ids})
+    old_id_chunks = []
+    for ref in pairs.to_arrow_refs():
+        blk = ray.get(ref)
+        if blk.num_rows:
+            old_rows = blk.filter(
+                pc.equal(blk.column("other_is_old"), pa.scalar(1, pa.int32()))
+            )
+            if old_rows.num_rows:
+                old_id_chunks.append(
+                    np.unique(np.asarray(old_rows.column("other"), dtype=np.int64))
+                )
+    old_ids = (
+        np.unique(np.concatenate(old_id_chunks))
+        if old_id_chunks
+        else np.array([], dtype=np.int64)
+    )
+    sig_buckets = np.unique(old_ids % num_buckets).tolist()
     sig_files = _committed_files(state, index_dir, "sigs", sig_buckets)
     sig_sides = [sigs_new]
     if sig_files:
         # same prefilter shape: only candidate old ids' signatures
         # enter the verify exchange (the id set is ∝ the sparse
         # candidate pairs, driver-known already)
-        old_ids_ref = ray.put(np.array(sorted(set(old_ids)), dtype=np.int64))
+        old_ids_ref = ray.put(old_ids)
 
         def prune_to_candidates(batch: pa.Table) -> pa.Table:
             want = ray.get(old_ids_ref)
@@ -540,45 +554,102 @@ def ingest(index_dir: str, docs, ingest_id: str):
     sigs_all = sig_sides[0] if len(sig_sides) == 1 else sig_sides[0].union(sig_sides[1])
     verified = attach_and_verify_sigs(pairs, sigs_all, num_perm, agree_slots)
 
-    # 4. verdicts: min verified old target dominates min new target
-    vrows = verified.take_all()
-    best_old: dict[int, int] = {}
-    best_new: dict[int, int] = {}
-    for r in vrows:
-        tgt = best_old if r["other_is_old"] == 1 else best_new
-        d = int(r["doc_id"])
-        o = int(r["other"])
-        if d not in tgt or o < tgt[d]:
-            tgt[d] = o
-    all_ids = sorted(
-        int(r["doc_id"]) for r in sigs_new.select_columns(["doc_id"]).take_all()
+    # 4. verdicts, assembled INSIDE a keyed exchange (no driver
+    # per-row work): verified pair rows and the batch's id rows
+    # co-partition on doc_id, then a per-block grouped-min kernel
+    # picks the min verified OLD target (old dominates) else the min
+    # NEW target, else admits. The driver only concatenates the
+    # finished verdict blocks (arrow-level, returned per contract).
+    _IMAX = np.iinfo(np.int64).max
+
+    def id_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "other": pa.nulls(n, type=pa.int64()),
+                "other_is_old": pa.array(
+                    np.full(n, -1, dtype=np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    tagged_verdict = verified.union(
+        sigs_new.select_columns(["doc_id"]).map_batches(
+            id_rows, batch_format="pyarrow"
+        )
     )
-    statuses, dups = [], []
-    dup_ids = set()
-    for d in all_ids:
-        if d in best_old:
-            statuses.append("dup")
-            dups.append(best_old[d])
-            dup_ids.add(d)
-        elif d in best_new:
-            statuses.append("dup")
-            dups.append(best_new[d])
-            dup_ids.add(d)
-        else:
-            statuses.append("admitted")
-            dups.append(None)
-    result = pa.table(
-        {
-            "doc_id": pa.array(all_ids, type=pa.int64()),
-            "status": pa.array(statuses, type=pa.string()),
-            "dup_of": pa.array(dups, type=pa.int64()),
-        }
+    by_doc = _keyed_repartition(tagged_verdict, _shuffle_width(), ["doc_id"])
+
+    _VERDICT_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("status", pa.string()), ("dup_of", pa.int64())]
+    )
+
+    def verdict_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _VERDICT_SCHEMA.empty_table()
+        order = pc.sort_indices(block, sort_keys=[("doc_id", "ascending")])
+        t = block.take(order)
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        other = np.asarray(
+            pc.fill_null(t.column("other"), pa.scalar(_IMAX, pa.int64())),
+            dtype=np.int64,
+        )
+        flag = np.asarray(t.column("other_is_old"), dtype=np.int32)
+        new_run = np.r_[True, ids[1:] != ids[:-1]]
+        run_idx = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        n_runs = len(starts)
+        min_old = np.minimum.reduceat(np.where(flag == 1, other, _IMAX), starts)
+        min_new = np.minimum.reduceat(np.where(flag == 0, other, _IMAX), starts)
+        # emit only docs present in the batch (id row, flag -1); pair
+        # doc_ids are batch docs by construction, so this is the guard
+        has_id = np.zeros(n_runs, dtype=bool)
+        has_id[run_idx[flag == -1]] = True
+        keep = np.flatnonzero(has_id)
+        mo, mn = min_old[keep], min_new[keep]
+        is_dup = (mo < _IMAX) | (mn < _IMAX)
+        dup_of = np.where(mo < _IMAX, mo, mn)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts[keep]], type=pa.int64()),
+                "status": pc.if_else(
+                    pa.array(is_dup), pa.scalar("dup"), pa.scalar("admitted")
+                ),
+                "dup_of": pa.array(dup_of, type=pa.int64(), mask=~is_dup),
+            }
+        )
+
+    verdict_parts = [
+        t
+        for t in ray.get(
+            by_doc.map_batches(
+                verdict_block,
+                batch_size=None,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    result = (
+        pa.concat_tables(verdict_parts)
+        if verdict_parts
+        else _VERDICT_SCHEMA.empty_table()
+    )
+    result = result.take(
+        pc.sort_indices(result, sort_keys=[("doc_id", "ascending")])
+    ).combine_chunks()
+    n_docs = result.num_rows
+    dup_id_arr = np.asarray(
+        result.filter(pc.equal(result.column("status"), "dup")).column("doc_id"),
+        dtype=np.int64,
     )
 
     # 5. append admitted docs' bands + sigs, one file per bucket;
     # the dup id set is bounded by the ingest batch (broadcast is the
     # small side — a CDC batch, never the lake)
-    dup_ref = ray.put(np.array(sorted(dup_ids), dtype=np.int64))
+    dup_ref = ray.put(np.sort(dup_id_arr))
 
     def admitted_only(batch: pa.Table) -> pa.Table:
         dup_arr = ray.get(dup_ref)
@@ -655,8 +726,8 @@ def ingest(index_dir: str, docs, ingest_id: str):
     state["ingests"][ingest_id] = {
         "bands_buckets": written_band_buckets,
         "sigs_buckets": written_sig_buckets,
-        "n_docs": len(all_ids),
-        "n_admitted": int(len(all_ids) - len(dup_ids)),
+        "n_docs": int(n_docs),
+        "n_admitted": int(n_docs - len(dup_id_arr)),
     }
     _write_manifest(index_dir, state)
     return result
@@ -695,6 +766,16 @@ def compact_index(index_dir: str) -> list[str]:
 
     tasks = []
     new_base: dict[str, dict[str, str]] = {"bands": {}, "sigs": {}}
+    # the fold snapshot: ONLY these ingests' files go into the new
+    # bases, so ONLY they flip to folded at commit — an ingest that
+    # commits between this snapshot and the manifest commit keeps its
+    # per-ingest files referenced (marking it folded would silently
+    # drop its rows from probes and let vacuum delete its files)
+    folded_ids = {
+        ingest_id
+        for ingest_id, meta in state["ingests"].items()
+        if not meta.get("folded")
+    }
     for kind in ("bands", "sigs"):
         by_bucket: dict[int, list[str]] = {}
         # current resolution: existing base (if any) + unfolded ingests
@@ -704,7 +785,7 @@ def compact_index(index_dir: str) -> list[str]:
                 os.path.join(index_dir, kind, f"bucket={b}", fname)
             )
         for ingest_id, meta in state["ingests"].items():
-            if meta.get("folded"):
+            if ingest_id not in folded_ids:
                 continue
             for b in meta.get(f"{kind}_buckets", []):
                 by_bucket.setdefault(int(b), []).append(
@@ -719,24 +800,36 @@ def compact_index(index_dir: str) -> list[str]:
         new_base[kind][str(bucket)] = os.path.basename(path)
         out_paths.append(path)
 
-    # commit: re-read so concurrent result fields are not clobbered
+    # commit: re-read so concurrent ingest commits are not clobbered,
+    # and mark folded ONLY the snapshot's ingests
     state = _load_manifest(index_dir)
     state["base"] = new_base
     state["base_gen"] = gen
-    for meta in state["ingests"].values():
-        meta["folded"] = True
+    for ingest_id in folded_ids:
+        if ingest_id in state["ingests"]:
+            state["ingests"][ingest_id]["folded"] = True
     _write_manifest(index_dir, state)
     return out_paths
 
 
-def vacuum_index(index_dir: str) -> list[str]:
+def vacuum_index(index_dir: str, grace_seconds: float = 900.0) -> list[str]:
     """Remove every data file the manifest does not reference:
     superseded per-ingest files after a compaction, orphaned bases
     from a crashed compaction, and ``.tmp`` leftovers. Never touches
-    the manifest or results. Returns the removed paths."""
+    the manifest or results. Returns the removed paths.
+
+    Safe concurrently with READS (readers resolve files only through
+    the committed manifest). An in-flight INGEST's already-written but
+    not-yet-committed bucket files are also unreferenced, so vacuum
+    skips any file modified within ``grace_seconds`` (default 15 min,
+    far above an ingest's write-to-commit gap); pass 0 only when no
+    ingest can be running."""
+    import time
+
     state = _load_manifest(index_dir)
     referenced = set(_committed_files(state, index_dir, "bands", None))
     referenced.update(_committed_files(state, index_dir, "sigs", None))
+    now = time.time()
     removed = []
     for kind in ("bands", "sigs"):
         root = os.path.join(index_dir, kind)
@@ -746,7 +839,13 @@ def vacuum_index(index_dir: str) -> list[str]:
             d = os.path.join(root, bucket_dir)
             for fname in sorted(os.listdir(d)):
                 path = os.path.join(d, fname)
-                if path not in referenced:
-                    os.remove(path)
-                    removed.append(path)
+                if path in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(path) < grace_seconds:
+                        continue  # possibly an in-flight ingest's file
+                except OSError:
+                    continue
+                os.remove(path)
+                removed.append(path)
     return removed

@@ -387,8 +387,17 @@ def compact_vec_index(index_dir: str) -> list[str]:
         by_cluster.setdefault(int(c), []).append(
             os.path.join(index_dir, "vectors", f"cluster={c}", fname)
         )
+    # the fold snapshot: only these ingests are marked folded at
+    # commit — an ingest that commits between snapshot and commit
+    # keeps its per-ingest files referenced (its rows were NOT folded
+    # into the new bases)
+    folded_ids = {
+        ingest_id
+        for ingest_id, meta in state["ingests"].items()
+        if not meta.get("folded")
+    }
     for ingest_id, meta in state["ingests"].items():
-        if meta.get("folded"):
+        if ingest_id not in folded_ids:
             continue
         for c in meta.get("clusters", []):
             by_cluster.setdefault(int(c), []).append(
@@ -405,17 +414,27 @@ def compact_vec_index(index_dir: str) -> list[str]:
     state = _load_manifest(index_dir)
     state["base"] = new_base
     state["base_gen"] = gen
-    for meta in state["ingests"].values():
-        meta["folded"] = True
+    for ingest_id in folded_ids:
+        if ingest_id in state["ingests"]:
+            state["ingests"][ingest_id]["folded"] = True
     _write_manifest(index_dir, state)
     return out
 
 
-def vacuum_vec_index(index_dir: str) -> list[str]:
+def vacuum_vec_index(index_dir: str, grace_seconds: float = 900.0) -> list[str]:
     """Remove every vector file the manifest does not reference
-    (superseded per-ingest files, orphaned bases, .tmp leftovers)."""
+    (superseded per-ingest files, orphaned bases, .tmp leftovers).
+
+    Safe concurrently with READS (manifest-resolved). An in-flight
+    ingest's written-but-uncommitted cluster files are also
+    unreferenced, so files modified within ``grace_seconds`` are
+    skipped (default 15 min); pass 0 only when no ingest can be
+    running."""
+    import time
+
     state = _load_manifest(index_dir)
     referenced = set(_committed_files(state, index_dir, None))
+    now = time.time()
     removed = []
     root = os.path.join(index_dir, "vectors")
     if not os.path.isdir(root):
@@ -424,7 +443,13 @@ def vacuum_vec_index(index_dir: str) -> list[str]:
         d = os.path.join(root, cluster_dir)
         for fname in sorted(os.listdir(d)):
             path = os.path.join(d, fname)
-            if path not in referenced:
-                os.remove(path)
-                removed.append(path)
+            if path in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(path) < grace_seconds:
+                    continue  # possibly an in-flight ingest's file
+            except OSError:
+                continue
+            os.remove(path)
+            removed.append(path)
     return removed

@@ -152,8 +152,11 @@ def test_compact_and_vacuum_preserve_probe_results(ray_session, tmp_path):
     bases = compact_index(idx)
     assert bases and all(os.path.basename(p).startswith("base-1") for p in bases)
 
-    # superseded per-ingest files still on disk until vacuum
-    removed = vacuum_index(idx)
+    # superseded per-ingest files still on disk until vacuum; the
+    # default grace window protects an in-flight ingest's fresh files
+    # (everything here is seconds old), so this quiesced test passes 0
+    assert vacuum_index(idx) == []  # grace window skips fresh files
+    removed = vacuum_index(idx, grace_seconds=0.0)
     assert removed  # the folded ingest files went away
     assert not any("base-1" in p for p in removed)
 
@@ -181,8 +184,50 @@ def test_compact_and_vacuum_preserve_probe_results(ray_session, tmp_path):
         ),
         orphan,
     )
-    assert orphan in vacuum_index(idx)
-    assert vacuum_index(idx) == []  # converged
+    assert orphan in vacuum_index(idx, grace_seconds=0.0)
+    assert vacuum_index(idx, grace_seconds=0.0) == []  # converged
+
+
+def test_compact_commit_does_not_fold_concurrent_ingest(ray_session, tmp_path):
+    """An ingest that commits BETWEEN compact's fold snapshot and its
+    manifest commit must stay unfolded (its files were not folded into
+    the new bases): marking it folded would drop its rows from probes
+    and let vacuum delete its files — permanent data loss."""
+    from embulk_input_marketo_ray.stages import sig_index as si
+    from embulk_input_marketo_ray.stages.sig_index import compact_index, vacuum_index
+
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    ingest(idx, _docs_ds([(10, LONG_A)]), "w1")
+
+    # interleave: commit a second ingest AFTER compact reads its fold
+    # snapshot but BEFORE compact commits, by hooking the manifest load
+    # (compact loads the manifest exactly twice: snapshot, then commit)
+    real_load = si._load_manifest
+    calls = {"n": 0}
+
+    def hooked_load(index_dir):
+        calls["n"] += 1
+        if calls["n"] == 2:  # compact's commit-time re-read is imminent
+            si._load_manifest = real_load  # un-hook for the ingest below
+            ingest(idx, _docs_ds([(20, LONG_B)]), "w2")
+            si._load_manifest = hooked_load
+        return real_load(index_dir)
+
+    si._load_manifest = hooked_load
+    try:
+        compact_index(idx)
+    finally:
+        si._load_manifest = real_load
+
+    state = _load_manifest(idx)
+    assert state["ingests"]["w1"]["folded"] is True
+    assert not state["ingests"]["w2"].get("folded")  # NOT folded
+
+    # w2's rows still probe-visible, and vacuum does not remove them
+    vacuum_index(idx, grace_seconds=0.0)
+    r = ingest(idx, _docs_ds([(30, LONG_B)]), "w3")
+    assert r.to_pylist() == [{"doc_id": 30, "status": "dup", "dup_of": 20}]
 
 
 def test_crashed_ingest_retry_converges(ray_session, tmp_path):

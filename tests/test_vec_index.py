@@ -138,11 +138,12 @@ def test_vec_compact_vacuum_and_crash_retry(ray_session, tmp_path):
 
     bases = compact_vec_index(idx)
     assert bases
-    removed = vacuum_vec_index(idx)
+    assert vacuum_vec_index(idx) == []  # grace window skips fresh files
+    removed = vacuum_vec_index(idx, grace_seconds=0.0)
     assert removed and not any("base-1" in p for p in removed)
     after = ann_topk_index(idx, q, k=5, n_probe=2).to_pylist()
     assert after == before
-    assert vacuum_vec_index(idx) == []
+    assert vacuum_vec_index(idx, grace_seconds=0.0) == []
 
     # crash-retry convergence (vs a reference index that never crashed)
     idx_a, idx_b = str(tmp_path / "a"), str(tmp_path / "b")
