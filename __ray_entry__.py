@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "program_by_tag": q.q_program_by_tag,
         "offset_paged_csv": q.q_offset_paged_csv,
         "custom_object_source": q.q_custom_object_source,
+        "custom_object_filter_values": q.q_custom_object_filter_values,
+        "program_date_range": q.q_program_date_range,
         "lead_by_list_join": q.q_lead_by_list_join,
         "csv_parse": q.q_csv_parse,
         "ann_lsh_topk": q.q_ann_lsh_topk,
@@ -321,6 +323,20 @@ def oracle_sql() -> dict[str, str]:
         "custom_object_source": _fixture_record_sql(
             co_n, id_expr=f"i + {CUSTOM_OBJECT_FROM}", local_expr="i % 300"
         ),
+        # filter-values mode: present values keep their in-chunk local
+        # index (chunk0 = first 300 values 500..201, chunk1 = 200..151;
+        # the two out-of-universe ids 900/901 are dropped AFTER the
+        # universe check, so earlier locals are unchanged)
+        "custom_object_filter_values": f"""
+            {_fixture_record_sql(300, id_expr="500 - i")}
+            UNION ALL
+            {_fixture_record_sql(50, id_expr="200 - i")}
+        """,
+        "program_date_range": f"""
+            SELECT * FROM ({_fixture_record_sql(3000)})
+            WHERE id % 30 BETWEEN 2 AND 6
+              AND workspaceName IN ('ws1', 'ws3')
+        """,
         "lead_by_list_join": f"""
             SELECT r.id, r.name, r.type, r.workspaceName, p.listId
             FROM ({_fixture_record_sql(200)}) r

@@ -169,7 +169,47 @@ def _program(config: dict) -> "ray.data.Dataset":
             tag_type=str(config["tag_type"]),
             tag_value=str(config["tag_value"]),
         )
-    return read_offset_paged(int(config.get("n_records", 1000)))
+    # date_range: optional earliest/latest day window + optional
+    # filter_type/filter_values refinement, all server-side
+    # (rest/MarketoRestClient.java:476-488). filter_type without
+    # filter_values is the reference's validation error
+    # (ProgramInputPlugin.java:128-131).
+    filter_type = config.get("filter_type")
+    filter_values = config.get("filter_values")
+    if filter_type is not None and not filter_values:
+        raise ValueError("filter_value is required when selected filter_type")
+    date_range = None
+    if "earliest_day" in config or "latest_day" in config:
+        earliest = config.get("earliest_day")
+        if earliest is None:
+            # ProgramInputPlugin.java:97-99
+            raise ValueError("`earliest_updated_at` is required when query by Date Range")
+        latest = config.get("latest_day")
+        if "report_duration_days" in config:
+            # report_duration preferred over latest_updated_at
+            # (ProgramInputPlugin.java:103-108)
+            latest = int(earliest) + int(config["report_duration_days"])
+        if latest is None:
+            raise ValueError("`latest_updated_at` is required when query by Date Range")
+        if int(earliest) > int(latest):
+            raise ValueError(
+                f"Invalid date range. `earliest_updated_at` ({earliest}) cannot "
+                f"precede the `latest_updated_at` ({latest})."
+            )
+        date_range = (int(earliest), int(latest))
+    field_filter = None
+    if filter_type is not None:
+        vals = (
+            [v.strip() for v in filter_values.split(",")]
+            if isinstance(filter_values, str)
+            else [str(v).strip() for v in filter_values]
+        )
+        field_filter = (str(filter_type), frozenset(v for v in vals if v))
+    return read_offset_paged(
+        int(config.get("n_records", 1000)),
+        date_range=date_range,
+        field_filter=field_filter,
+    )
 
 
 def _lead_with_list(config: dict) -> "ray.data.Dataset":
@@ -186,14 +226,58 @@ def _lead_with_program(config: dict) -> "ray.data.Dataset":
     return read_children_of(parents, parent_column="programId")
 
 
+def refine_filter_values(filter_values) -> list[str]:
+    """CustomObjectInputPlugin.refineFilterValues (java:73-77): split a
+    comma-joined string (or accept a list), trim, drop blanks, dedup.
+    The reference collects into a Set; here first-occurrence order is
+    kept so chunking is deterministic."""
+    vals = (
+        filter_values.split(",")
+        if isinstance(filter_values, str)
+        else [str(v) for v in filter_values]
+    )
+    return list(dict.fromkeys(v.strip() for v in vals if v and v.strip()))
+
+
 def _custom_object(config: dict) -> "ray.data.Dataset":
-    if not config.get("custom_object_api_name"):
-        raise ValueError("custom_object requires custom_object_api_name")
+    """All three reference query modes
+    (delegate/CustomObjectInputPlugin.java:53-96): explicit
+    filter_values list, bounded from/to id range, and the open-ended
+    scan (no to_value) that stops at the first empty 300-id chunk.
+    Validation mirrors the reference's errors verbatim."""
+    if not str(config.get("custom_object_filter_type", "")).strip():
+        raise ValueError("`custom_object_filter_type` cannot be empty")
+    if not str(config.get("custom_object_api_name", "")).strip():
+        raise ValueError("`custom_object_api_name` cannot be empty")
     from embulk_input_marketo_ray.sources.paged import read_custom_objects
 
-    return read_custom_objects(
-        int(config.get("from_value", 1)), int(config.get("to_value", 700))
-    )
+    raw_values = config.get("custom_object_filter_values")
+    from_value = int(config.get("from_value", 1))
+    to_value = config.get("to_value")
+    if raw_values is not None:
+        refined = refine_filter_values(raw_values)
+        if not refined:
+            raise ValueError(
+                "`custom_object_filter_values` cannot contain empty values only"
+            )
+        # the fixture's object ids are integers; non-numeric values
+        # match nothing (like a dedupeField value absent from the DB)
+        int_vals = [int(v) for v in refined if v.lstrip("-").isdigit()]
+        return read_custom_objects(
+            filter_values=int_vals,
+            existing_ids=config.get("existing_ids"),
+        )
+    if to_value is not None and int(to_value) <= from_value:
+        raise ValueError(
+            f"`to_value` ({to_value}) cannot be less than the `from_value` ({from_value})"
+        )
+    if to_value is None:
+        n_objects = int(config.get("n_objects", 700))
+        existing = config.get("existing_ids")
+        if existing is None:
+            existing = range(1, n_objects + 1)
+        return read_custom_objects(from_value, None, existing_ids=existing)
+    return read_custom_objects(from_value, int(to_value))
 
 
 def _program_members(config: dict) -> "ray.data.Dataset":
@@ -202,7 +286,16 @@ def _program_members(config: dict) -> "ray.data.Dataset":
     parents = sanitize_ids([str(x) for x in config.get("program_ids", ["1", "2", "3"])])
     # number_concurrent_export_job <= 2
     cap = min(int(config.get("number_concurrent_export_job", 2)), 2)
-    return read_children_of(parents, parent_column="programId", max_concurrent_jobs=cap)
+    counts = config.get("program_member_counts")
+    if counts is not None:
+        counts = {int(k): int(v) for k, v in counts.items()}
+    return read_children_of(
+        parents,
+        parent_column="programId",
+        max_concurrent_jobs=cap,
+        children_counts=counts,
+        metrics=config.get("metrics"),
+    )
 
 
 TARGETS: dict[str, Callable[[dict], Any]] = {

@@ -34,16 +34,41 @@ class ChildFetcher:
 
     The actor-pool ``concurrency`` passed at the call site is the
     engine analog of ``number_concurrent_export_job <= 2``.
-    """
 
-    def __init__(self, children_per_parent: int = 450, parent_column: str = PARENT_ID_COLUMN):
+    Zero-record skip
+    (delegate/ProgramMembersBulkExtractInputPlugin.java:196-206): the
+    export-job STATUS reports ``numberOfRecords`` before any stream is
+    opened; a 0-record parent is skipped without a single page fetch.
+    Per-parent record counts are surfaced through the optional
+    ``metrics`` actor (``parent_records.<id>``), the engine analog of
+    the reference's per-task report; ``pages_fetched`` counts actual
+    page calls, so a skipped parent provably fetches nothing."""
+
+    def __init__(
+        self,
+        children_per_parent: int = 450,
+        parent_column: str = PARENT_ID_COLUMN,
+        children_counts: dict[int, int] | None = None,
+        metrics=None,
+    ):
         self.children_per_parent = children_per_parent
         self.parent_column = parent_column
+        self.children_counts = children_counts or {}
+        self.metrics = metrics
 
     def __call__(self, batch: pa.Table):
         for parent_id in batch.column("parent_id").to_pylist():
-            server = FixtureServer(n_records=self.children_per_parent)
+            n = self.children_counts.get(parent_id, self.children_per_parent)
+            # export-job status first (partition metadata), then skip
+            # 0-record parents before any child stream opens
+            if self.metrics is not None:
+                self.metrics.inc.remote(f"parent_records.{parent_id}", n)
+            if n == 0:
+                continue
+            server = FixtureServer(n_records=n)
             for page in iter_token_pages(server):
+                if self.metrics is not None:
+                    self.metrics.inc.remote("pages_fetched", 1)
                 # M8: annotate each child with its parent id
                 tagged = page.append_column(
                     self.parent_column,
@@ -57,8 +82,16 @@ def read_children_of(
     children_per_parent: int = 450,
     max_concurrent_jobs: int = 2,
     parent_column: str = PARENT_ID_COLUMN,
+    children_counts: dict[int, int] | None = None,
+    metrics=None,
 ) -> "ray.data.Dataset":
-    """All children of all parents, each row tagged with its parent id."""
+    """All children of all parents, each row tagged with its parent id.
+
+    ``children_counts`` overrides the per-parent record count (the
+    fixture analog of the export-job status' ``numberOfRecords``);
+    parents mapped to 0 are skipped without opening a child stream.
+    ``metrics`` is an optional MetricsActor handle receiving per-parent
+    counts + page-fetch counters."""
     specs = ray.data.from_items([{"parent_id": p} for p in parent_ids])
     # one parent per task so the pool cap = concurrent "export jobs"
     specs = specs.repartition(max(len(parent_ids), 1))
@@ -70,6 +103,8 @@ def read_children_of(
         fn_constructor_kwargs={
             "children_per_parent": children_per_parent,
             "parent_column": parent_column,
+            "children_counts": children_counts,
+            "metrics": metrics,
         },
     )
 

@@ -482,13 +482,22 @@ def _exact_topk(
         )
         if group.num_rows == 0:
             return empty
-        import pandas as pd
-
-        df = group.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
-        df = df.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(
-            df[["query_id", "neighbor_id", "rank"]], preserve_index=False
+        # numpy argsort kernel (the repo's kernel idiom — no pandas in
+        # the hot path): dedup neighbors (duplicate candidate pairs
+        # from several buckets carry identical cos — same vectors),
+        # then top-k by (cos desc, neighbor_id asc)
+        qid = np.asarray(group.column("query_id"), dtype=np.int64)
+        nid = np.asarray(group.column("neighbor_id"), dtype=np.int64)
+        cos = np.asarray(group.column("cos"), dtype=np.float64)
+        uniq_nid, first_idx = np.unique(nid, return_index=True)
+        c = cos[first_idx]
+        order = np.lexsort((uniq_nid, -c))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(qid[first_idx][order], type=pa.int64()),
+                "neighbor_id": pa.array(uniq_nid[order], type=pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
         )
 
     return grouped_map(pairs, ["query_id"], topk, num_partitions=max(n_queries, 1))

@@ -442,19 +442,60 @@ class Decontaminator:
 
 BLOOM_K = 4  # probes per key; ~0.6% fp at 10 bits/key
 
+# polynomial-hash bases: FNV-1a prime + the 64-bit golden ratio. The
+# hash must be VERSION-INDEPENDENT: the bloom fold runs on the driver
+# and the probe in worker processes, and on a cluster with mismatched
+# library builds a library-internal hash (e.g. polars') would make the
+# bitsets disagree — real benchmark grams would be dropped BEFORE the
+# exact verify (silent false negatives). This hash depends only on the
+# string bytes and numpy's uint64 wraparound, identical everywhere.
+_BLOOM_BASE1 = np.uint64(1099511628211)
+_BLOOM_BASE2 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _poly_hash64(arr, base: np.uint64, seed: np.uint64) -> np.ndarray:
+    """Vectorized 64-bit polynomial string hash straight off the Arrow
+    buffers: ``h(s) = seed*base^len + sum(b_i * base^(len-1-i))`` mod
+    2^64. One reduceat over the flattened byte region — no per-row
+    Python, no library-internal hash."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = off[1:] - off[:-1]
+    total = int(off[-1] - off[0])
+    maxlen = int(lens.max()) if n else 0
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the mod 2^64
+        pows = np.ones(maxlen + 1, dtype=np.uint64)
+        for i in range(1, maxlen + 1):
+            pows[i] = pows[i - 1] * base
+        h = seed * pows[lens]
+        if total:
+            b = data[off[0] : off[-1]].astype(np.uint64)
+            gstart = off[:-1] - off[0]
+            pos = np.arange(total, dtype=np.int64) - np.repeat(gstart, lens)
+            e = np.repeat(lens, lens) - 1 - pos
+            terms = b * pows[e]
+            nz = lens > 0
+            h[nz] += np.add.reduceat(terms, gstart[nz])
+    return h
+
 
 def bloom_positions(grams, m_bits: int, k: int = BLOOM_K) -> np.ndarray:
     """``(len, k)`` bit positions for each gram: two independent
-    vectorized 64-bit string hashes (polars) combined by double
+    version-stable vectorized 64-bit string hashes combined by double
     hashing (``h1 + i*h2``, ``h2`` forced odd so the probe sequence
     cycles the full power-of-two table). No per-row Python."""
-    import polars as pl
-
     if isinstance(grams, pa.ChunkedArray):
         grams = grams.combine_chunks()
-    s = pl.from_arrow(grams)
-    h1 = s.hash(seed=0x51ED2701).to_numpy().astype(np.uint64)
-    h2 = s.hash(seed=0x2545F491).to_numpy().astype(np.uint64) | np.uint64(1)
+    h1 = _poly_hash64(grams, _BLOOM_BASE1, np.uint64(0x51ED2701))
+    h2 = _poly_hash64(grams, _BLOOM_BASE2, np.uint64(0x2545F491)) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)
     return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m_bits - 1)
 

@@ -8,8 +8,8 @@ On a real fixed-size cluster:
 
     ray job submit --address http://<head>:8265 --working-dir . \
         -- python scripts/index_ingest.py sig ingest \
-           --index-dir s3://bucket/sig_index \
-           --input s3://bucket/docs_batch_0042.parquet \
+           --index-dir /mnt/shared/sig_index \
+           --input /mnt/shared/docs_batch_0042.parquet \
            --ingest-id batch_0042
 
     python scripts/index_ingest.py vec ingest --index-dir ... \
@@ -17,13 +17,23 @@ On a real fixed-size cluster:
     python scripts/index_ingest.py sig compact --index-dir ...
     python scripts/index_ingest.py vec vacuum  --index-dir ...
 
+``--index-dir`` must be a POSIX path on a filesystem shared by the
+driver and every Ray worker (NFS/EFS/Lustre): the index manages its
+manifest and data files with local-filesystem primitives (atomic
+``os.replace`` commits), which do not exist on ``s3://`` object
+stores. ``--input`` may be any path/URI ``ray.data.read_parquet``
+accepts, including object stores.
+
 ``--ingest-id`` is the exactly-once key: re-submitting a committed id
 replays the recorded result; retrying after a crash rewrites the
 partial files deterministically and commits. Compaction folds each
 bucket/cluster's per-ingest files into one base (probe fan-in drops to
-one file per bucket), vacuum reclaims what the manifest no longer
-references — both safe to run any time, including concurrently with
-reads (readers resolve files only through the committed manifest).
+one file per bucket). Vacuum reclaims what the manifest no longer
+references — safe concurrently with reads (readers resolve files only
+through the committed manifest); an IN-FLIGHT ingest's uncommitted
+files are protected by the default 15-minute modification-time grace
+window, so don't pass ``grace_seconds=0`` while an ingest may be
+running.
 """
 
 from __future__ import annotations

@@ -91,3 +91,65 @@ def test_activity_type_ids_sanitation():
         sanitize_activity_type_ids(["1", "x", "", "-3"])
     with pytest.raises(ValueError, match=r"Invalid activity type ids: \[99\], Available"):
         sanitize_activity_type_ids(["1", "99"])
+
+
+def test_full_readme_key_surface_validates():
+    """README.md:44-179: every documented config key is accepted and
+    threaded; unknown keys reject like the reference's ConfigMapper."""
+    from embulk_input_marketo_ray.config import validate_config
+
+    cfg = validate_config(
+        {
+            "target": "lead",
+            "account_id": "muchkin123",
+            "client_id": "cid",
+            "client_secret": "secret",
+            "partner_api_key": "pk-123",
+            "marketo_limit_interval_milis": 20,
+            "batch_size": 900,
+            "max_return": 500,
+            "from_date": "2024-01-01",
+            "fetch_days": 7,
+            "polling_interval_second": 60,
+            "bulk_job_timeout_second": 3600,
+            "incremental": True,
+            "incremental_column": "createdAt",
+            "escape": '"',
+            "quote": '"',
+            "quotes_in_quoted_fields": "ACCEPT_ONLY_RFC4180_ESCAPED",
+            "included_fields": ["score"],
+        }
+    )
+    assert cfg["partner_api_key"] == "pk-123"
+    assert cfg["batch_size"] == 300  # hard cap
+    assert cfg["max_return"] == 200  # hard cap
+    with pytest.raises(ValueError, match="unknown config keys"):
+        validate_config({"target": "lead", "from_date": "2024-01-01", "bogus_key": 1})
+    with pytest.raises(ValueError, match="quotes_in_quoted_fields"):
+        validate_config(
+            {"target": "campaign", "quotes_in_quoted_fields": "SOMETIMES"}
+        )
+
+
+def test_incremental_column_updated_at_maps_to_rejection():
+    """incremental_column=updatedAt is the same rule as use_updated_at
+    (MarketoBaseBulkExtractInputPlugin.java:102-106)."""
+    from embulk_input_marketo_ray.config import validate_config
+
+    with pytest.raises(ValueError, match="cannot be incremental imported"):
+        validate_config(
+            {
+                "target": "lead",
+                "from_date": "2024-01-01",
+                "incremental_column": "updatedAt",
+            }
+        )
+    cfg = validate_config(
+        {
+            "target": "lead",
+            "from_date": "2024-01-01",
+            "incremental_column": "updatedAt",
+            "incremental": False,
+        }
+    )
+    assert cfg["use_updated_at"] is True

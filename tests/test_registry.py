@@ -35,15 +35,102 @@ def test_program_tag_validation():
         build_target("program", {"query_by": "bogus"})
 
 
-def test_custom_object_requires_api_name_and_covers_id_range():
+CO_BASE = {"custom_object_api_name": "car_c", "custom_object_filter_type": "id"}
+
+
+def test_custom_object_validation_mirrors_reference():
+    """CustomObjectInputPluginTest:65-108: blank filter_type, blank
+    api_name, inverted range, empty / all-blank filter_values each
+    reject with the reference's error."""
+    with pytest.raises(ValueError, match="custom_object_filter_type"):
+        build_target("custom_object", {"custom_object_api_name": "car_c"})
     with pytest.raises(ValueError, match="custom_object_api_name"):
-        build_target("custom_object")
-    ds = build_target(
-        "custom_object",
-        {"custom_object_api_name": "car_c", "from_value": 1, "to_value": 650},
-    )
+        build_target("custom_object", {"custom_object_filter_type": "id"})
+    with pytest.raises(ValueError, match="cannot be less than"):
+        build_target("custom_object", {**CO_BASE, "from_value": 10, "to_value": 5})
+    with pytest.raises(ValueError, match="empty values only"):
+        build_target("custom_object", {**CO_BASE, "custom_object_filter_values": ""})
+    with pytest.raises(ValueError, match="empty values only"):
+        build_target(
+            "custom_object", {**CO_BASE, "custom_object_filter_values": ",, , "}
+        )
+
+
+def test_custom_object_covers_id_range():
+    ds = build_target("custom_object", {**CO_BASE, "from_value": 1, "to_value": 650})
     ids = sorted(r["id"] for r in ds.take_all())
     assert ids == list(range(1, 651))
+
+
+def test_custom_object_explicit_filter_values():
+    """testRunStringFilterValues analog: the refined value list (trim,
+    drop blanks, dedup) is queried directly; values absent from the
+    object universe return no record."""
+    ds = build_target(
+        "custom_object",
+        {
+            **CO_BASE,
+            "custom_object_filter_values": " 5 ,6,, 6 ,900,abc",
+            "existing_ids": range(1, 701),
+        },
+    )
+    ids = sorted(r["id"] for r in ds.take_all())
+    assert ids == [5, 6]  # 900 outside the universe, abc non-numeric
+
+
+def test_custom_object_open_ended_stops_at_empty_chunk():
+    """testRunFromOnlyFilter + rest/MarketoRestClient.java:561-565: no
+    to_value walks consecutive 300-id chunks and STOPS at the first
+    empty one — ids past a >=300-id gap are never reached."""
+    ds = build_target(
+        "custom_object",
+        {**CO_BASE, "from_value": 1, "existing_ids": list(range(1, 51)) + [1000]},
+    )
+    ids = sorted(r["id"] for r in ds.take_all())
+    assert ids == list(range(1, 51))  # 1000 beyond the empty [301,600] chunk
+
+    # dense default universe: from-only covers 1..n_objects
+    ds2 = build_target("custom_object", {**CO_BASE, "n_objects": 420})
+    assert sorted(r["id"] for r in ds2.take_all()) == list(range(1, 421))
+
+
+def test_program_date_range_filters():
+    """ProgramInputPlugin date_range parity: earliest/latest window
+    (server-side), report_duration preferred over latest, filter_type
+    requires filter_values, inverted range rejects."""
+    with pytest.raises(ValueError, match="filter_value is required"):
+        build_target("program", {"filter_type": "type"})
+    with pytest.raises(ValueError, match="earliest_updated_at"):
+        build_target("program", {"latest_day": 5})
+    with pytest.raises(ValueError, match="Invalid date range"):
+        build_target("program", {"earliest_day": 9, "latest_day": 3})
+
+    # day window: fixture day = id % 30
+    ds = build_target("program", {"n_records": 300, "earliest_day": 2, "latest_day": 4})
+    ids = sorted(r["id"] for r in ds.take_all())
+    assert ids == [i for i in range(300) if 2 <= i % 30 <= 4]
+
+    # report_duration wins over latest_day
+    ds2 = build_target(
+        "program",
+        {"n_records": 300, "earliest_day": 2, "latest_day": 20, "report_duration_days": 2},
+    )
+    assert sorted(r["id"] for r in ds2.take_all()) == ids
+
+    # filter_type/filter_values refine the date-range set server-side
+    ds3 = build_target(
+        "program",
+        {
+            "n_records": 300,
+            "earliest_day": 2,
+            "latest_day": 4,
+            "filter_type": "type",
+            "filter_values": "trigger",
+        },
+    )
+    got = {(r["id"], r["type"]) for r in ds3.take_all()}
+    assert got and all(t == "trigger" for _, t in got)
+    assert {i for i, _ in got} == {i for i in ids if i % 3 == 0}
 
 
 def test_lead_with_list_and_program_members():
