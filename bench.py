@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "doc_keyterms",
     "event_hop_windows",
     "bigram_collocations",
+    "custom_object_filter_values",
+    "program_date_range",
 ]
 
 
@@ -224,6 +226,10 @@ def run_bench() -> dict:
             # engine default "auto" picks the late (two-phase) plan on
             # version-heavy windows; override for A/B sweeps
             materialization=os.environ.get("GRAFT_MAT", "auto"),
+            # "auto" -> ipc on /dev/shm; GRAFT_FRAG=ipc_lz4 trades ~5 ms
+            # encode CPU per 10k-row block for 2.5x fewer bytes through
+            # the exchange (the bandwidth-weather knob, BASELINE.md)
+            fragment_format=os.environ.get("GRAFT_FRAG", "auto"),
             # the fused ingest stage is the CPU-dominant stage: let the
             # autoscaling pool reach every CPU; backpressure sizes it down
             extractor_concurrency=(2, NUM_CPUS),

@@ -2031,8 +2031,8 @@ def q_doc_decontaminate(sf_dir: str):
         return grams.group_by(["gram"]).aggregate([]).select(["gram"])
 
     gram_set: set = set()
-    for block in ray.get(
-        ds.map_batches(bench_gram_block, batch_format="pyarrow").to_arrow_refs()
+    for block in ds.map_batches(bench_gram_block, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
     ):
         if block.num_rows:
             gram_set.update(block.column("gram").to_pylist())
@@ -2115,6 +2115,7 @@ def _budgeted_vocab_broadcast(counts_ds, key_col: str, val_col: str, limit: int)
     the keyed hash join). The shared small-side attach of the token
     operators (rarity / keyterms / collocations): one broadcast object,
     in-block ``searchsorted`` lookups, zero join exchanges."""
+    counts_ds = counts_ds.materialize()  # count + collect = ONE execution
     n = counts_ds.count()
     if n > limit:
         return None

@@ -240,6 +240,47 @@ def candidate_pairs_block(block: pa.Table) -> pa.Table:
     )
 
 
+def pack_sigs(col, num_perm: int) -> pa.Array:
+    """Fixed-size-list minhash -> variable-width binary (one 8*num_perm
+    byte blob per row). Exchange rows that DON'T carry a signature ride
+    as plain nulls costing zero bytes — a null fixed-size list still
+    allocates its full child storage (520 B/row of zeros through every
+    exchange), which is why signatures never cross an exchange as
+    lists."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = np.asarray(col.flatten(), dtype=np.uint64)
+    width = 8 * num_perm
+    offsets = np.arange(0, (n + 1) * width, width, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
+def unpack_sigs(col, num_perm: int) -> np.ndarray:
+    """Binary-packed signatures -> (n, num_perm) uint64 matrix. Rows of
+    a fresh (post-take/filter) binary array are back-to-back in the
+    data buffer, so this is one zero-copy frombuffer, no per-row
+    gather."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    width = 8 * num_perm
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ]
+    if off[-1] - off[0] != n * width or not ((off[1:] - off[:-1]) == width).all():
+        raise ValueError("packed signature rows must all be 8*num_perm bytes")
+    return np.frombuffer(
+        col.buffers()[2], dtype=np.uint64, count=n * num_perm, offset=int(off[0])
+    ).reshape(n, num_perm)
+
+
 def _slots_schema(num_perm: int) -> pa.Schema:
     return pa.schema(
         [
@@ -248,7 +289,7 @@ def _slots_schema(num_perm: int) -> pa.Schema:
             ("pair_other", pa.int64()),
             ("other_is_old", pa.int32()),
             ("slot", pa.int32()),
-            ("minhash", pa.list_(pa.uint64(), num_perm)),
+            ("minhash", pa.binary()),
         ]
     )
 
@@ -288,7 +329,7 @@ def attach_and_verify_sigs(pairs, sigs, num_perm: int, agree_slots: int):
                 "slot": pa.array(
                     np.repeat(np.array([0, 1], dtype=np.int32), n), type=pa.int32()
                 ),
-                "minhash": pa.nulls(2 * n, type=pa.list_(pa.uint64(), num_perm)),
+                "minhash": pa.nulls(2 * n, type=pa.binary()),
             }
         )
 
@@ -301,7 +342,7 @@ def attach_and_verify_sigs(pairs, sigs, num_perm: int, agree_slots: int):
                 "pair_other": pa.nulls(n, type=pa.int64()),
                 "other_is_old": pa.nulls(n, type=pa.int32()),
                 "slot": pa.array(np.full(n, -1, dtype=np.int32), type=pa.int32()),
-                "minhash": batch.column("minhash"),
+                "minhash": pack_sigs(batch.column("minhash"), num_perm),
             }
         )
 
@@ -316,7 +357,7 @@ def attach_and_verify_sigs(pairs, sigs, num_perm: int, agree_slots: int):
             ("pair_other", pa.int64()),
             ("other_is_old", pa.int32()),
             ("slot", pa.int32()),
-            ("minhash", pa.list_(pa.uint64(), num_perm)),
+            ("minhash", pa.binary()),
         ]
     )
 
@@ -378,9 +419,7 @@ def attach_and_verify_sigs(pairs, sigs, num_perm: int, agree_slots: int):
         o = np.asarray(t.column("pair_other"), dtype=np.int64)
         slot = np.asarray(t.column("slot"), dtype=np.int32)
         old = np.asarray(t.column("other_is_old"), dtype=np.int32)
-        sigs_m = np.asarray(t.column("minhash").combine_chunks().flatten()).reshape(
-            len(d), num_perm
-        )
+        sigs_m = unpack_sigs(t.column("minhash"), num_perm)
         new_run = np.r_[True, (d[1:] != d[:-1]) | (o[1:] != o[:-1])]
         starts = np.flatnonzero(new_run)
         counts = np.diff(np.r_[starts, len(d)])
@@ -554,102 +593,104 @@ def ingest(index_dir: str, docs, ingest_id: str):
     sigs_all = sig_sides[0] if len(sig_sides) == 1 else sig_sides[0].union(sig_sides[1])
     verified = attach_and_verify_sigs(pairs, sigs_all, num_perm, agree_slots)
 
-    # 4. verdicts, assembled INSIDE a keyed exchange (no driver
-    # per-row work): verified pair rows and the batch's id rows
-    # co-partition on doc_id, then a per-block grouped-min kernel
-    # picks the min verified OLD target (old dominates) else the min
-    # NEW target, else admits. The driver only concatenates the
-    # finished verdict blocks (arrow-level, returned per contract).
+    # 4. verdicts. The per-doc (min old target, min new target) fold
+    # happens INSIDE the verify execution: a per-block arrow group-min
+    # appended to the judge's map chain shrinks every block to <= 2
+    # tiny rows per doc BEFORE anything reaches the driver (no extra
+    # exchange — a keyed verdict repartition was measured at +10 s per
+    # 10k-doc wave in pure hash-shuffle fixed cost). The driver then
+    # merges the partial mins and builds the result table with
+    # vectorized numpy only — no per-row Python at any batch size.
     _IMAX = np.iinfo(np.int64).max
-
-    def id_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id").cast(pa.int64()),
-                "other": pa.nulls(n, type=pa.int64()),
-                "other_is_old": pa.array(
-                    np.full(n, -1, dtype=np.int32), type=pa.int32()
-                ),
-            }
-        )
-
-    tagged_verdict = verified.union(
-        sigs_new.select_columns(["doc_id"]).map_batches(
-            id_rows, batch_format="pyarrow"
-        )
-    )
-    by_doc = _keyed_repartition(tagged_verdict, _shuffle_width(), ["doc_id"])
-
-    _VERDICT_SCHEMA = pa.schema(
-        [("doc_id", pa.int64()), ("status", pa.string()), ("dup_of", pa.int64())]
+    _PARTIAL_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("other_is_old", pa.int32()), ("min_other", pa.int64())]
     )
 
-    def verdict_block(block: pa.Table) -> pa.Table:
+    def partial_min_fold(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
-            return _VERDICT_SCHEMA.empty_table()
-        order = pc.sort_indices(block, sort_keys=[("doc_id", "ascending")])
-        t = block.take(order)
-        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
-        other = np.asarray(
-            pc.fill_null(t.column("other"), pa.scalar(_IMAX, pa.int64())),
-            dtype=np.int64,
-        )
-        flag = np.asarray(t.column("other_is_old"), dtype=np.int32)
-        new_run = np.r_[True, ids[1:] != ids[:-1]]
-        run_idx = np.cumsum(new_run) - 1
-        starts = np.flatnonzero(new_run)
-        n_runs = len(starts)
-        min_old = np.minimum.reduceat(np.where(flag == 1, other, _IMAX), starts)
-        min_new = np.minimum.reduceat(np.where(flag == 0, other, _IMAX), starts)
-        # emit only docs present in the batch (id row, flag -1); pair
-        # doc_ids are batch docs by construction, so this is the guard
-        has_id = np.zeros(n_runs, dtype=bool)
-        has_id[run_idx[flag == -1]] = True
-        keep = np.flatnonzero(has_id)
-        mo, mn = min_old[keep], min_new[keep]
-        is_dup = (mo < _IMAX) | (mn < _IMAX)
-        dup_of = np.where(mo < _IMAX, mo, mn)
+            return _PARTIAL_SCHEMA.empty_table()
+        g = block.group_by(["doc_id", "other_is_old"]).aggregate([("other", "min")])
         return pa.table(
             {
-                "doc_id": pa.array(ids[starts[keep]], type=pa.int64()),
-                "status": pc.if_else(
-                    pa.array(is_dup), pa.scalar("dup"), pa.scalar("admitted")
-                ),
-                "dup_of": pa.array(dup_of, type=pa.int64(), mask=~is_dup),
+                "doc_id": g.column("doc_id"),
+                "other_is_old": g.column("other_is_old"),
+                "min_other": g.column("other_min"),
             }
         )
 
-    verdict_parts = [
+    # STREAMING collection (iter_batches, whole blocks): to_arrow_refs
+    # takes the bulk-materialize path, which was measured ~2x slower
+    # than streaming consumption for this chained-exchange pipeline
+    partial_parts = [
         t
-        for t in ray.get(
-            by_doc.map_batches(
-                verdict_block,
-                batch_size=None,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).to_arrow_refs()
-        )
+        for t in verified.map_batches(
+            partial_min_fold,
+            batch_size=None,  # whole-block: fuses with judge, keeps
+            batch_format="pyarrow",  # the 64-way task parallelism
+            zero_copy_batch=True,
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
         if t.num_rows
     ]
-    result = (
-        pa.concat_tables(verdict_parts)
-        if verdict_parts
-        else _VERDICT_SCHEMA.empty_table()
+    if partial_parts:
+        pt = pa.concat_tables(partial_parts)
+        p_ids = np.asarray(pt.column("doc_id"), dtype=np.int64)
+        p_flag = np.asarray(pt.column("other_is_old"), dtype=np.int32)
+        p_min = np.asarray(pt.column("min_other"), dtype=np.int64)
+    else:
+        p_ids = np.empty(0, dtype=np.int64)
+        p_flag = np.empty(0, dtype=np.int32)
+        p_min = np.empty(0, dtype=np.int64)
+
+    # all batch ids (sigs_new is materialized; arrow-refs concat only)
+    id_parts = [
+        t
+        for t in ray.get(sigs_new.select_columns(["doc_id"]).to_arrow_refs())
+        if t.num_rows
+    ]
+    all_ids = np.sort(
+        np.concatenate(
+            [np.asarray(t.column("doc_id"), dtype=np.int64) for t in id_parts]
+        )
+        if id_parts
+        else np.empty(0, dtype=np.int64)
     )
-    result = result.take(
-        pc.sort_indices(result, sort_keys=[("doc_id", "ascending")])
-    ).combine_chunks()
+
+    def _final_min(flag_val: int) -> np.ndarray:
+        """min target per doc in all_ids order (IMAX = none), merged
+        from the per-block partials with one sort + reduceat."""
+        out = np.full(len(all_ids), _IMAX, dtype=np.int64)
+        sel = p_flag == flag_val
+        if not sel.any():
+            return out
+        ids, mins = p_ids[sel], p_min[sel]
+        order = np.argsort(ids, kind="stable")
+        ids, mins = ids[order], mins[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        run_min = np.minimum.reduceat(mins, starts)
+        pos = np.searchsorted(all_ids, ids[starts])
+        out[pos] = run_min  # pair doc_ids are batch ids by construction
+        return out
+
+    best_old = _final_min(1)
+    best_new = _final_min(0)
+    is_dup = (best_old < _IMAX) | (best_new < _IMAX)
+    dup_of = np.where(best_old < _IMAX, best_old, best_new)
+    result = pa.table(
+        {
+            "doc_id": pa.array(all_ids, type=pa.int64()),
+            "status": pc.if_else(
+                pa.array(is_dup), pa.scalar("dup"), pa.scalar("admitted")
+            ),
+            "dup_of": pa.array(dup_of, type=pa.int64(), mask=~is_dup),
+        }
+    )
     n_docs = result.num_rows
-    dup_id_arr = np.asarray(
-        result.filter(pc.equal(result.column("status"), "dup")).column("doc_id"),
-        dtype=np.int64,
-    )
+    dup_id_arr = all_ids[is_dup]
 
     # 5. append admitted docs' bands + sigs, one file per bucket;
     # the dup id set is bounded by the ingest batch (broadcast is the
     # small side — a CDC batch, never the lake)
-    dup_ref = ray.put(np.sort(dup_id_arr))
+    dup_ref = ray.put(dup_id_arr)  # already sorted (all_ids order)
 
     def admitted_only(batch: pa.Table) -> pa.Table:
         dup_arr = ray.get(dup_ref)
@@ -661,64 +702,112 @@ def ingest(index_dir: str, docs, ingest_id: str):
         keep = dup_arr[pos] != ids
         return batch.filter(pa.array(keep))
 
-    def write_bucket_file(kind: str):
-        def _write(block: pa.Table) -> pa.Table:
-            if block.num_rows == 0:
-                return pa.table({"bucket": pa.array([], type=pa.int32())})
-            buckets = np.unique(np.asarray(block.column("bucket"), dtype=np.int32))
+    # both index appends ride ONE tagged-union exchange keyed on
+    # (kind, bucket) — band rows and signature rows co-partition, each
+    # block writes its (kind, bucket) files, and the ingest spends one
+    # dataset execution on the append instead of two. Signatures cross
+    # the exchange PACKED as variable binary (zero bytes on band rows,
+    # see pack_sigs) and are unpacked back to the on-disk
+    # fixed-size-list schema at the writer.
+    def band_rows_u(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
+                "bucket": batch.column("bucket"),
+                "band": batch.column("band"),
+                "band_hash": batch.column("band_hash"),
+                "doc_id": batch.column("doc_id"),
+                "minhash": pa.nulls(n, type=pa.binary()),
+            }
+        )
+
+    def sig_rows_u(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bucket = (
+            np.asarray(batch.column("doc_id"), dtype=np.int64) % num_buckets
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(n, dtype=np.int32), type=pa.int32()),
+                "bucket": pa.array(bucket, type=pa.int32()),
+                "band": pa.nulls(n, type=pa.int32()),
+                "band_hash": pa.nulls(n, type=pa.uint64()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "minhash": pack_sigs(batch.column("minhash"), num_perm),
+            }
+        )
+
+    append_union = (
+        bands_new.map_batches(admitted_only, batch_format="pyarrow")
+        .select_columns(["band", "band_hash", "doc_id", "bucket"])
+        .map_batches(band_rows_u, batch_format="pyarrow")
+        .union(
+            sigs_new.map_batches(admitted_only, batch_format="pyarrow").map_batches(
+                sig_rows_u, batch_format="pyarrow"
+            )
+        )
+    )
+
+    def write_bucket_files(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        out_kind, out_bucket = [], []
+        for kind_code, kind, cols in (
+            (0, "bands", ["band", "band_hash", "doc_id"]),
+            (1, "sigs", ["doc_id", "minhash"]),
+        ):
+            side = block.filter(
+                pc.equal(block.column("kind"), pa.scalar(kind_code, pa.int32()))
+            )
+            if side.num_rows == 0:
+                continue
+            buckets = np.unique(np.asarray(side.column("bucket"), dtype=np.int32))
             for bkt in buckets:
-                part = block.filter(
-                    pc.equal(block.column("bucket"), pa.scalar(int(bkt), pa.int32()))
-                ).drop_columns(["bucket"])
+                part = side.filter(
+                    pc.equal(side.column("bucket"), pa.scalar(int(bkt), pa.int32()))
+                ).select(cols)
+                if kind_code == 1:
+                    mat = unpack_sigs(part.column("minhash"), num_perm)
+                    part = part.set_column(
+                        part.schema.get_field_index("minhash"),
+                        "minhash",
+                        pa.FixedSizeListArray.from_arrays(
+                            pa.array(mat.reshape(-1), type=pa.uint64()), num_perm
+                        ),
+                    )
                 _atomic_write(
                     part,
                     os.path.join(
                         index_dir, kind, f"bucket={int(bkt)}", f"{ingest_id}.parquet"
                     ),
                 )
-            return pa.table({"bucket": pa.array(buckets, type=pa.int32())})
+                out_kind.append(kind_code)
+                out_bucket.append(int(bkt))
+        return pa.table(
+            {
+                "kind": pa.array(out_kind, type=pa.int32()),
+                "bucket": pa.array(out_bucket, type=pa.int32()),
+            }
+        )
 
-        return _write
-
-    band_cols = bands_new.map_batches(admitted_only, batch_format="pyarrow").select_columns(
-        ["band", "band_hash", "doc_id", "bucket"]
+    written = (
+        _keyed_repartition(append_union, _shuffle_width(), ["kind", "bucket"])
+        .map_batches(
+            write_bucket_files,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
     )
-    written_band_buckets = sorted(
-        {
-            int(r["bucket"])
-            for r in _keyed_repartition(band_cols, _shuffle_width(), ["bucket"])
-            .map_batches(
-                write_bucket_file("bands"),
-                batch_size=None,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .take_all()
-        }
-    )
-
-    def sig_bucket(batch: pa.Table) -> pa.Table:
-        b = (
-            np.asarray(batch.column("doc_id"), dtype=np.int64) % num_buckets
-        ).astype(np.int32)
-        return batch.append_column("bucket", pa.array(b, type=pa.int32()))
-
-    sig_cols = sigs_new.map_batches(admitted_only, batch_format="pyarrow").map_batches(
-        sig_bucket, batch_format="pyarrow"
-    )
-    written_sig_buckets = sorted(
-        {
-            int(r["bucket"])
-            for r in _keyed_repartition(sig_cols, _shuffle_width(), ["bucket"])
-            .map_batches(
-                write_bucket_file("sigs"),
-                batch_size=None,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .take_all()
-        }
-    )
+    written_band_buckets = sorted({r["bucket"] for r in written if r["kind"] == 0})
+    written_sig_buckets = sorted({r["bucket"] for r in written if r["kind"] == 1})
 
     # 6. record the result, then commit the manifest LAST
     _atomic_write(result, result_path)

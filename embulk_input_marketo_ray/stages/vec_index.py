@@ -158,10 +158,17 @@ def ingest_vectors(index_dir: str, vecs, ingest_id: str) -> dict:
             idx = pc.sort_indices(batch, sort_keys=[("vec_id", "ascending")])
             return batch.take(idx.slice(0, tr))
 
-        parts = ray.get(
-            vecs.map_batches(first_rows, batch_format="pyarrow").to_arrow_refs()
-        )
-        sample = pa.concat_tables([p for p in parts if p.num_rows]).combine_chunks()
+        # streaming collection: to_arrow_refs takes the bulk-materialize
+        # execution path, measured ~2x slower than streaming on chained
+        # pipelines (see sig_index partial-fold note)
+        parts = [
+            p
+            for p in vecs.map_batches(first_rows, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+            if p.num_rows
+        ]
+        sample = pa.concat_tables(parts).combine_chunks()
         idx = pc.sort_indices(sample, sort_keys=[("vec_id", "ascending")])
         sample = sample.take(idx.slice(0, tr))
         x = list_column_matrix(sample.column("embedding"))

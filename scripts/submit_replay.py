@@ -7,8 +7,15 @@ On a real fixed-size cluster:
         --working-dir . \
         -- python scripts/submit_replay.py \
            --events-dir s3://bucket/change_events \
-           --lake-dir s3://bucket/lake \
+           --lake-dir /mnt/shared/lake \
            --num-buckets 4096 --shuffle disk --lake-layout delta
+
+``--events-dir`` may be any path/URI ``ray.data.read_parquet``
+accepts, including object stores. ``--lake-dir`` (like the index dirs
+in ``index_ingest.py``) must be a POSIX path on a filesystem shared by
+the driver and every worker (NFS/EFS/Lustre): the sink's exactly-once
+commits use local-filesystem primitives (atomic ``os.replace``), which
+do not exist on ``s3://`` object stores.
 
 The job is driver-light by design: the driver plans the window, builds
 the Dataset pipeline and commits the manifest; all row work (extract ->
