@@ -170,6 +170,20 @@ def _read(sf_dir: str, name: str, columns=None, **kw):
     )
 
 
+def _read_events(columns=None, n: int | None = None):
+    """Events-fixture read with the same input-sized shuffle tuning as
+    ``_read``: without it a 20k-row fixture pays a full cluster-width
+    hash exchange (~4-5 s of aggregator spin-up + per-partition submit
+    wall for milliseconds of work)."""
+    import glob as _glob
+    import os as _os
+
+    events = _cdc_events_dir() if n is None else _cdc_events_dir(n)
+    files = sorted(_glob.glob(f"{events}/events_*.parquet"))
+    _tune_shuffle_for_bytes(sum(_os.path.getsize(f) for f in files))
+    return ray.data.read_parquet(files, columns=columns)
+
+
 
 # ---------------------------------------------------------------------------
 # generic keep-one-per-key (the LWW / dedup machinery on any Dataset)
@@ -1504,11 +1518,7 @@ def q_repo_churn_topk(sf_dir: str):
     per-block (repo, path) counts shrink each block before the shuffle
     (keyed by repo alone, so a repo's partials all land together), then
     a vectorized merge + run-rank per block. No global sort."""
-    import glob
-
-    events = _cdc_events_dir()
-    files = sorted(glob.glob(f"{events}/events_*.parquet"))
-    ds = ray.data.read_parquet(files, columns=["repo", "path"])
+    ds = _read_events(columns=["repo", "path"])
 
     def _n_changes(t: pa.Table) -> pa.Table:
         return t.rename_columns(
@@ -1605,11 +1615,7 @@ def q_cdc_parent_seq(sf_dir: str):
     on (repo, path) then a single vectorized sort + shifted-compare per
     block: a key's run is contiguous after the sort, so parent = the
     previous row unless a new key starts there. No global sort."""
-    import glob
-
-    events = _cdc_events_dir()
-    files = sorted(glob.glob(f"{events}/events_*.parquet"))
-    ds = ray.data.read_parquet(files, columns=["repo", "path", "commit_seq"])
+    ds = _read_events(columns=["repo", "path", "commit_seq"])
 
     def attach_parent(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
@@ -1714,11 +1720,7 @@ def q_commit_windows(sf_dir: str):
     moves only per-block partial rows; distinct paths resolve exactly
     because the exchange keys on repo (a repo's partials co-locate) and
     the merge groups (repo, window, path) before counting."""
-    import glob
-
-    events = _cdc_events_dir()
-    files = sorted(glob.glob(f"{events}/events_*.parquet"))
-    ds = ray.data.read_parquet(files, columns=["repo", "path", "commit_seq"])
+    ds = _read_events(columns=["repo", "path", "commit_seq"])
 
     def partial(batch: pa.Table) -> pa.Table:
         win = pc.divide(batch.column("commit_seq"), COMMIT_WINDOW_SECONDS)
@@ -1780,11 +1782,7 @@ def q_co_change_pairs(sf_dir: str):
     that caps per-window churn. A monorepo window touching 10^5 paths
     would emit 5e9 pairs; shrink the window (or pre-filter to hot
     paths via repo_churn_topk) before mining such repos."""
-    import glob
-
-    events = _cdc_events_dir()
-    files = sorted(glob.glob(f"{events}/events_*.parquet"))
-    ds = ray.data.read_parquet(files, columns=["repo", "path", "commit_seq"])
+    ds = _read_events(columns=["repo", "path", "commit_seq"])
 
     def distinct_win_path(batch: pa.Table) -> pa.Table:
         win = pc.cast(
