@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dup_pairs": q.q_doc_simhash_dup_pairs,
         "doc_repetition": q.q_doc_repetition,
         "doc_pii_scan": q.q_doc_pii_scan,
+        "doc_pii_redact": q.q_doc_pii_redact,
         "token_paged_source": q.q_token_paged_source,
         "offset_paged_source": q.q_offset_paged_source,
         "program_by_tag": q.q_program_by_tag,
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": q.q_doc_vocab_topk,
         "doc_heavy_hitters": q.q_doc_heavy_hitters,
         "doc_dedup_near": q.q_doc_dedup_near,
+        "doc_dedup_near_keep_best": q.q_doc_dedup_near_keep_best,
         "doc_topk_per_lang": q.q_doc_topk_per_lang,
         "doc_decontaminate": q.q_doc_decontaminate,
         "doc_decontaminate_bloom": q.q_doc_decontaminate_bloom,
@@ -383,6 +385,18 @@ def oracle_sql() -> dict[str, str]:
                     + len(regexp_extract_all(coalesce(text,''), '{PII_IPV4}'))) > 0 AS has_pii
             FROM documents
         """,
+        "doc_pii_redact": f"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(coalesce(text,''), '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_URL}', '<URL>', 'g'),
+                     '{PII_IPV4}', '<IP>', 'g') AS text,
+                   (len(regexp_extract_all(coalesce(text,''), '{PII_EMAIL}'))
+                    + len(regexp_extract_all(coalesce(text,''), '{PII_URL}'))
+                    + len(regexp_extract_all(coalesce(text,''), '{PII_IPV4}')))::BIGINT AS n_redactions
+            FROM documents
+        """,
         "doc_repetition": """
             WITH t AS (
               SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
@@ -418,6 +432,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (
               SELECT doc_id FROM read_parquet('{oracle_paths['doc_dup_clusters']}')
               WHERE doc_id != cluster_id)
+        """,
+        "doc_dedup_near_keep_best": f"""
+            WITH members AS (
+              SELECT doc_id, cluster_id
+              FROM read_parquet('{oracle_paths['doc_dup_clusters']}')
+            ),
+            ranked AS (
+              SELECT m.doc_id, m.cluster_id,
+                     row_number() OVER (
+                       PARTITION BY m.cluster_id
+                       ORDER BY d.n_chars DESC, m.doc_id) AS rn
+              FROM members m JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
         """,
         "ann_lsh_topk": f"SELECT * FROM read_parquet('{oracle_paths['ann_lsh_topk']}')",
         "ann_ivf_topk": f"SELECT * FROM read_parquet('{oracle_paths['ann_ivf_topk']}')",

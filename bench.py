@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "bigram_collocations",
     "custom_object_filter_values",
     "program_date_range",
+    "doc_pii_redact",
+    "doc_dedup_near_keep_best",
 ]
 
 

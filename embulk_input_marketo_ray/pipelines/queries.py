@@ -854,6 +854,17 @@ def q_doc_dedup_near(sf_dir: str, loser_broadcast_limit: int = 256 << 20):
         )
 
     losers_ds = clusters_ds.map_batches(to_losers, batch_format="pyarrow").materialize()
+    return _drop_losers(ds, losers_ds, loser_broadcast_limit)
+
+
+def _drop_losers(ds, losers_ds, loser_broadcast_limit: int):
+    """Budgeted drop of a loser-id set from a corpus id Dataset: the
+    shared tail of every near-dedup policy (min-id canonical,
+    keep-best). ``losers_ds`` must be materialized with a single
+    ``loser_id`` int64 column. Within budget: one ``ray.put`` of the
+    sorted ids + fused searchsorted filter (corpus never shuffles);
+    over budget: keyed anti-join (left-outer + keep-null), no driver
+    materialization of the loser set."""
     n_losers = losers_ds.count()
     if n_losers == 0:
         return ds
@@ -909,6 +920,122 @@ def q_doc_dedup_near(sf_dir: str, loser_broadcast_limit: int = 256 << 20):
         return batch.filter(pc.is_null(batch.column("__loser"))).select(["doc_id"])
 
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def q_doc_dedup_near_keep_best(sf_dir: str, loser_broadcast_limit: int = 256 << 20):
+    """Near-dedup that keeps the BEST cluster member instead of the
+    min-id one — the policy real curation pipelines use (keep the
+    longest/highest-quality copy of a near-dup cluster). Survivor per
+    cluster = max ``n_chars``, ties broken by min ``doc_id``;
+    non-members all survive.
+
+    Scale shape: cluster membership is ∝ the duplicate count (the
+    small side by design). Member lengths are fetched with a fused
+    broadcast-searchsorted filter over a two-column pruned read —
+    the corpus' text never moves and its id stream never shuffles.
+    One small keyed exchange on doc_id attaches lengths to members
+    (arrow group-max: null-tagged union rows collapse per doc), one
+    on cluster_id picks winners per block (clusters are whole per
+    partition), and the loser drop reuses the budgeted broadcast /
+    anti-join tail shared with ``q_doc_dedup_near``."""
+    _ensure_hash_shuffle()
+    clusters_ds = q_doc_dup_clusters(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    if clusters_ds.count() == 0:
+        return ds
+
+    members = clusters_ds.materialize()
+    member_ids = np.sort(
+        np.concatenate(
+            [
+                np.asarray(t.column("doc_id"), dtype=np.int64)
+                for t in ray.get(members.to_arrow_refs())
+                if t.num_rows
+            ]
+        )
+    )
+    ids_ref = ray.put(member_ids)
+
+    def member_lens(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
+        hit = batch.filter(pa.array(want[pos] == ids))
+        return pa.table(
+            {
+                "doc_id": hit.column("doc_id").cast(pa.int64()),
+                "cluster_id": pa.nulls(hit.num_rows, type=pa.int64()),
+                "n_chars": hit.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+                "n_chars": pa.nulls(batch.num_rows, type=pa.int64()),
+            }
+        )
+
+    lens_ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"]).map_batches(
+        member_lens, batch_format="pyarrow"
+    )
+    tagged = members.map_batches(member_rows, batch_format="pyarrow").union(lens_ds)
+
+    def attach(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        g = block.group_by(["doc_id"]).aggregate(
+            [("cluster_id", "max"), ("n_chars", "max")]
+        )
+        t = pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "cluster_id": g.column("cluster_id_max"),
+                "n_chars": g.column("n_chars_max"),
+            }
+        )
+        # length rows for non-members can only appear if the prefilter
+        # had a searchsorted clip hit; membership requires cluster_id
+        return t.filter(pc.is_valid(t.column("cluster_id")))
+
+    attached = _keyed_repartition(tagged, _shuffle_width(), ["doc_id"]).map_batches(
+        attach, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def losers_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"loser_id": pa.array([], pa.int64())})
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("cluster_id", "ascending"),
+                ("n_chars", "descending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        cid = np.asarray(t.column("cluster_id"), dtype=np.int64)
+        is_winner = np.r_[True, cid[1:] != cid[:-1]]
+        return pa.table(
+            {"loser_id": t.column("doc_id").filter(pa.array(~is_winner))}
+        )
+
+    losers_ds = (
+        _keyed_repartition(attached, _shuffle_width(), ["cluster_id"])
+        .map_batches(
+            losers_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .materialize()
+    )
+    return _drop_losers(ds, losers_ds, loser_broadcast_limit)
 
 
 def q_token_paged_source(sf_dir: str):
@@ -1089,6 +1216,20 @@ def q_doc_pii_scan(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(pii_scan, batch_format="pyarrow").select_columns(
         ["doc_id", "n_emails", "n_urls", "n_ipv4", "has_pii"]
+    )
+
+
+def q_doc_pii_redact(sf_dir: str):
+    """PII redaction transform (the publication step after the scan):
+    emails/URLs/IPv4 replaced with fixed tokens, per-doc redaction
+    count kept for audit. One fused streaming map over the corpus —
+    at 100 TB this is a pure map stage, no shuffle, content bytes
+    flow through once."""
+    from embulk_input_marketo_ray.stages.text import pii_redact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(pii_redact, batch_format="pyarrow").select_columns(
+        ["doc_id", "text", "n_redactions"]
     )
 
 

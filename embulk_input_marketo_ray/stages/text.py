@@ -331,6 +331,27 @@ def pii_scan(batch: pa.Table, text_column: str = "text") -> pa.Table:
     )
 
 
+def pii_redact(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Redacting transform — the publication step after ``pii_scan``:
+    emails -> ``<EMAIL>``, then URLs -> ``<URL>``, then dotted-quad
+    IPs -> ``<IP>`` (order matters and is fixed: an email inside a URL
+    is consumed by the email pass first; the oracle nests its
+    ``regexp_replace`` calls in the same order). ``n_redactions``
+    counts matches BEFORE replacement. Fully Arrow-vectorized — one
+    RE2 count + one RE2 replace per pattern per batch, no Python rows."""
+    text = pc.coalesce(batch.column(text_column), pa.scalar(""))
+    total = pc.count_substring_regex(text, pattern=PII_EMAIL).cast(pa.int64())
+    for pat in (PII_URL, PII_IPV4):
+        total = pc.add(total, pc.count_substring_regex(text, pattern=pat).cast(pa.int64()))
+    red = pc.replace_substring_regex(text, pattern=PII_EMAIL, replacement="<EMAIL>")
+    red = pc.replace_substring_regex(red, pattern=PII_URL, replacement="<URL>")
+    red = pc.replace_substring_regex(red, pattern=PII_IPV4, replacement="<IP>")
+    out = batch.set_column(
+        batch.schema.get_field_index(text_column), text_column, red
+    )
+    return out.append_column("n_redactions", total)
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap scan)
 # ---------------------------------------------------------------------------
