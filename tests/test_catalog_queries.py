@@ -502,6 +502,8 @@ def test_new_operators_survive_empty_corpus(ray_session, tmp_path):
         q.q_doc_boilerplate,
         q.q_doc_length_batches,
         q.q_doc_incremental_dedup,
+        q.q_doc_pii_redact,
+        q.q_doc_dedup_near_keep_best,
     ):
         res = fn(sf_dir)
         n = res.num_rows if isinstance(res, pa.Table) else res.count()

@@ -166,6 +166,27 @@ def test_dedup_near_anti_join_fallback_matches_broadcast():
     assert bcast == joined
 
 
+def test_keep_best_fallback_matches_broadcast_and_counts():
+    """keep-best near-dedup: the anti-join fallback produces the
+    identical survivor set, and the survivor COUNT equals the min-id
+    policy's (same clusters, exactly one survivor per cluster)."""
+    from embulk_input_marketo_ray.pipelines.queries import (
+        q_doc_dedup_near,
+        q_doc_dedup_near_keep_best,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    best = sorted(r["doc_id"] for r in q_doc_dedup_near_keep_best(sf).take_all())
+    joined = sorted(
+        r["doc_id"]
+        for r in q_doc_dedup_near_keep_best(sf, loser_broadcast_limit=0).take_all()
+    )
+    assert len(best) > 0
+    assert best == joined
+    minid = sorted(r["doc_id"] for r in q_doc_dedup_near(sf).take_all())
+    assert len(best) == len(minid)
+
+
 def test_hamming64_and_simhash_block_pairs():
     from embulk_input_marketo_ray.stages.dedup import (
         explode_simhash_blocks,
