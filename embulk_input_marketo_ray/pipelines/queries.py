@@ -930,13 +930,24 @@ def q_doc_dedup_near_keep_best(sf_dir: str, loser_broadcast_limit: int = 256 << 
     non-members all survive.
 
     Scale shape: cluster membership is ∝ the duplicate count (the
-    small side by design). Member lengths are fetched with a fused
-    broadcast-searchsorted filter over a two-column pruned read —
-    the corpus' text never moves and its id stream never shuffles.
-    One small keyed exchange on doc_id attaches lengths to members
-    (arrow group-max: null-tagged union rows collapse per doc), one
-    on cluster_id picks winners per block (clusters are whole per
-    partition), and the loser drop reuses the budgeted broadcast /
+    small side by design), and it is BUDGETED like every small-side
+    attach in this catalog (``loser_broadcast_limit``):
+
+    - within budget (the normal case): member ids broadcast once
+      (``ray.put``), member lengths fetched with a fused
+      broadcast-searchsorted filter over a two-column pruned read —
+      the corpus' text never moves and its id stream never shuffles —
+      and the per-cluster argmax is ONE driver-side lexsort over
+      member-only rows (three int64 columns ∝ the dup count). Zero
+      keyed exchanges beyond the clustering itself.
+    - over budget (a crawl where membership outgrows driver memory):
+      no driver-held member set at all — the full corpus' (doc_id,
+      n_chars) rows ride one keyed exchange on doc_id to meet the
+      member rows (arrow group-max collapses the null-tagged union),
+      and a second exchange on cluster_id picks winners per block
+      (clusters are whole per partition).
+
+    Either way the loser drop reuses the budgeted broadcast /
     anti-join tail shared with ``q_doc_dedup_near``."""
     _ensure_hash_shuffle()
     clusters_ds = q_doc_dup_clusters(sf_dir)
@@ -945,27 +956,69 @@ def q_doc_dedup_near_keep_best(sf_dir: str, loser_broadcast_limit: int = 256 << 
         return ds
 
     members = clusters_ds.materialize()
-    member_ids = np.sort(
-        np.concatenate(
-            [
-                np.asarray(t.column("doc_id"), dtype=np.int64)
-                for t in ray.get(members.to_arrow_refs())
-                if t.num_rows
-            ]
-        )
-    )
-    ids_ref = ray.put(member_ids)
+    n_members = members.count()
 
-    def member_lens(batch: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
-        hit = batch.filter(pa.array(want[pos] == ids))
+    if 8 * n_members <= loser_broadcast_limit:
+        # ---- broadcast path: no exchange, driver lexsort of members ----
+        member_tbl = pa.concat_tables(
+            [t for t in ray.get(members.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
+        m_ids = np.asarray(member_tbl.column("doc_id"), dtype=np.int64)
+        m_cids = np.asarray(member_tbl.column("cluster_id"), dtype=np.int64)
+        order = np.argsort(m_ids, kind="stable")
+        m_ids, m_cids = m_ids[order], m_cids[order]
+        ids_ref = ray.put(m_ids)
+
+        def member_lens(batch: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)  # zero-copy plasma view
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
+            hit = batch.filter(pa.array(want[pos] == ids))
+            return pa.table(
+                {
+                    "doc_id": hit.column("doc_id").cast(pa.int64()),
+                    "n_chars": hit.column("n_chars").cast(pa.int64()),
+                }
+            )
+
+        lens_parts = [
+            t
+            for t in _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+            .map_batches(member_lens, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+            if t.num_rows
+        ]
+        lens_tbl = (
+            pa.concat_tables(lens_parts).combine_chunks()
+            if lens_parts
+            else pa.table({"doc_id": pa.array([], pa.int64()), "n_chars": pa.array([], pa.int64())})
+        )
+        l_ids = np.asarray(lens_tbl.column("doc_id"), dtype=np.int64)
+        l_chars = np.asarray(lens_tbl.column("n_chars"), dtype=np.int64)
+        # align lengths to the sorted member vector (every member is a
+        # corpus doc, so the searchsorted hit is total)
+        pos = np.searchsorted(m_ids, l_ids)
+        chars = np.zeros(len(m_ids), dtype=np.int64)
+        chars[pos] = l_chars
+        # winner per cluster = max n_chars, ties min doc_id: lexsort is
+        # last-key-primary, so (doc_id, -n_chars, cluster_id) sorts by
+        # cluster, then length desc, then id asc — first row per
+        # cluster run is the winner, the rest are losers
+        w = np.lexsort((m_ids, -chars, m_cids))
+        cid_sorted = m_cids[w]
+        is_winner = np.r_[True, cid_sorted[1:] != cid_sorted[:-1]]
+        losers_ds = ray.data.from_arrow(
+            pa.table({"loser_id": pa.array(m_ids[w][~is_winner], type=pa.int64())})
+        ).materialize()
+        return _drop_losers(ds, losers_ds, loser_broadcast_limit)
+
+    # ---- exchange path: membership too big for any driver-held set ----
+    def member_lens_all(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": hit.column("doc_id").cast(pa.int64()),
-                "cluster_id": pa.nulls(hit.num_rows, type=pa.int64()),
-                "n_chars": hit.column("n_chars").cast(pa.int64()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cluster_id": pa.nulls(batch.num_rows, type=pa.int64()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
             }
         )
 
@@ -979,7 +1032,7 @@ def q_doc_dedup_near_keep_best(sf_dir: str, loser_broadcast_limit: int = 256 << 
         )
 
     lens_ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"]).map_batches(
-        member_lens, batch_format="pyarrow"
+        member_lens_all, batch_format="pyarrow"
     )
     tagged = members.map_batches(member_rows, batch_format="pyarrow").union(lens_ds)
 
