@@ -733,6 +733,11 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         raise ValueError(
             f"materialization must be 'auto', 'eager' or 'late', got {cfg.materialization!r}"
         )
+    if cfg.fragment_format not in ("auto", "parquet", "ipc", "ipc_lz4"):
+        raise ValueError(
+            "fragment_format must be 'auto', 'parquet', 'ipc' or 'ipc_lz4', "
+            f"got {cfg.fragment_format!r}"
+        )
     from embulk_input_marketo_ray.sinks.exactly_once import DeltaBucketWriter
 
     split_kwargs = {

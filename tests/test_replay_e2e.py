@@ -701,3 +701,37 @@ def test_compact_crash_before_commit_is_invisible(events_dir, tmp_path, monkeypa
     done = xo.compact(lake)
     assert done and lake_multiset(xo.read_lake_table(lake)) == before
     assert xo.vacuum(lake) != []
+
+
+def test_fragment_formats_produce_identical_lakes(events_dir, tmp_path):
+    """The three fragment encodings of the two-phase disk shuffle
+    (parquet / ipc / ipc_lz4 — sinks/exactly_once.FragmentWriter) are
+    pure transport: the committed lake must be byte-identical on the
+    (repo, path, content_sha256) multiset across all of them, and an
+    unknown format must fail loudly at config time."""
+    lakes = {}
+    for fmt in ("parquet", "ipc", "ipc_lz4"):
+        lake = str(tmp_path / f"lake_{fmt}")
+        report = replay(
+            cfg_for(
+                events_dir,
+                lake,
+                shuffle="disk",
+                fragment_format=fmt,
+                shuffle_scratch_dir=str(tmp_path / f"scratch_{fmt}"),
+            )
+        )
+        assert not report["skipped"]
+        lakes[fmt] = lake_multiset(read_lake_table(lake))
+    assert lakes["parquet"] == lakes["ipc"] == lakes["ipc_lz4"]
+    assert len(lakes["parquet"]) > 0
+
+    with pytest.raises(ValueError, match="fragment_format"):
+        replay(
+            cfg_for(
+                events_dir,
+                str(tmp_path / "lake_bad"),
+                shuffle="disk",
+                fragment_format="zstd",
+            )
+        )
