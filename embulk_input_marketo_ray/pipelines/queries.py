@@ -842,7 +842,10 @@ def q_doc_dedup_near(sf_dir: str, loser_broadcast_limit: int = 256 << 20):
     # snapshots the DataContext at creation, and the anti-join fallback
     # needs both sides planned under HASH_SHUFFLE
     _ensure_hash_shuffle()
-    clusters_ds = q_doc_dup_clusters(sf_dir)
+    # materialize BEFORE count: a lazy count() would execute the whole
+    # clustering pipeline once for the emptiness check and the
+    # downstream map would execute it again
+    clusters_ds = q_doc_dup_clusters(sf_dir).materialize()
     ds = _read(sf_dir, "documents", columns=["doc_id"])
     if clusters_ds.count() == 0:  # empty pair set -> nothing to drop
         return ds
@@ -882,10 +885,11 @@ def _drop_losers(ds, losers_ds, loser_broadcast_limit: int):
         ref = ray.put(losers)
 
         def keep(batch: pa.Table) -> pa.Table:
+            from embulk_input_marketo_ray.stages.dedup import sorted_member_mask
+
             losers = ray.get(ref)  # zero-copy plasma view after first fetch
             ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-            pos = np.clip(np.searchsorted(losers, ids), 0, len(losers) - 1)
-            return batch.filter(pa.array(losers[pos] != ids))
+            return batch.filter(pa.array(~sorted_member_mask(losers, ids)))
 
         return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -950,15 +954,19 @@ def q_doc_dedup_near_keep_best(sf_dir: str, loser_broadcast_limit: int = 256 << 
     Either way the loser drop reuses the budgeted broadcast /
     anti-join tail shared with ``q_doc_dedup_near``."""
     _ensure_hash_shuffle()
-    clusters_ds = q_doc_dup_clusters(sf_dir)
+    # materialize once, then count — a lazy count() would run the full
+    # clustering pipeline twice (emptiness check + downstream use)
+    members = q_doc_dup_clusters(sf_dir).materialize()
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-    if clusters_ds.count() == 0:
+    n_members = members.count()
+    if n_members == 0:
         return ds
 
-    members = clusters_ds.materialize()
-    n_members = members.count()
-
-    if 8 * n_members <= loser_broadcast_limit:
+    # 32 B/member models what the driver actually holds on this path:
+    # two int64 columns (doc_id, cluster_id) plus the derived
+    # order/chars work arrays — not just the 8-byte id the loser-drop
+    # broadcast gate models
+    if 32 * n_members <= loser_broadcast_limit:
         # ---- broadcast path: no exchange, driver lexsort of members ----
         member_tbl = pa.concat_tables(
             [t for t in ray.get(members.to_arrow_refs()) if t.num_rows]
@@ -970,10 +978,11 @@ def q_doc_dedup_near_keep_best(sf_dir: str, loser_broadcast_limit: int = 256 << 
         ids_ref = ray.put(m_ids)
 
         def member_lens(batch: pa.Table) -> pa.Table:
+            from embulk_input_marketo_ray.stages.dedup import sorted_member_mask
+
             want = ray.get(ids_ref)  # zero-copy plasma view
             ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-            pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
-            hit = batch.filter(pa.array(want[pos] == ids))
+            hit = batch.filter(pa.array(sorted_member_mask(want, ids)))
             return pa.table(
                 {
                     "doc_id": hit.column("doc_id").cast(pa.int64()),
@@ -1600,7 +1609,25 @@ def _replay_windows(window_end_seconds, n: int = CDC_QUERY_EVENTS):
     if key in _HIST_LAKE_CACHE:
         return _HIST_LAKE_CACHE[key]
 
-    tag = f"{n}_{'_'.join(str(w) for w in window_end_seconds)}_{_lake_fixture_fingerprint()}"
+    # the replay parameters below define the lake's bytes just as much
+    # as the writer code does — they are part of the disk-cache key, so
+    # editing them here invalidates previously built fixtures instead
+    # of silently reusing a lake built under the old config
+    replay_params = dict(
+        fetch_days=100,
+        num_buckets=16,
+        lake_layout="delta",
+        compact_threshold=100,
+    )
+    import hashlib as _hl
+
+    param_sig = _hl.sha256(
+        json.dumps(replay_params, sort_keys=True).encode()
+    ).hexdigest()[:8]
+    tag = (
+        f"{n}_{'_'.join(str(w) for w in window_end_seconds)}"
+        f"_{param_sig}_{_lake_fixture_fingerprint()}"
+    )
     base = os.path.join(tempfile.gettempdir(), f"graft_lake_hist_{tag}")
     marker = os.path.join(base, "_FIXTURE_SUCCESS")
     if os.path.exists(marker):
@@ -1619,10 +1646,7 @@ def _replay_windows(window_end_seconds, n: int = CDC_QUERY_EVENTS):
             evolution_log=load_evolution_log(events),
             from_ts=BASE_TS,
             job_start=BASE_TS + timedelta(seconds=js),
-            fetch_days=100,
-            num_buckets=16,
-            lake_layout="delta",
-            compact_threshold=100,
+            **replay_params,  # the cache-keyed subset — keep them tied
         )
         results.append(replay(cfg))
     with open(os.path.join(build, "_FIXTURE_SUCCESS"), "w") as f:

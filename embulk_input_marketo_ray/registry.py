@@ -277,7 +277,11 @@ def _custom_object(config: dict) -> "ray.data.Dataset":
         if existing is None:
             existing = range(1, n_objects + 1)
         return read_custom_objects(from_value, None, existing_ids=existing)
-    return read_custom_objects(from_value, int(to_value))
+    # bounded range honors the same fixture universe as the other two
+    # modes (existing_ids=None = every requested id exists)
+    return read_custom_objects(
+        from_value, int(to_value), existing_ids=config.get("existing_ids")
+    )
 
 
 def _program_members(config: dict) -> "ray.data.Dataset":

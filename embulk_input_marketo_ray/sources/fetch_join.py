@@ -57,24 +57,33 @@ class ChildFetcher:
         self.metrics = metrics
 
     def __call__(self, batch: pa.Table):
+        # metric submissions are async actor calls; collect the refs
+        # and barrier on them before this task completes — without the
+        # barrier, cross-caller actor-task ordering gives a consumer
+        # that finished the dataset no guarantee the counters landed
+        pending: list = []
         for parent_id in batch.column("parent_id").to_pylist():
             n = self.children_counts.get(parent_id, self.children_per_parent)
             # export-job status first (partition metadata), then skip
             # 0-record parents before any child stream opens
             if self.metrics is not None:
-                self.metrics.inc.remote(f"parent_records.{parent_id}", n)
+                pending.append(
+                    self.metrics.inc.remote(f"parent_records.{parent_id}", n)
+                )
             if n == 0:
                 continue
             server = FixtureServer(n_records=n)
             for page in iter_token_pages(server):
                 if self.metrics is not None:
-                    self.metrics.inc.remote("pages_fetched", 1)
+                    pending.append(self.metrics.inc.remote("pages_fetched", 1))
                 # M8: annotate each child with its parent id
                 tagged = page.append_column(
                     self.parent_column,
                     pa.array([parent_id] * page.num_rows, type=pa.int64()),
                 )
                 yield tagged
+        if pending:
+            ray.get(pending)
 
 
 def read_children_of(

@@ -321,9 +321,11 @@ CUSTOM_OBJECT_CHUNK = 300  # MAX_REQUEST_SIZE, rest/MarketoRestClient.java:67
 def _serve_id_chunk(requested, existing, fail_plan, batch_size):
     """Token-paged pages for one chunk of requested custom-object ids:
     the chunk's record space is the requested ids that EXIST (the
-    fixture universe), served in id order, each page's local indices
-    mapped back to the real ids. ``existing=None`` = every id exists
-    (the dense-range fixture)."""
+    fixture universe), served in the CALLER'S requested order (the
+    filter-values mode passes dedupeField values verbatim, and the
+    oracle's local-index arithmetic depends on that order — do not
+    sort), each page's local indices mapped back to the real ids.
+    ``existing=None`` = every id exists (the dense-range fixture)."""
     import numpy as np
 
     present = [i for i in requested if existing is None or i in existing]

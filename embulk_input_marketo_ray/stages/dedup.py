@@ -35,6 +35,21 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 
+def sorted_member_mask(sorted_vals: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``ids`` in the SORTED array ``sorted_vals``
+    — the one broadcast-searchsorted kernel behind every small-side
+    attach filter in the engine (loser drop, member-length prefilter,
+    sig-index candidate/band prunes, admitted split). Centralized so
+    the empty-set and end-clip edges are handled once.
+
+    Empty ``sorted_vals`` -> all-False (nothing is a member)."""
+    if not len(sorted_vals):
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.searchsorted(sorted_vals, ids)
+    pos[pos >= len(sorted_vals)] = len(sorted_vals) - 1
+    return sorted_vals[pos] == ids
+
+
 def add_content_hash(batch: pa.Table, text_column: str = "text", out: str = "text_sha256") -> pa.Table:
     from embulk_input_marketo_ray.functions.scalar import sha256_column
 

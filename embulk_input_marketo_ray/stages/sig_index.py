@@ -54,15 +54,21 @@ size, which is the small side by design — a CDC batch, not the lake).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from embulk_input_marketo_ray.stages.dedup import MinHasher, explode_lsh_bands
+from embulk_input_marketo_ray.stages.dedup import (
+    MinHasher,
+    explode_lsh_bands,
+    sorted_member_mask,
+)
 
 def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest.json")
@@ -106,6 +112,50 @@ def _write_manifest(index_dir: str, state: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(state, f, indent=1, sort_keys=True)
     os.replace(tmp, path)
+
+
+@contextlib.contextmanager
+def _manifest_lock(index_dir: str, timeout: float = 30.0, stale_after: float = 60.0):
+    """Serialize manifest read-modify-write across concurrently
+    submitted ingest / compact jobs (scripts/index_ingest.py presents
+    them as independent cluster jobs). The commit critical section is
+    a millisecond JSON rewrite, so contention is negligible; without
+    the lock, two commits interleaving load->mutate->write lose one
+    side's entry — an ingest committed during a compact's commit would
+    vanish from the manifest and vacuum would later delete its files.
+
+    The lock is an ``O_CREAT|O_EXCL`` file on the index's shared POSIX
+    filesystem (atomic there, incl. NFSv3+ — the same requirement the
+    manifest's ``os.replace`` commit already imposes). A crashed
+    holder's lock goes stale after ``stale_after`` seconds and is
+    broken by the next waiter."""
+    path = os.path.join(index_dir, "manifest.lock")
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) > stale_after:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(path)
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"manifest lock {path} held longer than {timeout}s; "
+                    "a concurrent ingest/compact commit is stuck or the "
+                    "holder crashed within the stale window"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
 
 
 def _load_manifest(index_dir: str) -> dict:
@@ -250,8 +300,18 @@ def pack_sigs(col, num_perm: int) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
-    flat = np.asarray(col.flatten(), dtype=np.uint64)
     width = 8 * num_perm
+    # pa.binary() carries int32 offsets: a block whose packed payload
+    # would exceed 2^31 bytes (~4.2M rows at num_perm=64) cannot be
+    # represented — np.arange would wrap silently and from_buffers does
+    # not validate, so fail loudly (callers pack per exchange block,
+    # which Ray's block sizing keeps far below this)
+    if (n + 1) * width > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"pack_sigs block too large for int32 binary offsets: "
+            f"{n} rows x {width} B/row; split the block"
+        )
+    flat = np.asarray(col.flatten(), dtype=np.uint64)
     offsets = np.arange(0, (n + 1) * width, width, dtype=np.int32)
     return pa.Array.from_buffers(
         pa.binary(),
@@ -515,12 +575,8 @@ def ingest(index_dir: str, docs, ingest_id: str):
 
     def prune_to_batch_hashes(batch: pa.Table) -> pa.Table:
         want = ray.get(hash_ref)
-        if not len(want):
-            return batch.slice(0, 0)
         h = np.asarray(batch.column("band_hash"), dtype=np.uint64)
-        pos = np.searchsorted(want, h)
-        pos[pos >= len(want)] = len(want) - 1
-        return batch.filter(pa.array(want[pos] == h))
+        return batch.filter(pa.array(sorted_member_mask(want, h)))
 
     old_files = _committed_files(state, index_dir, "bands", touched)
     if old_files:
@@ -578,12 +634,8 @@ def ingest(index_dir: str, docs, ingest_id: str):
 
         def prune_to_candidates(batch: pa.Table) -> pa.Table:
             want = ray.get(old_ids_ref)
-            if not len(want):
-                return batch.slice(0, 0)
             ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-            pos = np.searchsorted(want, ids)
-            pos[pos >= len(want)] = len(want) - 1
-            return batch.filter(pa.array(want[pos] == ids))
+            return batch.filter(pa.array(sorted_member_mask(want, ids)))
 
         sig_sides.append(
             ray.data.read_parquet(sig_files, columns=["doc_id", "minhash"]).map_batches(
@@ -654,6 +706,17 @@ def ingest(index_dir: str, docs, ingest_id: str):
         if id_parts
         else np.empty(0, dtype=np.int64)
     )
+    # uid contract (same as the lake's T6 dedup-identity rule): a batch
+    # carrying one doc_id twice has no well-defined verdict — the min
+    # merge below would mark only the first occurrence, and the index
+    # append would either double the doc's rows or drop both — so
+    # refuse loudly instead of guessing
+    if len(all_ids) and (all_ids[1:] == all_ids[:-1]).any():
+        dupes = np.unique(all_ids[1:][all_ids[1:] == all_ids[:-1]])[:5]
+        raise ValueError(
+            f"ingest batch contains duplicated doc_id(s) {dupes.tolist()}; "
+            "deduplicate by doc_id upstream (one row per uid per ingest)"
+        )
 
     def _final_min(flag_val: int) -> np.ndarray:
         """min target per doc in all_ids order (IMAX = none), merged
@@ -695,12 +758,7 @@ def ingest(index_dir: str, docs, ingest_id: str):
     def admitted_only(batch: pa.Table) -> pa.Table:
         dup_arr = ray.get(dup_ref)
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        if not len(dup_arr):
-            return batch
-        pos = np.searchsorted(dup_arr, ids)
-        pos[pos >= len(dup_arr)] = len(dup_arr) - 1
-        keep = dup_arr[pos] != ids
-        return batch.filter(pa.array(keep))
+        return batch.filter(pa.array(~sorted_member_mask(dup_arr, ids)))
 
     # both index appends ride ONE tagged-union exchange keyed on
     # (kind, bucket) — band rows and signature rows co-partition, each
@@ -809,16 +867,19 @@ def ingest(index_dir: str, docs, ingest_id: str):
     written_band_buckets = sorted({r["bucket"] for r in written if r["kind"] == 0})
     written_sig_buckets = sorted({r["bucket"] for r in written if r["kind"] == 1})
 
-    # 6. record the result, then commit the manifest LAST
+    # 6. record the result, then commit the manifest LAST (under the
+    # commit lock: a concurrent compact's read-modify-write must not
+    # interleave with ours, or one side's entry is lost)
     _atomic_write(result, result_path)
-    state = _load_manifest(index_dir)  # re-read: no lost updates on params
-    state["ingests"][ingest_id] = {
-        "bands_buckets": written_band_buckets,
-        "sigs_buckets": written_sig_buckets,
-        "n_docs": int(n_docs),
-        "n_admitted": int(n_docs - len(dup_id_arr)),
-    }
-    _write_manifest(index_dir, state)
+    with _manifest_lock(index_dir):
+        state = _load_manifest(index_dir)  # re-read: no lost updates
+        state["ingests"][ingest_id] = {
+            "bands_buckets": written_band_buckets,
+            "sigs_buckets": written_sig_buckets,
+            "n_docs": int(n_docs),
+            "n_admitted": int(n_docs - len(dup_id_arr)),
+        }
+        _write_manifest(index_dir, state)
     return result
 
 
@@ -889,15 +950,18 @@ def compact_index(index_dir: str) -> list[str]:
         new_base[kind][str(bucket)] = os.path.basename(path)
         out_paths.append(path)
 
-    # commit: re-read so concurrent ingest commits are not clobbered,
-    # and mark folded ONLY the snapshot's ingests
-    state = _load_manifest(index_dir)
-    state["base"] = new_base
-    state["base_gen"] = gen
-    for ingest_id in folded_ids:
-        if ingest_id in state["ingests"]:
-            state["ingests"][ingest_id]["folded"] = True
-    _write_manifest(index_dir, state)
+    # commit: under the lock, re-read so concurrent ingest commits are
+    # not clobbered (an unlocked re-read still loses an ingest that
+    # commits between it and the write), and mark folded ONLY the
+    # snapshot's ingests
+    with _manifest_lock(index_dir):
+        state = _load_manifest(index_dir)
+        state["base"] = new_base
+        state["base_gen"] = gen
+        for ingest_id in folded_ids:
+            if ingest_id in state["ingests"]:
+                state["ingests"][ingest_id]["folded"] = True
+        _write_manifest(index_dir, state)
     return out_paths
 
 

@@ -43,6 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from embulk_input_marketo_ray.stages.sig_index import _manifest_lock
 from embulk_input_marketo_ray.stages.similarity import (
     kmeans_centroids,
     list_column_matrix,
@@ -235,10 +236,13 @@ def ingest_vectors(index_dir: str, vecs, ingest_id: str) -> dict:
     clusters = sorted({int(r["cluster"]) for r in written})
     n = int(sum(r["n"] for r in written))
 
-    state = _load_manifest(index_dir)
-    state["trained"] = True
-    state["ingests"][ingest_id] = {"clusters": clusters, "n": n}
-    _write_manifest(index_dir, state)
+    # commit under the shared lock (see sig_index._manifest_lock): a
+    # concurrent compact's read-modify-write must not interleave here
+    with _manifest_lock(index_dir):
+        state = _load_manifest(index_dir)
+        state["trained"] = True
+        state["ingests"][ingest_id] = {"clusters": clusters, "n": n}
+        _write_manifest(index_dir, state)
     return dict(state["ingests"][ingest_id])
 
 
@@ -418,13 +422,17 @@ def compact_vec_index(index_dir: str) -> list[str]:
         new_base[str(c)] = os.path.basename(path)
         out.append(path)
 
-    state = _load_manifest(index_dir)
-    state["base"] = new_base
-    state["base_gen"] = gen
-    for ingest_id in folded_ids:
-        if ingest_id in state["ingests"]:
-            state["ingests"][ingest_id]["folded"] = True
-    _write_manifest(index_dir, state)
+    # commit under the lock: an ingest committing between the re-read
+    # and the write would otherwise vanish from the manifest (and
+    # vacuum would later delete its committed files)
+    with _manifest_lock(index_dir):
+        state = _load_manifest(index_dir)
+        state["base"] = new_base
+        state["base_gen"] = gen
+        for ingest_id in folded_ids:
+            if ingest_id in state["ingests"]:
+                state["ingests"][ingest_id]["folded"] = True
+        _write_manifest(index_dir, state)
     return out
 
 

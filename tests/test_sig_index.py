@@ -201,28 +201,35 @@ def test_compact_commit_does_not_fold_concurrent_ingest(ray_session, tmp_path):
     ingest(idx, _docs_ds([(10, LONG_A)]), "w1")
 
     # interleave: commit a second ingest AFTER compact reads its fold
-    # snapshot but BEFORE compact commits, by hooking the manifest load
-    # (compact loads the manifest exactly twice: snapshot, then commit)
-    real_load = si._load_manifest
-    calls = {"n": 0}
+    # snapshot but BEFORE compact takes the commit lock — the widest
+    # window the lock leaves open. The nested ingest re-enters the
+    # hooked lock; the fired flag makes that call delegate straight to
+    # the real lock (no self-deadlock).
+    import contextlib
 
-    def hooked_load(index_dir):
-        calls["n"] += 1
-        if calls["n"] == 2:  # compact's commit-time re-read is imminent
-            si._load_manifest = real_load  # un-hook for the ingest below
+    real_lock = si._manifest_lock
+    fired = {"done": False}
+
+    @contextlib.contextmanager
+    def hooked_lock(index_dir, **kw):
+        if not fired["done"]:
+            fired["done"] = True
             ingest(idx, _docs_ds([(20, LONG_B)]), "w2")
-            si._load_manifest = hooked_load
-        return real_load(index_dir)
+        with real_lock(index_dir, **kw):
+            yield
 
-    si._load_manifest = hooked_load
+    si._manifest_lock = hooked_lock
     try:
         compact_index(idx)
     finally:
-        si._load_manifest = real_load
+        si._manifest_lock = real_lock
 
     state = _load_manifest(idx)
+    # w2's commit was not clobbered by compact's read-modify-write...
+    assert "w2" in state["ingests"]
     assert state["ingests"]["w1"]["folded"] is True
-    assert not state["ingests"]["w2"].get("folded")  # NOT folded
+    # ...and it is NOT marked folded (its files are not in the bases)
+    assert not state["ingests"]["w2"].get("folded")
 
     # w2's rows still probe-visible, and vacuum does not remove them
     vacuum_index(idx, grace_seconds=0.0)
@@ -269,3 +276,39 @@ def test_crashed_ingest_retry_converges(ray_session, tmp_path):
     pa_ = ingest(idx_a, _docs_ds([(30, LONG_A)]), "w2").to_pylist()
     pb_ = ingest(idx_b, _docs_ds([(30, LONG_A)]), "w2").to_pylist()
     assert pa_ == pb_ == [{"doc_id": 30, "status": "dup", "dup_of": 10}]
+
+
+def test_ingest_refuses_duplicated_doc_id(ray_session, tmp_path):
+    """uid contract: one row per doc_id per ingest batch — a duplicated
+    id has no well-defined verdict, so ingest refuses loudly instead of
+    marking one occurrence and appending ambiguous index rows."""
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    with pytest.raises(ValueError, match="duplicated doc_id"):
+        ingest(idx, _docs_ds([(10, LONG_A), (10, LONG_B)]), "w1")
+    # nothing committed: the id is free for a clean retry
+    assert "w1" not in _load_manifest(idx)["ingests"]
+    r = ingest(idx, _docs_ds([(10, LONG_A)]), "w1")
+    assert r.to_pylist()[0]["status"] == "admitted"
+
+
+def test_pack_sigs_rejects_int32_offset_overflow():
+    from embulk_input_marketo_ray.stages.sig_index import pack_sigs
+
+    import pytest
+
+    # a fake fixed-size-list column large enough to overflow int32
+    # offsets would need GBs; assert the guard arithmetic directly via
+    # a tiny num_perm and a monkeypatched length check instead: the
+    # guard fires on (n+1)*width > INT32_MAX
+    class FakeCol:
+        def __len__(self):
+            return (2**31) // 8  # n*width == 2^31 at num_perm=1
+
+        def flatten(self):
+            raise AssertionError("guard must fire before flatten is used")
+
+    with pytest.raises(ValueError, match="too large for int32"):
+        pack_sigs(FakeCol(), num_perm=1)
