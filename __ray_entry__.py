@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": _q_cdc_replay,
         "time_travel": q.q_time_travel,
         "cdc_feed": q.q_cdc_feed,
+        "snapshot_diff": q.q_snapshot_diff,
         "repo_head_stats": q.q_repo_head_stats,
         "repo_churn_topk": q.q_repo_churn_topk,
         "cdc_parent_seq": q.q_cdc_parent_seq,
@@ -540,6 +541,39 @@ def oracle_sql() -> dict[str, str]:
               FROM e
             )
             SELECT repo, path, commit_seq, op FROM ranked WHERE rn = 1
+        """,
+        # snapshot diff: keys whose LIVE state differs between the w1
+        # and w2 snapshots (state-level FULL OUTER of the two LWW
+        # heads; upsert-then-delete inside the range cancels out)
+        "snapshot_diff": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              WHERE event_ts >= TIMESTAMP '2024-01-01' AND event_ts <= {cdc_to}
+            ),
+            s1 AS (
+              SELECT repo, path, commit_seq FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+                FROM ev WHERE event_ts <= {cdc_w1_to}
+              ) WHERE rn = 1 AND op = 'upsert'
+            ),
+            s2 AS (
+              SELECT repo, path, commit_seq FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+                FROM ev
+              ) WHERE rn = 1 AND op = 'upsert'
+            )
+            SELECT coalesce(s1.repo, s2.repo) AS repo,
+                   coalesce(s1.path, s2.path) AS path,
+                   CASE WHEN s1.repo IS NULL THEN 'added'
+                        WHEN s2.repo IS NULL THEN 'deleted'
+                        ELSE 'modified' END AS change_kind,
+                   s1.commit_seq AS old_seq, s2.commit_seq AS new_seq
+            FROM s1 FULL OUTER JOIN s2
+              ON s1.repo = s2.repo AND s1.path = s2.path
+            WHERE s1.repo IS NULL OR s2.repo IS NULL
+               OR s1.commit_seq != s2.commit_seq
         """,
         "repo_head_stats": f"""
             WITH e AS (

@@ -1695,6 +1695,21 @@ def q_cdc_feed(sf_dir: str):
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot diff between two lake versions (S8/W4 downstream
+    contract, complements `cdc_feed`): one row per key whose LIVE
+    STATE differs between window 1's and window 2's committed
+    snapshots — added / deleted / modified by set membership, not by
+    event op. Zero shuffle: both snapshots share the bucket
+    partitioning, one full-outer Arrow join per bucket over only the
+    key + commit_seq columns (sinks/exactly_once.snapshot_diff)."""
+    from embulk_input_marketo_ray.sinks.exactly_once import snapshot_diff
+
+    n = CDC_QUERY_EVENTS
+    lake, (r1, r2) = _replay_windows([n // 2, n + 50])
+    return snapshot_diff(lake, v1=r1["to"], v2=r2["to"])
+
+
 def q_repo_head_stats(sf_dir: str):
     """Analytics over the replayed lake head state (A1/A2 analog at the
     table level): per (repo, lang) live-file count, total content bytes

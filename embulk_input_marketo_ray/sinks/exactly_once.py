@@ -671,6 +671,112 @@ def changes_between(
     return specs.map_batches(merge_read, batch_format="pyarrow", batch_size=None)
 
 
+_DIFF_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("change_kind", pa.string()),
+        ("old_seq", pa.int64()),
+        ("new_seq", pa.int64()),
+    ]
+)
+
+
+def snapshot_diff(lake_dir: str, v1, v2) -> "ray.data.Dataset":
+    """Set-level diff between two committed lake versions: one row per
+    key whose live state differs between the ``v1`` and ``v2``
+    snapshots, classified ``added`` (absent at v1), ``deleted``
+    (absent — or tombstoned — at v2) or ``modified`` (live in both
+    with a different ``commit_seq``). Unchanged keys are not emitted.
+
+    Distinct from ``changes_between`` (the delta-file CDC feed): the
+    feed replays window deltas and reports each changed key's latest
+    EVENT (op column as the event stream saw it); the diff compares
+    MATERIALIZED STATES, so a key upserted then deleted inside the
+    range never appears, and a key re-upserted to a new commit_seq
+    reports exactly one ``modified`` row regardless of how many
+    windows touched it.
+
+    Scale shape: ZERO shuffle. Both snapshots share the lake's bucket
+    partitioning, so the diff is one task per bucket — merge-on-read
+    of the two as-of file sets with projection pushed to the key +
+    ``commit_seq`` columns (content bytes never leave storage),
+    full-outer joined per bucket with an Arrow hash join. Per-bucket
+    pairing is sound because ``select_files_as_of`` RAISES if any
+    compaction (the only split point in the delta layout) folded
+    history after ``v1`` — if both selections succeed, no key moved
+    buckets between the two versions."""
+    sets = PartitionManifest(lake_dir).committed_file_sets()
+    old_sets = select_files_as_of(sets, v1)
+    new_sets = select_files_as_of(sets, v2)
+    pids = sorted(set(old_sets) | set(new_sets))
+    if not pids:
+        import ray.data as _rd
+
+        return _rd.from_items([]).limit(0)
+    specs = ray.data.from_items(
+        [
+            {
+                "pid": pid,
+                "old": "\n".join(old_sets.get(pid, [])),
+                "new": "\n".join(new_sets.get(pid, [])),
+            }
+            for pid in pids
+        ]
+    ).repartition(len(pids))
+
+    def _side(paths: str, seq_name: str) -> pa.Table:
+        if not paths:
+            return pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                    seq_name: pa.array([], pa.int64()),
+                }
+            )
+        t = merge_bucket_files(
+            paths.split("\n"), drop_tombstones=True, columns=["commit_seq"]
+        )
+        return t.select(LAKE_KEY + ["commit_seq"]).rename_columns(
+            LAKE_KEY + [seq_name]
+        )
+
+    def diff(batch: pa.Table):
+        for old_paths, new_paths in zip(
+            batch.column("old").to_pylist(), batch.column("new").to_pylist()
+        ):
+            old = _side(old_paths, "old_seq")
+            new = _side(new_paths, "new_seq")
+            joined = old.join(
+                new, keys=LAKE_KEY, join_type="full outer"
+            ).combine_chunks()
+            old_seq = joined.column("old_seq")
+            new_seq = joined.column("new_seq")
+            changed = pc.or_kleene(
+                pc.or_(pc.is_null(old_seq), pc.is_null(new_seq)),
+                pc.not_equal(old_seq, new_seq),
+            )
+            j = joined.filter(pc.fill_null(changed, False))
+            o, n = j.column("old_seq"), j.column("new_seq")
+            kind = pc.if_else(
+                pc.is_null(o),
+                pa.scalar("added"),
+                pc.if_else(pc.is_null(n), pa.scalar("deleted"), pa.scalar("modified")),
+            )
+            yield pa.table(
+                {
+                    "repo": j.column("repo"),
+                    "path": j.column("path"),
+                    "change_kind": kind,
+                    "old_seq": o.cast(pa.int64()),
+                    "new_seq": n.cast(pa.int64()),
+                },
+                schema=_DIFF_SCHEMA,
+            )
+
+    return specs.map_batches(diff, batch_format="pyarrow", batch_size=None)
+
+
 def read_lake(
     lake_dir: str, columns: list[str] | None = None, as_of=None
 ) -> "ray.data.Dataset":

@@ -470,6 +470,69 @@ def test_changes_between_emits_window_cdc_feed(events_dir, tmp_path):
     assert changes_between(lake, since=r2["to"]).count() == 0
 
 
+def test_snapshot_diff_classifies_state_changes(events_dir, tmp_path):
+    """snapshot_diff = state-level diff between two lake versions:
+    added / deleted / modified by live-set membership; unchanged keys
+    absent; upsert-then-delete inside the range cancels out entirely
+    (unlike the event-level CDC feed, which reports those keys)."""
+    import glob
+
+    from embulk_input_marketo_ray.sinks.exactly_once import snapshot_diff
+
+    lake = str(tmp_path / "lake")
+    cfg1 = cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    r1 = replay(cfg1)
+    r2 = replay(cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100))
+
+    got = {
+        (r["repo"], r["path"]): (r["change_kind"], r["old_seq"], r["new_seq"])
+        for r in snapshot_diff(lake, v1=r1["to"], v2=r2["to"]).take_all()
+    }
+
+    # pandas oracle: LWW live state at each watermark, full-outer diff
+    df = pd.concat(
+        pd.read_parquet(f) for f in sorted(glob.glob(f"{events_dir}/events_*.parquet"))
+    )
+
+    def live(to_iso):
+        w = df[df.event_ts <= datetime.fromisoformat(to_iso)]
+        w = w.sort_values("commit_seq", kind="stable").drop_duplicates(
+            ["repo", "path"], keep="last"
+        )
+        return {
+            (r.repo, r.path): r.commit_seq
+            for r in w[w.op == "upsert"].itertuples(index=False)
+        }
+
+    s1, s2 = live(r1["to"]), live(r2["to"])
+    want = {}
+    for k in set(s1) | set(s2):
+        if k not in s1:
+            want[k] = ("added", None, s2[k])
+        elif k not in s2:
+            want[k] = ("deleted", s1[k], None)
+        elif s1[k] != s2[k]:
+            want[k] = ("modified", s1[k], s2[k])
+    assert got == want
+    kinds = {k for k, _, _ in got.values()}
+    assert kinds == {"added", "deleted", "modified"}  # fixture hits all three
+
+    # unchanged keys (live in both at the same seq) never ride the diff
+    unchanged = {k for k in s1 if s2.get(k) == s1[k]}
+    assert unchanged and not (unchanged & set(got))
+
+    # same-version diff is empty; v1 after a history-folding compaction raises
+    assert snapshot_diff(lake, v1=r2["to"], v2=r2["to"]).count() == 0
+    lake_c = str(tmp_path / "lake_c")
+    cfgc = cfg_for(events_dir, lake_c, lake_layout="delta", compact_threshold=1)
+    cfgc.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    rc1 = replay(cfgc)
+    rc2 = replay(cfg_for(events_dir, lake_c, lake_layout="delta", compact_threshold=1))
+    with pytest.raises(ValueError, match="compaction"):
+        snapshot_diff(lake_c, v1=rc1["to"], v2=rc2["to"])
+
+
 def test_vacuum_collects_compacted_deltas_and_tmp(events_dir, tmp_path):
     """Compaction rewrites a partition's file list to its base file,
     orphaning the old deltas on disk; vacuum removes exactly those (and
