@@ -745,36 +745,42 @@ def snapshot_diff(lake_dir: str, v1, v2) -> "ray.data.Dataset":
         for old_paths, new_paths in zip(
             batch.column("old").to_pylist(), batch.column("new").to_pylist()
         ):
-            old = _side(old_paths, "old_seq")
-            new = _side(new_paths, "new_seq")
-            joined = old.join(
-                new, keys=LAKE_KEY, join_type="full outer"
-            ).combine_chunks()
-            old_seq = joined.column("old_seq")
-            new_seq = joined.column("new_seq")
-            changed = pc.or_kleene(
-                pc.or_(pc.is_null(old_seq), pc.is_null(new_seq)),
-                pc.not_equal(old_seq, new_seq),
-            )
-            j = joined.filter(pc.fill_null(changed, False))
-            o, n = j.column("old_seq"), j.column("new_seq")
-            kind = pc.if_else(
-                pc.is_null(o),
-                pa.scalar("added"),
-                pc.if_else(pc.is_null(n), pa.scalar("deleted"), pa.scalar("modified")),
-            )
-            yield pa.table(
-                {
-                    "repo": j.column("repo"),
-                    "path": j.column("path"),
-                    "change_kind": kind,
-                    "old_seq": o.cast(pa.int64()),
-                    "new_seq": n.cast(pa.int64()),
-                },
-                schema=_DIFF_SCHEMA,
+            yield diff_states(
+                _side(old_paths, "old_seq"), _side(new_paths, "new_seq")
             )
 
     return specs.map_batches(diff, batch_format="pyarrow", batch_size=None)
+
+
+def diff_states(old: pa.Table, new: pa.Table) -> pa.Table:
+    """The snapshot_diff classification kernel: full-outer Arrow hash
+    join of two live states (unique keys each, ``old_seq``/``new_seq``
+    version columns), keeping only keys absent from one side or with a
+    differing version — change_kind added / deleted / modified."""
+    joined = old.join(new, keys=LAKE_KEY, join_type="full outer").combine_chunks()
+    old_seq = joined.column("old_seq")
+    new_seq = joined.column("new_seq")
+    changed = pc.or_kleene(
+        pc.or_(pc.is_null(old_seq), pc.is_null(new_seq)),
+        pc.not_equal(old_seq, new_seq),
+    )
+    j = joined.filter(pc.fill_null(changed, False))
+    o, n = j.column("old_seq"), j.column("new_seq")
+    kind = pc.if_else(
+        pc.is_null(o),
+        pa.scalar("added"),
+        pc.if_else(pc.is_null(n), pa.scalar("deleted"), pa.scalar("modified")),
+    )
+    return pa.table(
+        {
+            "repo": j.column("repo"),
+            "path": j.column("path"),
+            "change_kind": kind,
+            "old_seq": o.cast(pa.int64()),
+            "new_seq": n.cast(pa.int64()),
+        },
+        schema=_DIFF_SCHEMA,
+    )
 
 
 def read_lake(

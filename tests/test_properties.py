@@ -475,3 +475,51 @@ def test_sig_index_pair_kernel_matches_brute_force(rows):
             if news and d != min(news):
                 want.add((d, min(news), 0))
     assert got == want
+
+
+# -- snapshot_diff classification kernel ------------------------------------
+
+states_strategy = st.tuples(
+    st.dictionaries(
+        st.tuples(st.sampled_from(["r1", "r2"]), st.sampled_from(["a", "b", "c"])),
+        st.integers(min_value=0, max_value=30),
+        max_size=6,
+    ),
+    st.dictionaries(
+        st.tuples(st.sampled_from(["r1", "r2"]), st.sampled_from(["a", "b", "c"])),
+        st.integers(min_value=0, max_value=30),
+        max_size=6,
+    ),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(states=states_strategy)
+def test_diff_states_matches_dict_reference(states):
+    from embulk_input_marketo_ray.sinks.exactly_once import diff_states
+
+    s_old, s_new = states
+
+    def table(state, seq_name):
+        keys = sorted(state)
+        return pa.table(
+            {
+                "repo": pa.array([k[0] for k in keys], pa.string()),
+                "path": pa.array([k[1] for k in keys], pa.string()),
+                seq_name: pa.array([state[k] for k in keys], pa.int64()),
+            }
+        )
+
+    got = {
+        (r["repo"], r["path"]): (r["change_kind"], r["old_seq"], r["new_seq"])
+        for r in diff_states(table(s_old, "old_seq"), table(s_new, "new_seq")).to_pylist()
+    }
+    want = {}
+    for k in set(s_old) | set(s_new):
+        if k not in s_old:
+            want[k] = ("added", None, s_new[k])
+        elif k not in s_new:
+            want[k] = ("deleted", s_old[k], None)
+        elif s_old[k] != s_new[k]:
+            want[k] = ("modified", s_old[k], s_new[k])
+    assert got == want
