@@ -52,6 +52,17 @@ def main() -> None:
     p.add_argument("--split-threshold-rows", type=int, default=None)
     p.add_argument("--included-fields", nargs="*", default=None)
     p.add_argument("--use-updated-at", action="store_true")
+    # history reads INSTEAD of a replay window (events-dir is unused
+    # but still required by argparse symmetry; pass the lake's source)
+    p.add_argument("--snapshot-diff", nargs=2, metavar=("V1", "V2"), default=None,
+                   help="emit the state diff between two committed watermarks "
+                        "(added/deleted/modified) instead of replaying")
+    p.add_argument("--cdc-feed-since", default=None,
+                   help="emit changes_between(since, until] instead of replaying")
+    p.add_argument("--cdc-feed-until", default=None)
+    p.add_argument("--out", default=None,
+                   help="with a history read: write the result as partitioned "
+                        "parquet under this directory; omit to just count")
     args = p.parse_args()
 
     import ray
@@ -65,6 +76,32 @@ def main() -> None:
 
     from embulk_input_marketo_ray.pipelines import ReplayConfig, replay
     from embulk_input_marketo_ray.synth import load_evolution_log
+
+    if args.snapshot_diff or args.cdc_feed_since:
+        from embulk_input_marketo_ray.sinks.exactly_once import (
+            changes_between,
+            snapshot_diff,
+        )
+
+        if args.snapshot_diff:
+            v1, v2 = args.snapshot_diff
+            ds = snapshot_diff(args.lake_dir, v1=v1, v2=v2)
+            what = {"read": "snapshot_diff", "v1": v1, "v2": v2}
+        else:
+            ds = changes_between(
+                args.lake_dir, since=args.cdc_feed_since, until=args.cdc_feed_until
+            )
+            what = {"read": "cdc_feed", "since": args.cdc_feed_since,
+                    "until": args.cdc_feed_until}
+        if args.out:
+            ds.write_parquet(args.out)  # streams; one file per output block
+            what["out"] = args.out
+            what["rows"] = ray.data.read_parquet(args.out).count()
+        else:
+            what["rows"] = ds.count()
+        print(json.dumps(what))
+        ray.shutdown()
+        return
 
     cfg = ReplayConfig(
         events_dir=args.events_dir,
