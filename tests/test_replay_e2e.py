@@ -533,6 +533,56 @@ def test_snapshot_diff_classifies_state_changes(events_dir, tmp_path):
         snapshot_diff(lake_c, v1=rc1["to"], v2=rc2["to"])
 
 
+def test_submit_replay_cli_history_reads(events_dir, tmp_path):
+    """The ray-job CLI's history-read modes (--snapshot-diff /
+    --cdc-feed-since) print one JSON line whose row count matches the
+    library surfaces, and --out writes the result as parquet."""
+    import subprocess
+    import sys
+
+    from embulk_input_marketo_ray.sinks.exactly_once import (
+        changes_between,
+        snapshot_diff,
+    )
+
+    lake = str(tmp_path / "lake")
+    cfg1 = cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    r1 = replay(cfg1)
+    r2 = replay(cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100))
+    want_diff = snapshot_diff(lake, v1=r1["to"], v2=r2["to"]).count()
+    want_feed = changes_between(lake, since=r1["to"]).count()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo_root, "scripts", "submit_replay.py")
+
+    def cli(*extra):
+        env = dict(os.environ, PYTHONPATH=repo_root, RAY_ADDRESS="local")
+        out = subprocess.run(
+            [sys.executable, script, "--events-dir", events_dir,
+             "--lake-dir", lake, *extra],
+            capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    outdir = str(tmp_path / "diff_out")
+    got = cli("--snapshot-diff", r1["to"], r2["to"], "--out", outdir)
+    assert got["rows"] == want_diff and got["read"] == "snapshot_diff"
+    written = pq.read_table(outdir) if os.path.isfile(outdir) else None
+    if written is None:  # directory of block files
+        import pyarrow.dataset as pads
+
+        written = pads.dataset(outdir).to_table()
+    assert written.num_rows == want_diff
+    assert set(written.column("change_kind").to_pylist()) <= {
+        "added", "deleted", "modified"
+    }
+
+    got = cli("--cdc-feed-since", r1["to"])
+    assert got["rows"] == want_feed and got["read"] == "cdc_feed"
+
+
 def test_vacuum_collects_compacted_deltas_and_tmp(events_dir, tmp_path):
     """Compaction rewrites a partition's file list to its base file,
     orphaning the old deltas on disk; vacuum removes exactly those (and
