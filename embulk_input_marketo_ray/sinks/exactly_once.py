@@ -729,8 +729,7 @@ def snapshot_diff(lake_dir: str, v1, v2) -> "ray.data.Dataset":
         if not paths:
             return pa.table(
                 {
-                    "repo": pa.array([], pa.string()),
-                    "path": pa.array([], pa.string()),
+                    **{k: pa.array([], pa.string()) for k in LAKE_KEY},
                     seq_name: pa.array([], pa.int64()),
                 }
             )
@@ -760,11 +759,9 @@ def diff_states(old: pa.Table, new: pa.Table) -> pa.Table:
     joined = old.join(new, keys=LAKE_KEY, join_type="full outer").combine_chunks()
     old_seq = joined.column("old_seq")
     new_seq = joined.column("new_seq")
-    changed = pc.or_kleene(
-        pc.or_(pc.is_null(old_seq), pc.is_null(new_seq)),
-        pc.not_equal(old_seq, new_seq),
-    )
-    j = joined.filter(pc.fill_null(changed, False))
+    # not_equal is null exactly when one side is absent — i.e. a changed
+    # row (both-null is impossible after the full outer join)
+    j = joined.filter(pc.fill_null(pc.not_equal(old_seq, new_seq), True))
     o, n = j.column("old_seq"), j.column("new_seq")
     kind = pc.if_else(
         pc.is_null(o),

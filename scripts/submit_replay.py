@@ -77,7 +77,14 @@ def main() -> None:
     from embulk_input_marketo_ray.pipelines import ReplayConfig, replay
     from embulk_input_marketo_ray.synth import load_evolution_log
 
-    if args.snapshot_diff or args.cdc_feed_since:
+    history_read = bool(args.snapshot_diff or args.cdc_feed_since)
+    if (args.cdc_feed_until or args.out) and not history_read:
+        # refuse to fall through to a lake-MUTATING replay when the
+        # flags say the operator wanted a read
+        p.error("--cdc-feed-until/--out require --snapshot-diff or --cdc-feed-since")
+    if history_read:
+        import os
+
         from embulk_input_marketo_ray.sinks.exactly_once import (
             changes_between,
             snapshot_diff,
@@ -94,9 +101,18 @@ def main() -> None:
             what = {"read": "cdc_feed", "since": args.cdc_feed_since,
                     "until": args.cdc_feed_until}
         if args.out:
+            if os.path.isdir(args.out) and os.listdir(args.out):
+                # write_parquet APPENDS uniquely-named files — a reused
+                # directory would silently mix two runs' results
+                p.error(f"--out {args.out} exists and is not empty")
             ds.write_parquet(args.out)  # streams; one file per output block
             what["out"] = args.out
-            what["rows"] = ray.data.read_parquet(args.out).count()
+            # an all-empty result writes no files (the dir may not exist)
+            what["rows"] = (
+                ray.data.read_parquet(args.out).count()
+                if os.path.isdir(args.out) and os.listdir(args.out)
+                else 0
+            )
         else:
             what["rows"] = ds.count()
         print(json.dumps(what))
