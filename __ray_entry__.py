@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keyterms": q.q_doc_keyterms,
         "event_hop_windows": q.q_event_hop_windows,
         "bigram_collocations": q.q_bigram_collocations,
+        "event_funnel": q.q_event_funnel,
+        "doc_chunks": q.q_doc_chunks,
     }
 
 
@@ -298,6 +300,10 @@ def oracle_sql() -> dict[str, str]:
         DUPWIN_W,
         DUPWIN_MIN_DOCS,
         PACK_SEQ_LEN,
+        FUNNEL_STAGES,
+        CHUNK_TOKENS,
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -942,6 +948,53 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             WHERE cxy.n_xy >= {COLLOC_MIN_PAIR}
               AND cxy.n_xy * tot.n >= {COLLOC_LIFT} * cx1.n * cx2.n
+        """,
+        "event_funnel": f"""
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts >= s1.t
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts >= s2.t
+              GROUP BY e.user_id
+            )
+            SELECT '{FUNNEL_STAGES[0]}' AS stage, 1::BIGINT AS stage_idx,
+                   count(*)::BIGINT AS users FROM s1
+            UNION ALL
+            SELECT '{FUNNEL_STAGES[1]}', 2::BIGINT, count(*)::BIGINT FROM s2
+            UNION ALL
+            SELECT '{FUNNEL_STAGES[2]}', 3::BIGINT, count(*)::BIGINT FROM s3
+        """,
+        "doc_chunks": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))::BIGINT
+                       AS n_tok
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, n_tok,
+                     (greatest(n_tok - {CHUNK_OVERLAP}, 1) + {CHUNK_STRIDE - 1})
+                       // {CHUNK_STRIDE} AS n_chunks
+              FROM t
+            ),
+            e AS (
+              SELECT doc_id, n_tok, unnest(range(n_chunks))::BIGINT AS chunk_idx
+              FROM b
+            )
+            SELECT doc_id, chunk_idx,
+                   chunk_idx * {CHUNK_STRIDE} AS start_tok,
+                   least({CHUNK_TOKENS}::BIGINT,
+                         n_tok - chunk_idx * {CHUNK_STRIDE}) AS chunk_tokens
+            FROM e
         """,
         "doc_decontaminate_bloom": f"""
             WITH t AS (

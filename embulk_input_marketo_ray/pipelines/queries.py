@@ -4345,3 +4345,151 @@ def q_doc_length_batches(sf_dir: str):
     return by_bucket.map_batches(
         rank_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered event funnel / RAG chunk layout (round-4 additions)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def q_event_funnel(sf_dir: str):
+    """Ordered funnel conversion over the event stream: how many users
+    reach each stage of ``signup -> click -> purchase`` IN TIME ORDER
+    (stage k counts a user iff some stage-k event is at-or-after the
+    user's earliest qualifying stage-(k-1) time; ``>=`` so same-instant
+    events chain, mirroring the asof join's inclusive bound).
+
+    The reference's analog is the per-object dedup + watermark ordering
+    discipline (per-key ordering only, never a global sort — SURVEY.md
+    §2.9); the funnel is the classic event-analytics op built on the
+    same shape: filter to the funnel's event types AT THE SCAN (the
+    other ~40% of rows never enter the exchange), ONE keyed exchange
+    on user_id, then a per-block vectorized kernel — sort (user, ts),
+    per-run sequential stage mins via masked ``np.minimum.reduceat``
+    (no per-row loop, no driver state) — emitting <= 3 partial rows per
+    block that a tiny two-phase aggregate folds. Payload = funnel rows
+    moving once; result = 3 rows. Partitioning assumption: each user's
+    rows co-reside (the catalog's standard per-key locality)."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    stage_arr = pa.array(list(FUNNEL_STAGES))
+
+    def keep_funnel(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("event_type"), value_set=stage_arr))
+
+    shuffled = _keyed_repartition(
+        ds.map_batches(keep_funnel, batch_format="pyarrow"),
+        _shuffle_width(),
+        ["user_id"],
+    )
+    _I64_MAX = np.iinfo(np.int64).max
+    _I64_MIN = np.iinfo(np.int64).min
+    partial_schema = pa.schema(
+        [("stage", pa.string()), ("stage_idx", pa.int64()), ("users", pa.int64())]
+    )
+
+    def funnel_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return partial_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts_us = np.asarray(t.column("ts")).astype("datetime64[us]").view(np.int64)
+        et = t.column("event_type")
+        n = len(user)
+        stage_of = np.full(n, -1, dtype=np.int8)
+        for k, name in enumerate(FUNNEL_STAGES):
+            stage_of[np.asarray(pc.equal(et, pa.scalar(name)))] = k
+        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        run_idx = np.cumsum(np.r_[True, user[1:] != user[:-1]]) - 1
+        # sequential per-run stage mins: floor starts open, then each
+        # stage's per-run first-qualifying time becomes the next floor
+        # (a run with no qualifying row folds to I64_MAX, which no
+        # later ts can be >= — conversion stops there, vectorized)
+        floor = np.full(len(starts), _I64_MIN, dtype=np.int64)
+        counts = []
+        for k in range(len(FUNNEL_STAGES)):
+            qual = (stage_of == k) & (ts_us >= floor[run_idx])
+            vals = np.where(qual, ts_us, _I64_MAX)
+            floor = np.minimum.reduceat(vals, starts)
+            counts.append(int((floor < _I64_MAX).sum()))
+        return pa.table(
+            {
+                "stage": stage_arr,
+                "stage_idx": pa.array(
+                    np.arange(1, len(FUNNEL_STAGES) + 1, dtype=np.int64)
+                ),
+                "users": pa.array(np.array(counts, dtype=np.int64)),
+            }
+        )
+
+    partial = shuffled.map_batches(
+        funnel_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_aggregate(partial, ["stage", "stage_idx"], [("users", "sum", "users")])
+
+
+CHUNK_TOKENS = 64    # chunk width in tokens
+CHUNK_OVERLAP = 16   # tokens shared between adjacent chunks
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def q_doc_chunks(sf_dir: str):
+    """RAG-style chunk layout: every document split into overlapping
+    ``CHUNK_TOKENS``-token windows on a ``CHUNK_STRIDE`` grid — the
+    retrieval-corpus preparation step (each chunk is the unit that gets
+    embedded/indexed downstream). Emits ``(doc_id, chunk_idx,
+    start_tok, chunk_tokens)``; chunk starts advance by the stride
+    while ``start < max(n_tok - overlap, 1)`` so the final chunk always
+    covers the tail and every doc (even an empty one) yields >= 1 row
+    — all-integer arithmetic, exact vs the SQL replica.
+
+    Shape: embarrassingly parallel — one streaming ``map_batches`` over
+    a 2-column pruned read, token counts via one RE2 scan
+    (``count_substring_regex``), the explode via ``np.repeat`` /
+    prefix-sum arithmetic. No exchange, no driver state; at 100 TB this
+    is a pure pass-through stage whose output partitioning inherits the
+    input's (resume = re-run a shard)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("chunk_tokens", pa.int64()),
+        ]
+    )
+
+    def chunk_map(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        n_tok = np.asarray(
+            pc.count_substring_regex(
+                pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+                pattern="[a-z]+",
+            ),
+            dtype=np.int64,
+        )
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        n_chunks = (np.maximum(n_tok - CHUNK_OVERLAP, 1) + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        total = int(n_chunks.sum())
+        doc_rep = np.repeat(ids, n_chunks)
+        # per-doc chunk ordinal: global position minus each doc's start
+        first = np.r_[0, np.cumsum(n_chunks)[:-1]]
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(first, n_chunks)
+        start = chunk_idx * CHUNK_STRIDE
+        width = np.minimum(CHUNK_TOKENS, np.repeat(n_tok, n_chunks) - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep),
+                "chunk_idx": pa.array(chunk_idx),
+                "start_tok": pa.array(start),
+                "chunk_tokens": pa.array(width),
+            }
+        )
+
+    return ds.map_batches(chunk_map, batch_format="pyarrow", zero_copy_batch=True)

@@ -504,6 +504,7 @@ def test_new_operators_survive_empty_corpus(ray_session, tmp_path):
         q.q_doc_incremental_dedup,
         q.q_doc_pii_redact,
         q.q_doc_dedup_near_keep_best,
+        q.q_doc_chunks,
     ):
         res = fn(sf_dir)
         n = res.num_rows if isinstance(res, pa.Table) else res.count()
@@ -541,3 +542,87 @@ def test_global_shuffle_partitioning_invariant(ray_session, tmp_path):
         by_shard.setdefault(shard, []).append(pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(len(poss))), shard
+
+
+def test_event_funnel_ordering_semantics(ray_session, tmp_path):
+    """Stage k counts a user only when a stage-k event is AT-OR-AFTER
+    the user's first qualifying stage-(k-1) time: an out-of-order
+    purchase (before the click) must not convert, a same-instant chain
+    must, and a user missing the middle stage stops at stage 1."""
+    import pyarrow.parquet as pq
+
+    def us(sec):
+        return pa.scalar(sec * 1_000_000, type=pa.int64()).cast(pa.timestamp("us"))
+
+    rows = [
+        # u1: full in-order funnel
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: purchase BEFORE click -> converts to click only
+        (2, 10, "signup"), (2, 30, "click"), (2, 20, "purchase"),
+        # u3: same-instant chain (>= bound) -> all three
+        (3, 10, "signup"), (3, 10, "click"), (3, 10, "purchase"),
+        # u4: no click -> stops at signup even with a later purchase
+        (4, 10, "signup"), (4, 40, "purchase"),
+        # u5: click/purchase but never signed up -> counts nowhere
+        (5, 10, "click"), (5, 20, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype=np.int64) * 1_000_000,
+                type=pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array(np.zeros(len(rows))),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {r["stage"]: r["users"] for r in q.q_event_funnel(str(tmp_path)).take_all()}
+    assert got == {"signup": 4, "click": 3, "purchase": 2}
+
+
+def test_doc_chunks_layout(ray_session, tmp_path):
+    """Chunk math at the boundaries: empty doc -> one 0-token chunk;
+    exactly CHUNK_TOKENS -> one chunk; one over -> two chunks whose
+    second covers the overlap + the tail."""
+    import pyarrow.parquet as pq
+
+    texts = {
+        10: "",                                  # 0 tokens
+        11: " ".join(["tok"] * q.CHUNK_TOKENS),  # exactly one chunk
+        12: " ".join(["tok"] * (q.CHUNK_TOKENS + 1)),
+        13: " ".join(["tok"] * (2 * q.CHUNK_STRIDE + q.CHUNK_OVERLAP)),  # exactly 2
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)]),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(texts[k]) for k in sorted(texts)], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = q.q_doc_chunks(str(tmp_path)).take_all()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_tok"], r["chunk_tokens"])
+        )
+    assert by_doc[10] == [(0, 0, 0)]
+    assert by_doc[11] == [(0, 0, q.CHUNK_TOKENS)]
+    assert by_doc[12] == [
+        (0, 0, q.CHUNK_TOKENS),
+        (1, q.CHUNK_STRIDE, q.CHUNK_TOKENS + 1 - q.CHUNK_STRIDE),
+    ]
+    assert by_doc[13] == [
+        (0, 0, q.CHUNK_TOKENS),
+        (1, q.CHUNK_STRIDE, q.CHUNK_STRIDE + q.CHUNK_OVERLAP),
+    ]
+    # every chunk pair overlaps by exactly CHUNK_OVERLAP tokens when full
+    for doc, chunks in by_doc.items():
+        for (i0, s0, w0), (i1, s1, w1) in zip(chunks, chunks[1:]):
+            assert s1 - s0 == q.CHUNK_STRIDE and i1 == i0 + 1
