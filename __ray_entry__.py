@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_collocations": q.q_bigram_collocations,
         "event_funnel": q.q_event_funnel,
         "doc_chunks": q.q_doc_chunks,
+        "user_retention": q.q_user_retention,
     }
 
 
@@ -972,6 +973,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT '{FUNNEL_STAGES[1]}', 2::BIGINT, count(*)::BIGINT FROM s2
             UNION ALL
             SELECT '{FUNNEL_STAGES[2]}', 3::BIGINT, count(*)::BIGINT FROM s3
+        """,
+        "user_retention": """
+            WITH f AS (
+              SELECT user_id, min(date_trunc('day', ts)) AS cohort
+              FROM events GROUP BY user_id
+            ),
+            a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+            j AS (
+              SELECT a.user_id, f.cohort,
+                     date_diff('day', f.cohort, a.day)::BIGINT AS day_offset
+              FROM a JOIN f USING (user_id)
+            )
+            SELECT cohort AS cohort_day, day_offset, count(*)::BIGINT AS users
+            FROM j GROUP BY cohort, day_offset
         """,
         "doc_chunks": f"""
             WITH t AS (

@@ -4493,3 +4493,70 @@ def q_doc_chunks(sf_dir: str):
         )
 
     return ds.map_batches(chunk_map, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by the DAY of their first
+    event (any type), counted once per (cohort_day, day_offset) they
+    were active — the product-analytics companion to the funnel, and
+    another instance of the catalog's per-key-ordering discipline
+    (SURVEY.md §2.9: per-key state, never a global sort).
+
+    Shape: 3-column pruned read (user_id is the only key; event_id and
+    payload never load), ONE keyed exchange on user_id, then a
+    per-block kernel — sort (user, ts), the run's FIRST row is the
+    cohort day, unique (user, day) pairs via a shift-compare mask,
+    integer day offsets — emitting one row per distinct (cohort,
+    offset, user) which an in-block group-count folds before the tiny
+    two-phase aggregate. Payload after the kernel is bounded by the
+    cohort x offset domain (days^2), never users or events."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    shuffled = _keyed_repartition(ds, _shuffle_width(), ["user_id"])
+    partial_schema = pa.schema(
+        [
+            ("cohort_day", pa.timestamp("us")),
+            ("day_offset", pa.int64()),
+            ("users", pa.int64()),
+        ]
+    )
+
+    def retention_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return partial_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        day_us = (
+            np.asarray(t.column("ts")).astype("datetime64[us]").view(np.int64)
+            // _DAY_US
+        ) * _DAY_US
+        new_run = np.r_[True, user[1:] != user[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        cohort = day_us[starts][run_idx]  # run's first (= min) day per row
+        # one row per distinct (user, day): days are sorted within a run
+        first_of_day = new_run | np.r_[False, day_us[1:] != day_us[:-1]]
+        coh = cohort[first_of_day]
+        off = (day_us[first_of_day] - coh) // _DAY_US
+        out = pa.table(
+            {
+                "cohort_day": pa.array(coh, type=pa.int64()).cast(pa.timestamp("us")),
+                "day_offset": pa.array(off, type=pa.int64()),
+                "users": pa.array(np.ones(len(coh), dtype=np.int64)),
+            }
+        )
+        agg = out.group_by(["cohort_day", "day_offset"]).aggregate([("users", "sum")])
+        return agg.rename_columns(["cohort_day", "day_offset", "users"])
+
+    partial = shuffled.map_batches(
+        retention_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_aggregate(
+        partial, ["cohort_day", "day_offset"], [("users", "sum", "users")]
+    )

@@ -626,3 +626,39 @@ def test_doc_chunks_layout(ray_session, tmp_path):
     for doc, chunks in by_doc.items():
         for (i0, s0, w0), (i1, s1, w1) in zip(chunks, chunks[1:]):
             assert s1 - s0 == q.CHUNK_STRIDE and i1 == i0 + 1
+
+
+def test_user_retention_semantics(ray_session, tmp_path):
+    """Same-day repeat activity counts once, the cohort is the FIRST
+    day, and offsets measure whole days from it."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    d0 = dt.datetime(2024, 3, 1)
+    rows = [
+        # u1: active day 0 (twice), day 2
+        (1, d0 + dt.timedelta(hours=1)),
+        (1, d0 + dt.timedelta(hours=5)),
+        (1, d0 + dt.timedelta(days=2, hours=3)),
+        # u2: first seen day 1, active day 1 only
+        (2, d0 + dt.timedelta(days=1, hours=2)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["users"]
+        for r in q.q_user_retention(str(tmp_path)).take_all()
+    }
+    assert got == {
+        (d0, 0): 1,
+        (d0, 2): 1,
+        (d0 + dt.timedelta(days=1), 0): 1,
+    }
