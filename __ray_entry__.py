@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": q.q_event_funnel,
         "doc_chunks": q.q_doc_chunks,
         "user_retention": q.q_user_retention,
+        "embedding_outliers": q.q_embedding_outliers,
     }
 
 
@@ -974,6 +975,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '{FUNNEL_STAGES[2]}', 3::BIGINT, count(*)::BIGINT FROM s3
         """,
+        "embedding_outliers": (
+            f"SELECT * FROM read_parquet('{oracle_paths['embedding_outliers']}')"
+        ),
         "user_retention": """
             WITH f AS (
               SELECT user_id, min(date_trunc('day', ts)) AS cohort

@@ -680,3 +680,38 @@ def materialize(sf_dir: str, out_dir: str | None = None) -> dict[str, str]:
     tag = sf_dir.strip("/").replace("/", "_")
     out_dir = out_dir or os.path.join(ORACLE_DIR, tag)
     return {name: _write(name, fn(sf_dir), out_dir) for name, fn in _ORACLE_BUILDERS.items()}
+
+
+def oracle_embedding_outliers(sf_dir: str, top_k: int = 5) -> pa.Table:
+    """Single-process recompute of the SemDeDup-style within-label
+    outlier ranking: unit-normalize, per-label centroid SUM (the /count
+    and /norm are positive per-label scalars — rank-invariant), rank by
+    score asc then vec_id asc, keep the bottom-k per label."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    lab = np.asarray(t.column("label"), dtype=np.int64)
+    x = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    out_id, out_lab, out_rank = [], [], []
+    for label in sorted(set(lab.tolist())):
+        sel = lab == label
+        csum = x[sel].sum(axis=0)
+        score = x[sel] @ csum
+        mids = ids[sel]
+        order = np.lexsort((mids, score))  # score asc, vec_id asc
+        k = min(top_k, len(mids))
+        out_id.extend(int(v) for v in mids[order][:k])
+        out_lab.extend([label] * k)
+        out_rank.extend(range(1, k + 1))
+    return pa.table(
+        {
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "label": pa.array(out_lab, type=pa.int64()),
+            "rank": pa.array(out_rank, type=pa.int64()),
+        }
+    )
+
+
+_ORACLE_BUILDERS["embedding_outliers"] = oracle_embedding_outliers

@@ -4560,3 +4560,138 @@ def q_user_retention(sf_dir: str):
     return grouped_aggregate(
         partial, ["cohort_day", "day_offset"], [("users", "sum", "users")]
     )
+
+
+EMB_OUTLIER_TOP_K = 5
+
+
+def q_embedding_outliers(sf_dir: str):
+    """SemDeDup-style within-cluster outlier surfacing: for every
+    label (the semantic cluster), the ``EMB_OUTLIER_TOP_K`` vectors
+    FARTHEST from the label centroid (lowest cosine to the mean of the
+    label's unit vectors) — the curation pass that prunes mislabeled /
+    low-quality points from each semantic cluster before training.
+    Output is integer-only ``(vec_id, label, rank)`` (rank 1 = most
+    outlying; ties by vec_id) so the driver's value-hash compare never
+    touches a float.
+
+    Shape: pass 1 folds per-block ``(label, count, sum_vec)`` partials
+    (sorted-run ``np.add.reduceat`` over the unit-vector matrix — rows
+    out are bounded by labels x blocks, the bounded-domain stat the
+    repo's other histogram collections use); the driver merges the tiny
+    partials and broadcasts the per-label centroid-sum matrix ONCE
+    (``ray.put``). Pass 2 re-streams the corpus, scores each vector
+    against its own label's sum (within-label ranking is invariant to
+    the skipped /count and /norm — positive scalars per label), and a
+    keyed exchange on label + the catalog's run-rank kernel keeps the
+    bottom-k. The corpus crosses the wire once; the centroid matrix is
+    labels x dim floats — the small side at any corpus size."""
+    from embulk_input_marketo_ray.stages.similarity import list_column_matrix
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], type=pa.int64()),
+                    "count": pa.array([], type=pa.int64()),
+                    "vsum": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        lab = np.asarray(batch.column("label"), dtype=np.int64)
+        x = list_column_matrix(batch.column("embedding")).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        order = np.argsort(lab, kind="stable")
+        lab_s, x_s = lab[order], x[order]
+        starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        sums = np.add.reduceat(x_s, starts, axis=0)
+        counts = np.diff(np.r_[starts, len(lab_s)])
+        return pa.table(
+            {
+                "label": pa.array(lab_s[starts], type=pa.int64()),
+                "count": pa.array(counts, type=pa.int64()),
+                "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+            }
+        )
+
+    # bounded-domain collection: labels x blocks rows, dim floats each
+    parts = [
+        t
+        for t in ds.map_batches(partial_sums, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "label": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+    pt = pa.concat_tables(parts)
+    lab_p = np.asarray(pt.column("label"), dtype=np.int64)
+    sums_p = np.stack(pt.column("vsum").to_pylist()).astype(np.float64)
+    order = np.argsort(lab_p, kind="stable")
+    lab_o, sums_o = lab_p[order], sums_p[order]
+    starts = np.flatnonzero(np.r_[True, lab_o[1:] != lab_o[:-1]])
+    labels = lab_o[starts]
+    centroid_sums = np.add.reduceat(sums_o, starts, axis=0)
+    cref = ray.put((labels, centroid_sums))
+
+    def score(batch: pa.Table) -> pa.Table:
+        labels, csums = ray.get(cref)
+        lab = np.asarray(batch.column("label"), dtype=np.int64)
+        x = list_column_matrix(batch.column("embedding")).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        row = np.searchsorted(labels, lab)
+        s = np.einsum("ij,ij->i", x, csums[row])
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "label": pa.array(lab, type=pa.int64()),
+                "score": pa.array(s, type=pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    by_label = _keyed_repartition(scored, _shuffle_width(), ["label"])
+
+    def bottomk(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "label": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("label", "ascending"),
+                ("score", "ascending"),  # farthest from centroid first
+                ("vec_id", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        lab = np.asarray(t.column("label"), dtype=np.int64)
+        pos = np.arange(len(lab), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        rank = pos - np.repeat(pos[starts], np.diff(np.r_[starts, len(lab)])) + 1
+        keep = rank <= EMB_OUTLIER_TOP_K
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").filter(pa.array(keep)),
+                "label": t.column("label").filter(pa.array(keep)),
+                "rank": pa.array(rank[keep], type=pa.int64()),
+            }
+        )
+
+    return by_label.map_batches(
+        bottomk, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

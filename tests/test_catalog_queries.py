@@ -662,3 +662,36 @@ def test_user_retention_semantics(ray_session, tmp_path):
         (d0, 2): 1,
         (d0 + dt.timedelta(days=1), 0): 1,
     }
+
+
+def test_embedding_outliers_picks_farthest(ray_session, tmp_path):
+    """The rank-1 outlier of a label is the vector pointing away from
+    the cluster mass, ranks are 1..k, and a label smaller than k yields
+    all its members ranked."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    # label 0: 20 vectors near +e0, one near -e0 (vec_id 99)
+    base = np.zeros((21, 8)); base[:, 0] = 1.0
+    base[:20] += rng.normal(0, 0.05, size=(20, 8))
+    base[20] = -base[20]
+    ids = np.r_[np.arange(20, dtype=np.int64), 99]
+    # label 1: just 2 vectors (fewer than top-k)
+    small = rng.normal(0, 1, size=(2, 8))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.r_[ids, [200, 201]], type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in np.vstack([base, small])],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 21 + [1] * 2, type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = q.q_embedding_outliers(str(tmp_path)).take_all()
+    lab0 = sorted((r for r in rows if r["label"] == 0), key=lambda r: r["rank"])
+    assert lab0[0]["vec_id"] == 99 and lab0[0]["rank"] == 1
+    assert [r["rank"] for r in lab0] == list(range(1, q.EMB_OUTLIER_TOP_K + 1))
+    lab1 = [r for r in rows if r["label"] == 1]
+    assert sorted(r["rank"] for r in lab1) == [1, 2]
