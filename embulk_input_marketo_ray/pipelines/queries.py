@@ -4354,6 +4354,34 @@ def q_doc_length_batches(sf_dir: str):
 FUNNEL_STAGES = ("signup", "click", "purchase")
 
 
+def funnel_stage_counts(
+    user: np.ndarray, ts_us: np.ndarray, stage_of: np.ndarray, n_stages: int
+) -> list[int]:
+    """Pure funnel kernel over (user, ts)-SORTED arrays: per-user
+    sequential stage mins (stage k's first time at-or-after the user's
+    stage-(k-1) time, ``>=`` inclusive) via masked
+    ``np.minimum.reduceat`` — returns the per-stage converted-user
+    counts. Extracted module-level so the property suite can drive it
+    against a brute-force reference."""
+    if len(user) == 0:
+        return [0] * n_stages
+    _imax = np.iinfo(np.int64).max
+    new_run = np.r_[True, user[1:] != user[:-1]]
+    starts = np.flatnonzero(new_run)
+    run_idx = np.cumsum(new_run) - 1
+    # floor starts open, then each stage's per-run first-qualifying
+    # time becomes the next floor (a run with no qualifying row folds
+    # to I64_MAX, which no later ts can be >= — conversion stops there)
+    floor = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
+    counts = []
+    for k in range(n_stages):
+        qual = (stage_of == k) & (ts_us >= floor[run_idx])
+        vals = np.where(qual, ts_us, _imax)
+        floor = np.minimum.reduceat(vals, starts)
+        counts.append(int((floor < _imax).sum()))
+    return counts
+
+
 def q_event_funnel(sf_dir: str):
     """Ordered funnel conversion over the event stream: how many users
     reach each stage of ``signup -> click -> purchase`` IN TIME ORDER
@@ -4384,8 +4412,6 @@ def q_event_funnel(sf_dir: str):
         _shuffle_width(),
         ["user_id"],
     )
-    _I64_MAX = np.iinfo(np.int64).max
-    _I64_MIN = np.iinfo(np.int64).min
     partial_schema = pa.schema(
         [("stage", pa.string()), ("stage_idx", pa.int64()), ("users", pa.int64())]
     )
@@ -4400,23 +4426,10 @@ def q_event_funnel(sf_dir: str):
         user = np.asarray(t.column("user_id"), dtype=np.int64)
         ts_us = np.asarray(t.column("ts")).astype("datetime64[us]").view(np.int64)
         et = t.column("event_type")
-        n = len(user)
-        stage_of = np.full(n, -1, dtype=np.int8)
+        stage_of = np.full(len(user), -1, dtype=np.int8)
         for k, name in enumerate(FUNNEL_STAGES):
             stage_of[np.asarray(pc.equal(et, pa.scalar(name)))] = k
-        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
-        run_idx = np.cumsum(np.r_[True, user[1:] != user[:-1]]) - 1
-        # sequential per-run stage mins: floor starts open, then each
-        # stage's per-run first-qualifying time becomes the next floor
-        # (a run with no qualifying row folds to I64_MAX, which no
-        # later ts can be >= — conversion stops there, vectorized)
-        floor = np.full(len(starts), _I64_MIN, dtype=np.int64)
-        counts = []
-        for k in range(len(FUNNEL_STAGES)):
-            qual = (stage_of == k) & (ts_us >= floor[run_idx])
-            vals = np.where(qual, ts_us, _I64_MAX)
-            floor = np.minimum.reduceat(vals, starts)
-            counts.append(int((floor < _I64_MAX).sum()))
+        counts = funnel_stage_counts(user, ts_us, stage_of, len(FUNNEL_STAGES))
         return pa.table(
             {
                 "stage": stage_arr,
@@ -4498,6 +4511,27 @@ def q_doc_chunks(sf_dir: str):
 _DAY_US = 86_400_000_000
 
 
+def retention_cells(
+    user: np.ndarray, day_us: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure retention kernel over (user, day)-SORTED arrays: one
+    ``(cohort_day_us, day_offset)`` row per DISTINCT (user, day) pair,
+    cohort = the user's first day (run start in sorted order), via a
+    shift-compare mask — no per-row loop. Extracted module-level for
+    the property suite."""
+    if len(user) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    new_run = np.r_[True, user[1:] != user[:-1]]
+    starts = np.flatnonzero(new_run)
+    run_idx = np.cumsum(new_run) - 1
+    cohort = day_us[starts][run_idx]  # run's first (= min) day per row
+    first_of_day = new_run | np.r_[False, day_us[1:] != day_us[:-1]]
+    coh = cohort[first_of_day]
+    off = (day_us[first_of_day] - coh) // _DAY_US
+    return coh, off
+
+
 def q_user_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by the DAY of their first
     event (any type), counted once per (cohort_day, day_offset) they
@@ -4536,14 +4570,7 @@ def q_user_retention(sf_dir: str):
             np.asarray(t.column("ts")).astype("datetime64[us]").view(np.int64)
             // _DAY_US
         ) * _DAY_US
-        new_run = np.r_[True, user[1:] != user[:-1]]
-        starts = np.flatnonzero(new_run)
-        run_idx = np.cumsum(new_run) - 1
-        cohort = day_us[starts][run_idx]  # run's first (= min) day per row
-        # one row per distinct (user, day): days are sorted within a run
-        first_of_day = new_run | np.r_[False, day_us[1:] != day_us[:-1]]
-        coh = cohort[first_of_day]
-        off = (day_us[first_of_day] - coh) // _DAY_US
+        coh, off = retention_cells(user, day_us)
         out = pa.table(
             {
                 "cohort_day": pa.array(coh, type=pa.int64()).cast(pa.timestamp("us")),

@@ -9,6 +9,7 @@ arbitrary windows, and the CSV tokenizer on round-tripped payloads.
 from datetime import datetime, timedelta
 
 import hypothesis.strategies as st
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 from hypothesis import given, settings
@@ -523,3 +524,108 @@ def test_diff_states_matches_dict_reference(states):
         elif s_old[k] != s_new[k]:
             want[k] = ("modified", s_old[k], s_new[k])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# funnel / retention / chunk kernels vs brute-force references
+# ---------------------------------------------------------------------------
+
+funnel_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),    # user
+        st.integers(min_value=0, max_value=50),   # ts (us)
+        st.integers(min_value=-1, max_value=2),   # stage (-1 = non-funnel)
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=funnel_rows)
+def test_funnel_kernel_matches_brute_force(rows):
+    from embulk_input_marketo_ray.pipelines.queries import funnel_stage_counts
+
+    rows = sorted(rows)
+    user = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    stage = np.array([r[2] for r in rows], dtype=np.int8)
+    got = funnel_stage_counts(user, ts, stage, 3)
+
+    want = [0, 0, 0]
+    for u in sorted(set(user.tolist())):
+        floor = None
+        for k in range(3):
+            times = [
+                t
+                for uu, t, s in rows
+                if uu == u and s == k and (floor is None or t >= floor)
+            ]
+            if not times:
+                break
+            floor = min(times)
+            want[k] += 1
+    assert got == want
+
+
+retention_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # user
+        st.integers(min_value=0, max_value=9),   # day number
+    ),
+    max_size=50,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=retention_rows)
+def test_retention_cells_match_brute_force(rows):
+    from collections import Counter
+
+    from embulk_input_marketo_ray.pipelines.queries import _DAY_US, retention_cells
+
+    rows = sorted(rows)
+    user = np.array([r[0] for r in rows], dtype=np.int64)
+    day = np.array([r[1] for r in rows], dtype=np.int64) * _DAY_US
+    coh, off = retention_cells(user, day)
+    got = Counter(zip(coh.tolist(), off.tolist()))
+
+    want: Counter = Counter()
+    for u in sorted(set(user.tolist())):
+        days = sorted({d for uu, d in rows if uu == u})
+        for d in days:
+            want[(days[0] * _DAY_US, d - days[0])] += 1
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(n_tok=st.integers(min_value=0, max_value=500))
+def test_chunk_layout_invariants(n_tok):
+    """The chunk grid covers [0, n_tok) exactly: starts on the stride
+    grid, every doc >= 1 chunk, last chunk ends at n_tok (when any
+    tokens exist), full adjacent chunks overlap by CHUNK_OVERLAP."""
+    from embulk_input_marketo_ray.pipelines.queries import (
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    n_chunks = (max(n_tok - CHUNK_OVERLAP, 1) + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+    assert n_chunks >= 1
+    starts = [i * CHUNK_STRIDE for i in range(n_chunks)]
+    widths = [min(CHUNK_TOKENS, n_tok - s) for s in starts]
+    if n_tok == 0:
+        assert widths == [0]
+        return
+    # coverage without gaps: each chunk begins inside (or at the end
+    # of) the previous one, and the last reaches n_tok
+    assert starts[-1] + widths[-1] == n_tok
+    for s, w in zip(starts, widths):
+        assert w > 0
+    for (s0, w0), (s1, _) in zip(
+        list(zip(starts, widths)), list(zip(starts, widths))[1:]
+    ):
+        assert s1 <= s0 + w0  # no gap
+        assert s1 - s0 == CHUNK_STRIDE
+    # minimality: one chunk fewer could not reach n_tok even at full width
+    if n_chunks > 1:
+        assert (n_chunks - 2) * CHUNK_STRIDE + CHUNK_TOKENS < n_tok
