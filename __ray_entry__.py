@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q.q_doc_chunks,
         "user_retention": q.q_user_retention,
         "embedding_outliers": q.q_embedding_outliers,
+        "order_priority_report": q.q_order_priority_report,
     }
 
 
@@ -306,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         CHUNK_TOKENS,
         CHUNK_OVERLAP,
         CHUNK_STRIDE,
+        HIGH_PRIORITIES,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -978,6 +980,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": (
             f"SELECT * FROM read_parquet('{oracle_paths['embedding_outliers']}')"
         ),
+        "order_priority_report": f"""
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN
+                       {tuple(HIGH_PRIORITIES)!r} THEN 1 ELSE 0 END)::BIGINT
+                     AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN
+                       {tuple(HIGH_PRIORITIES)!r} THEN 0 ELSE 1 END)::BIGINT
+                     AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY l_returnflag
+        """,
         "user_retention": """
             WITH f AS (
               SELECT user_id, min(date_trunc('day', ts)) AS cohort

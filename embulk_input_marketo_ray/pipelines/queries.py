@@ -4722,3 +4722,124 @@ def q_embedding_outliers(sf_dir: str):
     return by_label.map_batches(
         bottomk, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q_order_priority_report(sf_dir: str):
+    """TPC-H Q12-shaped LARGE x LARGE distributed equi-join: every
+    lineitem joined to its order's priority class, counted high/low per
+    return flag. This is the catalog's canonical big-big join shape —
+    neither side fits a broadcast at 100 TB, so both ride ONE
+    tagged-union keyed exchange co-partitioned on the order key (the
+    same tagged-union idiom as the asof join and sig-index verify),
+    and the per-block kernel resolves each key run locally: the order
+    row sorts first in its run, its precomputed ``is_high`` bit gathers
+    onto the run's lineitem rows, and an in-block group-by folds to
+    <= |returnflag| rows before the tiny final aggregate.
+
+    Scale notes: the priority STRING never crosses the exchange (it
+    collapses to one int8 at the scan — column pruned to 2 columns per
+    side); post-kernel payload is bounded by the flag domain x blocks.
+    A hot order key splits fine: only its single order row must
+    co-reside with each fragment for the gather, which the exchange's
+    key hashing guarantees."""
+    _ensure_hash_shuffle()
+    union_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("is_high", pa.int8()),
+            ("flag", pa.string()),
+        ]
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        is_high = pc.is_in(
+            batch.column("o_orderpriority"),
+            value_set=pa.array(list(HIGH_PRIORITIES)),
+        ).cast(pa.int8())
+        return pa.table(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "is_high": is_high,
+                "flag": pa.nulls(n, type=pa.string()),
+            }
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "is_high": pa.nulls(n, type=pa.int8()),
+                "flag": batch.column("l_returnflag"),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        lineitem.map_batches(line_rows, batch_format="pyarrow")
+    )
+    by_key = _keyed_repartition(tagged, _shuffle_width(), ["okey"])
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("high_line_count", pa.int64()),
+            ("low_line_count", pa.int64()),
+        ]
+    )
+
+    def join_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return partial_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        # is_high is null on lineitem rows; fill for the numpy gather
+        ih = np.asarray(pc.fill_null(t.column("is_high"), -1), dtype=np.int8)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        # inner join: a run participates iff its first row is an order
+        run_has_order = side[starts] == 0
+        run_high = np.where(run_has_order, ih[starts], -1)
+        row_high = run_high[run_idx]
+        keep = (side == 1) & (row_high >= 0)
+        if not keep.any():
+            return partial_schema.empty_table()
+        flags = t.column("flag").filter(pa.array(keep))
+        high = row_high[keep].astype(np.int64)
+        out = pa.table(
+            {
+                "l_returnflag": flags,
+                "high_line_count": pa.array(high),
+                "low_line_count": pa.array(1 - high),
+            }
+        )
+        agg = out.group_by(["l_returnflag"]).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+        return agg.rename_columns(
+            ["l_returnflag", "high_line_count", "low_line_count"]
+        )
+
+    partial = by_key.map_batches(
+        join_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_aggregate(
+        partial,
+        ["l_returnflag"],
+        [
+            ("high_line_count", "sum", "high_line_count"),
+            ("low_line_count", "sum", "low_line_count"),
+        ],
+    )

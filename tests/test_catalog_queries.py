@@ -695,3 +695,30 @@ def test_embedding_outliers_picks_farthest(ray_session, tmp_path):
     assert [r["rank"] for r in lab0] == list(range(1, q.EMB_OUTLIER_TOP_K + 1))
     lab1 = [r for r in rows if r["label"] == 1]
     assert sorted(r["rank"] for r in lab1) == [1, 2]
+
+
+def test_order_priority_join_inner_semantics(ray_session, tmp_path):
+    """The tagged-union join is INNER (an orphan lineitem with no order
+    row is dropped) and the high/low split follows the order's
+    priority, not the lineitem."""
+    import pyarrow.parquet as pq
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], type=pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW"]),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 99], type=pa.int64()),  # 99 orphan
+            "l_returnflag": pa.array(["A", "R", "A", "A"]),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["l_returnflag"]: (r["high_line_count"], r["low_line_count"])
+        for r in q.q_order_priority_report(str(tmp_path)).take_all()
+    }
+    assert got == {"A": (1, 1), "R": (1, 0)}  # orphan 99 excluded
