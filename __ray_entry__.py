@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": q.q_user_retention,
         "embedding_outliers": q.q_embedding_outliers,
         "order_priority_report": q.q_order_priority_report,
+        "event_rolling_stats": q.q_event_rolling_stats,
     }
 
 
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         CHUNK_OVERLAP,
         CHUNK_STRIDE,
         HIGH_PRIORITIES,
+        ROLLING_WINDOW_ROWS,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -990,6 +992,19 @@ def oracle_sql() -> dict[str, str]:
                      AS low_line_count
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY l_returnflag
+        """,
+        "event_rolling_stats": f"""
+            SELECT event_id, user_id, ts,
+                   row_number() OVER w::BIGINT AS row_in_user,
+                   least(row_number() OVER w, {ROLLING_WINDOW_ROWS})::BIGINT
+                     AS win_rows,
+                   max(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ROLLING_WINDOW_ROWS - 1} PRECEDING
+                       AND CURRENT ROW
+                   ) AS win_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "user_retention": """
             WITH f AS (

@@ -4843,3 +4843,80 @@ def q_order_priority_report(sf_dir: str):
             ("low_line_count", "sum", "low_line_count"),
         ],
     )
+
+
+ROLLING_WINDOW_ROWS = 5  # current row + 4 preceding
+
+
+def q_event_rolling_stats(sf_dir: str):
+    """Per-user ROWS-frame rolling window (``ROWS BETWEEN 4 PRECEDING
+    AND CURRENT ROW`` over (ts, event_id) order): each event's ordinal
+    within its user stream, the realized frame width, and the frame's
+    max value — the streaming-feature shape (rolling engagement /
+    anomaly features) the batch engines compute with window functions.
+    ``max`` is a SELECTION (never float arithmetic), so the result is
+    bit-exact vs the SQL replica — rolling SUMS of floats would differ
+    in the last ulp between prefix-sum and direct evaluation.
+
+    Shape: 4-column pruned read, ONE keyed exchange on user_id, then a
+    per-block kernel: sort (user, ts, event_id), in-run ordinals by
+    run-start subtraction, and the K-row frame max as K-1 shifted
+    ``np.maximum`` passes gated on the ordinal (window never crosses a
+    run boundary) — K is a small constant, so the kernel is K vector
+    ops regardless of block size, no per-row loop."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    shuffled = _keyed_repartition(ds, _shuffle_width(), ["user_id"])
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("row_in_user", pa.int64()),
+            ("win_rows", pa.int64()),
+            ("win_max", pa.float64()),
+        ]
+    )
+
+    def rolling_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        val = np.asarray(t.column("value"), dtype=np.float64)
+        n = len(user)
+        new_run = np.r_[True, user[1:] != user[:-1]]
+        starts = np.flatnonzero(new_run)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, n])
+        )
+        win_max = val.copy()
+        for j in range(1, ROLLING_WINDOW_ROWS):
+            ok = pos >= j
+            shifted = np.empty_like(val)
+            shifted[j:] = val[:-j]
+            np.maximum(win_max, shifted, out=win_max, where=ok)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts": t.column("ts"),
+                "row_in_user": pa.array(pos + 1, type=pa.int64()),
+                "win_rows": pa.array(
+                    np.minimum(pos + 1, ROLLING_WINDOW_ROWS), type=pa.int64()
+                ),
+                "win_max": pa.array(win_max, type=pa.float64()),
+            }
+        )
+
+    return shuffled.map_batches(
+        rolling_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

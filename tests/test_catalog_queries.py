@@ -722,3 +722,42 @@ def test_order_priority_join_inner_semantics(ray_session, tmp_path):
         for r in q.q_order_priority_report(str(tmp_path)).take_all()
     }
     assert got == {"A": (1, 1), "R": (1, 0)}  # orphan 99 excluded
+
+
+def test_event_rolling_stats_frame(ray_session, tmp_path):
+    """The frame never crosses a user boundary, the realized width
+    saturates at ROLLING_WINDOW_ROWS, and win_max tracks the K-row
+    sliding selection exactly."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 5, 1)
+    vals_u1 = [5.0, 1.0, 9.0, 2.0, 3.0, 4.0, 0.5]
+    rows = [(1, i, v) for i, v in enumerate(vals_u1)] + [(2, 0, 100.0)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=r[1]) for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = sorted(
+        q.q_event_rolling_stats(str(tmp_path)).take_all(),
+        key=lambda r: (r["user_id"], r["row_in_user"]),
+    )
+    u1 = [r for r in out if r["user_id"] == 1]
+    K = q.ROLLING_WINDOW_ROWS
+    want_max = [
+        max(vals_u1[max(0, i - K + 1) : i + 1]) for i in range(len(vals_u1))
+    ]
+    assert [r["win_max"] for r in u1] == want_max
+    assert [r["win_rows"] for r in u1] == [min(i + 1, K) for i in range(len(vals_u1))]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["win_max"] == 100.0 and u2[0]["win_rows"] == 1
