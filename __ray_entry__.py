@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": q.q_embedding_outliers,
         "order_priority_report": q.q_order_priority_report,
         "event_rolling_stats": q.q_event_rolling_stats,
+        "customer_anti_join": q.q_customer_anti_join,
     }
 
 
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         CHUNK_STRIDE,
         HIGH_PRIORITIES,
         ROLLING_WINDOW_ROWS,
+        ANTI_JOIN_PRICE,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -1005,6 +1007,14 @@ def oracle_sql() -> dict[str, str]:
                    ) AS win_max
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "customer_anti_join": f"""
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > {ANTI_JOIN_PRICE}
+            )
         """,
         "user_retention": """
             WITH f AS (

@@ -4920,3 +4920,81 @@ def q_event_rolling_stats(sf_dir: str):
     return shuffled.map_batches(
         rolling_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+ANTI_JOIN_PRICE = 400_000.0  # "big order" threshold
+
+
+def q_customer_anti_join(sf_dir: str):
+    """Distributed LARGE x LARGE ANTI-join (``NOT EXISTS``): customers
+    with NO order above ``ANTI_JOIN_PRICE`` — the set-difference shape
+    (D-family) at a scale where neither side broadcasts. The probe side
+    is filtered AT THE SCAN (only qualifying orders' custkeys ever
+    leave the read — at 100 TB the predicate prunes the probe stream
+    before it touches the exchange), both sides ride ONE tagged-union
+    keyed exchange on custkey, and the per-block kernel keeps exactly
+    the customer rows whose key run contains no probe row. Compare
+    ``q_semi_join`` (broadcast key set): that shape needs the probe
+    side's distinct keys to fit a broadcast; this one never does."""
+    _ensure_hash_shuffle()
+    customers = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    union_schema = pa.schema(
+        [("ckey", pa.int64()), ("side", pa.int8()), ("c_mktsegment", pa.string())]
+    )
+
+    def customer_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "ckey": batch.column("c_custkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "c_mktsegment": batch.column("c_mktsegment"),
+            }
+        )
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(
+            pc.greater(batch.column("o_totalprice"), pa.scalar(ANTI_JOIN_PRICE))
+        )
+        n = hit.num_rows
+        return pa.table(
+            {
+                "ckey": hit.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "c_mktsegment": pa.nulls(n, type=pa.string()),
+            }
+        )
+
+    tagged = customers.map_batches(customer_rows, batch_format="pyarrow").union(
+        orders.map_batches(probe_rows, batch_format="pyarrow")
+    )
+    by_key = _keyed_repartition(tagged, _shuffle_width(), ["ckey"])
+    out_schema = pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())])
+
+    def anti_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("ckey", "ascending"), ("side", "descending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("ckey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        run_idx = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        # probe rows sort FIRST (side desc): a run whose first row is a
+        # customer row has no probe hit — keep its customer rows
+        run_clean = side[starts] == 0
+        keep = (side == 0) & run_clean[run_idx]
+        return pa.table(
+            {
+                "c_custkey": t.column("ckey").filter(pa.array(keep)),
+                "c_mktsegment": t.column("c_mktsegment").filter(pa.array(keep)),
+            }
+        )
+
+    return by_key.map_batches(
+        anti_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

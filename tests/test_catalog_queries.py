@@ -761,3 +761,32 @@ def test_event_rolling_stats_frame(ray_session, tmp_path):
     assert [r["win_rows"] for r in u1] == [min(i + 1, K) for i in range(len(vals_u1))]
     u2 = [r for r in out if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["win_max"] == 100.0 and u2[0]["win_rows"] == 1
+
+
+def test_customer_anti_join_set_semantics(ray_session, tmp_path):
+    """A customer with any qualifying order is excluded, one with only
+    below-threshold orders is kept, and one with no orders at all is
+    kept."""
+    import pyarrow.parquet as pq
+
+    customers = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+            "c_mktsegment": pa.array(["A", "B", "C"]),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+            "o_totalprice": pa.array(
+                [q.ANTI_JOIN_PRICE + 1, 10.0, q.ANTI_JOIN_PRICE], type=pa.float64()
+            ),  # cust 1 qualifies; cust 2's order is AT the threshold (>)
+        }
+    )
+    pq.write_table(customers, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = sorted(
+        (r["c_custkey"], r["c_mktsegment"])
+        for r in q.q_customer_anti_join(str(tmp_path)).take_all()
+    )
+    assert got == [(2, "B"), (3, "C")]
