@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_report": q.q_order_priority_report,
         "event_rolling_stats": q.q_event_rolling_stats,
         "customer_anti_join": q.q_customer_anti_join,
+        "approx_distinct_users": q.q_approx_distinct_users,
     }
 
 
@@ -983,6 +984,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_outliers": (
             f"SELECT * FROM read_parquet('{oracle_paths['embedding_outliers']}')"
+        ),
+        "approx_distinct_users": (
+            f"SELECT * FROM read_parquet('{oracle_paths['approx_distinct_users']}')"
         ),
         "order_priority_report": f"""
             SELECT l_returnflag,

@@ -715,3 +715,65 @@ def oracle_embedding_outliers(sf_dir: str, top_k: int = 5) -> pa.Table:
 
 
 _ORACLE_BUILDERS["embedding_outliers"] = oracle_embedding_outliers
+
+
+def oracle_approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
+    """Single-process recompute of the HLL sketch spec (SplitMix64
+    hash, 2^p registers, rank = 1 + leading zeros of the suffix,
+    standard estimate + linear-counting small-range correction) —
+    re-derived per-row in plain Python so the distributed fold has an
+    independent reference."""
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    users = t.column("user_id").to_pylist()
+    types = t.column("event_type").to_pylist()
+    m = 1 << p
+    mask = (1 << 64) - 1
+
+    def smix(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) & mask
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    regs: dict[str, list[int]] = {}
+    for u, et in zip(users, types):
+        h = smix(u & mask)
+        idx = h >> (64 - p)
+        rest = ((h << p) | ((1 << p) - 1)) & mask
+        rank = 64 - rest.bit_length() + 1
+        r = regs.setdefault(et, [0] * m)
+        if rank > r[idx]:
+            r[idx] = rank
+
+    import math
+
+    out_t, out_n = [], []
+    for et in sorted(regs):
+        r = regs[et]
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        # histogram-ordered harmonic sum: the same fixed-term fold the
+        # engine uses, so the floats agree bitwise
+        counts = [0] * 65
+        for v in r:
+            counts[v] += 1
+        harm = 0.0
+        for v in range(65):
+            if counts[v]:
+                harm += float(counts[v]) * 2.0 ** -v
+        est = alpha * m * m / harm
+        zeros = counts[0]
+        if est <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        out_t.append(et)
+        out_n.append(int(round(est)))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, type=pa.string()),
+            "approx_users": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
+_ORACLE_BUILDERS["approx_distinct_users"] = oracle_approx_distinct_users

@@ -4998,3 +4998,158 @@ def q_customer_anti_join(sf_dir: str):
     return by_key.map_batches(
         anti_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+HLL_P = 12                      # 2^12 = 4096 registers per sketch
+HLL_M = 1 << HLL_P
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 finalizer — the deterministic 64-bit
+    scramble the HLL sketch hashes with (numpy uint64 arithmetic wraps
+    mod 2^64 by definition, which IS the algorithm)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_fold(values: np.ndarray, registers: np.ndarray) -> None:
+    """Fold int64 values into a 2^HLL_P-register HLL sketch IN PLACE:
+    register index = top HLL_P hash bits, rank = 1 + leading zeros of
+    the remaining 64-HLL_P bits (capped at 64-HLL_P+1). Vectorized:
+    one scramble + one shift pair + np.maximum.at."""
+    if len(values) == 0:
+        return
+    h = splitmix64(values.view(np.uint64) if values.dtype == np.int64 else values)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # leading zeros of `rest` via float64 exponent would lose precision
+    # >2^53; use the bit-length identity on the uint64 directly
+    lz = np.uint64(64) - _bit_length_u64(rest)
+    rank = (lz + np.uint64(1)).astype(np.uint8)
+    np.maximum.at(registers, idx, rank)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 -> 0): binary-search shifts,
+    6 vector ops — no Python loop over rows, exact at all 64 bits."""
+    x = x.copy()
+    n = np.zeros(x.shape, dtype=np.uint64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = np.uint64(shift)
+        big = x >= (np.uint64(1) << s)
+        n[big] += s
+        x[big] >>= s
+    n[x > 0] += np.uint64(1)
+    return n
+
+
+def hll_estimate(registers: np.ndarray) -> int:
+    """Standard HLL estimate with the small-range (linear counting)
+    correction. The harmonic sum folds over the REGISTER-VALUE
+    HISTOGRAM in ascending value order — a fixed <= 65-term float sum
+    whose order is identical in any implementation, so the estimate is
+    bit-deterministic for identical registers (a direct 4096-term sum
+    would depend on summation order)."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    counts = np.bincount(registers.astype(np.int64), minlength=65)
+    harm = 0.0
+    for v in range(65):
+        if counts[v]:
+            harm += float(counts[v]) * 2.0 ** -v
+    est = alpha * m * m / harm
+    zeros = int(counts[0])
+    if est <= 2.5 * m and zeros > 0:
+        import math
+
+        est = m * math.log(m / zeros)
+    return int(round(est))
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Approximate distinct-user count per event type via a MERGEABLE
+    HyperLogLog sketch — the 100-TB cardinality path: exact distinct
+    (``q_distinct_values`` / the hop windows' two-phase distinct) moves
+    one row per distinct key through the exchange, which at billions of
+    keys is itself the bottleneck; the sketch caps the per-group
+    exchange payload at 4 KiB (2^12 uint8 registers) REGARDLESS of
+    cardinality, and register-wise max is associative/commutative so
+    partials fold in any order. Deterministic by construction (SplitMix64
+    hash, no RNG), so the independent single-process recompute oracle
+    matches exactly; accuracy vs exact is property-tested (~1.6%
+    typical at p=12).
+
+    Shape: per-block partial sketches per event_type (bounded by types
+    x blocks, each 4 KiB), ONE tiny keyed exchange on event_type, a
+    register-max merge per group, then the closed-form estimate."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    partial_schema = pa.schema(
+        [("event_type", pa.string()), ("registers", pa.binary())]
+    )
+
+    def partial_sketches(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return partial_schema.empty_table()
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode()
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        users = np.asarray(batch.column("user_id"), dtype=np.int64)
+        types = codes.dictionary.to_pylist()
+        regs_out, type_out = [], []
+        for k, name in enumerate(types):
+            regs = np.zeros(HLL_M, dtype=np.uint8)
+            hll_fold(users[idx == k], regs)
+            regs_out.append(regs.tobytes())
+            type_out.append(name)
+        return pa.table(
+            {
+                "event_type": pa.array(type_out, type=pa.string()),
+                "registers": pa.array(regs_out, type=pa.binary()),
+            }
+        )
+
+    partial = ds.map_batches(partial_sketches, batch_format="pyarrow")
+    by_type = _keyed_repartition(partial, _shuffle_width(), ["event_type"])
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("approx_users", pa.int64())]
+    )
+
+    def merge_estimate(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        et = block.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode()
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        blobs = block.column("registers")
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        types = codes.dictionary.to_pylist()
+        out_t, out_n = [], []
+        for k, name in enumerate(types):
+            rows = np.flatnonzero(idx == k)
+            merged = np.zeros(HLL_M, dtype=np.uint8)
+            for r in rows:  # partials per (type): bounded by input blocks
+                np.maximum(
+                    merged,
+                    np.frombuffer(blobs[int(r)].as_py(), dtype=np.uint8),
+                    out=merged,
+                )
+            out_t.append(name)
+            out_n.append(hll_estimate(merged))
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, type=pa.string()),
+                "approx_users": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return by_type.map_batches(
+        merge_estimate, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

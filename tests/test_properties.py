@@ -629,3 +629,37 @@ def test_chunk_layout_invariants(n_tok):
     # minimality: one chunk fewer could not reach n_tok even at full width
     if n_chunks > 1:
         assert (n_chunks - 2) * CHUNK_STRIDE + CHUNK_TOKENS < n_tok
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=20_000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hll_estimate_accuracy_and_mergeability(n, seed):
+    """The sketch estimate tracks true cardinality within the p=12
+    theoretical band (~1.04/sqrt(4096) ≈ 1.6% sigma; assert 6 sigma),
+    and folding in two halves then merging (register max) is identical
+    to folding once — the mergeability the distributed partials rely
+    on."""
+    from embulk_input_marketo_ray.pipelines.queries import (
+        HLL_M,
+        hll_estimate,
+        hll_fold,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+    true_n = len(np.unique(vals))
+
+    whole = np.zeros(HLL_M, dtype=np.uint8)
+    hll_fold(vals, whole)
+    a = np.zeros(HLL_M, dtype=np.uint8)
+    b = np.zeros(HLL_M, dtype=np.uint8)
+    hll_fold(vals[: n // 2], a)
+    hll_fold(vals[n // 2 :], b)
+    merged = np.maximum(a, b)
+    assert np.array_equal(whole, merged)
+
+    est = hll_estimate(whole)
+    assert abs(est - true_n) <= max(0.10 * true_n, 20), (est, true_n)
