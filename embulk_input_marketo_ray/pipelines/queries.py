@@ -5100,16 +5100,21 @@ def q_approx_distinct_users(sf_dir: str):
         idx = np.asarray(codes.indices, dtype=np.int64)
         users = np.asarray(batch.column("user_id"), dtype=np.int64)
         types = codes.dictionary.to_pylist()
-        regs_out, type_out = [], []
-        for k, name in enumerate(types):
-            regs = np.zeros(HLL_M, dtype=np.uint8)
-            hll_fold(users[idx == k], regs)
-            regs_out.append(regs.tobytes())
-            type_out.append(name)
+        # ONE pass for every type: a (types, M) register bank folded
+        # through a flattened scatter-max — no per-type batch rescan,
+        # so the kernel cost is independent of the type domain's width
+        h = splitmix64(users)
+        reg_idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+        rank = (np.uint64(64) - _bit_length_u64(rest) + np.uint64(1)).astype(
+            np.uint8
+        )
+        bank = np.zeros((len(types), HLL_M), dtype=np.uint8)
+        np.maximum.at(bank.reshape(-1), idx * HLL_M + reg_idx, rank)
         return pa.table(
             {
-                "event_type": pa.array(type_out, type=pa.string()),
-                "registers": pa.array(regs_out, type=pa.binary()),
+                "event_type": pa.array(types, type=pa.string()),
+                "registers": pa.array([b.tobytes() for b in bank], type=pa.binary()),
             }
         )
 
