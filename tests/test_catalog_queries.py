@@ -790,3 +790,31 @@ def test_customer_anti_join_set_semantics(ray_session, tmp_path):
         for r in q.q_customer_anti_join(str(tmp_path)).take_all()
     )
     assert got == [(2, "B"), (3, "C")]
+
+
+def test_order_priority_join_hot_key(ray_session, tmp_path):
+    """Degenerate skew: EVERY lineitem hits one order key. The single
+    order row co-resides with all fragments under the key hash, so the
+    join stays exact."""
+    import pyarrow.parquet as pq
+
+    n = 50_000
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([7, 8], type=pa.int64()),
+            "o_orderpriority": pa.array(["2-HIGH", "5-LOW"]),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(np.full(n, 7, dtype=np.int64)),
+            "l_returnflag": pa.array(["A" if i % 2 else "R" for i in range(n)]),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"), row_group_size=4096)
+    got = {
+        r["l_returnflag"]: (r["high_line_count"], r["low_line_count"])
+        for r in q.q_order_priority_report(str(tmp_path)).take_all()
+    }
+    assert got == {"A": (n // 2, 0), "R": (n // 2, 0)}
