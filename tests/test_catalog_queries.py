@@ -818,3 +818,37 @@ def test_order_priority_join_hot_key(ray_session, tmp_path):
         for r in q.q_order_priority_report(str(tmp_path)).take_all()
     }
     assert got == {"A": (n // 2, 0), "R": (n // 2, 0)}
+
+
+def test_run_query_cli(tmp_path):
+    """The ad-hoc catalog CLI runs a query in a fresh process, prints
+    one JSON line with the row count, and --out writes the result."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.dataset as pads
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo_root, "scripts", "run_query.py")
+    env = dict(os.environ, PYTHONPATH=repo_root, RAY_ADDRESS="local")
+
+    outdir = str(tmp_path / "funnel_out")
+    out = subprocess.run(
+        [sys.executable, script, "event_funnel",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", outdir],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["query"] == "event_funnel" and got["rows"] == 3
+    assert pads.dataset(outdir).to_table().num_rows == 3
+
+    lst = subprocess.run(
+        [sys.executable, script, "--list"],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(tmp_path),
+    )
+    assert lst.returncode == 0
+    names = json.loads(lst.stdout.strip().splitlines()[-1])
+    assert "cdc_replay" in names and "event_funnel" in names
