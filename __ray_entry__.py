@@ -171,6 +171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rolling_stats": q.q_event_rolling_stats,
         "customer_anti_join": q.q_customer_anti_join,
         "approx_distinct_users": q.q_approx_distinct_users,
+        "scd2_history": q.q_scd2_history,
+        "version_retention": q.q_version_retention,
+        "dq_audit": q.q_dq_audit,
+        "lineitem_rollup_levels": q.q_lineitem_rollup_levels,
     }
 
 
@@ -313,6 +317,8 @@ def oracle_sql() -> dict[str, str]:
         HIGH_PRIORITIES,
         ROLLING_WINDOW_ROWS,
         ANTI_JOIN_PRICE,
+        RETENTION_KEEP_N,
+        ROLLUP_ALL,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -1249,5 +1255,50 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {ANN_TOP_K}
+        """,
+        "scd2_history": f"""
+            SELECT repo, path, commit_seq, op,
+                   row_number() OVER w::BIGINT AS version_no,
+                   coalesce(lead(commit_seq) OVER w, -1)::BIGINT AS valid_to_seq,
+                   CAST(lead(commit_seq) OVER w IS NULL AND op <> 'delete'
+                        AS BIGINT) AS is_current
+            FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            WINDOW w AS (PARTITION BY repo, path ORDER BY commit_seq)
+        """,
+        "version_retention": f"""
+            SELECT repo, path, commit_seq, rn FROM (
+              SELECT repo, path, commit_seq,
+                     row_number() OVER (
+                       PARTITION BY repo, path ORDER BY commit_seq DESC
+                     )::BIGINT AS rn
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            ) WHERE rn <= {RETENTION_KEEP_N}
+        """,
+        "dq_audit": """
+            SELECT 'customer_null_name' AS check_name,
+                   count(*) FILTER (WHERE c_name IS NULL)::BIGINT AS bad_rows
+            FROM customer
+            UNION ALL
+            SELECT 'lineitem_nonpositive_qty',
+                   count(*) FILTER (WHERE l_quantity <= 0)::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders_orphan_custkey', count(*)::BIGINT FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+            )
+            UNION ALL
+            SELECT 'orders_dup_orderkey', count(*)::BIGINT FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1
+            )
+        """,
+        "lineitem_rollup_levels": f"""
+            SELECT coalesce(l_returnflag, '{ROLLUP_ALL}') AS l_returnflag,
+                   coalesce(l_linestatus, '{ROLLUP_ALL}') AS l_linestatus,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
     }

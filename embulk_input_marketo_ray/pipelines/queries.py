@@ -5158,3 +5158,314 @@ def q_approx_distinct_users(sf_dir: str):
     return by_type.map_batches(
         merge_estimate, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 interval history (CDC dimension-history form)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_history(sf_dir: str):
+    """SCD Type-2 interval build over the change stream: every change
+    event becomes a VERSION row with its validity interval in commit
+    space — ``version_no`` (1-based per key), ``valid_to_seq`` = the
+    next change's commit_seq (-1 while open), ``is_current`` = open AND
+    not a tombstone. This is the dimension-history table a warehouse
+    keeps next to the LWW head (the reference replays only the head,
+    MarketoUtils incremental-import ordering; the interval form is the
+    standard CDC consumer of the same per-key order).
+
+    Shape: 4-column pruned read, ONE keyed exchange on (repo, path),
+    then a single vectorized kernel per block — sort, run detection,
+    shifted-by-one lead, run-relative ordinals. A key's history is
+    contiguous after the in-block sort, so lead() is "next row unless a
+    new key starts there"; no window library, no global sort, no
+    per-key Python."""
+    ds = _read_events(columns=["repo", "path", "commit_seq", "op"])
+    out_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit_seq", pa.int64()),
+            ("op", pa.string()),
+            ("version_no", pa.int64()),
+            ("valid_to_seq", pa.int64()),
+            ("is_current", pa.int64()),
+        ]
+    )
+
+    def intervals(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("commit_seq", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        path = np.asarray(t.column("path"), dtype=object)
+        seq = np.asarray(t.column("commit_seq"), dtype=np.int64)
+        op = np.asarray(t.column("op"), dtype=object)
+        n = len(seq)
+        new_key = np.r_[True, (repo[1:] != repo[:-1]) | (path[1:] != path[:-1])]
+        starts = np.flatnonzero(new_key)
+        version_no = (
+            np.arange(n, dtype=np.int64)
+            - np.repeat(starts, np.diff(np.r_[starts, n]))
+            + 1
+        )
+        run_end = np.r_[new_key[1:], True]
+        lead_seq = np.empty(n, dtype=np.int64)
+        lead_seq[:-1] = seq[1:]
+        lead_seq[-1] = -1
+        valid_to = np.where(run_end, np.int64(-1), lead_seq)
+        is_current = (run_end & (op != "delete")).astype(np.int64)
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "path": t.column("path"),
+                "commit_seq": t.column("commit_seq"),
+                "op": t.column("op"),
+                "version_no": pa.array(version_no, type=pa.int64()),
+                "valid_to_seq": pa.array(valid_to, type=pa.int64()),
+                "is_current": pa.array(is_current, type=pa.int64()),
+            }
+        )
+
+    shuffled = _keyed_repartition(ds, _shuffle_width(), ["repo", "path"])
+    return shuffled.map_batches(
+        intervals, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+RETENTION_KEEP_N = 3  # newest versions kept per key (lake cleaner policy)
+
+
+def q_version_retention(sf_dir: str):
+    """Changelog retention (the Hudi/Iceberg "cleaner" policy): keep
+    only the newest ``RETENTION_KEEP_N`` versions per (repo, path) —
+    ``rn`` = 1 for the head, 2 for its parent, ... This generalizes
+    LWW (which is the K=1 case, stages/lww.py) to K-version retention:
+    the pruning a lake applies to bound time-travel history.
+
+    Same single-exchange shape as q_scd2_history, but the kernel sorts
+    commit_seq DESCENDING so the run-relative ordinal IS the
+    newest-first rank, then filters rank <= K in-block — rows beyond
+    the retention window never leave the kernel."""
+    ds = _read_events(columns=["repo", "path", "commit_seq"])
+    out_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit_seq", pa.int64()),
+            ("rn", pa.int64()),
+        ]
+    )
+
+    def newest_k(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("commit_seq", "descending"),
+            ],
+        )
+        t = block.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        path = np.asarray(t.column("path"), dtype=object)
+        n = t.num_rows
+        new_key = np.r_[True, (repo[1:] != repo[:-1]) | (path[1:] != path[:-1])]
+        starts = np.flatnonzero(new_key)
+        rn = (
+            np.arange(n, dtype=np.int64)
+            - np.repeat(starts, np.diff(np.r_[starts, n]))
+            + 1
+        )
+        keep = rn <= RETENTION_KEEP_N
+        kept = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "repo": kept.column("repo"),
+                "path": kept.column("path"),
+                "commit_seq": kept.column("commit_seq"),
+                "rn": pa.array(rn[keep], type=pa.int64()),
+            }
+        )
+
+    shuffled = _keyed_repartition(ds, _shuffle_width(), ["repo", "path"])
+    return shuffled.map_batches(
+        newest_k, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit (write-audit-publish constraint report)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_audit(sf_dir: str):
+    """Constraint audit over the warehouse tables — the "audit" half of
+    write-audit-publish: per named check, the count of violating rows.
+    Checks: null key attribute (customer.c_name), domain violation
+    (lineitem.l_quantity <= 0), key-uniqueness violation (duplicate
+    orders.o_orderkey values), and referential orphans (orders whose
+    o_custkey has no customer row).
+
+    Shape: every check folds to (check_name, bad_rows) partial rows
+    IN-BLOCK — one row per block per check — so the only data that
+    moves is the per-block counters; the final merge is one tiny keyed
+    sum. The orphan check broadcasts the dimension's sorted key array
+    (``ray.put`` once, worker-local zero-copy views — the small side
+    never re-ships per batch); the uniqueness check is the only keyed
+    exchange, two-phase on o_orderkey so the shuffle payload is
+    distinct keys x blocks, then its dup count folds to partial rows
+    like the rest. No check materializes data on the driver."""
+    _ensure_hash_shuffle()
+
+    def partial_rows(name: str):
+        def wrap(count_fn):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "check_name": pa.array([name], type=pa.string()),
+                        "bad_rows": pa.array([int(count_fn(batch))], type=pa.int64()),
+                    }
+                )
+
+            return fn
+
+        return wrap
+
+    null_name = _read(sf_dir, "customer", columns=["c_name"]).map_batches(
+        partial_rows("customer_null_name")(
+            lambda b: b.column("c_name").null_count
+        ),
+        batch_format="pyarrow",
+    )
+    bad_qty = _read(sf_dir, "lineitem", columns=["l_quantity"]).map_batches(
+        partial_rows("lineitem_nonpositive_qty")(
+            lambda b: pc.sum(
+                pc.less_equal(b.column("l_quantity"), pa.scalar(0.0)).cast(pa.int64())
+            ).as_py()
+            or 0
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust_keys = np.sort(
+        np.asarray(
+            pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey"]).column(
+                "c_custkey"
+            )
+        )
+    )
+    keys_ref = ray.put(cust_keys)
+
+    def orphan_count(batch: pa.Table) -> int:
+        keys = ray.get(keys_ref)
+        ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        return int(np.count_nonzero(keys[pos] != ck))
+
+    orphans = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        partial_rows("orders_orphan_custkey")(orphan_count),
+        batch_format="pyarrow",
+    )
+
+    key_counts = grouped_aggregate(
+        _read(sf_dir, "orders", columns=["o_orderkey"]),
+        ["o_orderkey"],
+        [("o_orderkey", "count", "cnt")],
+    )
+    dup_keys = key_counts.map_batches(
+        partial_rows("orders_dup_orderkey")(
+            lambda b: pc.sum(
+                pc.greater(b.column("cnt"), pa.scalar(1)).cast(pa.int64())
+            ).as_py()
+            or 0
+        ),
+        batch_format="pyarrow",
+    )
+
+    report = null_name.union(bad_qty).union(orphans).union(dup_keys)
+    return grouped_aggregate(report, ["check_name"], [("bad_rows", "sum", "bad_rows")])
+
+
+ROLLUP_ALL = "(all)"  # rollup-level marker (oracle coalesces NULL to it)
+
+
+def q_lineitem_rollup_levels(sf_dir: str):
+    """GROUP BY ROLLUP (multi-level aggregate): per (l_returnflag,
+    l_linestatus), per l_returnflag, and grand total — count and exact
+    integer quantity sum, subtotal rows marked ``(all)``. The rollup
+    levels are DERIVED FROM THE LEAF GRID, never by rescanning: one
+    two-phase aggregate produces the |flag x status| leaf (shuffle
+    payload = group domain x blocks), then a single-block kernel folds
+    the leaf upward — at any scale the fold input is the leaf domain,
+    a few dozen rows."""
+    _ensure_hash_shuffle()
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "l_quantity": batch.column("l_quantity").cast(pa.int64()),
+            }
+        )
+        out = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [([], "count_all"), ("l_quantity", "sum")]
+        )
+        return out.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_rows", "sum_qty"]
+        )
+
+    leaf = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("n_rows", "sum", "n_rows"), ("sum_qty", "sum", "sum_qty")],
+    )
+
+    def fold_levels(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        flag_level = (
+            block.group_by(["l_returnflag"])
+            .aggregate([("n_rows", "sum"), ("sum_qty", "sum")])
+            .rename_columns(["l_returnflag", "n_rows", "sum_qty"])
+        )
+        flag_level = flag_level.add_column(
+            1,
+            "l_linestatus",
+            pa.array([ROLLUP_ALL] * flag_level.num_rows, type=pa.string()),
+        )
+        total = pa.table(
+            {
+                "l_returnflag": pa.array([ROLLUP_ALL], type=pa.string()),
+                "l_linestatus": pa.array([ROLLUP_ALL], type=pa.string()),
+                "n_rows": pa.array(
+                    [pc.sum(block.column("n_rows")).as_py()], type=pa.int64()
+                ),
+                "sum_qty": pa.array(
+                    [pc.sum(block.column("sum_qty")).as_py()], type=pa.int64()
+                ),
+            }
+        )
+        cols = ["l_returnflag", "l_linestatus", "n_rows", "sum_qty"]
+        return pa.concat_tables(
+            [block.select(cols), flag_level.select(cols), total.select(cols)]
+        )
+
+    return leaf.repartition(1).map_batches(
+        fold_levels, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
