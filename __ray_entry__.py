@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "version_retention": q.q_version_retention,
         "dq_audit": q.q_dq_audit,
         "lineitem_rollup_levels": q.q_lineitem_rollup_levels,
+        "shipping_priority": q.q_shipping_priority,
+        "cdc_before_image": q.q_cdc_before_image,
+        "incremental_view": q.q_incremental_view,
     }
 
 
@@ -319,6 +322,8 @@ def oracle_sql() -> dict[str, str]:
         ANTI_JOIN_PRICE,
         RETENTION_KEEP_N,
         ROLLUP_ALL,
+        Q3_SEGMENT,
+        Q3_TOP_K,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -1300,5 +1305,45 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "shipping_priority": f"""
+            SELECT l_orderkey, revenue_c100, o_orderdate FROM (
+              SELECT l.l_orderkey,
+                     sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                        )::BIGINT AS revenue_c100,
+                     o.o_orderdate
+              FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+                AND o.o_orderdate < TIMESTAMP '1998-06-01'
+                AND l.l_shipdate > TIMESTAMP '1998-06-01'
+              GROUP BY l.l_orderkey, o.o_orderdate
+            )
+            ORDER BY revenue_c100 DESC, l_orderkey
+            LIMIT {Q3_TOP_K}
+        """,
+        "cdc_before_image": f"""
+            SELECT repo, path, commit_seq, op, "commit",
+                   coalesce(lag("commit") OVER w, '') AS prev_commit,
+                   coalesce(lag(commit_seq) OVER w, -1)::BIGINT AS prev_seq
+            FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            WINDOW w AS (PARTITION BY repo, path ORDER BY commit_seq)
+        """,
+        "incremental_view": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              WHERE event_ts >= TIMESTAMP '2024-01-01' AND event_ts <= {cdc_to}
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+              FROM ev
+            ),
+            head AS (SELECT * FROM ranked WHERE rn = 1 AND op = 'upsert')
+            SELECT repo, count(*)::BIGINT AS n_live,
+                   sum(commit_seq)::BIGINT AS sum_head_seq
+            FROM head GROUP BY repo
         """,
     }

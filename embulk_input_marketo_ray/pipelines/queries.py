@@ -5469,3 +5469,341 @@ def q_lineitem_rollup_levels(sf_dir: str):
     return leaf.repartition(1).map_batches(
         fold_levels, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: broadcast semi-filter + large-large join + global top-k
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUT = np.datetime64("1998-06-01", "us")
+Q3_TOP_K = 10
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority report): top-k open orders of
+    one market segment by outstanding revenue — a THREE-table pipeline
+    composing the catalog's join strategies by side size:
+
+    - customer (small side) collapses to a sorted ``c_custkey`` array
+      broadcast once via ``ray.put`` — the orders scan semi-filters
+      against it with ``np.searchsorted``; no exchange for this join
+      (the J3 idiom, sized like every budgeted small-side attach).
+    - orders x lineitem (neither side broadcastable at 100 TB) rides
+      ONE tagged-union keyed exchange co-partitioned on the order key —
+      the Q12 idiom (q_order_priority_report) — with both sides
+      predicate-filtered AT THE SCAN (orders before the cut date,
+      lineitems shipped after it) so only qualifying rows move.
+    - revenue folds per order INSIDE the join kernel (each key's run is
+      whole in its block), then the global top-k is per-block top-k +
+      one driver merge of <= k x blocks rows — never a global sort
+      (the vocab_topk idiom, O1/O2).
+
+    Revenue stays INTEGER-EXACT for the value-hash gate: cents x
+    (100 - discount%), both factors rounded from the double columns at
+    the scan, summed as int64 (`revenue_c100`).
+    """
+    _ensure_hash_shuffle()
+    cust = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_keys = np.sort(
+        np.asarray(
+            pc.filter(
+                cust.column("c_custkey"),
+                pc.equal(cust.column("c_mktsegment"), pa.scalar(Q3_SEGMENT)),
+            )
+        )
+    )
+    keys_ref = ray.put(seg_keys)
+
+    union_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("rev_c", pa.int64()),
+        ]
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        odate = batch.column("o_orderdate")
+        keep = pc.less(odate, pa.scalar(Q3_CUT.item(), type=pa.timestamp("us")))
+        t = batch.filter(keep)
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        keys = ray.get(keys_ref)  # worker-local zero-copy view
+        if len(keys):
+            pos = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+            hit = keys[pos] == ck
+        else:
+            hit = np.zeros(len(ck), dtype=bool)
+        t = t.filter(pa.array(hit))
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": t.column("o_orderkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "o_orderdate": t.column("o_orderdate"),
+                "rev_c": pa.nulls(n, type=pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            batch.column("l_shipdate"),
+            pa.scalar(Q3_CUT.item(), type=pa.timestamp("us")),
+        )
+        t = batch.filter(keep)
+        n = t.num_rows
+        cents = np.rint(
+            np.asarray(t.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(t.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "okey": t.column("l_orderkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "o_orderdate": pa.nulls(n, type=pa.timestamp("us")),
+                "rev_c": pa.array(cents * (100 - disc)),
+            },
+            schema=union_schema,
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        lineitem.map_batches(line_rows, batch_format="pyarrow")
+    )
+    by_key = _keyed_repartition(tagged, _shuffle_width(), ["okey"])
+
+    out_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("revenue_c100", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ]
+    )
+
+    def join_topk(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        rev = np.asarray(pc.fill_null(t.column("rev_c"), 0), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        # inner join: a run qualifies iff its first row is an order row
+        # (order rows sort first via side) AND it has >= 1 lineitem row
+        has_order = side[starts] == 0
+        # revenue per run = sum of lineitem rev (order rows carry 0)
+        run_rev = np.add.reduceat(rev, starts)
+        keep = has_order & (run_rev > 0)
+        if not keep.any():
+            return out_schema.empty_table()
+        okeys = key[starts][keep]
+        revs = run_rev[keep]
+        odates = t.column("o_orderdate").take(pa.array(starts[keep]))
+        part = pa.table(
+            {
+                "l_orderkey": pa.array(okeys),
+                "revenue_c100": pa.array(revs),
+                "o_orderdate": odates,
+            },
+            schema=out_schema,
+        )
+        if part.num_rows <= Q3_TOP_K:
+            return part
+        top = pc.sort_indices(
+            part,
+            sort_keys=[("revenue_c100", "descending"), ("l_orderkey", "ascending")],
+        )
+        return part.take(top.slice(0, Q3_TOP_K))
+
+    parts = by_key.map_batches(
+        join_topk, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded: <= Q3_TOP_K rows per block
+    if not parts:
+        return out_schema.empty_table()
+    merged = pa.Table.from_pylist(parts, schema=out_schema)
+    order = pc.sort_indices(
+        merged,
+        sort_keys=[("revenue_c100", "descending"), ("l_orderkey", "ascending")],
+    )
+    return merged.take(order.slice(0, Q3_TOP_K))
+
+
+def q_cdc_before_image(sf_dir: str):
+    """Debezium-style BEFORE-IMAGE change feed: every change event
+    annotated with the version it replaced — ``prev_commit`` (the prior
+    version's commit id, '' for a key's first event) and ``prev_seq``
+    (-1 for the first). Downstream CDC consumers need the before image
+    to invert updates (build reverse deltas, maintain subtractable
+    aggregates); the reference's incremental import emits only the
+    after image (MarketoUtils ordering), so this is the standard
+    consumer-side derivation over the same per-key order.
+
+    Same single-exchange shape as q_scd2_history: 5-column pruned read,
+    ONE keyed (repo, path) exchange, then a sort + run-detect +
+    shift-by-one kernel per block — lag() semantics with no window
+    library, no global sort, no per-row Python."""
+    ds = _read_events(columns=["repo", "path", "commit_seq", "op", "commit"])
+    out_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit_seq", pa.int64()),
+            ("op", pa.string()),
+            ("commit", pa.string()),
+            ("prev_commit", pa.string()),
+            ("prev_seq", pa.int64()),
+        ]
+    )
+
+    def lag_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("commit_seq", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        path = np.asarray(t.column("path"), dtype=object)
+        seq = np.asarray(t.column("commit_seq"), dtype=np.int64)
+        commit = np.asarray(t.column("commit"), dtype=object)
+        n = len(seq)
+        new_key = np.r_[True, (repo[1:] != repo[:-1]) | (path[1:] != path[:-1])]
+        prev_commit = np.empty(n, dtype=object)
+        prev_commit[0] = ""
+        prev_commit[1:] = commit[:-1]
+        prev_commit[new_key] = ""
+        prev_seq = np.empty(n, dtype=np.int64)
+        prev_seq[0] = -1
+        prev_seq[1:] = seq[:-1]
+        prev_seq[new_key] = -1
+        return pa.table(
+            {
+                "repo": t.column("repo"),
+                "path": t.column("path"),
+                "commit_seq": t.column("commit_seq"),
+                "op": t.column("op"),
+                "commit": t.column("commit"),
+                "prev_commit": pa.array(prev_commit, type=pa.string()),
+                "prev_seq": pa.array(prev_seq, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    shuffled = _keyed_repartition(ds, _shuffle_width(), ["repo", "path"])
+    return shuffled.map_batches(
+        lag_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_incremental_view(sf_dir: str):
+    """Incremental MATERIALIZED-VIEW maintenance (the Materialize /
+    Delta Live Tables contract on top of the exactly-once lake): a
+    per-repo aggregate view — live-file count ``n_live`` + the
+    SUBTRACTABLE checksum ``sum_head_seq`` (sum of live heads'
+    commit_seq) — built once from window 1's snapshot and then
+    MAINTAINED through window 2 from the state diff alone. Window 2
+    never rescans the lake: ``snapshot_diff`` (zero shuffle, one task
+    per bucket, pruned to key + commit_seq) yields exactly the changed
+    keys with old/new versions, each diff block folds in-block to
+    per-repo deltas (added +1/+new, deleted -1/-old, modified
+    +new-old), and one tiny keyed aggregate merges base + deltas —
+    payload bounded by #repos x blocks, never rows.
+
+    The oracle recomputes the view FULLY from the raw event stream, so
+    a green row proves the incremental algebra (the hard part of view
+    maintenance) end-to-end through two watermark windows, the delta
+    lake layout, and the diff classification."""
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake, snapshot_diff
+
+    n = CDC_QUERY_EVENTS
+    lake, (r1, r2) = _replay_windows([n // 2, n + 50])
+
+    part_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("n_live", pa.int64()),
+            ("sum_head_seq", pa.int64()),
+        ]
+    )
+
+    def base_fold(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        agg = block.group_by(["repo"]).aggregate(
+            [([], "count_all"), ("commit_seq", "sum")]
+        )
+        return pa.table(
+            {
+                "repo": agg.column("repo"),
+                "n_live": agg.column("count_all").cast(pa.int64()),
+                "sum_head_seq": agg.column("commit_seq_sum").cast(pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    base = read_lake(lake, columns=["repo", "commit_seq"], as_of=r1["to"]).map_batches(
+        base_fold, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def delta_fold(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        old = np.asarray(
+            pc.fill_null(block.column("old_seq"), 0), dtype=np.int64
+        )
+        new = np.asarray(
+            pc.fill_null(block.column("new_seq"), 0), dtype=np.int64
+        )
+        kind = np.asarray(block.column("change_kind"), dtype=object)
+        dn = np.where(kind == "added", 1, np.where(kind == "deleted", -1, 0))
+        t = pa.table(
+            {
+                "repo": block.column("repo"),
+                "n_live": pa.array(dn.astype(np.int64)),
+                "sum_head_seq": pa.array(new - old),
+            },
+            schema=part_schema,
+        )
+        agg = t.group_by(["repo"]).aggregate(
+            [("n_live", "sum"), ("sum_head_seq", "sum")]
+        )
+        return agg.rename_columns(["repo", "n_live", "sum_head_seq"])
+
+    deltas = snapshot_diff(lake, v1=r1["to"], v2=r2["to"]).map_batches(
+        delta_fold, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    merged = grouped_aggregate(
+        base.union(deltas),
+        ["repo"],
+        [("n_live", "sum", "n_live"), ("sum_head_seq", "sum", "sum_head_seq")],
+    )
+    # a repo whose last live file was deleted in window 2 folds to
+    # n_live == 0 — it has left the view (the full recompute never
+    # emits it)
+    return merged.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_live"), pa.scalar(0))),
+        batch_format="pyarrow",
+    )
