@@ -1,3 +1,8 @@
-from embulk_input_marketo_ray.pipelines.cdc_replay import ReplayConfig, replay
+from embulk_input_marketo_ray.pipelines.cdc_replay import (
+    AuditFailed,
+    AuditReport,
+    ReplayConfig,
+    replay,
+)
 
-__all__ = ["ReplayConfig", "replay"]
+__all__ = ["AuditFailed", "AuditReport", "ReplayConfig", "replay"]

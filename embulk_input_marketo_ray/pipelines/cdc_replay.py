@@ -58,6 +58,44 @@ from embulk_input_marketo_ray.state.watermark import (
 _ISO = "%Y-%m-%dT%H:%M:%S"
 
 
+class AuditFailed(RuntimeError):
+    """A ReplayConfig.audit callback vetoed the publish: the window's
+    staged files were written but NOT committed (invisible to every
+    reader), and the watermark did not advance — a rerun re-imports the
+    same window."""
+
+
+@dataclass
+class AuditReport:
+    """What a Write-Audit-Publish callback sees: the staged window
+    before it becomes visible. ``stats_rows`` is the per-bucket lineage
+    (pid, rows, events_in, dropped, fingerprint, ...); ``file_sets`` is
+    each touched pid's WOULD-BE-COMMITTED file list (prior committed
+    files + the window's staged ones). ``read_state()`` is the
+    would-be-published live table as a Dataset — the exact rows every
+    reader would see if the commit went through (merge-on-read, one
+    task per bucket, no shuffle) — so audits run as ordinary
+    distributed pipelines over data no reader can see yet."""
+
+    stats_rows: list
+    file_sets: dict  # pid -> absolute paths (committed + staged)
+    from_ts: datetime
+    to_ts: datetime
+
+    def read_state(self, columns: list | None = None):
+        from embulk_input_marketo_ray.sinks.exactly_once import read_file_sets
+
+        import ray.data as _rd
+
+        if not self.file_sets:
+            return _rd.from_items([]).limit(0)
+        return read_file_sets(self.file_sets, columns=columns)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(r["rows"] for r in self.stats_rows)
+
+
 @dataclass
 class ReplayConfig:
     """Run configuration — the engine analog of the reference's @Config
@@ -144,6 +182,16 @@ class ReplayConfig:
     collect_stats: bool = True
     fail_buckets: frozenset = field(default_factory=frozenset)
     extractor_kwargs: dict = field(default_factory=dict)
+    # Write-Audit-Publish gate (the Iceberg/Netflix WAP pattern): when
+    # set, the callback runs AFTER the window's files are fully staged
+    # but BEFORE the manifest commit, receiving an AuditReport over the
+    # staged (still-invisible) rows + per-bucket lineage. Returning
+    # False — or raising — aborts the publish: nothing commits, the
+    # watermark does not advance, and the staged files are exactly the
+    # crash-orphans the existing vacuum/rerun machinery already
+    # reclaims (a clean rerun converges bit-for-bit). Quality checks
+    # therefore gate the lake without a quarantine copy of the data.
+    audit: "object" = None  # Callable[[AuditReport], bool] | None
     # Bucket splitting (lake growth beyond the initial num_buckets):
     # when set, a bucket whose merged partition exceeds this many rows
     # splits into extendible-hash suffix children (stages/lww.py
@@ -911,6 +959,33 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             "bucket split across shuffle partitions — exactly-once sink "
             f"invariant violated (duplicate pids in {sorted(pids)})"
         )
+
+    if cfg.audit is not None:
+        # full would-be lake: committed partitions the window didn't
+        # touch + the touched pids' staged (would-be) file sets
+        would_be = manifest.committed_file_sets()
+        would_be.update(
+            {
+                r["pid"]: [
+                    manifest.file_path(n)
+                    for n in __import__("json").loads(r["files"])
+                ]
+                for r in stats_rows
+            }
+        )
+        report = AuditReport(
+            stats_rows=stats_rows,
+            file_sets=would_be,
+            from_ts=from_ts,
+            to_ts=to_ts,
+        )
+        if cfg.audit(report) is False:
+            raise AuditFailed(
+                f"audit vetoed window [{from_ts} .. {to_ts}]: "
+                f"{sum(len(f) for f in report.file_sets.values())} staged "
+                f"file(s) left uncommitted ({report.total_rows} rows); "
+                f"watermark not advanced"
+            )
 
     manifest.commit(
         {

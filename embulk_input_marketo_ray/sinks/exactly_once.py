@@ -796,6 +796,17 @@ def read_lake(
         sets = select_files_as_of(sets, as_of)
     if not sets:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")
+    return read_file_sets(sets, columns=columns)
+
+
+def read_file_sets(
+    sets: dict[str, list[str]], columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Merge-on-read over explicit pid -> file-path sets — the kernel of
+    ``read_lake``, reusable on file sets that are NOT (yet) the
+    committed manifest state: a Write-Audit-Publish gate reads the
+    WOULD-BE state of an uncommitted window through this (see
+    pipelines.cdc_replay.AuditReport.read_state)."""
     if all(len(fs) == 1 and _is_merged_file(fs[0]) for fs in sets.values()):
         files = [fs[0] for _, fs in sorted(sets.items())]
         return ray.data.read_parquet(files, columns=columns)
