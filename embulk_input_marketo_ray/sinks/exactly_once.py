@@ -34,6 +34,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 import ray.data
@@ -398,6 +399,7 @@ def merge_bucket_files(
     paths: list[str],
     drop_tombstones: bool = True,
     columns: list[str] | None = None,
+    filter_expr=None,
 ) -> pa.Table:
     """LWW merge-on-read of one bucket's committed file set (optional
     base + per-window deltas). Schemas may differ across windows
@@ -408,15 +410,28 @@ def merge_bucket_files(
     leave storage — a narrow read over a content-heavy lake skips the
     content bytes entirely instead of pruning after the merge. Columns
     a given window's file predates (schema evolution) are skipped at
-    that file and surface as nulls via the permissive concat."""
+    that file and surface as nulls via the permissive concat.
+
+    ``filter_expr`` (a ``pyarrow.dataset`` Expression over the KEY
+    columns) pushes row selection into the reads too: row groups whose
+    min/max stats exclude the filter never leave storage — on a
+    key-SORTED base (``compact(sort=True)``) a point lookup touches
+    O(1) row groups instead of the whole file. Only key predicates are
+    sound here: LWW resolves each key from that key's rows alone, so
+    dropping other keys' rows pre-merge cannot change any kept row."""
     need = None
     if columns is not None:
         need = list(dict.fromkeys(list(columns) + LAKE_KEY + ["commit_seq", "op"]))
     def _read_one(p: str) -> pa.Table:
+        present = set(pq.read_schema(p).names)
+        cols = [c for c in need if c in present] if need is not None else None
+        if filter_expr is not None:
+            return pads.dataset(p, format="parquet").to_table(
+                columns=cols, filter=filter_expr
+            )
         if need is None:
             return pq.read_table(p)
-        present = set(pq.read_schema(p).names)
-        return pq.read_table(p, columns=[c for c in need if c in present])
+        return pq.read_table(p, columns=cols)
 
     tables = [_read_one(p) for p in paths]
     if len(tables) == 1 and drop_tombstones is False:
@@ -913,12 +928,23 @@ def lookup_keys(
     wanted = pc.binary_join_element_wise(
         keys_tbl.column("repo"), keys_tbl.column("path"), "\x00"
     )
+    # key-predicate pushdown: row groups whose repo/path stats exclude
+    # every probed key never leave storage (O(1) groups per key on a
+    # sorted base, see compact(sort=True)); sound for LWW because a
+    # key's winner depends only on that key's own rows. The (repo in R)
+    # x (path in P) cross is a superset of the exact pairs — the
+    # existing exact filter below finishes the job.
+    probe_filter = pads.field("repo").isin(
+        keys_tbl.column("repo").unique()
+    ) & pads.field("path").isin(keys_tbl.column("path").unique())
     out: list[pa.Table] = []
     for b in sorted(set(int(x) for x in buckets)):
         fs = committed.get(f"{int(b):05d}")
         if not fs:
             continue  # bucket never received data -> keys absent
-        merged = merge_bucket_files(fs, drop_tombstones=True, columns=columns)
+        merged = merge_bucket_files(
+            fs, drop_tombstones=True, columns=columns, filter_expr=probe_filter
+        )
         joined = pc.binary_join_element_wise(
             merged.column("repo").cast(pa.string()),
             merged.column("path").cast(pa.string()),
@@ -978,7 +1004,11 @@ def vacuum(lake_dir: str, dry_run: bool = False) -> list[str]:
 
 
 def compact(
-    lake_dir: str, min_files: int = 2, dry_run: bool = False
+    lake_dir: str,
+    min_files: int = 2,
+    dry_run: bool = False,
+    sort: bool = False,
+    row_group_rows: int = 16384,
 ) -> list[dict]:
     """Standalone lake maintenance: fold every delta-layout partition's
     base+delta files into ONE fresh base file (tombstones dropped) —
@@ -1005,6 +1035,16 @@ def compact(
     ``changes_between`` with ``since`` older than the compaction
     likewise raises. Compact only what your history consumers no
     longer need.
+
+    ``sort=True`` writes CLUSTERED bases: rows ordered by the upsert
+    key with ``row_group_rows``-row groups, so every row group's
+    parquet min/max stats cover a disjoint key range — point lookups
+    (``lookup_keys``) and key-filtered scans then prune to O(1) row
+    groups per probed key via ``merge_bucket_files(filter_expr=...)``
+    instead of decoding the bucket. Read results are identical either
+    way (LWW output order was never guaranteed); sorting costs one
+    in-memory Arrow sort per partition at compaction time — the
+    Hudi/Iceberg "sorted clustering" maintenance trade.
 
     Returns one ``{"pid", "files_merged", "rows"}`` row per compacted
     partition (``dry_run=True`` plans without writing). Single-writer
@@ -1036,10 +1076,16 @@ def compact(
         merged = merge_bucket_files(
             [m.file_path(n) for n in names], drop_tombstones=True
         )
+        if sort:
+            merged = merged.sort_by(
+                [("repo", "ascending"), ("path", "ascending")]
+            )
         base = f"base-{pid}-{tag}.parquet"
         tmp = m.tmp_file_path(base)
         with open(tmp, "wb") as f:
-            pq.write_table(merged, f)
+            pq.write_table(
+                merged, f, row_group_size=row_group_rows if sort else None
+            )
             f.flush()
             os.fsync(f.fileno())
         m.promote_file(base)

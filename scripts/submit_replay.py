@@ -63,6 +63,18 @@ def main() -> None:
     p.add_argument("--out", default=None,
                    help="with a history read: write the result as partitioned "
                         "parquet under this directory; omit to just count")
+    # lake maintenance INSTEAD of a replay window (single-writer
+    # discipline: never run concurrently with a replay into this lake)
+    p.add_argument("--compact", action="store_true",
+                   help="fold every delta partition to one base file")
+    p.add_argument("--sort", action="store_true",
+                   help="with --compact: write key-CLUSTERED bases "
+                        "(sorted by (repo,path), bounded row groups) so "
+                        "point lookups prune to O(1) row groups")
+    p.add_argument("--row-group-rows", type=int, default=16384)
+    p.add_argument("--vacuum", action="store_true",
+                   help="delete superseded/orphaned data files "
+                        "(runs after --compact when both are given)")
     args = p.parse_args()
 
     import ray
@@ -76,6 +88,25 @@ def main() -> None:
 
     from embulk_input_marketo_ray.pipelines import ReplayConfig, replay
     from embulk_input_marketo_ray.synth import load_evolution_log
+
+    if args.sort and not args.compact:
+        p.error("--sort requires --compact")
+    if args.compact or args.vacuum:
+        from embulk_input_marketo_ray.sinks.exactly_once import compact, vacuum
+
+        what = {"maintenance": True, "lake_dir": args.lake_dir}
+        if args.compact:
+            done = compact(
+                args.lake_dir, sort=args.sort, row_group_rows=args.row_group_rows
+            )
+            what["compacted"] = len(done)
+            what["rows"] = sum(r["rows"] or 0 for r in done)
+            what["sorted"] = args.sort
+        if args.vacuum:
+            what["vacuumed_files"] = len(vacuum(args.lake_dir))
+        print(json.dumps(what))
+        ray.shutdown()
+        return
 
     history_read = bool(args.snapshot_diff or args.cdc_feed_since)
     if (args.cdc_feed_until or args.out) and not history_read:

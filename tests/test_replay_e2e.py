@@ -848,3 +848,78 @@ def test_fragment_formats_produce_identical_lakes(events_dir, tmp_path):
                 fragment_format="zstd",
             )
         )
+
+
+def test_sorted_compaction_clusters_and_lookups_match(events_dir, tmp_path):
+    """compact(sort=True): bases come out key-clustered (each row
+    group's [min,max] key range disjoint from the next — the stats a
+    filtered read prunes on), reads and point lookups are identical to
+    the unsorted lake, and lookup_keys' pushdown path returns the same
+    rows through multi-row-group bases."""
+    from embulk_input_marketo_ray.sinks.exactly_once import (
+        compact,
+        lookup_keys,
+        read_lake_table,
+    )
+    from embulk_input_marketo_ray.state.manifest import PartitionManifest
+
+    lake = str(tmp_path / "lake")
+    cfg1 = cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    replay(cfg1)
+    replay(cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100))
+    before = lake_multiset(read_lake_table(lake))
+    head = read_lake_table(lake).select(["repo", "path"]).to_pandas()
+    keys = sorted(map(tuple, head.itertuples(index=False)))[:7]
+    look_before = sorted(
+        map(
+            tuple,
+            lookup_keys(lake, keys)
+            .select(["repo", "path", "content_sha256"])
+            .to_pandas()
+            .itertuples(index=False),
+        )
+    )
+
+    done = compact(lake, sort=True, row_group_rows=32)
+    assert done
+    assert lake_multiset(read_lake_table(lake)) == before
+
+    manifest = PartitionManifest(lake)
+    multi_group = 0
+    for pid, fs in manifest.committed_file_sets().items():
+        assert len(fs) == 1 and "base-" in fs[0]
+        pf = pq.ParquetFile(fs[0])
+        multi_group += pf.metadata.num_row_groups > 1
+        sch = pf.schema_arrow.names
+        ri = sch.index("repo")
+        # first-sort-column stats ascend across row groups (what a
+        # repo-predicate scan prunes on; stats are per-column, so the
+        # composite (repo,path) range is checked at row level below)
+        repo_ranges = []
+        for g in range(pf.metadata.num_row_groups):
+            rs = pf.metadata.row_group(g).column(ri).statistics
+            repo_ranges.append((rs.min, rs.max))
+        for (_, hi), (lo2, _) in zip(repo_ranges, repo_ranges[1:]):
+            assert hi <= lo2
+        # the rows themselves are (repo, path)-sorted — the clustering
+        # invariant pyarrow's row-group pruning feeds on
+        t = pq.read_table(fs[0], columns=["repo", "path"]).to_pandas()
+        pairs = list(map(tuple, t.itertuples(index=False)))
+        assert pairs == sorted(pairs)
+    assert multi_group > 0  # row_group_rows=32 really split the bases
+
+    look_after = sorted(
+        map(
+            tuple,
+            lookup_keys(lake, keys)
+            .select(["repo", "path", "content_sha256"])
+            .to_pandas()
+            .itertuples(index=False),
+        )
+    )
+    assert look_after == look_before
+
+    # absent key still absent through the pushdown path
+    miss = lookup_keys(lake, [("no/such", "file.py")])
+    assert miss.num_rows == 0
