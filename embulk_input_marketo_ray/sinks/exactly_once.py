@@ -961,6 +961,72 @@ def lookup_keys(
     return pa.concat_tables(out, promote_options="permissive")
 
 
+
+def lake_stats(lake_dir: str) -> dict:
+    """ANALYZE-style lake inventory from metadata alone: per-partition
+    physical rows (parquet footers) + last-commit lineage rows, file
+    count/bytes, parquet row-group count
+    and whether the partition is a single key-clustered base (rows
+    sorted by the upsert key — what ``compact(sort=True)`` leaves
+    behind), plus lake-level totals. Reads ONLY the manifest and
+    parquet FOOTERS — no data pages are decoded at any lake size, so
+    this is safe to run from a driver against a 100 TB lake.
+
+    The sortedness probe compares each row group's first-key-column
+    min/max chain (ascending => clustered); it is exact for what the
+    pruning path (merge_bucket_files filter_expr) feeds on."""
+    manifest = PartitionManifest(lake_dir)
+    state = manifest.load()
+    parts = {}
+    totals = {"rows": 0, "files": 0, "bytes": 0, "row_groups": 0}
+    for pid, entry in sorted(state["partitions"].items()):
+        names = entry.get("files") or [f"part-{pid}.parquet"]
+        paths = [manifest.file_path(n) for n in names]
+        nbytes = sum(os.path.getsize(p) for p in paths)
+        row_groups = 0
+        physical_rows = 0
+        clustered = None
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            row_groups += md.num_row_groups
+            physical_rows += md.num_rows
+        if len(paths) == 1 and _is_merged_file(paths[0]):
+            pf = pq.ParquetFile(paths[0])
+            try:
+                ri = pf.schema_arrow.names.index(LAKE_KEY[0])
+                chain = [
+                    (pf.metadata.row_group(g).column(ri).statistics.min,
+                     pf.metadata.row_group(g).column(ri).statistics.max)
+                    for g in range(pf.metadata.num_row_groups)
+                ]
+                clustered = all(
+                    hi <= lo2 for (_, hi), (lo2, _) in zip(chain, chain[1:])
+                )
+            except (AttributeError, ValueError):
+                clustered = None  # stats absent -> unknown
+        parts[pid] = {
+            # footer-exact stored rows: includes superseded versions and
+            # tombstones still awaiting compaction in the delta layout
+            # (== live rows once a partition is a single tombstone-free
+            # base). Live counts need a merge — by design not done here.
+            "physical_rows": physical_rows,
+            "last_commit_rows": entry.get("rows"),
+            "files": len(paths),
+            "bytes": nbytes,
+            "row_groups": row_groups,
+            "clustered_base": clustered,
+        }
+        totals["rows"] += physical_rows
+        totals["files"] += len(paths)
+        totals["bytes"] += nbytes
+        totals["row_groups"] += row_groups
+    return {
+        "num_buckets": state.get("num_buckets"),
+        "partitions": parts,
+        "totals": totals,
+    }
+
+
 def vacuum(lake_dir: str, dry_run: bool = False) -> list[str]:
     """Remove lake data files the manifest no longer references:
     compaction-superseded deltas (a compaction rewrites a partition's

@@ -75,6 +75,9 @@ def main() -> None:
     p.add_argument("--vacuum", action="store_true",
                    help="delete superseded/orphaned data files "
                         "(runs after --compact when both are given)")
+    p.add_argument("--stats", action="store_true",
+                   help="print the ANALYZE-style lake inventory (metadata "
+                        "only, no data pages) instead of replaying")
     args = p.parse_args()
 
     import ray
@@ -91,6 +94,12 @@ def main() -> None:
 
     if args.sort and not args.compact:
         p.error("--sort requires --compact")
+    if args.stats:
+        from embulk_input_marketo_ray.sinks.exactly_once import lake_stats
+
+        print(json.dumps(lake_stats(args.lake_dir)))
+        ray.shutdown()
+        return
     if args.compact or args.vacuum:
         from embulk_input_marketo_ray.sinks.exactly_once import compact, vacuum
 

@@ -923,3 +923,36 @@ def test_sorted_compaction_clusters_and_lookups_match(events_dir, tmp_path):
     # absent key still absent through the pushdown path
     miss = lookup_keys(lake, [("no/such", "file.py")])
     assert miss.num_rows == 0
+
+
+def test_lake_stats_inventory(events_dir, tmp_path):
+    """lake_stats: metadata-only ANALYZE — per-partition rows/files/
+    bytes/row-groups + the clustered-base flag flips with
+    compact(sort=True)."""
+    from embulk_input_marketo_ray.sinks.exactly_once import (
+        compact,
+        lake_stats,
+        read_lake_table,
+    )
+
+    lake = str(tmp_path / "lake")
+    cfg1 = cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100)
+    cfg1.job_start = BASE_TS + timedelta(seconds=N_EVENTS // 2)
+    replay(cfg1)
+    replay(cfg_for(events_dir, lake, lake_layout="delta", compact_threshold=100))
+
+    live = read_lake_table(lake).num_rows
+    s = lake_stats(lake)
+    assert s["num_buckets"] == 8
+    # deltas still hold superseded versions/tombstones: physical >= live
+    assert s["totals"]["rows"] >= live
+    assert all(p["files"] == 2 for p in s["partitions"].values())  # 2 deltas
+    assert all(p["clustered_base"] is None for p in s["partitions"].values())
+    assert s["totals"]["bytes"] > 0 and s["totals"]["row_groups"] > 0
+
+    compact(lake, sort=True, row_group_rows=32)
+    s2 = lake_stats(lake)
+    # one tombstone-free base per partition: physical == live exactly
+    assert s2["totals"]["rows"] == live
+    assert all(p["files"] == 1 for p in s2["partitions"].values())
+    assert all(p["clustered_base"] is True for p in s2["partitions"].values())
