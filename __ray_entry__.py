@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q.q_shipping_priority,
         "cdc_before_image": q.q_cdc_before_image,
         "incremental_view": q.q_incremental_view,
+        "local_supplier_volume": q.q_local_supplier_volume,
+        "large_orders": q.q_large_orders,
+        "embedding_kmeans": q.q_embedding_kmeans,
     }
 
 
@@ -324,6 +327,12 @@ def oracle_sql() -> dict[str, str]:
         ROLLUP_ALL,
         Q3_SEGMENT,
         Q3_TOP_K,
+        Q5_REGION,
+        Q5_FROM,
+        Q5_TO,
+        Q18_MIN_QTY,
+        KMEANS_K,
+        KMEANS_SCALE,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -1345,5 +1354,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, count(*)::BIGINT AS n_live,
                    sum(commit_seq)::BIGINT AS sum_head_seq
             FROM head GROUP BY repo
+        """,
+        "local_supplier_volume": f"""
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      )::BIGINT AS revenue_c100
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = '{Q5_REGION}'
+              AND o.o_orderdate >= TIMESTAMP '{str(Q5_FROM).replace("T", " ")}'
+              AND o.o_orderdate < TIMESTAMP '{str(Q5_TO).replace("T", " ")}'
+            GROUP BY n_name
+        """,
+        "large_orders": f"""
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+                   t.total_qty
+            FROM orders o
+            JOIN (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING total_qty > {Q18_MIN_QTY}
+            ) t ON t.l_orderkey = o.o_orderkey
+        """,
+        "embedding_kmeans": f"""
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})) AS qv
+              FROM embeddings
+            ),
+            c AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+              FROM q ORDER BY vec_id LIMIT {KMEANS_K}
+            ),
+            d AS (
+              SELECT q.vec_id, c.cluster,
+                     CAST(list_inner_product(q.qv, q.qv)
+                        - 2 * list_inner_product(q.qv, c.cv)
+                        + list_inner_product(c.cv, c.cv) AS BIGINT) AS sq_dist
+              FROM q CROSS JOIN c
+            ),
+            best AS (
+              SELECT vec_id, cluster, sq_dist,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sq_dist, cluster) AS rn
+              FROM d
+            )
+            SELECT vec_id, cluster::BIGINT AS cluster, sq_dist
+            FROM best WHERE rn = 1
         """,
     }

@@ -5807,3 +5807,524 @@ def q_incremental_view(sf_dir: str):
         lambda t: t.filter(pc.greater(t.column("n_live"), pa.scalar(0))),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: chained LARGE x LARGE joins (customer -> orders ->
+# lineitem) with dimension broadcasts
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_FROM = np.datetime64("1996-01-01", "us")
+Q5_TO = np.datetime64("1998-01-01", "us")
+# supplier -> nation map broadcast budget: the map is two int arrays
+# (8 B key + 4 B nation per supplier). TPC-H supplier is 1/15th of
+# customer and 1/600th of lineitem, so it broadcasts comfortably at
+# any realistic scale (1e8 suppliers ~= 1.2 GB); past the budget the
+# query refuses loudly rather than silently OOMing the workers - the
+# remedy (a third tagged-union exchange keyed on l_suppkey) is noted
+# in the raise.
+Q5_SUPPLIER_BROADCAST_BUDGET = 512 << 20
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier volume): revenue per nation of one
+    region from lineitems where the SUPPLIER's nation equals the
+    CUSTOMER's nation - the catalog's deepest join pipeline, composing
+    every join strategy by side size across TWO chained big-big
+    exchanges (no single-exchange trick exists: the customer attribute
+    must travel customer -> orders -> lineitem across two different
+    keys).
+
+    - region/nation (25 rows) resolve driver-side to a nation-key set;
+      customers are filtered to it AT THE SCAN.
+    - customer x orders (neither broadcastable at 100 TB) ride
+      tagged-union exchange #1 co-partitioned on the CUSTOMER key; the
+      run-gather kernel stamps each order with its customer's nation
+      and emits only (okey, cust_nation) - the narrowest possible
+      carry-through.
+    - that stream x lineitem ride tagged-union exchange #2 on the
+      ORDER key; supplier nations come from a budgeted broadcast map
+      (see Q5_SUPPLIER_BROADCAST_BUDGET) applied at the lineitem scan,
+      so the local-supplier filter (supp_nation == cust_nation) and the
+      revenue fold happen inside the join kernel - each block leaves
+      <= |nations| partial rows.
+    - the final aggregate is a tiny keyed merge; nation names attach
+      driver-side to the <= 25-row result.
+
+    Revenue is INTEGER-EXACT (cents x (100 - discount%), summed int64;
+    the Q3 idiom) so the value-hash gate is bit-stable. Ref: the
+    reference's fetch-join composes only one parent level
+    (MarketoService.java getListsByIds -> per-parent streams); this is
+    the two-level generalization its users hand-roll downstream.
+    """
+    _ensure_hash_shuffle()
+    nation = pq.read_table(_t(sf_dir, "nation"))
+    region = pq.read_table(_t(sf_dir, "region"))
+    rkey = pc.filter(
+        region.column("r_regionkey"),
+        pc.equal(region.column("r_name"), pa.scalar(Q5_REGION)),
+    )
+    rkeys = set(np.asarray(rkey).tolist())
+    in_region = pa.array(
+        [int(k) in rkeys for k in np.asarray(nation.column("n_regionkey"))]
+    )
+    nat = nation.filter(in_region)
+    nation_keys = np.sort(np.asarray(nat.column("n_nationkey"), dtype=np.int64))
+    nation_names = {
+        int(k): str(v)
+        for k, v in zip(
+            np.asarray(nat.column("n_nationkey")), nat.column("n_name").to_pylist()
+        )
+    }
+    nation_keys_ref = ray.put(nation_keys)
+
+    sup_path = _t(sf_dir, "supplier")
+    if os.path.getsize(sup_path) > Q5_SUPPLIER_BROADCAST_BUDGET:
+        raise RuntimeError(
+            "supplier->nation map exceeds the broadcast budget "
+            f"({Q5_SUPPLIER_BROADCAST_BUDGET} B); route the supplier attach "
+            "through a third tagged-union exchange keyed on l_suppkey"
+        )
+    sup = pq.read_table(sup_path, columns=["s_suppkey", "s_nationkey"])
+    s_order = pc.sort_indices(sup, sort_keys=[("s_suppkey", "ascending")])
+    sup = sup.take(s_order)
+    sup_ref = ray.put(
+        (
+            np.asarray(sup.column("s_suppkey"), dtype=np.int64),
+            np.asarray(sup.column("s_nationkey"), dtype=np.int64),
+        )
+    )
+
+    # ---- exchange #1: customer x orders on the customer key ----------
+    u1_schema = pa.schema(
+        [
+            ("ckey", pa.int64()),
+            ("side", pa.int8()),
+            ("nation", pa.int64()),
+            ("okey", pa.int64()),
+        ]
+    )
+
+    def customer_rows(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+        keys = ray.get(nation_keys_ref)
+        if len(keys):
+            pos = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
+            hit = keys[pos] == nk
+        else:
+            hit = np.zeros(len(nk), dtype=bool)
+        t = batch.filter(pa.array(hit))
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t.column("c_custkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "nation": t.column("c_nationkey").cast(pa.int64()),
+                "okey": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u1_schema,
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        odate = batch.column("o_orderdate")
+        keep = pc.and_(
+            pc.greater_equal(odate, pa.scalar(Q5_FROM.item(), type=pa.timestamp("us"))),
+            pc.less(odate, pa.scalar(Q5_TO.item(), type=pa.timestamp("us"))),
+        )
+        t = batch.filter(keep)
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "nation": pa.nulls(n, type=pa.int64()),
+                "okey": t.column("o_orderkey").cast(pa.int64()),
+            },
+            schema=u1_schema,
+        )
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    tagged1 = customer.map_batches(customer_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow")
+    )
+    by_cust = _keyed_repartition(tagged1, _shuffle_width(), ["ckey"])
+
+    s1_schema = pa.schema([("okey", pa.int64()), ("cust_nation", pa.int64())])
+
+    def gather_nation(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return s1_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("ckey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("ckey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        nat_v = np.asarray(pc.fill_null(t.column("nation"), -1), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_has_cust = side[starts] == 0
+        run_nation = np.where(run_has_cust, nat_v[starts], -1)
+        row_nation = run_nation[run_idx]
+        keep = (side == 1) & (row_nation >= 0)
+        if not keep.any():
+            return s1_schema.empty_table()
+        return pa.table(
+            {
+                "okey": pa.array(np.asarray(t.column("okey"), dtype=np.int64)[keep]),
+                "cust_nation": pa.array(row_nation[keep]),
+            },
+            schema=s1_schema,
+        )
+
+    stage1 = by_cust.map_batches(
+        gather_nation, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # ---- exchange #2: stage1 x lineitem on the order key --------------
+    u2_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("cust_nation", pa.int64()),
+            ("supp_nation", pa.int64()),
+            ("rev_c", pa.int64()),
+        ]
+    )
+
+    def stage1_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("okey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "cust_nation": batch.column("cust_nation"),
+                "supp_nation": pa.nulls(n, type=pa.int64()),
+                "rev_c": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u2_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        skeys, snats = ray.get(sup_ref)
+        if len(skeys):
+            pos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+            supp_nat = np.where(skeys[pos] == sk, snats[pos], -1)
+        else:
+            supp_nat = np.full(len(sk), -1, dtype=np.int64)
+        cents = np.rint(
+            np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(batch.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "cust_nation": pa.nulls(n, type=pa.int64()),
+                "supp_nation": pa.array(supp_nat),
+                "rev_c": pa.array(cents * (100 - disc)),
+            },
+            schema=u2_schema,
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    tagged2 = stage1.map_batches(stage1_rows, batch_format="pyarrow").union(
+        lineitem.map_batches(line_rows, batch_format="pyarrow")
+    )
+    by_order = _keyed_repartition(tagged2, _shuffle_width(), ["okey"])
+
+    part_schema = pa.schema([("nation", pa.int64()), ("revenue_c100", pa.int64())])
+
+    def local_volume(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        cn = np.asarray(pc.fill_null(t.column("cust_nation"), -1), dtype=np.int64)
+        sn = np.asarray(pc.fill_null(t.column("supp_nation"), -2), dtype=np.int64)
+        rev = np.asarray(pc.fill_null(t.column("rev_c"), 0), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_has_order = side[starts] == 0
+        run_nation = np.where(run_has_order, cn[starts], -1)
+        row_cnation = run_nation[run_idx]
+        keep = (side == 1) & (row_cnation >= 0) & (sn == row_cnation)
+        if not keep.any():
+            return part_schema.empty_table()
+        part = pa.table(
+            {
+                "nation": pa.array(row_cnation[keep]),
+                "revenue_c100": pa.array(rev[keep]),
+            },
+            schema=part_schema,
+        )
+        agg = part.group_by(["nation"]).aggregate([("revenue_c100", "sum")])
+        return agg.rename_columns(["nation", "revenue_c100"])
+
+    partial = by_order.map_batches(
+        local_volume, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = grouped_aggregate(
+        partial, ["nation"], [("revenue_c100", "sum", "revenue_c100")]
+    )
+    final = pa.Table.from_pylist(merged.take_all(), schema=part_schema)
+    names = pa.array(
+        [nation_names.get(int(k), "") for k in np.asarray(final.column("nation"))],
+        type=pa.string(),
+    )
+    return pa.table(
+        {"n_name": names, "revenue_c100": final.column("revenue_c100")}
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: aggregate -> HAVING filter -> join back to the fact
+# ---------------------------------------------------------------------------
+
+Q18_MIN_QTY = 300  # "large order" total-quantity threshold
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): orders whose lineitems sum
+    to more than ``Q18_MIN_QTY`` units, annotated with the order header
+    - the aggregate -> HAVING -> join-back-to-fact composition every
+    warehouse runs (find heavy entities, then re-attach their
+    attributes).
+
+    Plan: (1) two-phase grouped aggregate over lineitem (in-block fold
+    to one row per order BEFORE the exchange - the exchange moves
+    partials, not lineitems); (2) the HAVING filter cuts the stream to
+    the few qualifying orders; (3) the join back to orders rides ONE
+    tagged-union keyed exchange on the order key (the Q12 idiom) - at
+    100 TB the qualifying set is unbounded (a fixed FRACTION of
+    orders), so no broadcast is assumed in either direction. Quantity
+    sums are integer-exact (l_quantity is integral; rounded to int64 at
+    the scan), and the order's total price rides as integer cents
+    ``o_totalprice_c`` - no float ever crosses an exchange or reaches
+    the value-hash gate."""
+    _ensure_hash_shuffle()
+
+    qty_schema = pa.schema([("okey", pa.int64()), ("qty", pa.int64())])
+
+    def qty_rows(batch: pa.Table) -> pa.Table:
+        q = np.rint(np.asarray(batch.column("l_quantity"), dtype=np.float64)).astype(
+            np.int64
+        )
+        return pa.table(
+            {"okey": batch.column("l_orderkey").cast(pa.int64()), "qty": pa.array(q)},
+            schema=qty_schema,
+        )
+
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    totals = grouped_aggregate(
+        lineitem.map_batches(qty_rows, batch_format="pyarrow"),
+        ["okey"],
+        [("qty", "sum", "total_qty")],
+    )
+    heavy = totals.map_batches(
+        lambda t: t.filter(pc.greater(t.column("total_qty"), pa.scalar(Q18_MIN_QTY))),
+        batch_format="pyarrow",
+    )
+
+    u_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("total_qty", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_totalprice_c", pa.int64()),
+        ]
+    )
+
+    def heavy_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("okey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "total_qty": batch.column("total_qty"),
+                "o_custkey": pa.nulls(n, type=pa.int64()),
+                "o_orderdate": pa.nulls(n, type=pa.timestamp("us")),
+                "o_totalprice_c": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u_schema,
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cents = np.rint(
+            np.asarray(batch.column("o_totalprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "total_qty": pa.nulls(n, type=pa.int64()),
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "o_orderdate": batch.column("o_orderdate"),
+                "o_totalprice_c": pa.array(cents),
+            },
+            schema=u_schema,
+        )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    tagged = heavy.map_batches(heavy_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow")
+    )
+    by_key = _keyed_repartition(tagged, _shuffle_width(), ["okey"])
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_totalprice_c", pa.int64()),
+            ("total_qty", pa.int64()),
+        ]
+    )
+
+    def join_back(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        qty = np.asarray(pc.fill_null(t.column("total_qty"), -1), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_is_heavy = side[starts] == 0
+        run_qty = np.where(run_is_heavy, qty[starts], -1)
+        row_qty = run_qty[run_idx]
+        keep = (side == 1) & (row_qty >= 0)
+        if not keep.any():
+            return out_schema.empty_table()
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(key[keep]),
+                "o_custkey": t.column("o_custkey").filter(mask),
+                "o_orderdate": t.column("o_orderdate").filter(mask),
+                "o_totalprice_c": t.column("o_totalprice_c").filter(mask),
+                "total_qty": pa.array(row_qty[keep]),
+            },
+            schema=out_schema,
+        )
+
+    return by_key.map_batches(
+        join_back, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means assignment over embeddings (integer-exact, SQL-replicable)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+# quantization scale: a POWER OF TWO so float32 * scale is exact in
+# float64 on BOTH sides (numpy here, DuckDB's DOUBLE promotion in the
+# oracle) and floor() of the identical double is identical - no
+# rounding-mode or tie ambiguity can split the implementations.
+KMEANS_SCALE = 8192.0
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Nearest-centroid (one k-means assignment step) over the embedding
+    corpus, INTEGER-EXACT end to end: vectors quantize to an int64 grid
+    (floor(x * 8192); see KMEANS_SCALE for why the result is bit-
+    identical to the SQL replica), centroids are the K lowest-vec_id
+    vectors (the deterministic seeding k-means++ implementations use
+    for their first pass), and each vector's cluster is the argmin of
+    exact integer squared Euclidean distance, ties to the lower
+    centroid rank.
+
+    Scale shape: centroid SELECTION never materializes the corpus -
+    a vec_id-only pruned read folds per-block bottom-K, the driver
+    merges <= K x blocks ids (the vocab-topk idiom), and ONE
+    row-group-pruned point read fetches the K centroid vectors. The
+    K x dim int64 centroid matrix broadcasts once (``ray.put``); the
+    corpus then STREAMS through a task map whose kernel is one integer
+    matmul per batch (distances via |x|^2 - 2x.c + |c|^2; numpy routes
+    int64 matmul through exact non-BLAS loops). No exchange at all -
+    assignment is embarrassingly parallel; the iterative-refinement
+    extension folds per-cluster int sums per block and merges K rows
+    driver-side per round. Ref parity: the reference has no vector
+    ops; this extends the ANN family (SURVEY.md 'beyond-reference')."""
+    _ensure_hash_shuffle()
+    ids = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[("vec_id", "ascending")])
+        return batch.take(order.slice(0, KMEANS_K))
+
+    parts = ids.map_batches(bottom_k, batch_format="pyarrow").take_all()
+    seed_ids = sorted(int(r["vec_id"]) for r in parts)[:KMEANS_K]
+
+    cent_tbl = (
+        pads.dataset(_t(sf_dir, "embeddings"))
+        .to_table(
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(seed_ids),
+        )
+        .sort_by([("vec_id", "ascending")])
+    )
+    cmat = np.floor(
+        list_column_matrix(cent_tbl.column("embedding")) * KMEANS_SCALE
+    ).astype(np.int64)
+    cent_ref = ray.put((cmat, (cmat * cmat).sum(axis=1)))
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cluster", pa.int64()),
+            ("sq_dist", pa.int64()),
+        ]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        C, c_sq = ray.get(cent_ref)
+        X = np.floor(list_column_matrix(batch.column("embedding")) * KMEANS_SCALE).astype(
+            np.int64
+        )
+        x_sq = (X * X).sum(axis=1)
+        # exact int64 distances; argmin's first-occurrence rule = ties
+        # to the lower centroid rank, matching the oracle's row_number
+        d = x_sq[:, None] - 2 * (X @ C.T) + c_sq[None, :]
+        cluster = np.argmin(d, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "cluster": pa.array(cluster.astype(np.int64)),
+                "sq_dist": pa.array(d[np.arange(len(cluster)), cluster]),
+            },
+            schema=out_schema,
+        )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -852,3 +852,137 @@ def test_run_query_cli(tmp_path):
     assert lst.returncode == 0
     names = json.loads(lst.stdout.strip().splitlines()[-1])
     assert "cdc_replay" in names and "event_funnel" in names
+
+
+def _write_tpch_micro(tmp_path):
+    """Minimal 6-table TPC-H micro-fixture for the Q5/Q18 edge tests."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+
+    def ts(s):
+        return np.datetime64(s, "us")
+
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0, 1], pa.int32()),
+                  "r_name": ["ASIA", "EUROPE"]}),
+        f"{d}/region.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "n_nationkey": pa.array([10, 11, 20], pa.int32()),
+            "n_name": ["JAPAN", "INDIA", "FRANCE"],
+            "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+        }),
+        f"{d}/nation.parquet",
+    )
+    # c1 JAPAN (in region), c2 FRANCE (out of region)
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_name": ["a", "b"],
+            "c_nationkey": pa.array([10, 20], pa.int32()),
+            "c_acctbal": pa.array([0.0, 0.0]),
+            "c_mktsegment": ["BUILDING", "BUILDING"],
+        }),
+        f"{d}/customer.parquet",
+    )
+    # s1 JAPAN (local to c1), s2 INDIA (same region, NOT local)
+    pq.write_table(
+        pa.table({
+            "s_suppkey": pa.array([1, 2], pa.int64()),
+            "s_name": ["s1", "s2"],
+            "s_nationkey": pa.array([10, 11], pa.int32()),
+            "s_acctbal": pa.array([0.0, 0.0]),
+        }),
+        f"{d}/supplier.parquet",
+    )
+    # o1 in window (c1), o2 out of window (c1), o3 in window (c2)
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            "o_orderstatus": ["O", "O", "O"],
+            "o_totalprice": pa.array([100.0, 100.0, 100.0]),
+            "o_orderdate": pa.array([ts("1996-06-01"), ts("1897-01-01"),
+                                     ts("1996-06-01")]),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }),
+        f"{d}/orders.parquet",
+    )
+    # lines: (o1, s1) local supplier -> counts; (o1, s2) same-region
+    # non-local -> excluded; (o2, s1) out-of-window order; (o3, s1)
+    # out-of-region customer
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_partkey": pa.array([1, 1, 1, 1], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 1, 1], pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1, 1], pa.int32()),
+            "l_quantity": pa.array([301.0, 5.0, 300.0, 1.0]),
+            "l_extendedprice": pa.array([10.0, 10.0, 10.0, 10.0]),
+            "l_discount": pa.array([0.05, 0.0, 0.0, 0.0]),
+            "l_tax": pa.array([0.0] * 4),
+            "l_returnflag": ["N"] * 4,
+            "l_linestatus": ["O"] * 4,
+            "l_shipdate": pa.array([ts("1996-07-01")] * 4),
+        }),
+        f"{d}/lineitem.parquet",
+    )
+    return d
+
+
+def test_local_supplier_volume_semantics(ray_session, tmp_path):
+    """Q5 filter algebra on a micro-fixture: only the (in-region
+    customer, in-window order, supplier-nation == customer-nation)
+    lineitem contributes; same-REGION-different-NATION suppliers are
+    excluded (the filter is nation equality, not region joint
+    membership)."""
+    d = _write_tpch_micro(tmp_path)
+    rows = {r["n_name"]: r["revenue_c100"] for r in q.q_local_supplier_volume(d).to_pylist()}
+    # 10.00 -> 1000 cents, discount 5% -> x95
+    assert rows == {"JAPAN": 1000 * 95}
+
+
+def test_large_orders_threshold_strict(ray_session, tmp_path):
+    """Q18 HAVING is STRICTLY greater: an order summing exactly to the
+    threshold is excluded; the qualifying order carries its header."""
+    d = _write_tpch_micro(tmp_path)
+    got = q.q_large_orders(d).take_all()
+    # o1: 301 + 5 = 306 > 300 qualifies; o2: 300 exactly -> excluded
+    assert len(got) == 1
+    r = got[0]
+    assert r["o_orderkey"] == 1 and r["o_custkey"] == 1
+    assert r["total_qty"] == 306 and r["o_totalprice_c"] == 10000
+
+
+def test_embedding_kmeans_self_and_ties(ray_session, tmp_path):
+    """Centroids assign to themselves at distance 0, and a point
+    equidistant between two identical centroids goes to the LOWER
+    rank (argmin first-occurrence == oracle row_number order)."""
+    import pyarrow.parquet as pq
+
+    k = q.KMEANS_K
+    dim = 4
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(k, dim)).astype(np.float32) * 0.3
+    base[1] = base[0]  # two IDENTICAL centroids -> rank tie
+    extra = base[0:1] + 0.0  # a non-centroid point exactly on both
+    vecs = np.vstack([base, extra])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(len(vecs), dtype=np.int32)),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = {r["vec_id"]: (r["cluster"], r["sq_dist"])
+           for r in q.q_embedding_kmeans(str(tmp_path)).take_all()}
+    assert len(got) == len(vecs)
+    # centroid 0 and its twin 1 and the extra point all land on rank 0
+    assert got[0] == (0, 0)
+    assert got[1] == (0, 0)
+    assert got[k] == (0, 0)
+    # every other centroid lands on itself at distance 0
+    for i in range(2, k):
+        assert got[i] == (i, 0), i
