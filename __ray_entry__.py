@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": q.q_local_supplier_volume,
         "large_orders": q.q_large_orders,
         "embedding_kmeans": q.q_embedding_kmeans,
+        "cochange_triangles": q.q_cochange_triangles,
     }
 
 
@@ -1410,5 +1411,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cluster::BIGINT AS cluster, sq_dist
             FROM best WHERE rn = 1
+        """,
+        "cochange_triangles": f"""
+            WITH d AS (
+              SELECT DISTINCT repo,
+                     CAST(commit_seq // {COMMIT_WINDOW_SECONDS} AS BIGINT) AS win,
+                     path
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            ),
+            edges AS (
+              SELECT a.repo, a.path AS pa, b.path AS pb
+              FROM d a JOIN d b
+                ON a.repo = b.repo AND a.win = b.win AND a.path < b.path
+              GROUP BY a.repo, a.path, b.path
+              HAVING count(*) >= {CO_CHANGE_MIN_WINDOWS}
+            ),
+            tri AS (
+              SELECT e1.repo, e1.pa AS a, e1.pb AS b, e2.pb AS c
+              FROM edges e1
+              JOIN edges e2 ON e2.repo = e1.repo AND e2.pa = e1.pb
+              JOIN edges e3 ON e3.repo = e1.repo AND e3.pa = e1.pa
+                           AND e3.pb = e2.pb
+            )
+            SELECT repo, path, count(*)::BIGINT AS n_triangles FROM (
+              SELECT repo, a AS path FROM tri
+              UNION ALL SELECT repo, b FROM tri
+              UNION ALL SELECT repo, c FROM tri
+            ) GROUP BY repo, path
         """,
     }

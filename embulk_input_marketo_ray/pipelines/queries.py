@@ -6328,3 +6328,200 @@ def q_embedding_kmeans(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# graph analytics: triangle counting over the co-change graph
+# ---------------------------------------------------------------------------
+
+
+def q_cochange_triangles(sf_dir: str):
+    """Per-node TRIANGLE COUNTS over the co-change graph (nodes =
+    (repo, path), edges = pairs with >= CO_CHANGE_MIN_WINDOWS shared
+    change windows): how many tightly-coupled file TRIPLES each file
+    participates in — the classic graph-analytics kernel (clustering
+    coefficient numerator, community seeding).
+
+    Distributed node-iterator shape, deliberately NOT relying on "all
+    of a repo's edges fit one block" (q_co_change_pairs' repo exchange
+    guarantees co-residence at testdata scale, but a monorepo breaks
+    it):
+
+    - wedges form on exchange #1 keyed by the edge's LEXICOGRAPHIC-LOW
+      endpoint: each triangle {a<b<c} is generated exactly once, as
+      the wedge (b,c) at apex a, so no triangle is double-counted and
+      apex fan-out is O(d_low^2) (the degree-ordering refinement -
+      emit at the lower-DEGREE endpoint - drops in here if hubs skew;
+      noted, not needed at fixture scale);
+    - exchange #2 is the tagged-union edge-existence probe keyed on
+      the wedge pair (repo, v, w) - the Q12 run-gather idiom: a run
+      whose first row is an edge row confirms every wedge row behind
+      it as a triangle;
+    - each confirmed triangle folds +1 onto all THREE corners in-block
+      (arrow group_by), and one tiny keyed aggregate merges partials -
+      the exchange payload is (repo, path, count) partials, bounded by
+      nodes x blocks, never triangles.
+
+    Oracle: the 3-way self-join of the co-change pair CTE in SQL."""
+    _ensure_hash_shuffle()
+    edges = q_co_change_pairs(sf_dir).select_columns(["repo", "path_a", "path_b"])
+
+    wedge_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("v", pa.string()),
+            ("w", pa.string()),
+            ("apex", pa.string()),
+        ]
+    )
+
+    def wedges(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return wedge_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path_a", "ascending"),
+                ("path_b", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        a = np.asarray(t.column("path_a"), dtype=object)
+        b = np.asarray(t.column("path_b"), dtype=object)
+        new_run = np.r_[True, (repo[1:] != repo[:-1]) | (a[1:] != a[:-1])]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], len(repo)]
+        rr, vv, ww, aa = [], [], [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            # neighbors of apex a[s] that sort after it; b[s:e] is
+            # sorted, so i<j gives v<w directly
+            i, j = np.triu_indices(g, k=1)
+            rr.append(np.repeat(repo[s], len(i)))
+            vv.append(b[s:e][i])
+            ww.append(b[s:e][j])
+            aa.append(np.repeat(a[s], len(i)))
+        if not rr:
+            return wedge_schema.empty_table()
+        return pa.table(
+            {
+                "repo": pa.array(np.concatenate(rr), type=pa.string()),
+                "v": pa.array(np.concatenate(vv), type=pa.string()),
+                "w": pa.array(np.concatenate(ww), type=pa.string()),
+                "apex": pa.array(np.concatenate(aa), type=pa.string()),
+            },
+            schema=wedge_schema,
+        )
+
+    by_low = _keyed_repartition(edges, _shuffle_width(), ["repo", "path_a"])
+    wedge_ds = by_low.map_batches(
+        wedges, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    u_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("v", pa.string()),
+            ("w", pa.string()),
+            ("side", pa.int8()),
+            ("apex", pa.string()),
+        ]
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "v": batch.column("path_a"),
+                "w": batch.column("path_b"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "apex": pa.nulls(n, type=pa.string()),
+            },
+            schema=u_schema,
+        )
+
+    def wedge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "v": batch.column("v"),
+                "w": batch.column("w"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "apex": batch.column("apex"),
+            },
+            schema=u_schema,
+        )
+
+    tagged = edges.map_batches(edge_rows, batch_format="pyarrow").union(
+        wedge_ds.map_batches(wedge_rows, batch_format="pyarrow")
+    )
+    by_pair = _keyed_repartition(tagged, _shuffle_width(), ["repo", "v", "w"])
+
+    part_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("n_triangles", pa.int64()),
+        ]
+    )
+
+    def confirm(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("v", "ascending"),
+                ("w", "ascending"),
+                ("side", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        v = np.asarray(t.column("v"), dtype=object)
+        w = np.asarray(t.column("w"), dtype=object)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        new_run = np.r_[
+            True,
+            (repo[1:] != repo[:-1]) | (v[1:] != v[:-1]) | (w[1:] != w[:-1]),
+        ]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_has_edge = side[starts] == 0
+        tri = (side == 1) & run_has_edge[run_idx]
+        if not tri.any():
+            return part_schema.empty_table()
+        apex = np.asarray(t.column("apex"), dtype=object)[tri]
+        corners = pa.table(
+            {
+                "repo": pa.array(
+                    np.concatenate([repo[tri]] * 3), type=pa.string()
+                ),
+                "path": pa.array(
+                    np.concatenate([apex, v[tri], w[tri]]), type=pa.string()
+                ),
+            }
+        )
+        agg = corners.group_by(["repo", "path"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "repo": agg.column("repo"),
+                "path": agg.column("path"),
+                "n_triangles": agg.column("count_all").cast(pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    partial = by_pair.map_batches(
+        confirm, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_aggregate(
+        partial, ["repo", "path"], [("n_triangles", "sum", "n_triangles")]
+    )

@@ -986,3 +986,26 @@ def test_embedding_kmeans_self_and_ties(ray_session, tmp_path):
     # every other centroid lands on itself at distance 0
     for i in range(2, k):
         assert got[i] == (i, 0), i
+
+
+def test_cochange_triangles_graph_semantics(ray_session, monkeypatch):
+    """Triangle algebra on a known graph: a 4-clique puts every node in
+    C(3,2)=3 triangles; a 2-path has none; repos never mix."""
+    import itertools
+
+    import ray.data
+
+    clique = [("r1", a, b) for a, b in itertools.combinations("abcd", 2)]
+    path = [("r2", "a", "b"), ("r2", "b", "c")]
+    edges = pa.table(
+        {
+            "repo": pa.array([e[0] for e in clique + path]),
+            "path_a": pa.array([e[1] for e in clique + path]),
+            "path_b": pa.array([e[2] for e in clique + path]),
+            "n_windows": pa.array([9] * (len(clique) + len(path)), pa.int64()),
+        }
+    )
+    monkeypatch.setattr(q, "q_co_change_pairs", lambda sf: ray.data.from_arrow(edges))
+    got = {(r["repo"], r["path"]): r["n_triangles"]
+           for r in q.q_cochange_triangles("unused").take_all()}
+    assert got == {("r1", n): 3 for n in "abcd"}
