@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": q.q_large_orders,
         "embedding_kmeans": q.q_embedding_kmeans,
         "cochange_triangles": q.q_cochange_triangles,
+        "bpe_pair_stats": q.q_bpe_pair_stats,
     }
 
 
@@ -334,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         Q18_MIN_QTY,
         KMEANS_K,
         KMEANS_SCALE,
+        BPE_TOP_K,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -1438,5 +1440,19 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT repo, b FROM tri
               UNION ALL SELECT repo, c FROM tri
             ) GROUP BY repo, path
+        """,
+        "bpe_pair_stats": f"""
+            WITH s AS (
+              SELECT lower(coalesce(text, '')) AS t FROM documents
+            ),
+            p AS (
+              SELECT substr(t, i, 2) AS pair
+              FROM (
+                SELECT t, unnest(range(1, greatest(len(t), 1))) AS i FROM s
+              )
+              WHERE regexp_matches(substr(t, i, 2), '^[a-z]{{2}}$')
+            )
+            SELECT pair, count(*)::BIGINT AS n FROM p
+            GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOP_K}
         """,
     }

@@ -6525,3 +6525,71 @@ def q_cochange_triangles(sf_dir: str):
     return grouped_aggregate(
         partial, ["repo", "path"], [("n_triangles", "sum", "n_triangles")]
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction, step 1: adjacent character-pair statistics
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 50
+_BPE_A, _BPE_Z = 97, 122  # ascii 'a'..'z'
+
+
+def q_bpe_pair_stats(sf_dir: str):
+    """Corpus-wide adjacent CHARACTER-pair frequencies, top-K — the
+    first merge-candidate scoring pass of BPE tokenizer training (the
+    pair with the max count is the merge; iterating re-runs this scan
+    over the re-paired corpus). Counted over lowercased ascii-alpha
+    byte pairs; token boundaries need no special casing because any
+    non-alpha byte (space, punctuation, utf-8 continuation) breaks
+    adjacency by failing the alpha test.
+
+    Scale shape: the per-batch kernel is three numpy passes over the
+    RAW utf-8 byte stream of the batch's concatenated text (frombuffer
+    -> range masks -> bincount on the 26x26 pair code) — no
+    tokenization, no per-token loop, no string allocation beyond the
+    one lowercase+join; each block folds to <= 676 partial rows, so
+    the 'exchange' degenerates to a driver merge of a FIXED-DOMAIN
+    histogram (the HH/quantile idiom — payload is the domain, never
+    the corpus). Byte-level BPE over the full 256x256 domain is the
+    same kernel with a 65,536-bin bincount."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    part_schema = pa.schema([("code", pa.int64()), ("n", pa.int64())])
+
+    def pair_hist(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        joined = " ".join(texts.to_pylist())
+        b = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+        if len(b) < 2:
+            return part_schema.empty_table()
+        alpha = (b >= _BPE_A) & (b <= _BPE_Z)
+        ok = alpha[:-1] & alpha[1:]
+        if not ok.any():
+            return part_schema.empty_table()
+        code = (b[:-1][ok].astype(np.int64) - _BPE_A) * 26 + (
+            b[1:][ok].astype(np.int64) - _BPE_A
+        )
+        hist = np.bincount(code, minlength=676)
+        nz = np.flatnonzero(hist)
+        return pa.table(
+            {"code": pa.array(nz.astype(np.int64)), "n": pa.array(hist[nz])},
+            schema=part_schema,
+        )
+
+    parts = ds.map_batches(pair_hist, batch_format="pyarrow").take_all()
+    total = np.zeros(676, dtype=np.int64)
+    for r in parts:
+        total[r["code"]] += r["n"]
+    nz = np.flatnonzero(total)
+    if not len(nz):
+        return pa.table(
+            {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    order = np.lexsort((nz, -total[nz]))[:BPE_TOP_K]
+    codes = nz[order]
+    pairs = [chr(_BPE_A + c // 26) + chr(_BPE_A + c % 26) for c in codes]
+    return pa.table(
+        {"pair": pa.array(pairs, type=pa.string()), "n": pa.array(total[codes])}
+    )

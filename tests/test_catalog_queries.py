@@ -505,6 +505,7 @@ def test_new_operators_survive_empty_corpus(ray_session, tmp_path):
         q.q_doc_pii_redact,
         q.q_doc_dedup_near_keep_best,
         q.q_doc_chunks,
+        q.q_bpe_pair_stats,
     ):
         res = fn(sf_dir)
         n = res.num_rows if isinstance(res, pa.Table) else res.count()
@@ -1009,3 +1010,23 @@ def test_cochange_triangles_graph_semantics(ray_session, monkeypatch):
     got = {(r["repo"], r["path"]): r["n_triangles"]
            for r in q.q_cochange_triangles("unused").take_all()}
     assert got == {("r1", n): 3 for n in "abcd"}
+
+
+def test_bpe_pair_stats_byte_semantics(ray_session, tmp_path):
+    """Pairs overlap ('aaa' -> 2x'aa'), non-alpha bytes break adjacency,
+    case folds, multibyte utf-8 never fabricates an alpha pair."""
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["aaA b-c", "abéab"]),  # é between pairs
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([7, 5], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {r["pair"]: r["n"] for r in q.q_bpe_pair_stats(str(tmp_path)).to_pylist()}
+    # doc1: 'aaa b-c' -> aa, aa; doc2: 'abéab' -> ab, ab (é breaks b-a)
+    assert got == {"aa": 2, "ab": 2}
