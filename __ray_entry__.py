@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": q.q_embedding_kmeans,
         "cochange_triangles": q.q_cochange_triangles,
         "bpe_pair_stats": q.q_bpe_pair_stats,
+        "embedding_kmeans_refine": q.q_embedding_kmeans_refine,
     }
 
 
@@ -1454,5 +1455,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pair, count(*)::BIGINT AS n FROM p
             GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOP_K}
+        """,
+        "embedding_kmeans_refine": f"""
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})) AS qv
+              FROM embeddings
+            ),
+            c AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+              FROM q ORDER BY vec_id LIMIT {KMEANS_K}
+            ),
+            a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT q.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         list_inner_product(q.qv, q.qv)
+                           - 2 * list_inner_product(q.qv, c.cv)
+                           + list_inner_product(c.cv, c.cv),
+                         c.cluster) AS rn
+                FROM q CROSS JOIN c
+              ) WHERE rn = 1
+            ),
+            dims AS (
+              SELECT unnest(range(1,
+                (SELECT max(len(qv)) FROM q) + 1)) AS i
+            ),
+            sums AS (
+              SELECT a1.cluster, d.i,
+                     sum(CAST(q.qv[d.i] AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM a1 JOIN q USING (vec_id) CROSS JOIN dims d
+              GROUP BY a1.cluster, d.i
+            ),
+            newc AS (
+              SELECT cluster,
+                     list(CAST(floor(CAST(s AS DOUBLE) / n) AS DOUBLE)
+                          ORDER BY i) AS cv
+              FROM sums GROUP BY cluster
+            ),
+            c2 AS (
+              SELECT c.cluster, coalesce(n.cv, c.cv) AS cv
+              FROM c LEFT JOIN newc n USING (cluster)
+            ),
+            a2 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT q.vec_id, c2.cluster,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         list_inner_product(q.qv, q.qv)
+                           - 2 * list_inner_product(q.qv, c2.cv)
+                           + list_inner_product(c2.cv, c2.cv),
+                         c2.cluster) AS rn
+                FROM q CROSS JOIN c2
+              ) WHERE rn = 1
+            )
+            SELECT a2.vec_id, a2.cluster::BIGINT AS cluster,
+                   (CASE WHEN a1.cluster <> a2.cluster
+                         THEN 1 ELSE 0 END)::BIGINT AS moved
+            FROM a2 JOIN a1 USING (vec_id)
         """,
     }

@@ -6252,6 +6252,34 @@ KMEANS_K = 8
 KMEANS_SCALE = 8192.0
 
 
+def _kmeans_seed_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic seed-centroid matrix (K x dim int64, quantized):
+    the K lowest-vec_id vectors, found WITHOUT materializing the
+    corpus - a vec_id-only pruned read folds per-block bottom-K, the
+    driver merges <= K x blocks ids, and one row-group-pruned point
+    read fetches the K vectors."""
+    ids = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[("vec_id", "ascending")])
+        return batch.take(order.slice(0, KMEANS_K))
+
+    parts = ids.map_batches(bottom_k, batch_format="pyarrow").take_all()
+    seed_ids = sorted(int(r["vec_id"]) for r in parts)[:KMEANS_K]
+
+    cent_tbl = (
+        pads.dataset(_t(sf_dir, "embeddings"))
+        .to_table(
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(seed_ids),
+        )
+        .sort_by([("vec_id", "ascending")])
+    )
+    return np.floor(
+        list_column_matrix(cent_tbl.column("embedding")) * KMEANS_SCALE
+    ).astype(np.int64)
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Nearest-centroid (one k-means assignment step) over the embedding
     corpus, INTEGER-EXACT end to end: vectors quantize to an int64 grid
@@ -6275,26 +6303,7 @@ def q_embedding_kmeans(sf_dir: str):
     driver-side per round. Ref parity: the reference has no vector
     ops; this extends the ANN family (SURVEY.md 'beyond-reference')."""
     _ensure_hash_shuffle()
-    ids = _read(sf_dir, "embeddings", columns=["vec_id"])
-
-    def bottom_k(batch: pa.Table) -> pa.Table:
-        order = pc.sort_indices(batch, sort_keys=[("vec_id", "ascending")])
-        return batch.take(order.slice(0, KMEANS_K))
-
-    parts = ids.map_batches(bottom_k, batch_format="pyarrow").take_all()
-    seed_ids = sorted(int(r["vec_id"]) for r in parts)[:KMEANS_K]
-
-    cent_tbl = (
-        pads.dataset(_t(sf_dir, "embeddings"))
-        .to_table(
-            columns=["vec_id", "embedding"],
-            filter=pc.field("vec_id").isin(seed_ids),
-        )
-        .sort_by([("vec_id", "ascending")])
-    )
-    cmat = np.floor(
-        list_column_matrix(cent_tbl.column("embedding")) * KMEANS_SCALE
-    ).astype(np.int64)
+    cmat = _kmeans_seed_centroids(sf_dir)
     cent_ref = ray.put((cmat, (cmat * cmat).sum(axis=1)))
 
     out_schema = pa.schema(
@@ -6593,3 +6602,101 @@ def q_bpe_pair_stats(sf_dir: str):
     return pa.table(
         {"pair": pa.array(pairs, type=pa.string()), "n": pa.array(total[codes])}
     )
+
+
+def q_embedding_kmeans_refine(sf_dir: str):
+    """ONE full k-means refinement round on top of the assignment step
+    (q_embedding_kmeans), integer-exact end to end — the iterative-
+    algorithm template at 100 TB: each round is one STREAMING pass
+    (no exchange) whose per-block partial is a K x dim int64 sum
+    matrix + K counts (a few KiB regardless of corpus size), a driver
+    merge of K x blocks partials, and a broadcast of the K x dim
+    result for the next pass. Centroid update is elementwise
+    floor(sum / count) on the quantized grid (empty clusters keep
+    their seed), so the update — like the distances — has one exact
+    answer both numpy and the SQL replica compute bit-identically
+    (floor of a correctly-rounded double quotient is exact while
+    |sum| < 2^53 and the quotient isn't within 1/count of an integer
+    crossing; |sum| <= corpus x 8192 keeps that true by orders of
+    magnitude).
+
+    Output: each vector's round-2 cluster and whether it MOVED vs the
+    seed assignment — the convergence signal a driver loop would test
+    (iterate-until-moved==0)."""
+    _ensure_hash_shuffle()
+    seeds = _kmeans_seed_centroids(sf_dir)
+    k, dim = seeds.shape
+    seed_ref = ray.put((seeds, (seeds * seeds).sum(axis=1)))
+
+    part_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("cnt", pa.int64()),
+            ("sums", pa.list_(pa.int64())),
+        ]
+    )
+
+    def fold_sums(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        C, c_sq = ray.get(seed_ref)
+        X = np.floor(
+            list_column_matrix(batch.column("embedding")) * KMEANS_SCALE
+        ).astype(np.int64)
+        x_sq = (X * X).sum(axis=1)
+        d = x_sq[:, None] - 2 * (X @ C.T) + c_sq[None, :]
+        c = np.argmin(d, axis=1)
+        onehot = (c[:, None] == np.arange(k)[None, :]).astype(np.int64)
+        sums = onehot.T @ X  # (k, dim) int64, exact
+        cnts = onehot.sum(axis=0)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "sums": pa.array(list(sums), type=pa.list_(pa.int64())),
+            },
+            schema=part_schema,
+        )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    parts = emb.map_batches(fold_sums, batch_format="pyarrow").take_all()
+    tot = np.zeros((k, dim), dtype=np.int64)
+    cnt = np.zeros(k, dtype=np.int64)
+    for r in parts:
+        tot[r["cluster"]] += np.asarray(r["sums"], dtype=np.int64)
+        cnt[r["cluster"]] += r["cnt"]
+    new_c = seeds.copy()
+    nz = cnt > 0
+    # floor(sum/count) == np.floor_divide for int64; see docstring for
+    # why the SQL floor(double quotient) replica is bit-identical
+    new_c[nz] = np.floor_divide(tot[nz], cnt[nz][:, None])
+    ref2 = ray.put((seeds, (seeds * seeds).sum(axis=1), new_c, (new_c * new_c).sum(axis=1)))
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cluster", pa.int64()),
+            ("moved", pa.int64()),
+        ]
+    )
+
+    def reassign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        C1, c1_sq, C2, c2_sq = ray.get(ref2)
+        X = np.floor(
+            list_column_matrix(batch.column("embedding")) * KMEANS_SCALE
+        ).astype(np.int64)
+        x_sq = (X * X).sum(axis=1)
+        c1 = np.argmin(x_sq[:, None] - 2 * (X @ C1.T) + c1_sq[None, :], axis=1)
+        c2 = np.argmin(x_sq[:, None] - 2 * (X @ C2.T) + c2_sq[None, :], axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "cluster": pa.array(c2.astype(np.int64)),
+                "moved": pa.array((c1 != c2).astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return emb.map_batches(reassign, batch_format="pyarrow", zero_copy_batch=True)
