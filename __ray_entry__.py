@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cochange_triangles": q.q_cochange_triangles,
         "bpe_pair_stats": q.q_bpe_pair_stats,
         "embedding_kmeans_refine": q.q_embedding_kmeans_refine,
+        "value_quantile_sketch": q.q_value_quantile_sketch,
     }
 
 
@@ -1011,6 +1012,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "approx_distinct_users": (
             f"SELECT * FROM read_parquet('{oracle_paths['approx_distinct_users']}')"
+        ),
+        "value_quantile_sketch": (
+            f"SELECT * FROM read_parquet('{oracle_paths['value_quantile_sketch']}')"
         ),
         "order_priority_report": f"""
             SELECT l_returnflag,

@@ -777,3 +777,55 @@ def oracle_approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
 
 
 _ORACLE_BUILDERS["approx_distinct_users"] = oracle_approx_distinct_users
+
+
+def oracle_value_quantile_sketch(sf_dir: str) -> pa.Table:
+    """Pure-Python recompute of the DDSketch-style quantile sketch (no
+    numpy views, no shared kernels): struct-packed bit buckets, dict
+    histogram, sorted walk with integer-ceil ranks. Bit-identical to
+    the engine because both reconstruct the representative from the
+    same integer code."""
+    import math
+    import struct
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    counts: dict[tuple[str, int], int] = {}
+    for et, v in zip(t.column("event_type").to_pylist(), t.column("value").to_pylist()):
+        v = float(v)
+        if v == 0.0:
+            code = 0
+        else:
+            code = struct.unpack("<Q", struct.pack("<d", v))[0] >> 48
+        counts[(et, code)] = counts.get((et, code), 0) + 1
+
+    def rep(code: int) -> float:
+        return struct.unpack("<d", struct.pack("<Q", code << 48))[0]
+
+    by_type: dict[str, dict[int, int]] = {}
+    for (et, code), n in counts.items():
+        by_type.setdefault(et, {})[code] = by_type.setdefault(et, {}).get(code, 0) + n
+
+    rows = []
+    for et, hist in by_type.items():
+        buckets = sorted(hist.items(), key=lambda kv: (rep(kv[0]), kv[0]))
+        n = sum(hist.values())
+        for p in (50, 90, 99):
+            rank = math.ceil(p * n / 100)
+            cum = 0
+            for code, c in buckets:
+                cum += c
+                if cum >= rank:
+                    rows.append((et, p, rep(code), n))
+                    break
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "p": pa.array([r[1] for r in rows], type=pa.int64()),
+            "q_approx": pa.array([r[2] for r in rows], type=pa.float64()),
+            "n_events": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+_ORACLE_BUILDERS["value_quantile_sketch"] = oracle_value_quantile_sketch

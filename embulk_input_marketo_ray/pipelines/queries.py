@@ -6700,3 +6700,132 @@ def q_embedding_kmeans_refine(sf_dir: str):
         )
 
     return emb.map_batches(reassign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (DDSketch-style float-bit buckets)
+# ---------------------------------------------------------------------------
+
+VQS_PS = (50, 90, 99)
+
+
+def _vqs_codes(vals: np.ndarray) -> np.ndarray:
+    """DDSketch-style bucket code per float64 value: the top 16 bits of
+    the IEEE-754 pattern (sign + 11 exponent + 4 mantissa bits), zeros
+    canonicalized to code 0. Buckets are RELATIVE-ERROR bounded (width
+    <= 1/16 of the bucket's magnitude), the code space is bounded
+    (<= 65,536 regardless of data), and the map is a pure function of
+    the value — so per-block histograms merge by SUM in any order
+    (HLL-style order independence, no compaction schedule).
+    Ref: Masson, Lee, Rim — "DDSketch: a fast and fully-mergeable
+    quantile sketch with relative-error guarantees", VLDB 2019 (bucket
+    family swapped from log-gamma indexing to raw float bits, which
+    keeps the index integer-exact and SQL/oracle-replicable)."""
+    v = np.ascontiguousarray(vals, dtype=np.float64)
+    code = (v.view(np.uint64) >> np.uint64(48)).astype(np.int64)
+    code[v == 0.0] = 0
+    return code
+
+
+def _vqs_reps(codes: np.ndarray) -> np.ndarray:
+    """Bucket representative: the float64 whose bit pattern is
+    code << 48 — the bucket's closest-to-zero endpoint. Sorting by it
+    ascending sorts buckets in VALUE order for negatives, zero and
+    positives alike."""
+    return (codes.astype(np.uint64) << np.uint64(48)).view(np.float64)
+
+
+def q_value_quantile_sketch(sf_dir: str):
+    """Approximate per-event-type value quantiles (p50/p90/p99) from a
+    mergeable DDSketch-style sketch — the UNBOUNDED-domain counterpart
+    of the exact bounded-histogram quantiles (token_quantiles): when
+    the domain is arbitrary doubles, the exact path needs a global
+    sort; the sketch path is one streaming histogram fold with a
+    <= 65k-bucket payload and a relative-error (not rank-error)
+    guarantee of 1/16 on the reported value.
+
+    Shape: per-block (event_type, code) counts fold in-block (arrow
+    group_by over the int bucket code), ONE keyed exchange on
+    event_type moves only those bounded partials, and the per-run
+    kernel merges histograms by sum, sorts the <= 65k codes by
+    representative, and reads each target rank off the cumulative
+    count — integer rank arithmetic (ceil via -(-p*n//100)) and a
+    bit-reconstructed double representative, so the independent
+    oracle recompute is bit-identical."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("code", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        codes = _vqs_codes(np.asarray(batch.column("value"), dtype=np.float64))
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "code": pa.array(codes)}
+        )
+        agg = t.group_by(["event_type", "code"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "code": agg.column("code"),
+                "n": agg.column("count_all").cast(pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    partials = ds.map_batches(fold, batch_format="pyarrow")
+    by_type = _keyed_repartition(partials, _shuffle_width(), ["event_type"])
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("p", pa.int64()),
+            ("q_approx", pa.float64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def quantiles(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        merged = block.group_by(["event_type", "code"]).aggregate([("n", "sum")])
+        et = np.asarray(merged.column("event_type"), dtype=object)
+        code = np.asarray(merged.column("code"), dtype=np.int64)
+        cnt = np.asarray(merged.column("n_sum"), dtype=np.int64)
+        rep = _vqs_reps(code)
+        order = np.lexsort((code, rep, et))
+        et, code, cnt, rep = et[order], code[order], cnt[order], rep[order]
+        new_run = np.r_[True, et[1:] != et[:-1]]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], len(et)]
+        o_et, o_p, o_q, o_n = [], [], [], []
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(cnt[s:e])
+            n = int(cum[-1])
+            for p in VQS_PS:
+                rank = -(-p * n // 100)  # integer ceil
+                idx = int(np.searchsorted(cum, rank, side="left"))
+                o_et.append(et[s])
+                o_p.append(p)
+                o_q.append(rep[s:e][idx])
+                o_n.append(n)
+        return pa.table(
+            {
+                "event_type": pa.array(o_et, type=pa.string()),
+                "p": pa.array(o_p, type=pa.int64()),
+                "q_approx": pa.array(o_q, type=pa.float64()),
+                "n_events": pa.array(o_n, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return by_type.map_batches(
+        quantiles, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

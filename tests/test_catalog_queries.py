@@ -1030,3 +1030,67 @@ def test_bpe_pair_stats_byte_semantics(ray_session, tmp_path):
     got = {r["pair"]: r["n"] for r in q.q_bpe_pair_stats(str(tmp_path)).to_pylist()}
     # doc1: 'aaa b-c' -> aa, aa; doc2: 'abéab' -> ab, ab (é breaks b-a)
     assert got == {"aa": 2, "ab": 2}
+
+
+def _write_events_values(tmp_path, values, types=None, row_group_size=None):
+    import pyarrow.parquet as pq
+
+    n = len(values)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                np.arange(n, dtype=np.int64) * 1_000_000, type=pa.int64()
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_type": pa.array(types or ["t"] * n),
+            "value": pa.array(np.asarray(values, dtype=np.float64)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"), row_group_size=row_group_size)
+
+
+def test_value_quantile_sketch_error_bound(ray_session, tmp_path):
+    """The reported quantile is the bucket's closest-to-zero endpoint,
+    so for positive data: q_approx <= exact percentile_disc value and
+    the relative gap is < 1/16 (4 mantissa bits)."""
+    rng = np.random.default_rng(11)
+    vals = np.exp(rng.normal(size=4000) * 2.0)  # heavy-tailed positives
+    _write_events_values(tmp_path, vals)
+    got = {r["p"]: r["q_approx"]
+           for r in q.q_value_quantile_sketch(str(tmp_path)).take_all()}
+    s = np.sort(vals)
+    for p, approx in got.items():
+        exact = s[int(np.ceil(p * len(s) / 100)) - 1]
+        assert approx <= exact + 1e-12
+        assert (exact - approx) / exact < 1 / 16 + 1e-9, (p, approx, exact)
+
+
+def test_value_quantile_sketch_partition_invariant(ray_session, tmp_path):
+    """Order-independent merge: the same data in 1 row group or many
+    tiny ones yields the identical sketch output (no compaction
+    schedule, unlike KLL)."""
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=3000) * 100  # mixed signs
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    _write_events_values(d1, vals)
+    _write_events_values(d2, vals, row_group_size=173)
+    a = sorted(map(tuple, q.q_value_quantile_sketch(str(d1)).to_pandas().values.tolist()))
+    b = sorted(map(tuple, q.q_value_quantile_sketch(str(d2)).to_pandas().values.tolist()))
+    assert a == b
+
+
+def test_value_quantile_sketch_sign_ordering(ray_session, tmp_path):
+    """Buckets sort in VALUE order across negatives, zero, positives:
+    with n=10 powers of two the disc ranks land exactly: p50 ->
+    rank 5 -> 1.0, p90 -> rank 9 -> 16.0, p99 -> rank 10 -> 32.0."""
+    _write_events_values(
+        tmp_path, [-4.0, -2.0, -1.0, 0.0, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    )
+    got = {r["p"]: r["q_approx"]
+           for r in q.q_value_quantile_sketch(str(tmp_path)).take_all()}
+    assert got[50] == 1.0
+    assert got[90] == 16.0
+    assert got[99] == 32.0
