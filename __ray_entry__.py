@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_stats": q.q_bpe_pair_stats,
         "embedding_kmeans_refine": q.q_embedding_kmeans_refine,
         "value_quantile_sketch": q.q_value_quantile_sketch,
+        "event_transitions": q.q_event_transitions,
     }
 
 
@@ -1518,5 +1519,18 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN a1.cluster <> a2.cluster
                          THEN 1 ELSE 0 END)::BIGINT AS moved
             FROM a2 JOIN a1 USING (vec_id)
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type
+              FROM events
+            )
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   count(*)::BIGINT AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
     }

@@ -6829,3 +6829,71 @@ def q_value_quantile_sketch(sf_dir: str):
     return by_type.map_batches(
         quantiles, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_event_transitions(sf_dir: str):
+    """User-journey TRANSITION MATRIX: global counts of consecutive
+    (prev event_type -> event_type) steps within each user's
+    (ts, event_id)-ordered stream — the Markov-chain estimation pass
+    behind session-path mining and next-action models.
+
+    Shape: 4-column pruned read, ONE keyed exchange on user_id, then
+    the catalog's sort + run-detect + shift kernel (lag() semantics,
+    no window library) with the run's FIRST event masked out; the
+    (from, to) pair counts fold in-block to <= |types|^2 partial rows
+    and one tiny keyed aggregate merges them — the exchange payload
+    after the kernel is the type-pair domain x blocks, never events."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    shuffled = _keyed_repartition(ds, _shuffle_width(), ["user_id"])
+
+    part_schema = pa.schema(
+        [
+            ("from_type", pa.string()),
+            ("to_type", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def transitions(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        et = np.asarray(t.column("event_type"), dtype=object)
+        n = len(user)
+        if n < 2:
+            return part_schema.empty_table()
+        same_user = user[1:] == user[:-1]
+        if not same_user.any():
+            return part_schema.empty_table()
+        pairs = pa.table(
+            {
+                "from_type": pa.array(et[:-1][same_user], type=pa.string()),
+                "to_type": pa.array(et[1:][same_user], type=pa.string()),
+            }
+        )
+        agg = pairs.group_by(["from_type", "to_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "from_type": agg.column("from_type"),
+                "to_type": agg.column("to_type"),
+                "n": agg.column("count_all").cast(pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    partial = shuffled.map_batches(
+        transitions, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_aggregate(
+        partial, ["from_type", "to_type"], [("n", "sum", "n")]
+    )
