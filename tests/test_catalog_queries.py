@@ -1094,3 +1094,77 @@ def test_value_quantile_sketch_sign_ordering(ray_session, tmp_path):
     assert got[50] == 1.0
     assert got[90] == 16.0
     assert got[99] == 32.0
+
+
+def test_local_supplier_volume_hot_keys(ray_session, tmp_path):
+    """Degenerate skew through BOTH chained exchanges: one customer
+    owns every order and one order owns every lineitem. Each exchange
+    hash-routes the single parent row with all its fragments, so the
+    chain stays exact; revenue = n x 1000 cents x 100 (no discount)."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    n = 50_000
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0], pa.int32()), "r_name": ["ASIA"]}),
+        f"{d}/region.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "n_nationkey": pa.array([10], pa.int32()),
+            "n_name": ["JAPAN"],
+            "n_regionkey": pa.array([0], pa.int32()),
+        }),
+        f"{d}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array([1], pa.int64()),
+            "c_name": ["hot"],
+            "c_nationkey": pa.array([10], pa.int32()),
+            "c_acctbal": pa.array([0.0]),
+            "c_mktsegment": ["BUILDING"],
+        }),
+        f"{d}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "s_suppkey": pa.array([1], pa.int64()),
+            "s_name": ["s"],
+            "s_nationkey": pa.array([10], pa.int32()),
+            "s_acctbal": pa.array([0.0]),
+        }),
+        f"{d}/supplier.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([7], pa.int64()),
+            "o_custkey": pa.array([1], pa.int64()),
+            "o_orderstatus": ["O"],
+            "o_totalprice": pa.array([1.0]),
+            "o_orderdate": pa.array([np.datetime64("1996-06-01", "us")]),
+            "o_orderpriority": ["1-URGENT"],
+        }),
+        f"{d}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array(np.full(n, 7, dtype=np.int64)),
+            "l_partkey": pa.array(np.ones(n, dtype=np.int64)),
+            "l_suppkey": pa.array(np.ones(n, dtype=np.int64)),
+            "l_linenumber": pa.array(np.arange(n, dtype=np.int32)),
+            "l_quantity": pa.array(np.ones(n)),
+            "l_extendedprice": pa.array(np.full(n, 10.0)),
+            "l_discount": pa.array(np.zeros(n)),
+            "l_tax": pa.array(np.zeros(n)),
+            "l_returnflag": pa.array(["N"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array(
+                np.full(n, np.datetime64("1996-07-01", "us"))
+            ),
+        }),
+        f"{d}/lineitem.parquet",
+        row_group_size=4096,
+    )
+    rows = q.q_local_supplier_volume(d).to_pylist()
+    assert rows == [{"n_name": "JAPAN", "revenue_c100": n * 1000 * 100}]
