@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans_refine": q.q_embedding_kmeans_refine,
         "value_quantile_sketch": q.q_value_quantile_sketch,
         "event_transitions": q.q_event_transitions,
+        "doc_length_ntiles": q.q_doc_length_ntiles,
     }
 
 
@@ -339,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         KMEANS_K,
         KMEANS_SCALE,
         BPE_TOP_K,
+        NTILE_K,
     )
 
     # independently recomputed parquet oracles for the non-SQL kernels
@@ -1532,5 +1534,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM s WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
+        """,
+        "doc_length_ntiles": f"""
+            SELECT doc_id, n_chars,
+                   row_number() OVER w::BIGINT AS rank,
+                   ntile({NTILE_K}) OVER w::BIGINT AS ntile
+            FROM documents
+            WINDOW w AS (ORDER BY n_chars, doc_id)
         """,
     }

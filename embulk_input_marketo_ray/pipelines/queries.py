@@ -6897,3 +6897,114 @@ def q_event_transitions(sf_dir: str):
     return grouped_aggregate(
         partial, ["from_type", "to_type"], [("n", "sum", "n")]
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed global rank / NTILE without a global sort
+# ---------------------------------------------------------------------------
+
+NTILE_K = 4
+# distinct-length histogram broadcast budget (rows): the cum-offset
+# table is bounded by DISTINCT key values, not docs — document lengths
+# cluster heavily, but a pathological corpus could exceed it, and the
+# remedy (range-partition the key space and rank per range) is noted
+# in the raise.
+NTILE_HIST_BUDGET = 1 << 22
+
+
+def q_doc_length_ntiles(sf_dir: str):
+    """GLOBAL rank + NTILE over (n_chars, doc_id) — the order-statistic
+    operator (equi-depth bucketing, percentile-rank features) computed
+    WITHOUT a global sort: ranking only needs (a) how many rows precede
+    my KEY GROUP — a cumulative histogram over distinct lengths, built
+    by the two-phase count and broadcast once — and (b) my position
+    WITHIN the group — local to the group after one keyed exchange on
+    n_chars. rank = cum_offset[length] + in-group position; NTILE
+    follows from rank with the exact SQL fill rule (first n%k tiles get
+    one extra row). The broadcast is bounded by DISTINCT lengths
+    (budgeted, raises with the range-partition remedy), so no stage
+    ever sees a global order and the corpus never moves twice."""
+    _ensure_hash_shuffle()
+    counts = grouped_aggregate(
+        _read(sf_dir, "documents", columns=["n_chars"]),
+        ["n_chars"],
+        [("n_chars", "count", "cnt")],
+    ).take_all()
+    if len(counts) > NTILE_HIST_BUDGET:
+        raise RuntimeError(
+            f"distinct-length histogram ({len(counts)} rows) exceeds the "
+            "broadcast budget; range-partition the key space and rank "
+            "per range instead"
+        )
+    out_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "ntile": pa.array([], pa.int64()),
+        }
+    )
+    if not counts:
+        return out_empty
+    lens = np.array([r["n_chars"] for r in counts], dtype=np.int64)
+    cnt = np.array([r["cnt"] for r in counts], dtype=np.int64)
+    order = np.argsort(lens)
+    lens, cnt = lens[order], cnt[order]
+    offsets = np.r_[0, np.cumsum(cnt)[:-1]]
+    total = int(cnt.sum())
+    hist_ref = ray.put((lens, offsets))
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("rank", pa.int64()),
+            ("ntile", pa.int64()),
+        ]
+    )
+    k = NTILE_K
+    r_big = total % k
+    big = total // k + 1
+    small = total // k
+
+    def rank_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("n_chars", "ascending"), ("doc_id", "ascending")]
+        )
+        t = block.take(order)
+        ln = np.asarray(t.column("n_chars"), dtype=np.int64)
+        n = len(ln)
+        new_run = np.r_[True, ln[1:] != ln[:-1]]
+        starts = np.flatnonzero(new_run)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, n])
+        )
+        L, O = ray.get(hist_ref)
+        off = O[np.searchsorted(L, ln)]
+        rank0 = off + pos
+        if small == 0:
+            tile = rank0 + 1
+        else:
+            in_big = rank0 < r_big * big
+            tile = np.where(
+                in_big,
+                rank0 // max(big, 1) + 1,
+                r_big + (rank0 - r_big * big) // small + 1,
+            )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+                "rank": pa.array(rank0 + 1),
+                "ntile": pa.array(tile.astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    by_len = _keyed_repartition(ds, _shuffle_width(), ["n_chars"])
+    return by_len.map_batches(
+        rank_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

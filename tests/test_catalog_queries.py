@@ -1168,3 +1168,44 @@ def test_local_supplier_volume_hot_keys(ray_session, tmp_path):
     )
     rows = q.q_local_supplier_volume(d).to_pylist()
     assert rows == [{"n_name": "JAPAN", "revenue_c100": n * 1000 * 100}]
+
+
+def test_doc_length_ntiles_fill_rule(ray_session, tmp_path):
+    """NTILE's exact fill rule: n=10,k=4 -> tile sizes 3,3,2,2 in rank
+    order; n=3 < k -> one row per tile, tiles 1..3."""
+    import pyarrow.parquet as pq
+
+    def write(d, n):
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(["x"] * n),
+                    "lang": pa.array(["en"] * n),
+                    "source": pa.array(["s"] * n),
+                    # two docs share each length -> in-group tiebreak
+                    "n_chars": pa.array((np.arange(n, dtype=np.int64) // 2) * 7),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+
+    d10, d3 = tmp_path / "a", tmp_path / "b"
+    write(d10, 10), write(d3, 3)
+
+    rows = sorted(
+        q.q_doc_length_ntiles(str(d10)).take_all(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    # rank order == (n_chars, doc_id) order
+    assert [r["doc_id"] for r in rows] == list(range(10))
+    from collections import Counter
+
+    sizes = Counter(r["ntile"] for r in rows)
+    assert [sizes[t] for t in (1, 2, 3, 4)] == [3, 3, 2, 2]
+
+    rows3 = sorted(
+        q.q_doc_length_ntiles(str(d3)).take_all(), key=lambda r: r["rank"]
+    )
+    assert [r["ntile"] for r in rows3] == [1, 2, 3]
