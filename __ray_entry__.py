@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantile_sketch": q.q_value_quantile_sketch,
         "event_transitions": q.q_event_transitions,
         "doc_length_ntiles": q.q_doc_length_ntiles,
+        "doc_compression_ratio": q.q_doc_compression_ratio,
     }
 
 
@@ -1018,6 +1019,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "value_quantile_sketch": (
             f"SELECT * FROM read_parquet('{oracle_paths['value_quantile_sketch']}')"
+        ),
+        "doc_compression_ratio": (
+            f"SELECT * FROM read_parquet('{oracle_paths['doc_compression_ratio']}')"
         ),
         "order_priority_report": f"""
             SELECT l_returnflag,

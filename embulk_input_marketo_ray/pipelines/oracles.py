@@ -829,3 +829,28 @@ def oracle_value_quantile_sketch(sf_dir: str) -> pa.Table:
 
 
 _ORACLE_BUILDERS["value_quantile_sketch"] = oracle_value_quantile_sketch
+
+
+def oracle_doc_compression_ratio(sf_dir: str) -> pa.Table:
+    """Independent recompute of the zlib-6 compression signal (pure
+    Python loop, no numpy): same container zlib => bit-identical."""
+    import zlib
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        b = (s or "").encode("utf-8")
+        raw, gz = len(b), len(zlib.compress(b, 6))
+        rows.append((int(did), raw, gz, (gz * 1000) // raw if raw else 0))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "raw_bytes": pa.array([r[1] for r in rows], type=pa.int64()),
+            "gz_bytes": pa.array([r[2] for r in rows], type=pa.int64()),
+            "ratio_permille": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+_ORACLE_BUILDERS["doc_compression_ratio"] = oracle_doc_compression_ratio

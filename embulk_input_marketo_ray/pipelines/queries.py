@@ -7008,3 +7008,55 @@ def q_doc_length_ntiles(sf_dir: str):
     return by_len.map_batches(
         rank_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_doc_compression_ratio(sf_dir: str):
+    """Per-document COMPRESSION-RATIO quality signal (the
+    Gopher/RefinedWeb repetitiveness proxy: highly compressible text is
+    boilerplate/templated; incompressible is noise): zlib-6 size over
+    raw utf-8 size, reported as integer per-mille so the value-hash
+    gate is exact. Deterministic given one zlib build — the engine and
+    oracle share this container's zlib; a cross-version cluster pins
+    the codec wheel (documented, same caveat class as the multimodal
+    stubs).
+
+    Shape: pure streaming task map, no exchange; the per-doc zlib call
+    is a C-extension compress on kilobytes (the per-row loop is
+    release-the-GIL C time, the same contract as the multimodal codec
+    stages — not a Python hot loop)."""
+    import zlib
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("raw_bytes", pa.int64()),
+            ("gz_bytes", pa.int64()),
+            ("ratio_permille", pa.int64()),
+        ]
+    )
+
+    def ratios(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        texts = pc.fill_null(batch.column("text"), "").to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        gz = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            b = s.encode("utf-8")
+            raw[i] = len(b)
+            gz[i] = len(zlib.compress(b, 6))
+        ratio = np.where(raw > 0, gz * 1000 // np.maximum(raw, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "raw_bytes": pa.array(raw),
+                "gz_bytes": pa.array(gz),
+                "ratio_permille": pa.array(ratio.astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(ratios, batch_format="pyarrow", zero_copy_batch=True)
