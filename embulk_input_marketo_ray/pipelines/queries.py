@@ -5395,7 +5395,20 @@ def q_dq_audit(sf_dir: str):
     )
 
     report = null_name.union(bad_qty).union(orphans).union(dup_keys)
-    return grouped_aggregate(report, ["check_name"], [("bad_rows", "sum", "bad_rows")])
+    # the partial stream is bounded by checks x blocks (one row per
+    # block per check), so the merge is a driver fold — the bounded-
+    # domain histogram idiom, not an exchange
+    parts = report.take_all()
+    totals: dict[str, int] = {}
+    for r in parts:
+        totals[r["check_name"]] = totals.get(r["check_name"], 0) + int(r["bad_rows"])
+    names = sorted(totals)
+    return pa.table(
+        {
+            "check_name": pa.array(names, type=pa.string()),
+            "bad_rows": pa.array([totals[n] for n in names], type=pa.int64()),
+        }
+    )
 
 
 ROLLUP_ALL = "(all)"  # rollup-level marker (oracle coalesces NULL to it)
