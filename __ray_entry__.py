@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q.q_event_transitions,
         "doc_length_ntiles": q.q_doc_length_ntiles,
         "doc_compression_ratio": q.q_doc_compression_ratio,
+        "event_dedup_window": q.q_event_dedup_window,
     }
 
 
@@ -1022,6 +1023,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_compression_ratio": (
             f"SELECT * FROM read_parquet('{oracle_paths['doc_compression_ratio']}')"
+        ),
+        "event_dedup_window": (
+            f"SELECT * FROM read_parquet('{oracle_paths['event_dedup_window']}')"
         ),
         "order_priority_report": f"""
             SELECT l_returnflag,

@@ -854,3 +854,43 @@ def oracle_doc_compression_ratio(sf_dir: str) -> pa.Table:
 
 
 _ORACLE_BUILDERS["doc_compression_ratio"] = oracle_doc_compression_ratio
+
+
+def oracle_event_dedup_window(sf_dir: str, window_s: int = 600) -> pa.Table:
+    """Independent chain-dedup recompute: per (user, event_type) in
+    (ts, event_id) order, keep an event iff it is the key's first or
+    its ts exceeds the LAST KEPT ts by more than the window."""
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    rows = sorted(
+        zip(
+            t.column("user_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+            [v.value if hasattr(v, "value") else v for v in t.column("ts").cast("int64").to_pylist()],
+            t.column("event_id").to_pylist(),
+        )
+    )
+    win_us = window_s * 1_000_000
+    kept = []
+    last_key, last_ts = None, None
+    for user, et, ts_us, eid in rows:
+        key = (user, et)
+        if key != last_key or ts_us - last_ts > win_us:
+            kept.append((eid, user, ts_us, et))
+            last_key, last_ts = key, ts_us
+    kept.sort()
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in kept], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in kept], type=pa.int64()),
+            "ts": pa.array([r[2] for r in kept], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "event_type": pa.array([r[3] for r in kept], type=pa.string()),
+        }
+    )
+
+
+_ORACLE_BUILDERS["event_dedup_window"] = oracle_event_dedup_window

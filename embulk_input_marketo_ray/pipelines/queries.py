@@ -7073,3 +7073,87 @@ def q_doc_compression_ratio(sf_dir: str):
         )
 
     return ds.map_batches(ratios, batch_format="pyarrow", zero_copy_batch=True)
+
+
+
+EVENT_DEDUP_SECONDS = 600  # suppression window per (user, event_type)
+
+
+def q_event_dedup_window(sf_dir: str):
+    """Windowed event DEDUPLICATION (the streaming dedup-with-TTL
+    contract: drop repeats of the same (user, event_type) arriving
+    within EVENT_DEDUP_SECONDS of the last KEPT one) — the
+    at-least-once-delivery cleanup every event pipeline runs before
+    counting. Keep/drop is a per-key CHAIN (an event is kept iff its
+    gap to the previously KEPT event exceeds the window) — note this
+    differs from a lag-gap filter, which compares against the previous
+    RAW event and over-drops after a suppressed one.
+
+    Kernel contract: the chain is inherently sequential WITHIN a key
+    run, but the walk advances by ``searchsorted`` JUMP to the next
+    survivor — iterations are bounded by the OUTPUT (kept events), the
+    same "loop over groups/results, never rows" bound as the catalog's
+    pair kernels; a fully-duplicated stream costs one jump per window,
+    a fully-sparse one degenerates to one jump per row only because
+    every row survives. One keyed exchange on (user_id, event_type).
+
+    Oracle: an independent pure-Python chain walk (the greedy kept-set
+    is not expressible in one SQL window pass — running max over kept
+    rows is self-referential), recorded as a parquet oracle."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    shuffled = _keyed_repartition(ds, _shuffle_width(), ["user_id", "event_type"])
+    win_us = EVENT_DEDUP_SECONDS * 1_000_000
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.string()),
+        ]
+    )
+
+    def dedup_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        et = np.asarray(t.column("event_type"), dtype=object)
+        ts = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        n = len(user)
+        new_run = np.r_[True, (user[1:] != user[:-1]) | (et[1:] != et[:-1])]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], n]
+        keep_idx: list[int] = []
+        for s, e in zip(starts, ends):
+            i = s
+            while i < e:
+                keep_idx.append(i)
+                # jump to the first event past the suppression window
+                i = s + int(
+                    np.searchsorted(ts[s:e], ts[i] + win_us, side="right")
+                )
+        idx = pa.array(np.asarray(keep_idx, dtype=np.int64))
+        return pa.table(
+            {
+                "event_id": t.column("event_id").take(idx).cast(pa.int64()),
+                "user_id": t.column("user_id").take(idx).cast(pa.int64()),
+                "ts": t.column("ts").take(idx),
+                "event_type": t.column("event_type").take(idx),
+            },
+            schema=out_schema,
+        )
+
+    return shuffled.map_batches(
+        dedup_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

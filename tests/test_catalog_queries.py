@@ -1209,3 +1209,38 @@ def test_doc_length_ntiles_fill_rule(ray_session, tmp_path):
         q.q_doc_length_ntiles(str(d3)).take_all(), key=lambda r: r["rank"]
     )
     assert [r["ntile"] for r in rows3] == [1, 2, 3]
+
+
+def test_event_dedup_window_chain_semantics(ray_session, tmp_path):
+    """CHAIN dedup, not lag-gap: events at t, t+0.7W, t+1.4W keep
+    {t, t+1.4W} (the middle is suppressed by t; the third clears the
+    LAST KEPT, not the previous raw event). Keys never cross-suppress."""
+    w = q.EVENT_DEDUP_SECONDS
+    vals = [
+        (1, 1, 0, "view"),
+        (2, 1, int(0.7 * w), "view"),   # within W of kept t=0 -> drop
+        (3, 1, int(1.4 * w), "view"),   # > W after kept t=0 -> keep
+        (4, 1, int(1.4 * w), "click"),  # other type: kept
+        (5, 2, int(0.1 * w), "view"),   # other user: kept
+    ]
+    _write_events_values(
+        tmp_path, [0.0] * len(vals)
+    )  # overwrite below with real rows
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([v[0] for v in vals], type=pa.int64()),
+            "ts": pa.array(
+                np.array([v[2] for v in vals], dtype=np.int64) * 1_000_000,
+                type=pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array([v[1] for v in vals], type=pa.int64()),
+            "event_type": pa.array([v[3] for v in vals]),
+            "value": pa.array(np.zeros(len(vals))),
+            "props": pa.array(["{}"] * len(vals)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    kept = sorted(r["event_id"] for r in q.q_event_dedup_window(str(tmp_path)).take_all())
+    assert kept == [1, 3, 4, 5]
