@@ -4866,7 +4866,6 @@ def q_event_rolling_stats(sf_dir: str):
     ops regardless of block size, no per-row loop."""
     _ensure_hash_shuffle()
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-    shuffled = _keyed_repartition(ds, _shuffle_width(), ["user_id"])
     out_schema = pa.schema(
         [
             ("event_id", pa.int64()),
@@ -4917,9 +4916,7 @@ def q_event_rolling_stats(sf_dir: str):
             }
         )
 
-    return shuffled.map_batches(
-        rolling_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return _keyed_exchange_apply(ds, ["user_id"], rolling_kernel, out_schema)
 
 
 ANTI_JOIN_PRICE = 400_000.0  # "big order" threshold
@@ -6858,7 +6855,6 @@ def q_event_transitions(sf_dir: str):
     after the kernel is the type-pair domain x blocks, never events."""
     _ensure_hash_shuffle()
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
-    shuffled = _keyed_repartition(ds, _shuffle_width(), ["user_id"])
 
     part_schema = pa.schema(
         [
@@ -6904,11 +6900,20 @@ def q_event_transitions(sf_dir: str):
             schema=part_schema,
         )
 
-    partial = shuffled.map_batches(
-        transitions, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
-    return grouped_aggregate(
-        partial, ["from_type", "to_type"], [("n", "sum", "n")]
+    partial = _keyed_exchange_apply(ds, ["user_id"], transitions, part_schema)
+    # the partial stream is bounded by the type-pair domain x blocks —
+    # driver fold (the dq_audit idiom), not another exchange
+    totals: dict[tuple[str, str], int] = {}
+    for r in partial.take_all():
+        k = (r["from_type"], r["to_type"])
+        totals[k] = totals.get(k, 0) + int(r["n"])
+    keys = sorted(totals)
+    return pa.table(
+        {
+            "from_type": pa.array([k[0] for k in keys], type=pa.string()),
+            "to_type": pa.array([k[1] for k in keys], type=pa.string()),
+            "n": pa.array([totals[k] for k in keys], type=pa.int64()),
+        }
     )
 
 
@@ -7102,7 +7107,6 @@ def q_event_dedup_window(sf_dir: str):
     rows is self-referential), recorded as a parquet oracle."""
     _ensure_hash_shuffle()
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
-    shuffled = _keyed_repartition(ds, _shuffle_width(), ["user_id", "event_type"])
     win_us = EVENT_DEDUP_SECONDS * 1_000_000
 
     out_schema = pa.schema(
@@ -7154,6 +7158,141 @@ def q_event_dedup_window(sf_dir: str):
             schema=out_schema,
         )
 
+    return _keyed_exchange_apply(
+        ds, ["user_id", "event_type"], dedup_kernel, out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# disk-backed keyed exchange for heavy analytics (the flagship's
+# fragment shuffle, generalized)
+# ---------------------------------------------------------------------------
+
+# above this input size the catalog's per-event keyed analytics leave
+# Ray's hash-shuffle operator (measured floor ~0.8M rows/s at 32 CPUs:
+# a naked 10M-row repartition(keys=...) costs 12-13 s at EVERY
+# aggregator x partition setting tried — the aggregator concat path)
+# and ride the engine's own two-phase fragment exchange instead (the
+# flagship's disk shuffle: ~1M events/s end-to-end INCLUDING ingest +
+# LWW merge + lake write at the 38.4M-event probe).
+FRAG_EXCHANGE_BYTES = 128 << 20
+
+
+def _frag_scratch_root() -> str:
+    import tempfile
+
+    root = os.environ.get("GRAFT_FRAG_DIR")
+    if root:
+        return root
+    # /dev/shm on a single node (fragment IO becomes memcpy); a
+    # multi-node cluster must point GRAFT_FRAG_DIR at a shared
+    # filesystem or per-node spill volume — same contract as the lake
+    # scratch (sinks/exactly_once.py FragmentWriter docstring)
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+
+
+def fragment_keyed_exchange(
+    ds: "ray.data.Dataset",
+    key_columns: list[str],
+    kernel,
+    out_schema: pa.Schema,
+    num_buckets: int | None = None,
+    fragment_format: str = "ipc",
+) -> "ray.data.Dataset":
+    """Two-phase DISK-BACKED keyed exchange + per-bucket kernel — the
+    flagship's fragment shuffle (sinks/exactly_once.py FragmentWriter)
+    generalized to any analytics kernel. Phase A splits every block by
+    ``stable_key_hash(key_columns) % num_buckets`` and appends one
+    fragment file per (block, bucket); phase B runs ONE task per
+    touched bucket over the concatenation of its fragments — every key
+    wholly in one kernel call, the same contract ``_keyed_repartition``
+    gives, without the hash-shuffle operator's aggregator concat wall.
+
+    Returns the MATERIALIZED kernel output (analytics results; the
+    scratch directory is deleted before returning). Retried phase-A
+    tasks may duplicate fragments; callers needing exactly-once
+    analytics should route through the lake's manifest commit instead
+    — for the pure-aggregate catalog entries a retry re-runs the whole
+    query, so duplicates never survive to a result."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from embulk_input_marketo_ray.sinks.exactly_once import (
+        FragmentWriter,
+        read_fragment,
+    )
+    from embulk_input_marketo_ray.stages.lww import add_bucket
+
+    if num_buckets is None:
+        total_cpus = (
+            int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        )
+        num_buckets = max(16, total_cpus * 2)
+    scratch = os.path.join(
+        _frag_scratch_root(), f"graft_xchg_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
+    writer = FragmentWriter(scratch, num_buckets, fragment_format)
+
+    def phase_a(batch: pa.Table) -> pa.Table:
+        return writer(add_bucket(batch, num_buckets, key_columns))
+
+    try:
+        frag_stats = ds.map_batches(phase_a, batch_format="pyarrow").take_all()
+        buckets_present = sorted({int(r["bucket"]) for r in frag_stats})
+        if not buckets_present:
+            return ray.data.from_arrow(out_schema.empty_table())
+        specs = ray.data.from_items(
+            [{"bucket": b} for b in buckets_present],
+            override_num_blocks=len(buckets_present),
+        )
+
+        def phase_b(batch: pa.Table) -> pa.Table:
+            import glob as _glob
+            from concurrent.futures import ThreadPoolExecutor
+
+            outs = []
+            for b in batch.column("bucket").to_pylist():
+                files = sorted(
+                    _glob.glob(os.path.join(scratch, f"bucket={b:05d}", "*"))
+                )
+                if not files:
+                    continue
+                if len(files) > 8:
+                    with ThreadPoolExecutor(max_workers=8) as ex:
+                        frags = list(ex.map(read_fragment, files))
+                else:
+                    frags = [read_fragment(f) for f in files]
+                outs.append(kernel(pa.concat_tables(frags)))
+            if not outs:
+                return out_schema.empty_table()
+            return pa.concat_tables(outs)
+
+        return specs.map_batches(
+            phase_b, batch_size=None, batch_format="pyarrow"
+        ).materialize()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _keyed_exchange_apply(
+    ds: "ray.data.Dataset",
+    key_columns: list[str],
+    kernel,
+    out_schema: pa.Schema,
+) -> "ray.data.Dataset":
+    """Keyed exchange + whole-partition kernel, strategy picked by the
+    INPUT SIZE the driving ``_read`` recorded: small inputs collapse to
+    one block (no exchange at all), mid-size inputs take Ray's hash
+    shuffle, and inputs past FRAG_EXCHANGE_BYTES ride the fragment
+    exchange (see the measured floor above)."""
+    if (
+        _TUNED_BYTES is not None
+        and _TUNED_BYTES > FRAG_EXCHANGE_BYTES
+        and not _small_input()
+    ):
+        return fragment_keyed_exchange(ds, key_columns, kernel, out_schema)
+    shuffled = _keyed_repartition(ds, _shuffle_width(), key_columns)
     return shuffled.map_batches(
-        dedup_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )

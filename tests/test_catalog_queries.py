@@ -1244,3 +1244,26 @@ def test_event_dedup_window_chain_semantics(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     kept = sorted(r["event_id"] for r in q.q_event_dedup_window(str(tmp_path)).take_all())
     assert kept == [1, 3, 4, 5]
+
+
+def test_fragment_exchange_equivalence(ray_session, monkeypatch):
+    """The disk-backed fragment exchange must produce identical results
+    to the hash-shuffle path for every operator that can select it."""
+    sf = "/root/testdata/sf0.01"
+
+    def run_all():
+        return (
+            sorted(map(tuple, q.q_event_transitions(sf).to_pandas().values.tolist())),
+            sorted(r["event_id"] for r in q.q_event_dedup_window(sf).take_all()),
+            sorted(
+                (r["event_id"], r["row_in_user"], r["win_rows"], r["win_max"])
+                for r in q.q_event_rolling_stats(sf).take_all()
+            ),
+        )
+
+    base = run_all()
+    # force the fragment path regardless of input size
+    monkeypatch.setattr(q, "FRAG_EXCHANGE_BYTES", 0)
+    monkeypatch.setattr(q, "SMALL_INPUT_BYTES", 0)
+    frag = run_all()
+    assert base == frag
