@@ -1888,10 +1888,15 @@ def q_cdc_parent_seq(sf_dir: str):
             }
         )
 
-    shuffled = _keyed_repartition(ds, _shuffle_width(), ["repo", "path"])
-    return shuffled.map_batches(
-        attach_parent, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    parent_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit_seq", pa.int64()),
+            ("parent_seq", pa.int64()),
+        ]
     )
+    return _keyed_exchange_apply(ds, ["repo", "path"], attach_parent, parent_schema)
 
 
 def q_evolved_attrs(sf_dir: str):
@@ -5233,10 +5238,7 @@ def q_scd2_history(sf_dir: str):
             }
         )
 
-    shuffled = _keyed_repartition(ds, _shuffle_width(), ["repo", "path"])
-    return shuffled.map_batches(
-        intervals, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return _keyed_exchange_apply(ds, ["repo", "path"], intervals, out_schema)
 
 
 RETENTION_KEEP_N = 3  # newest versions kept per key (lake cleaner policy)
@@ -5296,10 +5298,7 @@ def q_version_retention(sf_dir: str):
             }
         )
 
-    shuffled = _keyed_repartition(ds, _shuffle_width(), ["repo", "path"])
-    return shuffled.map_batches(
-        newest_k, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return _keyed_exchange_apply(ds, ["repo", "path"], newest_k, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -5721,10 +5720,7 @@ def q_cdc_before_image(sf_dir: str):
             schema=out_schema,
         )
 
-    shuffled = _keyed_repartition(ds, _shuffle_width(), ["repo", "path"])
-    return shuffled.map_batches(
-        lag_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return _keyed_exchange_apply(ds, ["repo", "path"], lag_kernel, out_schema)
 
 
 def q_incremental_view(sf_dir: str):

@@ -1259,6 +1259,14 @@ def test_fragment_exchange_equivalence(ray_session, monkeypatch):
                 (r["event_id"], r["row_in_user"], r["win_rows"], r["win_max"])
                 for r in q.q_event_rolling_stats(sf).take_all()
             ),
+            sorted(
+                (r["repo"], r["path"], r["commit_seq"], r["parent_seq"])
+                for r in q.q_cdc_parent_seq(sf).take_all()
+            ),
+            sorted(
+                (r["repo"], r["path"], r["commit_seq"], r["valid_to_seq"], r["version_no"])
+                for r in q.q_scd2_history(sf).take_all()
+            ),
         )
 
     base = run_all()
