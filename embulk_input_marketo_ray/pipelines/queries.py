@@ -2569,8 +2569,6 @@ def q_event_asof_join(sf_dir: str):
         return pa.concat_tables([ev, markers])
 
     tagged = ds.map_batches(tag_rows, batch_format="pyarrow")
-    shuffled = _keyed_repartition(tagged, _shuffle_width(), ["user_id"])
-
     def asof_kernel(block: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -2624,9 +2622,17 @@ def q_event_asof_join(sf_dir: str):
             }
         )
 
-    return shuffled.map_batches(
-        asof_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    asof_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("last_purchase_ts", pa.timestamp("us")),
+            ("lag_us", pa.int64()),
+        ]
     )
+    return _keyed_exchange_apply(tagged, ["user_id"], asof_kernel, asof_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -4554,7 +4560,6 @@ def q_user_retention(sf_dir: str):
     cohort x offset domain (days^2), never users or events."""
     _ensure_hash_shuffle()
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-    shuffled = _keyed_repartition(ds, _shuffle_width(), ["user_id"])
     partial_schema = pa.schema(
         [
             ("cohort_day", pa.timestamp("us")),
@@ -4586,9 +4591,7 @@ def q_user_retention(sf_dir: str):
         agg = out.group_by(["cohort_day", "day_offset"]).aggregate([("users", "sum")])
         return agg.rename_columns(["cohort_day", "day_offset", "users"])
 
-    partial = shuffled.map_batches(
-        retention_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    partial = _keyed_exchange_apply(ds, ["user_id"], retention_kernel, partial_schema)
     return grouped_aggregate(
         partial, ["cohort_day", "day_offset"], [("users", "sum", "users")]
     )
