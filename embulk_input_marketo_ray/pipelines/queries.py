@@ -7238,23 +7238,30 @@ def fragment_keyed_exchange(
 
     try:
         frag_stats = ds.map_batches(phase_a, batch_format="pyarrow").take_all()
-        buckets_present = sorted({int(r["bucket"]) for r in frag_stats})
-        if not buckets_present:
+        # RETRY SAFETY: phase B reads exactly the fragments the
+        # SUCCESSFUL phase-A attempts reported — a retried task's
+        # orphaned duplicates on disk are never read, so counting
+        # kernels stay exact under task retry (the lake's manifest
+        # trick, applied to the scratch exchange)
+        by_bucket: dict[int, list[str]] = {}
+        for r in frag_stats:
+            by_bucket.setdefault(int(r["bucket"]), []).append(r["frag_path"])
+        if not by_bucket:
             return ray.data.from_arrow(out_schema.empty_table())
         specs = ray.data.from_items(
-            [{"bucket": b} for b in buckets_present],
-            override_num_blocks=len(buckets_present),
+            [
+                {"bucket": b, "files": sorted(fs)}
+                for b, fs in sorted(by_bucket.items())
+            ],
+            override_num_blocks=len(by_bucket),
         )
 
         def phase_b(batch: pa.Table) -> pa.Table:
-            import glob as _glob
             from concurrent.futures import ThreadPoolExecutor
 
             outs = []
-            for b in batch.column("bucket").to_pylist():
-                files = sorted(
-                    _glob.glob(os.path.join(scratch, f"bucket={b:05d}", "*"))
-                )
+            for files in batch.column("files").to_pylist():
+                files = list(files)
                 if not files:
                     continue
                 if len(files) > 8:

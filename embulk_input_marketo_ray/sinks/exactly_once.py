@@ -492,14 +492,15 @@ class FragmentWriter:
 
         if block.num_rows == 0:
             return pa.table({"bucket": pa.array([], type=pa.int32()),
-                             "rows": pa.array([], type=pa.int64())})
+                             "rows": pa.array([], type=pa.int64()),
+                             "frag_path": pa.array([], type=pa.string())})
         block = block.sort_by(BUCKET_COLUMN)
         values = block.column(BUCKET_COLUMN)
         values = np.asarray(values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values)
         uniq, starts = np.unique(values, return_index=True)
         ends = np.append(starts[1:], len(values))
         frag = uuid.uuid4().hex[:12]
-        out_b, out_n = [], []
+        out_b, out_n, out_p = [], [], []
         for b, s, e in zip(uniq, starts, ends):
             part = block.slice(int(s), int(e - s)).drop_columns([BUCKET_COLUMN])
             bucket_dir = os.path.join(self.shuffle_dir, f"bucket={int(b):05d}")
@@ -515,8 +516,17 @@ class FragmentWriter:
                 pq.write_table(part, stem + ".parquet")
             out_b.append(int(b))
             out_n.append(part.num_rows)
+            out_p.append(
+                stem + (".arrow" if self.fragment_format in ("ipc", "ipc_lz4") else ".parquet")
+            )
+        # frag_path lets RETRY-SAFE consumers read exactly the fragments
+        # the SUCCESSFUL task attempt wrote (a retried phase-A task may
+        # leave duplicate fragments on disk — harmless for the LWW merge,
+        # which is idempotent and globs, but a counting kernel must use
+        # the explicit list; see pipelines.queries.fragment_keyed_exchange)
         return pa.table({"bucket": pa.array(out_b, type=pa.int32()),
-                         "rows": pa.array(out_n, type=pa.int64())})
+                         "rows": pa.array(out_n, type=pa.int64()),
+                         "frag_path": pa.array(out_p, type=pa.string())})
 
 
 def read_fragment(path: str) -> pa.Table:

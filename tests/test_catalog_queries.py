@@ -1275,3 +1275,44 @@ def test_fragment_exchange_equivalence(ray_session, monkeypatch):
     monkeypatch.setattr(q, "SMALL_INPUT_BYTES", 0)
     frag = run_all()
     assert base == frag
+
+
+def test_fragment_exchange_ignores_orphan_fragments(ray_session, monkeypatch):
+    """Retry safety: duplicate fragment files on disk (a retried
+    phase-A attempt) are never read — phase B consumes exactly the
+    files the successful attempt reported, so counting kernels stay
+    exact."""
+    import shutil
+
+    import ray.data
+
+    from embulk_input_marketo_ray.sinks import exactly_once as xo
+
+    real_writer = xo.FragmentWriter
+
+    class DuplicatingWriter(real_writer):
+        def __call__(self, block):
+            stats = super().__call__(block)
+            # simulate the dead attempt's orphans: copy every written
+            # fragment to an unreported name
+            for path in stats.column("frag_path").to_pylist():
+                shutil.copy(path, path + ".orphan" + path[path.rfind("."):])
+            return stats
+
+    monkeypatch.setattr(xo, "FragmentWriter", DuplicatingWriter)
+
+    n = 10_000
+    tbl = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64) % 97),
+            "v": pa.array(np.ones(n, dtype=np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    out_schema = pa.schema([("total", pa.int64())])
+
+    def count_kernel(t: pa.Table) -> pa.Table:
+        return pa.table({"total": pa.array([t.num_rows], type=pa.int64())})
+
+    got = q.fragment_keyed_exchange(ds, ["k"], count_kernel, out_schema)
+    assert sum(r["total"] for r in got.take_all()) == n
