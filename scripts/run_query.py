@@ -38,6 +38,8 @@ def main() -> None:
     p.add_argument("--out", default=None,
                    help="directory to write the result as partitioned parquet")
     p.add_argument("--list", action="store_true", help="print catalog names and exit")
+    p.add_argument("--stats", action="store_true",
+                   help="print the Ray Data execution stats for the query to stderr")
     args = p.parse_args()
 
     import __ray_entry__ as entry_mod
@@ -80,6 +82,8 @@ def main() -> None:
             rows = ray.data.read_parquet(args.out).count()
         else:
             rows = res.count()
+        if args.stats:
+            print(res.stats(), file=sys.stderr)
     wall = round(time.perf_counter() - t0, 3)
     print(json.dumps(
         {"query": args.query, "rows": int(rows), "wall_s": wall, "out": out_path}
