@@ -7227,7 +7227,16 @@ def fragment_keyed_exchange(
         total_cpus = (
             int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         )
-        num_buckets = max(16, total_cpus * 2)
+        # phase B holds ONE bucket's fragments in memory at once, so
+        # buckets must scale with the INPUT, not just the cluster:
+        # target ~256 MiB of source bytes per bucket (a few hundred MB
+        # of heap after decode), floor 2/CPU for parallelism. _read
+        # recorded the driving table's bytes; an unknown input keeps
+        # the cluster floor.
+        by_bytes = (
+            int(_TUNED_BYTES // (256 << 20)) + 1 if _TUNED_BYTES is not None else 1
+        )
+        num_buckets = max(16, total_cpus * 2, min(by_bytes, 1 << 16))
     scratch = os.path.join(
         _frag_scratch_root(), f"graft_xchg_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     )
