@@ -481,35 +481,52 @@ def q_session_windows(sf_dir: str):
     diff/cumsum inside the group."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
-    def sessions(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "user_id": pa.array([], type=pa.int64()),
-                "session_start": pa.array([], type=pa.timestamp("us")),
-                "n_events": pa.array([], type=pa.int64()),
-                "first_event_id": pa.array([], type=pa.int64()),
-            }
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_start", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("first_event_id", pa.int64()),
+        ]
+    )
+
+    def sessions(block: pa.Table) -> pa.Table:
+        # whole-block run kernel (one vector pass per block, not one
+        # Python call per user): a session starts where the user
+        # changes OR the in-user gap exceeds the threshold
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
         )
-        if group.num_rows == 0:
-            return empty
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        ts = np.asarray(g.column("ts").cast(pa.int64()))  # us
-        gaps = np.diff(ts) > SESSION_GAP_MIN * 60 * 1_000_000
-        session_idx = np.concatenate([[0], np.cumsum(gaps)])
-        starts = np.flatnonzero(np.r_[True, gaps])
-        counts = np.diff(np.r_[starts, len(ts)])
-        eid = np.asarray(g.column("event_id"))
-        uid = g.column("user_id")[0]
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        n = len(user)
+        new_user = np.r_[True, user[1:] != user[:-1]]
+        gap = np.r_[
+            True, (ts[1:] - ts[:-1]) > SESSION_GAP_MIN * 60 * 1_000_000
+        ]
+        start = new_user | gap
+        starts = np.flatnonzero(start)
+        counts = np.diff(np.r_[starts, n])
+        idx = pa.array(starts)
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(starts), uid.as_py()), type=pa.int64()),
-                "session_start": g.column("ts").take(pa.array(starts)),
+                "user_id": pa.array(user[starts]),
+                "session_start": t.column("ts").take(idx),
                 "n_events": pa.array(counts, type=pa.int64()),
-                "first_event_id": pa.array(eid[starts], type=pa.int64()),
-            }
+                "first_event_id": t.column("event_id").take(idx).cast(pa.int64()),
+            },
+            schema=out_schema,
         )
 
-    return grouped_map(ds, ["user_id"], sessions)
+    return _keyed_exchange_apply(ds, ["user_id"], sessions, out_schema)
 
 
 def q_union_slices(sf_dir: str):
