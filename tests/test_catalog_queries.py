@@ -1316,3 +1316,27 @@ def test_fragment_exchange_ignores_orphan_fragments(ray_session, monkeypatch):
 
     got = q.fragment_keyed_exchange(ds, ["k"], count_kernel, out_schema)
     assert sum(r["total"] for r in got.take_all()) == n
+
+
+def test_fragment_exchange_cleans_scratch(ray_session, tmp_path, monkeypatch):
+    """The exchange's scratch directory is removed after the result is
+    materialized — no fragment litter under GRAFT_FRAG_DIR."""
+    import os
+
+    import ray.data
+
+    monkeypatch.setenv("GRAFT_FRAG_DIR", str(tmp_path))
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(1000, dtype=np.int64) % 7),
+            "v": pa.array(np.ones(1000, dtype=np.int64)),
+        }
+    )
+    out_schema = pa.schema([("total", pa.int64())])
+
+    def kernel(tab):
+        return pa.table({"total": pa.array([tab.num_rows], type=pa.int64())})
+
+    got = q.fragment_keyed_exchange(ray.data.from_arrow(t), ["k"], kernel, out_schema)
+    assert sum(r["total"] for r in got.take_all()) == 1000
+    assert os.listdir(str(tmp_path)) == []
