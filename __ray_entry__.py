@@ -189,6 +189,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_ntiles": q.q_doc_length_ntiles,
         "doc_compression_ratio": q.q_doc_compression_ratio,
         "event_dedup_window": q.q_event_dedup_window,
+        "cdc_late_arrivals": q.q_cdc_late_arrivals,
+        "path_lifecycle": q.q_path_lifecycle,
+        "repo_churn_concentration": q.q_repo_churn_concentration,
+        "repo_freshness": q.q_repo_freshness,
+        "order_exists_join": q.q_order_exists_join,
+        "vocab_coverage": q.q_vocab_coverage,
+        "user_interarrival": q.q_user_interarrival,
     }
 
 
@@ -331,6 +338,8 @@ def oracle_sql() -> dict[str, str]:
         HIGH_PRIORITIES,
         ROLLING_WINDOW_ROWS,
         ANTI_JOIN_PRICE,
+        EXISTS_LATE_DAYS,
+        VOCAB_COVERAGE_PM,
         RETENTION_KEEP_N,
         ROLLUP_ALL,
         Q3_SEGMENT,
@@ -1549,5 +1558,121 @@ def oracle_sql() -> dict[str, str]:
                    ntile({NTILE_K}) OVER w::BIGINT AS ntile
             FROM documents
             WINDOW w AS (ORDER BY n_chars, doc_id)
+        """,
+        "cdc_late_arrivals": f"""
+            WITH w AS (
+              SELECT repo, path, updated_ts,
+                     max(updated_ts) OVER (
+                       PARTITION BY repo, path ORDER BY commit_seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_max
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            )
+            SELECT repo, path, count(*)::BIGINT AS n_events,
+                   coalesce(sum(CASE WHEN updated_ts < prev_max
+                                     THEN 1 ELSE 0 END), 0)::BIGINT AS n_late,
+                   coalesce(max(CASE WHEN updated_ts < prev_max
+                                     THEN epoch_us(prev_max) - epoch_us(updated_ts)
+                                END), 0)::BIGINT AS max_regression_us
+            FROM w GROUP BY repo, path
+        """,
+        "path_lifecycle": f"""
+            WITH w AS (
+              SELECT repo, path, commit_seq, op,
+                     lag(op) OVER (
+                       PARTITION BY repo, path ORDER BY commit_seq) AS prev_op
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            )
+            SELECT repo, path,
+                   sum(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_upserts,
+                   sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_deletes,
+                   sum(CASE WHEN op = 'upsert' AND prev_op = 'delete'
+                            THEN 1 ELSE 0 END)::BIGINT AS n_recreates,
+                   CASE WHEN arg_max(op, commit_seq) = 'upsert'
+                        THEN 1 ELSE 0 END::BIGINT AS live
+            FROM w GROUP BY repo, path
+        """,
+        "repo_churn_concentration": f"""
+            WITH c AS (
+              SELECT repo, path, count(*)::BIGINT AS n
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              GROUP BY repo, path
+            ),
+            r AS (
+              SELECT repo, n,
+                     row_number() OVER (
+                       PARTITION BY repo ORDER BY n DESC, path) AS rk,
+                     count(*) OVER (PARTITION BY repo) AS n_paths,
+                     sum(n) OVER (PARTITION BY repo) AS n_changes
+              FROM c
+            )
+            SELECT repo, max(n_paths)::BIGINT AS n_paths,
+                   max(n_changes)::BIGINT AS n_changes,
+                   ((max(n_paths) + 9) // 10)::BIGINT AS top_paths,
+                   (1000 * sum(CASE WHEN rk <= (n_paths + 9) // 10
+                                    THEN n ELSE 0 END) // max(n_changes)
+                   )::BIGINT AS top_share_pm
+            FROM r GROUP BY repo
+        """,
+        "repo_freshness": f"""
+            WITH m AS (
+              SELECT max(epoch_us(event_ts)) AS head
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            )
+            SELECT repo, count(*)::BIGINT AS n_events,
+                   max(epoch_us(event_ts))::BIGINT AS last_event_us,
+                   ((SELECT head FROM m) - max(epoch_us(event_ts)))::BIGINT
+                     AS lag_us
+            FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            GROUP BY repo
+        """,
+        "order_exists_join": f"""
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                      + INTERVAL {EXISTS_LATE_DAYS} DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "vocab_coverage": f"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+              FROM documents
+            ),
+            c AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token),
+            r AS (
+              SELECT n,
+                     row_number() OVER (ORDER BY n DESC, token) AS rk,
+                     sum(n) OVER (ORDER BY n DESC, token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM c
+            ),
+            tot AS (SELECT sum(n)::BIGINT AS total FROM c),
+            p(pct_pm) AS (VALUES {', '.join(f'({v})' for v in VOCAB_COVERAGE_PM)})
+            SELECT p.pct_pm::BIGINT AS pct_pm,
+                   min(r.rk)::BIGINT AS k_tokens,
+                   min(r.cum)::BIGINT AS covered,
+                   tot.total AS total
+            FROM p, r, tot
+            WHERE r.cum * 1000 >= p.pct_pm * tot.total
+            GROUP BY p.pct_pm, tot.total
+        """,
+        "user_interarrival": """
+            WITH w AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   (count(*) - 1)::BIGINT AS n_gaps,
+                   coalesce(sum(gap), 0)::BIGINT AS sum_gap_us,
+                   coalesce(max(gap), 0)::BIGINT AS max_gap_us
+            FROM w GROUP BY user_id
         """,
     }

@@ -7328,3 +7328,554 @@ def _keyed_exchange_apply(
     return shuffled.map_batches(
         kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC stream-health operators (late data, lifecycle, skew, freshness)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_late_arrivals(sf_dir: str):
+    """LATE-ARRIVAL audit per (repo, path): how many change events
+    carried an ``updated_ts`` OLDER than an earlier (by commit order)
+    event of the same key, and the worst clock regression observed —
+    the updatedAt-vs-import-order disagreement that makes the
+    reference reject ``incremental`` + ``use_updated_at``
+    (MarketoInputPluginDelegate's config rule) and that this engine's
+    LWW replay absorbs (W6). The operator quantifies it per key so an
+    operator can size watermark lag / grace windows.
+
+    Shape: 4-column pruned read, ONE keyed (repo, path) exchange, then
+    a whole-block kernel: per-run running max of updated_ts computed
+    EXACTLY via dense value ranks + the run-offset trick (rank +
+    run_id * n_distinct makes np.maximum.accumulate reset at run
+    boundaries with no overflow and no float), late = rank below the
+    prior running max; folds to one row per key inside the kernel."""
+    _ensure_hash_shuffle()
+    ds = _read_events(columns=["repo", "path", "commit_seq", "updated_ts"])
+    out_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("n_events", pa.int64()),
+            ("n_late", pa.int64()),
+            ("max_regression_us", pa.int64()),
+        ]
+    )
+
+    def late_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("commit_seq", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        path = np.asarray(t.column("path"), dtype=object)
+        uts = np.asarray(t.column("updated_ts").cast(pa.int64()), dtype=np.int64)
+        n = len(uts)
+        new_key = np.r_[True, (repo[1:] != repo[:-1]) | (path[1:] != path[:-1])]
+        run_id = np.cumsum(new_key) - 1
+        # dense ranks keep the segmented-cummax offsets within
+        # run_id * n_distinct + rank < n^2 — exact int64, no overflow
+        uniq, rank = np.unique(uts, return_inverse=True)
+        keyed = run_id.astype(np.int64) * np.int64(len(uniq)) + rank
+        cummax = np.maximum.accumulate(keyed)
+        prev_rank = np.empty(n, dtype=np.int64)
+        prev_rank[0] = 0
+        prev_rank[1:] = cummax[:-1] - run_id[1:] * np.int64(len(uniq))
+        late = (~new_key) & (rank < prev_rank)
+        regression = np.zeros(n, dtype=np.int64)
+        regression[late] = uniq[prev_rank[late]] - uts[late]
+        starts = np.flatnonzero(new_key)
+        return pa.table(
+            {
+                "repo": pa.array(repo[starts], type=pa.string()),
+                "path": pa.array(path[starts], type=pa.string()),
+                "n_events": pa.array(np.diff(np.r_[starts, n]), type=pa.int64()),
+                "n_late": pa.array(
+                    np.add.reduceat(late.astype(np.int64), starts), type=pa.int64()
+                ),
+                "max_regression_us": pa.array(
+                    np.maximum.reduceat(regression, starts), type=pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return _keyed_exchange_apply(ds, ["repo", "path"], late_kernel, out_schema)
+
+
+def q_path_lifecycle(sf_dir: str):
+    """Per-key FILE LIFECYCLE report: upsert / delete counts, RE-CREATE
+    count (an upsert whose immediately preceding event of the same key
+    was a delete — tombstone resurrection, the case LWW must order
+    correctly), and whether the key is live at the head. The
+    per-partition metadata a lake compactor uses to pick rewrite
+    candidates (hot churners, tombstone-heavy keys).
+
+    Same single-exchange shape as q_cdc_before_image: 4-column pruned
+    read, ONE keyed (repo, path) exchange, lag semantics via the
+    sort + run-detect + shift kernel, all folds reduceat — one output
+    row per key, no per-row Python."""
+    _ensure_hash_shuffle()
+    ds = _read_events(columns=["repo", "path", "commit_seq", "op"])
+    out_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("n_upserts", pa.int64()),
+            ("n_deletes", pa.int64()),
+            ("n_recreates", pa.int64()),
+            ("live", pa.int64()),
+        ]
+    )
+
+    def lifecycle_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("commit_seq", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        path = np.asarray(t.column("path"), dtype=object)
+        is_upsert = np.asarray(pc.equal(t.column("op"), pa.scalar("upsert")))
+        n = len(repo)
+        new_key = np.r_[True, (repo[1:] != repo[:-1]) | (path[1:] != path[:-1])]
+        prev_delete = np.r_[False, ~is_upsert[:-1]]
+        recreate = (~new_key) & is_upsert & prev_delete
+        starts = np.flatnonzero(new_key)
+        ends = np.r_[starts[1:], n] - 1
+        ups = np.add.reduceat(is_upsert.astype(np.int64), starts)
+        total = np.diff(np.r_[starts, n])
+        return pa.table(
+            {
+                "repo": pa.array(repo[starts], type=pa.string()),
+                "path": pa.array(path[starts], type=pa.string()),
+                "n_upserts": pa.array(ups, type=pa.int64()),
+                "n_deletes": pa.array(total - ups, type=pa.int64()),
+                "n_recreates": pa.array(
+                    np.add.reduceat(recreate.astype(np.int64), starts),
+                    type=pa.int64(),
+                ),
+                "live": pa.array(is_upsert[ends].astype(np.int64), type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return _keyed_exchange_apply(ds, ["repo", "path"], lifecycle_kernel, out_schema)
+
+
+def q_repo_churn_concentration(sf_dir: str):
+    """Churn-SKEW report per repo: what per-mille share of a repo's
+    change events hits its top decile of most-changed paths — the
+    hot-key diagnosis an operator reads before picking bucket counts /
+    salting (this engine's own skew lever, BASELINE.md skew probes).
+    Integer-exact: share_pm = floor(1000 * top_decile_changes / total).
+
+    Shape: (repo, path) counts fold IN-BLOCK first (payload = distinct
+    paths x blocks, never events), ONE keyed exchange on repo, then a
+    whole-block kernel: merge partials with arrow group_by, ONE
+    lexsort (repo asc, count desc, path asc), per-run decile cut via
+    cumsum differences — no per-repo Python loop."""
+    _ensure_hash_shuffle()
+    ds = _read_events(columns=["repo", "path"])
+    part_schema = pa.schema(
+        [("repo", pa.string()), ("path", pa.string()), ("n", pa.int64())]
+    )
+
+    def fold_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        agg = batch.group_by(["repo", "path"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "repo": agg.column("repo"),
+                "path": agg.column("path"),
+                "n": agg.column("count_all").cast(pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("n_paths", pa.int64()),
+            ("n_changes", pa.int64()),
+            ("top_paths", pa.int64()),
+            ("top_share_pm", pa.int64()),
+        ]
+    )
+
+    def concentration_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        merged = block.group_by(["repo", "path"]).aggregate([("n", "sum")])
+        repo = np.asarray(merged.column("repo"), dtype=object)
+        path = np.asarray(merged.column("path"), dtype=object)
+        cnt = np.asarray(merged.column("n_sum"), dtype=np.int64)
+        order = np.lexsort((path, -cnt, repo))
+        repo, path, cnt = repo[order], path[order], cnt[order]
+        n = len(repo)
+        new_run = np.r_[True, repo[1:] != repo[:-1]]
+        starts = np.flatnonzero(new_run)
+        n_paths = np.diff(np.r_[starts, n])
+        totals = np.add.reduceat(cnt, starts)
+        top_k = (n_paths + 9) // 10
+        cum = np.cumsum(cnt)
+        base = np.r_[0, cum[:-1]]
+        top_sum = cum[starts + top_k - 1] - base[starts]
+        return pa.table(
+            {
+                "repo": pa.array(repo[starts], type=pa.string()),
+                "n_paths": pa.array(n_paths, type=pa.int64()),
+                "n_changes": pa.array(totals, type=pa.int64()),
+                "top_paths": pa.array(top_k, type=pa.int64()),
+                "top_share_pm": pa.array(1000 * top_sum // totals, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    partial = ds.map_batches(fold_counts, batch_format="pyarrow")
+    return _keyed_exchange_apply(partial, ["repo"], concentration_kernel, out_schema)
+
+
+def q_repo_freshness(sf_dir: str):
+    """Per-repo FRESHNESS / watermark-lag report: event count, last
+    event time, and the lag (microseconds) behind the stream's global
+    head — the per-source staleness dashboard a CDC operator watches
+    to spot a stalled extractor. Integer-exact epoch-us arithmetic.
+
+    Shape: per-block (repo, count, max_us) partials via arrow
+    group_by — payload bounded by repos x blocks — then a driver fold
+    (the dq_audit/event_transitions idiom: the repo domain is small by
+    construction) computes the global head and per-repo lag; the event
+    stream itself never shuffles."""
+    _ensure_hash_shuffle()
+    ds = _read_events(columns=["repo", "event_ts"])
+    part_schema = pa.schema(
+        [("repo", pa.string()), ("n", pa.int64()), ("max_us", pa.int64())]
+    )
+
+    def fold_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        t = pa.table(
+            {
+                "repo": batch.column("repo"),
+                "us": batch.column("event_ts").cast(pa.int64()),
+            }
+        )
+        agg = t.group_by(["repo"]).aggregate([([], "count_all"), ("us", "max")])
+        return pa.table(
+            {
+                "repo": agg.column("repo"),
+                "n": agg.column("count_all").cast(pa.int64()),
+                "max_us": agg.column("us_max"),
+            },
+            schema=part_schema,
+        )
+
+    totals: dict[str, list[int]] = {}
+    for r in ds.map_batches(fold_block, batch_format="pyarrow").take_all():
+        cur = totals.setdefault(r["repo"], [0, -(1 << 62)])
+        cur[0] += int(r["n"])
+        cur[1] = max(cur[1], int(r["max_us"]))
+    if not totals:
+        return pa.table(
+            {
+                "repo": pa.array([], type=pa.string()),
+                "n_events": pa.array([], type=pa.int64()),
+                "last_event_us": pa.array([], type=pa.int64()),
+                "lag_us": pa.array([], type=pa.int64()),
+            }
+        )
+    head = max(v[1] for v in totals.values())
+    repos = sorted(totals)
+    return pa.table(
+        {
+            "repo": pa.array(repos, type=pa.string()),
+            "n_events": pa.array([totals[r][0] for r in repos], type=pa.int64()),
+            "last_event_us": pa.array([totals[r][1] for r in repos], type=pa.int64()),
+            "lag_us": pa.array([head - totals[r][1] for r in repos], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed EXISTS semi-join (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+EXISTS_LATE_DAYS = 30
+_EXISTS_LATE_US = EXISTS_LATE_DAYS * 86_400 * 1_000_000
+
+
+def q_order_exists_join(sf_dir: str):
+    """Distributed LARGE x LARGE EXISTS semi-join (TPC-H Q4 shape):
+    count orders per priority that have AT LEAST ONE line item shipped
+    more than EXISTS_LATE_DAYS after the order date. The predicate
+    spans both sides (shipdate vs orderdate), so neither a scan filter
+    nor a broadcast key set (q_semi_join) can decide it — the EXISTS
+    dual of q_customer_anti_join's NOT EXISTS.
+
+    Shape: both sides ride ONE tagged-union keyed exchange on
+    orderkey, dates collapse to epoch-us int64 AT THE SCAN; the
+    per-block kernel sorts (key, side), takes the per-run MAX line
+    shipdate via maximum.reduceat (EXISTS <=> max exceeds the
+    threshold), and folds qualifying orders to <= |priorities| partial
+    rows per block; a driver fold merges the bounded partial stream."""
+    _ensure_hash_shuffle()
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    union_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("prio", pa.string()),
+            ("date_us", pa.int64()),
+        ]
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "prio": batch.column("o_orderpriority"),
+                "date_us": batch.column("o_orderdate").cast(pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "prio": pa.nulls(n, type=pa.string()),
+                "date_us": batch.column("l_shipdate").cast(pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        line.map_batches(line_rows, batch_format="pyarrow")
+    )
+    part_schema = pa.schema([("o_orderpriority", pa.string()), ("n", pa.int64())])
+
+    def exists_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        date_us = np.asarray(t.column("date_us"), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        # order row sorts first in its run (side asc, orderkey unique);
+        # a run with no order row (untouched partition slice) is skipped
+        has_order = side[starts] == 0
+        ship = np.where(side == 1, date_us, np.int64(-(1 << 62)))
+        max_ship = np.maximum.reduceat(ship, starts)
+        hit = has_order & (max_ship > date_us[starts] + _EXISTS_LATE_US)
+        if not hit.any():
+            return part_schema.empty_table()
+        prio = np.asarray(t.column("prio"), dtype=object)[starts[hit]]
+        agg = pa.table({"o_orderpriority": pa.array(prio, type=pa.string())}).group_by(
+            ["o_orderpriority"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "o_orderpriority": agg.column("o_orderpriority"),
+                "n": agg.column("count_all").cast(pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    partial = _keyed_exchange_apply(tagged, ["okey"], exists_kernel, part_schema)
+    totals: dict[str, int] = {}
+    for r in partial.take_all():
+        totals[r["o_orderpriority"]] = totals.get(r["o_orderpriority"], 0) + int(r["n"])
+    prios = sorted(totals)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(prios, type=pa.string()),
+            "order_count": pa.array([totals[p] for p in prios], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (no global vocab sort)
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_PM = (500, 900, 990)
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary COVERAGE CURVE: the smallest top-k vocabulary whose
+    occurrences cover >= 50% / 90% / 99% of all token occurrences —
+    the tokenizer-budget planning number (how big must a vocab be).
+
+    The trick: k depends only on the HISTOGRAM of token frequencies,
+    never on token identities — so after the two-phase (token, n)
+    count (exchange payload = distinct tokens x blocks), the counts
+    fold AGAIN per block to (frequency, n_tokens) pairs whose domain
+    is bounded by distinct frequency VALUES (<= a few thousand at any
+    corpus size, Zipf guarantees collisions); the driver walks that
+    tiny histogram in descending-frequency order with all-integer
+    ceil arithmetic (covered * 1000 >= pct * total). No global vocab
+    sort, no vocab broadcast, nothing driver-side grows with the
+    vocabulary."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def token_counts_block(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pa.table({"token": toks.flatten()})
+        flat = flat.filter(pc.not_equal(flat.column("token"), pa.scalar("")))
+        out = flat.group_by(["token"]).aggregate([([], "count_all")])
+        out = out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        )
+        return out.select(["token", "n"])
+
+    partial = ds.map_batches(token_counts_block, batch_format="pyarrow")
+    counts = grouped_aggregate(partial, ["token"], [("n", "sum", "n")])
+    hist_schema = pa.schema([("freq", pa.int64()), ("n_tokens", pa.int64())])
+
+    def hist_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return hist_schema.empty_table()
+        agg = batch.group_by(["n"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "freq": agg.column("n").cast(pa.int64()),
+                "n_tokens": agg.column("count_all").cast(pa.int64()),
+            },
+            schema=hist_schema,
+        )
+
+    hist: dict[int, int] = {}
+    for r in counts.map_batches(hist_block, batch_format="pyarrow").take_all():
+        hist[int(r["freq"])] = hist.get(int(r["freq"]), 0) + int(r["n_tokens"])
+    out_schema = pa.schema(
+        [
+            ("pct_pm", pa.int64()),
+            ("k_tokens", pa.int64()),
+            ("covered", pa.int64()),
+            ("total", pa.int64()),
+        ]
+    )
+    if not hist:
+        return out_schema.empty_table()
+    total = sum(f * m for f, m in hist.items())
+    rows = []
+    for pct in VOCAB_COVERAGE_PM:
+        target = pct * total  # compare covered * 1000 >= pct * total
+        cum = 0  # occurrences covered by full tiers so far
+        k = 0  # tokens taken so far
+        for freq in sorted(hist, reverse=True):
+            m = hist[freq]
+            if (cum + m * freq) * 1000 >= target:
+                t = -((1000 * cum - target) // (1000 * freq))  # ceil
+                t = max(t, 1)
+                rows.append((pct, k + t, cum + t * freq, total))
+                break
+            cum += m * freq
+            k += m
+        else:
+            rows.append((pct, k, cum, total))
+    return pa.table(
+        {
+            "pct_pm": pa.array([r[0] for r in rows], type=pa.int64()),
+            "k_tokens": pa.array([r[1] for r in rows], type=pa.int64()),
+            "covered": pa.array([r[2] for r in rows], type=pa.int64()),
+            "total": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-user inter-arrival statistics (lag-gap fold)
+# ---------------------------------------------------------------------------
+
+
+def q_user_interarrival(sf_dir: str):
+    """Per-user INTER-ARRIVAL statistics: event count, gap count, and
+    the exact sum / max of consecutive-event gaps (microseconds) in
+    each user's (ts, event_id)-ordered stream — the burstiness /
+    engagement-cadence fold behind session-timeout calibration (the
+    gap distribution picks q_session_windows' threshold).
+
+    Shape: 3-column pruned read, ONE keyed exchange on user_id, then
+    the sort + run-detect + shift kernel; gaps fold per run with
+    add/maximum.reduceat — one row per user, integers end to end."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("sum_gap_us", pa.int64()),
+            ("max_gap_us", pa.int64()),
+        ]
+    )
+
+    def gap_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        us = np.asarray(t.column("ts").cast(pa.int64()), dtype=np.int64)
+        n = len(user)
+        new_key = np.r_[True, user[1:] != user[:-1]]
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = us[1:] - us[:-1]
+        gap[new_key] = 0
+        starts = np.flatnonzero(new_key)
+        n_events = np.diff(np.r_[starts, n])
+        return pa.table(
+            {
+                "user_id": pa.array(user[starts], type=pa.int64()),
+                "n_events": pa.array(n_events, type=pa.int64()),
+                "n_gaps": pa.array(n_events - 1, type=pa.int64()),
+                "sum_gap_us": pa.array(np.add.reduceat(gap, starts), type=pa.int64()),
+                "max_gap_us": pa.array(
+                    np.maximum.reduceat(gap, starts), type=pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return _keyed_exchange_apply(ds, ["user_id"], gap_kernel, out_schema)

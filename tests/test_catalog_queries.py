@@ -1340,3 +1340,188 @@ def test_fragment_exchange_cleans_scratch(ray_session, tmp_path, monkeypatch):
     got = q.fragment_keyed_exchange(ray.data.from_arrow(t), ["k"], kernel, out_schema)
     assert sum(r["total"] for r in got.take_all()) == 1000
     assert os.listdir(str(tmp_path)) == []
+
+
+# ---------------------------------------------------------------------------
+# round-4 late additions: CDC stream-health + EXISTS join + coverage curve
+# ---------------------------------------------------------------------------
+
+
+def _write_change_events(tmp_path, rows):
+    """rows: (repo, path, commit_seq, op, updated_s) tuples in the CDC
+    change-event schema (only the columns these kernels read)."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows], type=pa.string()),
+            "path": pa.array([r[1] for r in rows], type=pa.string()),
+            "commit_seq": pa.array([r[2] for r in rows], type=pa.int64()),
+            "op": pa.array([r[3] for r in rows], type=pa.string()),
+            "updated_ts": pa.array(
+                np.array([r[4] for r in rows], dtype=np.int64) * 1_000_000,
+                type=pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "event_ts": pa.array(
+                np.array([r[2] for r in rows], dtype=np.int64) * 1_000_000,
+                type=pa.int64(),
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events_0.parquet"))
+    return str(tmp_path)
+
+
+def test_cdc_late_arrivals_no_cross_key_carryover(ray_session, tmp_path, monkeypatch):
+    """The segmented running max RESETS at key boundaries: key 'a' ends
+    on a huge updated_ts; key 'b' (adjacent after the sort) starts
+    lower — its first event must NOT count late. Within a key, equal
+    timestamps are not late (strict <) and the worst regression is the
+    gap to the running max, not to the immediate predecessor."""
+    rows = [
+        ("r", "a", 1, "upsert", 1_000_000),
+        ("r", "a", 2, "upsert", 1_000_000),  # equal -> not late
+        ("r", "b", 3, "upsert", 100),
+        ("r", "b", 4, "upsert", 500),        # rising -> not late
+        ("r", "b", 5, "upsert", 50),         # late vs 500 -> regression 450 s
+        ("r", "b", 6, "upsert", 400),        # late vs 500 (not vs 50)
+    ]
+    monkeypatch.setattr(q, "_cdc_events_dir", lambda n=None: _write_change_events(tmp_path, rows))
+    out = q.q_cdc_late_arrivals("unused").to_pandas().set_index("path")
+    assert out.loc["a", "n_late"] == 0
+    assert out.loc["a", "max_regression_us"] == 0
+    assert out.loc["b", "n_events"] == 4
+    assert out.loc["b", "n_late"] == 2
+    assert out.loc["b", "max_regression_us"] == 450 * 1_000_000
+
+
+def test_path_lifecycle_recreate_and_live(ray_session, tmp_path, monkeypatch):
+    """Re-create = upsert immediately after a delete OF THE SAME KEY;
+    a key ending on a delete is not live; a neighbouring key starting
+    with an upsert after another key's trailing delete is NOT a
+    re-create (run boundary masks the shift)."""
+    rows = [
+        ("r", "a", 1, "upsert", 0),
+        ("r", "a", 2, "delete", 0),
+        ("r", "a", 3, "upsert", 0),   # re-create
+        ("r", "b", 4, "upsert", 0),   # NOT a re-create (new key)
+        ("r", "b", 5, "delete", 0),   # b ends dead
+    ]
+    monkeypatch.setattr(q, "_cdc_events_dir", lambda n=None: _write_change_events(tmp_path, rows))
+    out = q.q_path_lifecycle("unused").to_pandas().set_index("path")
+    assert out.loc["a", "n_recreates"] == 1 and out.loc["a", "live"] == 1
+    assert out.loc["b", "n_recreates"] == 0 and out.loc["b", "live"] == 0
+    assert out.loc["b", "n_upserts"] == 1 and out.loc["b", "n_deletes"] == 1
+
+
+def test_repo_churn_concentration_decile_cut(ray_session, tmp_path, monkeypatch):
+    """A 3-path repo's top decile is ceil(3/10) = 1 path; the share is
+    floor(1000 * top / total). Ties on count break by path asc."""
+    rows = [("r", "hot", s, "upsert", 0) for s in range(8)]
+    rows += [("r", "warm", 10, "upsert", 0), ("r", "cold", 11, "upsert", 0)]
+    monkeypatch.setattr(q, "_cdc_events_dir", lambda n=None: _write_change_events(tmp_path, rows))
+    out = q.q_repo_churn_concentration("unused").to_pandas()
+    assert out.loc[0, "n_paths"] == 3
+    assert out.loc[0, "top_paths"] == 1
+    assert out.loc[0, "n_changes"] == 10
+    assert out.loc[0, "top_share_pm"] == 800  # 8/10
+
+
+def test_order_exists_join_strict_boundary(ray_session, tmp_path):
+    """EXISTS is strict: a lineitem shipped EXACTLY +30 days does not
+    qualify; +30 days +1 us does; an order with no lineitems never
+    counts (and a lineitem run with no order row is ignored)."""
+    import pyarrow.parquet as pq
+
+    day_us = 86_400 * 1_000_000
+    base = 1_700_000_000 * 1_000_000
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+            "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 3),
+            "o_totalprice": pa.array([1.0] * 3),
+            "o_orderdate": pa.array([base] * 3, type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "2-HIGH"]),
+        }
+    )
+    line = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 9], type=pa.int64()),
+            "l_partkey": pa.array([0, 0, 0], type=pa.int64()),
+            "l_suppkey": pa.array([0, 0, 0], type=pa.int64()),
+            "l_linenumber": pa.array([1, 1, 1], type=pa.int32()),
+            "l_quantity": pa.array([1.0] * 3),
+            "l_extendedprice": pa.array([1.0] * 3),
+            "l_discount": pa.array([0.0] * 3),
+            "l_tax": pa.array([0.0] * 3),
+            "l_returnflag": pa.array(["N"] * 3),
+            "l_linestatus": pa.array(["O"] * 3),
+            "l_shipdate": pa.array(
+                [
+                    base + q.EXISTS_LATE_DAYS * day_us,      # exactly +30d -> no
+                    base + q.EXISTS_LATE_DAYS * day_us + 1,  # strictly past -> yes
+                    base,                                    # orphan key -> ignored
+                ],
+                type=pa.int64(),
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(line, str(tmp_path / "lineitem.parquet"))
+    out = q.q_order_exists_join(str(tmp_path)).to_pandas()
+    assert out.to_dict("records") == [
+        {"o_orderpriority": "2-HIGH", "order_count": 1}
+    ]
+
+
+def test_vocab_coverage_tier_arithmetic(ray_session, tmp_path):
+    """Tie tiers take exactly ceil((target - covered) / freq) tokens:
+    corpus = 'aa' x4 + 'bb' x4 + 'cc' x2 (total 10). 50% needs 2
+    tokens of the freq-4 tier (covered 8); 90% needs 2 + 1 more
+    (covered 10); 99% the same."""
+    import pyarrow.parquet as pq
+
+    text = " ".join(["aa"] * 4 + ["bb"] * 4 + ["cc"] * 2)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": pa.array([text]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["s"]),
+            "n_chars": pa.array([len(text)], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q.q_vocab_coverage(str(tmp_path)).to_pandas().set_index("pct_pm")
+    assert out.loc[500, "k_tokens"] == 2 and out.loc[500, "covered"] == 8
+    assert out.loc[900, "k_tokens"] == 3 and out.loc[900, "covered"] == 10
+    assert out.loc[990, "k_tokens"] == 3
+    assert (out["total"] == 10).all()
+
+
+def test_user_interarrival_single_event_user(ray_session, tmp_path):
+    """A single-event user reports zero gaps and zero gap stats; a
+    two-event user reports the exact microsecond gap in sum AND max."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array([0, 5_500_000, 0], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([7, 7, 9], type=pa.int64()),
+            "event_type": pa.array(["t"] * 3),
+            "value": pa.array([0.0] * 3),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q.q_user_interarrival(str(tmp_path)).to_pandas().set_index("user_id")
+    assert out.loc[9, "n_gaps"] == 0 and out.loc[9, "max_gap_us"] == 0
+    assert out.loc[7, "n_gaps"] == 1
+    assert out.loc[7, "sum_gap_us"] == 5_500_000
+    assert out.loc[7, "max_gap_us"] == 5_500_000
