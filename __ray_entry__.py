@@ -196,6 +196,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_exists_join": q.q_order_exists_join,
         "vocab_coverage": q.q_vocab_coverage,
         "user_interarrival": q.q_user_interarrival,
+        "returned_revenue_topk": q.q_returned_revenue_topk,
+        "lineitem_discount_revenue": q.q_lineitem_discount_revenue,
+        "event_trending": q.q_event_trending,
+        "doc_weighted_sample": q.q_doc_weighted_sample,
+        "embedding_quantize": q.q_embedding_quantize,
     }
 
 
@@ -340,6 +345,12 @@ def oracle_sql() -> dict[str, str]:
         ANTI_JOIN_PRICE,
         EXISTS_LATE_DAYS,
         VOCAB_COVERAGE_PM,
+        Q10_TOP_K,
+        Q6_DISC_LO,
+        Q6_DISC_HI,
+        Q6_MAX_QTY,
+        TREND_WINDOW_US,
+        WEIGHTED_RATE_NUM,
         RETENTION_KEEP_N,
         ROLLUP_ALL,
         Q3_SEGMENT,
@@ -1674,5 +1685,83 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(gap), 0)::BIGINT AS sum_gap_us,
                    coalesce(max(gap), 0)::BIGINT AS max_gap_us
             FROM w GROUP BY user_id
+        """,
+        "returned_revenue_topk": f"""
+            SELECT c_custkey, c_name, revenue_c100 FROM (
+              SELECT c.c_custkey, c.c_name,
+                     sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                        )::BIGINT AS revenue_c100
+              FROM customer c
+              JOIN orders o ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-07-01'
+              GROUP BY c.c_custkey, c.c_name
+            )
+            ORDER BY revenue_c100 DESC, c_custkey
+            LIMIT {Q10_TOP_K}
+        """,
+        "lineitem_discount_revenue": f"""
+            SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * CAST(round(l_discount * 100) AS BIGINT)),
+                            0)::BIGINT AS revenue_c100,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT)
+                    BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+              AND l_quantity < {Q6_MAX_QTY}
+        """,
+        "event_trending": f"""
+            WITH c AS (
+              SELECT event_type,
+                     (epoch_us(ts) // {TREND_WINDOW_US}) * {TREND_WINDOW_US}
+                       AS window_us,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, window_us, n,
+                   (CASE WHEN lag(window_us) OVER w = window_us - {TREND_WINDOW_US}
+                         THEN lag(n) OVER w ELSE 0 END)::BIGINT AS prev_n,
+                   (n - CASE WHEN lag(window_us) OVER w = window_us - {TREND_WINDOW_US}
+                             THEN lag(n) OVER w ELSE 0 END)::BIGINT AS delta
+            FROM c WINDOW w AS (PARTITION BY event_type ORDER BY window_us)
+        """,
+        "doc_weighted_sample": f"""
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     ((CAST(doc_id % {SPLIT_HASH_MOD} AS HUGEINT)
+                       * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD}) % 1000000 AS h
+              FROM documents
+            )
+            WHERE h < n_chars * {WEIGHTED_RATE_NUM}
+        """,
+        "embedding_quantize": """
+            WITH b AS (
+              SELECT vec_id,
+                     embedding,
+                     CAST(list_max(list_transform(embedding, x -> abs(x)))
+                          AS DOUBLE) AS m
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id, m,
+                     CASE WHEN m = 0
+                          THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m)
+                                           AS BIGINT))
+                     END AS codes
+              FROM b
+            )
+            SELECT vec_id,
+                   CAST(floor(m * 1000000.0) AS BIGINT) AS scale_ppm,
+                   CAST(list_min(codes) AS BIGINT) AS q_min,
+                   CAST(list_max(codes) AS BIGINT) AS q_max,
+                   CAST(list_sum(codes) AS BIGINT) AS q_sum
+            FROM q
         """,
     }

@@ -7879,3 +7879,442 @@ def q_user_interarrival(sf_dir: str):
         )
 
     return _keyed_exchange_apply(ds, ["user_id"], gap_kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue top-k (two chained exchanges)
+# ---------------------------------------------------------------------------
+
+Q10_FROM = np.datetime64("1997-01-01", "us")
+Q10_TO = np.datetime64("1997-07-01", "us")  # half-open
+Q10_TOP_K = 20
+
+
+def q_returned_revenue_topk(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): the top-k customers
+    by revenue LOST to returned line items for orders placed in one
+    half-year window. Composes the catalog's join strategies across
+    THREE large tables with two chained tagged-union exchanges (the
+    Q5 pattern) — neither orders x lineitem nor customer x orders has
+    a broadcastable side at 100 TB:
+
+    - lineitem filters to returnflag='R' AT THE SCAN; orders filter to
+      the date window AT THE SCAN — only qualifying rows ever move;
+    - exchange 1 (orderkey): revenue folds per order inside the join
+      kernel, re-keyed to the order's customer;
+    - exchange 2 (custkey): per-customer revenue fold + name attach;
+    - global top-k = per-block top-k + one <= k x blocks driver merge
+      (the vocab_topk idiom — never a global sort).
+
+    Revenue is INTEGER-EXACT (cents x (100 - discount%), int64)."""
+    _ensure_hash_shuffle()
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    line = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    u1_schema = pa.schema(
+        [("okey", pa.int64()), ("side", pa.int8()), ("ckey", pa.int64()),
+         ("rev_c", pa.int64())]
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(
+                batch.column("o_orderdate"), pa.scalar(Q10_FROM.item(), type=pa.timestamp("us"))
+            ),
+            pc.less(
+                batch.column("o_orderdate"), pa.scalar(Q10_TO.item(), type=pa.timestamp("us"))
+            ),
+        )
+        t = batch.filter(keep)
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": t.column("o_orderkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "ckey": t.column("o_custkey").cast(pa.int64()),
+                "rev_c": pa.array(np.zeros(n, dtype=np.int64)),
+            },
+            schema=u1_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("l_returnflag"), pa.scalar("R")))
+        n = t.num_rows
+        cents = np.rint(
+            np.asarray(t.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(t.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "okey": t.column("l_orderkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "ckey": pa.array(np.zeros(n, dtype=np.int64)),
+                "rev_c": pa.array(cents * (100 - disc)),
+            },
+            schema=u1_schema,
+        )
+
+    tagged1 = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        line.map_batches(line_rows, batch_format="pyarrow")
+    )
+    cust_rev_schema = pa.schema([("ckey", pa.int64()), ("rev_c", pa.int64())])
+
+    def order_join_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return cust_rev_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        rev = np.asarray(t.column("rev_c"), dtype=np.int64)
+        ckey = np.asarray(t.column("ckey"), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        has_order = side[starts] == 0
+        run_rev = np.add.reduceat(rev, starts)  # order rows carry rev 0
+        keep = has_order & (run_rev > 0)
+        if not keep.any():
+            return cust_rev_schema.empty_table()
+        out = pa.table(
+            {
+                "ckey": pa.array(ckey[starts[keep]], type=pa.int64()),
+                "rev_c": pa.array(run_rev[keep], type=pa.int64()),
+            },
+            schema=cust_rev_schema,
+        )
+        # pre-fold per customer inside the block before exchange 2
+        agg = out.group_by(["ckey"]).aggregate([("rev_c", "sum")])
+        return pa.table(
+            {"ckey": agg.column("ckey"), "rev_c": agg.column("rev_c_sum")},
+            schema=cust_rev_schema,
+        )
+
+    cust_rev = _keyed_exchange_apply(tagged1, ["okey"], order_join_kernel, cust_rev_schema)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    u2_schema = pa.schema(
+        [("ckey", pa.int64()), ("side", pa.int8()), ("c_name", pa.string()),
+         ("rev_c", pa.int64())]
+    )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "ckey": batch.column("c_custkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "c_name": batch.column("c_name"),
+                "rev_c": pa.array(np.zeros(n, dtype=np.int64)),
+            },
+            schema=u2_schema,
+        )
+
+    def rev_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "ckey": batch.column("ckey"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "c_name": pa.nulls(n, type=pa.string()),
+                "rev_c": batch.column("rev_c"),
+            },
+            schema=u2_schema,
+        )
+
+    tagged2 = cust.map_batches(cust_rows, batch_format="pyarrow").union(
+        cust_rev.map_batches(rev_rows, batch_format="pyarrow")
+    )
+    out_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()), ("revenue_c100", pa.int64())]
+    )
+
+    def cust_join_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("ckey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("ckey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        rev = np.asarray(t.column("rev_c"), dtype=np.int64)
+        name = np.asarray(t.column("c_name"), dtype=object)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        has_cust = side[starts] == 0
+        run_rev = np.add.reduceat(rev, starts)
+        keep = has_cust & (run_rev > 0)
+        if not keep.any():
+            return out_schema.empty_table()
+        merged = pa.table(
+            {
+                "c_custkey": pa.array(key[starts[keep]], type=pa.int64()),
+                "c_name": pa.array(name[starts[keep]], type=pa.string()),
+                "revenue_c100": pa.array(run_rev[keep], type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+        if merged.num_rows <= Q10_TOP_K:
+            return merged
+        topk = pc.sort_indices(
+            merged,
+            sort_keys=[("revenue_c100", "descending"), ("c_custkey", "ascending")],
+        )
+        return merged.take(topk.slice(0, Q10_TOP_K))
+
+    parts = _keyed_exchange_apply(tagged2, ["ckey"], cust_join_kernel, out_schema).take_all()
+    if not parts:
+        return out_schema.empty_table()
+    merged = pa.Table.from_pylist(parts, schema=out_schema)
+    order = pc.sort_indices(
+        merged, sort_keys=[("revenue_c100", "descending"), ("c_custkey", "ascending")]
+    )
+    return merged.take(order.slice(0, Q10_TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: predicate-pushdown scan aggregate
+# ---------------------------------------------------------------------------
+
+Q6_FROM = np.datetime64("1997-01-01", "us")
+Q6_TO = np.datetime64("1998-01-01", "us")  # half-open
+Q6_DISC_LO, Q6_DISC_HI = 5, 7  # rounded discount %
+Q6_MAX_QTY = 24.0
+
+
+def q_lineitem_discount_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast-revenue-change): the would-be revenue
+    of discounts in a band, one ship-year, small quantities — the
+    canonical PREDICATE-PUSHDOWN aggregate. The date band is pushed
+    INTO the parquet scan as a dataset filter expression (row groups
+    outside the ship-year never decode — at 100 TB this is the
+    difference between reading a year and reading everything); the
+    residual discount/quantity predicates evaluate vectorized
+    per batch, and the whole query folds to ONE (revenue, count)
+    partial per block — a driver sum, no exchange of any kind.
+
+    Revenue is INTEGER-EXACT: cents x discount%, summed as int64."""
+    import pyarrow.dataset as pds
+
+    _ensure_hash_shuffle()
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(
+            (pds.field("l_shipdate") >= pa.scalar(Q6_FROM.item(), type=pa.timestamp("us")))
+            & (pds.field("l_shipdate") < pa.scalar(Q6_TO.item(), type=pa.timestamp("us")))
+        ),
+    )
+    part_schema = pa.schema([("revenue_c100", pa.int64()), ("n_items", pa.int64())])
+
+    def fold_block(batch: pa.Table) -> pa.Table:
+        disc = np.rint(
+            np.asarray(batch.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        qty = np.asarray(batch.column("l_quantity"), dtype=np.float64)
+        keep = (disc >= Q6_DISC_LO) & (disc <= Q6_DISC_HI) & (qty < Q6_MAX_QTY)
+        if not keep.any():
+            return part_schema.empty_table()
+        cents = np.rint(
+            np.asarray(batch.column("l_extendedprice"), dtype=np.float64)[keep] * 100.0
+        ).astype(np.int64)
+        rev = int((cents * disc[keep]).sum())
+        return pa.table(
+            {
+                "revenue_c100": pa.array([rev], type=pa.int64()),
+                "n_items": pa.array([int(keep.sum())], type=pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    rev = n = 0
+    for r in ds.map_batches(fold_block, batch_format="pyarrow").take_all():
+        rev += int(r["revenue_c100"])
+        n += int(r["n_items"])
+    return pa.table(
+        {
+            "revenue_c100": pa.array([rev], type=pa.int64()),
+            "n_items": pa.array([n], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# window-over-window trending, weighted sampling, embedding quantization
+# ---------------------------------------------------------------------------
+
+TREND_WINDOW_US = 3_600 * 1_000_000  # 1-hour tumbling windows
+
+
+def q_event_trending(sf_dir: str):
+    """Window-over-window TRENDING: event count per (event_type,
+    1-hour tumbling window) plus the immediately preceding calendar
+    window's count and the delta — the dashboard feed behind spike /
+    drop alerting. A window with no predecessor (or a gap) compares
+    against 0, the streaming-correct convention.
+
+    Shape: window ids fuse with the scan (integer floor-divide), the
+    (type, window) counts fold two-phase (payload = bounded domain x
+    blocks, never events), then ONE tiny keyed exchange on event_type
+    and a sort + shift kernel computes the lag within each type's
+    window sequence — the whole lag stage runs on groups, not rows."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("window_us", pa.int64()), ("n", pa.int64())]
+    )
+
+    def window_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        win = (us // TREND_WINDOW_US) * TREND_WINDOW_US
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "window_us": pa.array(win)}
+        )
+        agg = t.group_by(["event_type", "window_us"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "window_us": agg.column("window_us"),
+                "n": agg.column("count_all").cast(pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    partial = ds.map_batches(window_counts, batch_format="pyarrow")
+    counts = grouped_aggregate(
+        partial, ["event_type", "window_us"], [("n", "sum", "n")]
+    )
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("window_us", pa.int64()),
+            ("n", pa.int64()),
+            ("prev_n", pa.int64()),
+            ("delta", pa.int64()),
+        ]
+    )
+
+    def trend_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[("event_type", "ascending"), ("window_us", "ascending")],
+        )
+        t = block.take(order)
+        et = np.asarray(t.column("event_type"), dtype=object)
+        win = np.asarray(t.column("window_us"), dtype=np.int64)
+        n = np.asarray(t.column("n"), dtype=np.int64)
+        m = len(et)
+        new_key = np.r_[True, et[1:] != et[:-1]]
+        prev_n = np.zeros(m, dtype=np.int64)
+        adjacent = np.zeros(m, dtype=bool)
+        adjacent[1:] = (~new_key[1:]) & (win[1:] == win[:-1] + TREND_WINDOW_US)
+        prev_n[1:][adjacent[1:]] = n[:-1][adjacent[1:]]
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_us": t.column("window_us"),
+                "n": t.column("n"),
+                "prev_n": pa.array(prev_n, type=pa.int64()),
+                "delta": pa.array(n - prev_n, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return _keyed_exchange_apply(counts, ["event_type"], trend_kernel, out_schema)
+
+
+WEIGHTED_RATE_NUM = 1000  # keep iff hash % 1e6 < n_chars * RATE
+
+
+def q_doc_weighted_sample(sf_dir: str):
+    """LENGTH-WEIGHTED deterministic sampling: each document is kept
+    with probability proportional to its size (n_chars / 1000, capped
+    at 1) — the token-budget-aware downsampler (longer docs carry more
+    training signal per row, so uniform row sampling under-weights
+    them). Same contract as the stratified sampler: a pure integer
+    function of doc_id (multiplicative hash), so the sample is
+    deterministic, re-partition-stable, and resumable — no RNG state
+    anywhere. One fused map+filter, no exchange."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keep_block(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        chars = np.asarray(batch.column("n_chars"), dtype=np.int64)
+        h = (ids % SPLIT_HASH_MOD).astype(np.uint64) * np.uint64(SPLIT_HASH_MULT)
+        h = (h % np.uint64(SPLIT_HASH_MOD)) % np.uint64(1_000_000)
+        keep = h.astype(np.int64) < chars * WEIGHTED_RATE_NUM
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(keep_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric INT8 quantization statistics per embedding — the
+    export layout ANN serving engines (FAISS SQ8 and friends) consume:
+    per-vector absmax scale and the min / max / sum of the quantized
+    codes floor(x * 127 / absmax). A pure streaming map (no exchange,
+    resume = re-run a shard); the fold reports integers plus the
+    floor-scaled scale so the driver compare is bit-exact (absmax is
+    an EXACT float32 — abs and max are rounding-free — and the code
+    arithmetic is IEEE double on both engines, so floor agrees).
+
+    Kernel: offsets-aware numpy over the arrow list column — absmax
+    via maximum.reduceat on |values|, codes in one vectorized double
+    pass, per-row folds via reduceat; no per-vector Python."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("scale_ppm", pa.int64()),
+            ("q_min", pa.int64()),
+            ("q_max", pa.int64()),
+            ("q_sum", pa.int64()),
+        ]
+    )
+
+    def quant_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals32 = np.asarray(col.values, dtype=np.float32)
+        offsets = np.asarray(col.offsets, dtype=np.int64)
+        starts = offsets[:-1]
+        absmax32 = np.maximum.reduceat(np.abs(vals32), starts)
+        m = absmax32.astype(np.float64)
+        widths = np.diff(offsets)
+        m_rep = np.repeat(m, widths)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            codes = np.floor(vals32.astype(np.float64) * 127.0 / m_rep)
+        codes = np.where(m_rep == 0.0, 0.0, codes).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "scale_ppm": pa.array(
+                    np.floor(m * 1_000_000.0).astype(np.int64), type=pa.int64()
+                ),
+                "q_min": pa.array(np.minimum.reduceat(codes, starts), type=pa.int64()),
+                "q_max": pa.array(np.maximum.reduceat(codes, starts), type=pa.int64()),
+                "q_sum": pa.array(np.add.reduceat(codes, starts), type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(quant_block, batch_format="pyarrow", zero_copy_batch=True)

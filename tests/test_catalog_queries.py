@@ -1525,3 +1525,148 @@ def test_user_interarrival_single_event_user(ray_session, tmp_path):
     assert out.loc[7, "n_gaps"] == 1
     assert out.loc[7, "sum_gap_us"] == 5_500_000
     assert out.loc[7, "max_gap_us"] == 5_500_000
+
+
+def test_returned_revenue_topk_join_semantics(ray_session, tmp_path):
+    """Only 'R' lineitems of in-window orders count; an 'R' lineitem
+    whose order is outside the window is dropped by the join (its run
+    has no order row); revenue is cents x (100 - disc%) summed across
+    a customer's orders."""
+    import pyarrow.parquet as pq
+
+    in_win = np.datetime64("1997-02-01", "us").item()
+    out_win = np.datetime64("1998-02-01", "us").item()
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+            "o_custkey": pa.array([10, 10, 10], type=pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 3),
+            "o_totalprice": pa.array([0.0] * 3),
+            "o_orderdate": pa.array(
+                [in_win, in_win, out_win], type=pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1"] * 3),
+        }
+    )
+    line = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+            "l_partkey": pa.array([0] * 4, type=pa.int64()),
+            "l_suppkey": pa.array([0] * 4, type=pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1, 1], type=pa.int32()),
+            "l_quantity": pa.array([1.0] * 4),
+            "l_extendedprice": pa.array([10.00, 20.00, 5.00, 99.0]),
+            "l_discount": pa.array([0.10, 0.00, 0.05, 0.0]),
+            "l_tax": pa.array([0.0] * 4),
+            "l_returnflag": pa.array(["R", "N", "R", "R"]),
+            "l_linestatus": pa.array(["O"] * 4),
+            "l_shipdate": pa.array([in_win] * 4, type=pa.timestamp("us")),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([10], type=pa.int64()),
+            "c_name": pa.array(["alice"]),
+            "c_nationkey": pa.array([0], type=pa.int32()),
+            "c_acctbal": pa.array([0.0]),
+            "c_mktsegment": pa.array(["BUILDING"]),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(line, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    out = q.q_returned_revenue_topk(str(tmp_path)).to_pandas()
+    # order 1: R item 1000c x 90 = 90000; order 2: 500c x 95 = 47500;
+    # order 3 outside window -> dropped. N-flag item never counts.
+    assert out.to_dict("records") == [
+        {"c_custkey": 10, "c_name": "alice", "revenue_c100": 137_500}
+    ]
+
+
+def test_lineitem_discount_revenue_boundaries(ray_session, tmp_path):
+    """Ship-year is half-open [FROM, TO); the discount band is on the
+    ROUNDED percent (0.05 in, 0.0449 rounds to 4 -> out); quantity is
+    strict <."""
+    import pyarrow.parquet as pq
+
+    d_in = np.datetime64("1997-01-01", "us").item()   # inclusive lower
+    d_out = np.datetime64("1998-01-01", "us").item()  # exclusive upper
+    line = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "l_partkey": pa.array([0] * 5, type=pa.int64()),
+            "l_suppkey": pa.array([0] * 5, type=pa.int64()),
+            "l_linenumber": pa.array([1] * 5, type=pa.int32()),
+            "l_quantity": pa.array([1.0, 1.0, 1.0, 24.0, 1.0]),
+            "l_extendedprice": pa.array([10.0] * 5),
+            "l_discount": pa.array([0.05, 0.0449, 0.07, 0.06, 0.06]),
+            "l_tax": pa.array([0.0] * 5),
+            "l_returnflag": pa.array(["N"] * 5),
+            "l_linestatus": pa.array(["O"] * 5),
+            "l_shipdate": pa.array(
+                [d_in, d_in, d_in, d_in, d_out], type=pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(line, str(tmp_path / "lineitem.parquet"))
+    out = q.q_lineitem_discount_revenue(str(tmp_path)).to_pandas()
+    # rows 1 (1000c x 5) and 3 (1000c x 7) qualify; row 2 rounds to 4%,
+    # row 4 fails qty <, row 5 is outside the year.
+    assert out.loc[0, "n_items"] == 2
+    assert out.loc[0, "revenue_c100"] == 5000 + 7000
+
+
+def test_event_trending_gap_resets_prev(ray_session, tmp_path):
+    """A window with no immediately preceding calendar window compares
+    against 0 — a one-window gap must not leak the older count."""
+    import pyarrow.parquet as pq
+
+    w = q.TREND_WINDOW_US
+    ts = [10, 20, w + 5, 3 * w + 1]  # windows 0, 0, 1, 3 (gap at 2)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(4, dtype=np.int64)),
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([1] * 4, type=pa.int64()),
+            "event_type": pa.array(["view"] * 4),
+            "value": pa.array([0.0] * 4),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        q.q_event_trending(str(tmp_path))
+        .to_pandas()
+        .sort_values("window_us")
+        .reset_index(drop=True)
+    )
+    assert list(out["n"]) == [2, 1, 1]
+    assert list(out["prev_n"]) == [0, 2, 0]  # window 3's prev is the GAP, not w1
+    assert list(out["delta"]) == [2, -1, 1]
+
+
+def test_embedding_quantize_zero_and_negative(ray_session, tmp_path):
+    """An all-zero vector quantizes to zeros with scale 0 (no division
+    blowup); negative components floor AWAY from zero (-127 exactly at
+    -absmax); absmax is exact float32."""
+    import pyarrow.parquet as pq
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array([1, 2], type=pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 0.0, 0.0], [-2.0, 1.0, 0.5]],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0], type=pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    out = q.q_embedding_quantize(str(tmp_path)).to_pandas().set_index("vec_id")
+    assert out.loc[1, "scale_ppm"] == 0
+    assert out.loc[1, "q_min"] == 0 and out.loc[1, "q_max"] == 0
+    assert out.loc[2, "scale_ppm"] == 2_000_000
+    # codes: floor(-2*127/2)=-127, floor(1*127/2)=63, floor(0.5*127/2)=31
+    assert out.loc[2, "q_min"] == -127
+    assert out.loc[2, "q_max"] == 63
+    assert out.loc[2, "q_sum"] == -127 + 63 + 31
