@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trending": q.q_event_trending,
         "doc_weighted_sample": q.q_doc_weighted_sample,
         "embedding_quantize": q.q_embedding_quantize,
+        "hop_distinct_users_hll": q.q_hop_distinct_users_hll,
+        "doc_chunk_dedup": q.q_doc_chunk_dedup,
     }
 
 
@@ -1739,6 +1741,12 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE h < n_chars * {WEIGHTED_RATE_NUM}
         """,
+        "hop_distinct_users_hll": (
+            f"SELECT * FROM read_parquet('{oracle_paths['hop_distinct_users_hll']}')"
+        ),
+        "doc_chunk_dedup": (
+            f"SELECT * FROM read_parquet('{oracle_paths['doc_chunk_dedup']}')"
+        ),
         "embedding_quantize": """
             WITH b AS (
               SELECT vec_id,

@@ -894,3 +894,130 @@ def oracle_event_dedup_window(sf_dir: str, window_s: int = 600) -> pa.Table:
 
 
 _ORACLE_BUILDERS["event_dedup_window"] = oracle_event_dedup_window
+
+
+def oracle_hop_distinct_users_hll(sf_dir: str, p: int = 12) -> pa.Table:
+    """Single-process recompute of the hopping-window HLL composition:
+    every event lands in WINDOW/HOP consecutive hop windows; per-window
+    registers fold with the same SplitMix64/rank spec and the same
+    histogram-ordered estimate as oracle_approx_distinct_users."""
+    from embulk_input_marketo_ray.pipelines.queries import (
+        HOP_SECONDS,
+        HOP_WINDOW_SECONDS,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    users = t.column("user_id").to_pylist()
+    ts_us = t.column("ts").cast(pa.int64()).to_pylist()
+    hop_us = HOP_SECONDS * 1_000_000
+    n_hops = HOP_WINDOW_SECONDS // HOP_SECONDS
+    m = 1 << p
+    mask = (1 << 64) - 1
+
+    def smix(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) & mask
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    regs: dict[int, list[int]] = {}
+    for u, us in zip(users, ts_us):
+        h = smix(u & mask)
+        idx = h >> (64 - p)
+        rest = ((h << p) | ((1 << p) - 1)) & mask
+        rank = 64 - rest.bit_length() + 1
+        ws0 = (us // hop_us) * hop_us
+        for k in range(n_hops):
+            r = regs.setdefault(ws0 - k * hop_us, [0] * m)
+            if rank > r[idx]:
+                r[idx] = rank
+
+    import math
+
+    out_w, out_n = [], []
+    for w in sorted(regs):
+        r = regs[w]
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        counts = [0] * 65
+        for v in r:
+            counts[v] += 1
+        harm = 0.0
+        for v in range(65):
+            if counts[v]:
+                harm += float(counts[v]) * 2.0 ** -v
+        est = alpha * m * m / harm
+        zeros = counts[0]
+        if est <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        out_w.append(w)
+        out_n.append(int(round(est)))
+    return pa.table(
+        {
+            "window_us": pa.array(out_w, type=pa.int64()),
+            "approx_users": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
+def oracle_doc_chunk_dedup(sf_dir: str) -> pa.Table:
+    """Single-process recompute of the content-defined chunking spec:
+    per doc, boundary after byte i where the 8-byte window polynomial
+    hash (sum b[i-k] * Q^k mod 2^64) % 64 == 0 (window inside the doc,
+    never the last byte); chunk id = (len, sum b[start+j] * Q^j);
+    corpus totals re-derived from a plain dict."""
+    from embulk_input_marketo_ray.pipelines.queries import (
+        CDC_CHUNK_DIV,
+        CDC_CHUNK_Q,
+        CDC_CHUNK_WIN,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    mask = (1 << 64) - 1
+    qp = [1]
+    counts: dict[tuple[int, int], int] = {}
+    for txt in t.column("text").to_pylist():
+        b = (txt or "").encode("utf-8")
+        L = len(b)
+        if L == 0:
+            continue
+        while len(qp) < max(L, CDC_CHUNK_WIN) + 1:
+            qp.append((qp[-1] * CDC_CHUNK_Q) & mask)
+        ends = []
+        for i in range(CDC_CHUNK_WIN - 1, L - 1):
+            g = 0
+            for k in range(CDC_CHUNK_WIN):
+                g = (g + b[i - k] * qp[k]) & mask
+            if g % CDC_CHUNK_DIV == 0:
+                ends.append(i)
+        ends.append(L - 1)
+        start = 0
+        for e in ends:
+            h = 0
+            for j in range(start, e + 1):
+                h = (h + b[j] * qp[j - start]) & mask
+            key = (e - start + 1, h)
+            counts[key] = counts.get(key, 0) + 1
+            start = e + 1
+    n_chunks = sum(counts.values())
+    n_distinct = len(counts)
+    bytes_total = sum(ln * n for (ln, _h), n in counts.items())
+    bytes_saved = sum(ln * (n - 1) for (ln, _h), n in counts.items())
+    return pa.table(
+        {
+            "n_chunks": pa.array([n_chunks], type=pa.int64()),
+            "n_distinct": pa.array([n_distinct], type=pa.int64()),
+            "dup_chunks_pm": pa.array(
+                [1000 * (n_chunks - n_distinct) // n_chunks if n_chunks else 0],
+                type=pa.int64(),
+            ),
+            "bytes_total": pa.array([bytes_total], type=pa.int64()),
+            "bytes_saved_pm": pa.array(
+                [1000 * bytes_saved // bytes_total if bytes_total else 0],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+_ORACLE_BUILDERS["hop_distinct_users_hll"] = oracle_hop_distinct_users_hll
+_ORACLE_BUILDERS["doc_chunk_dedup"] = oracle_doc_chunk_dedup

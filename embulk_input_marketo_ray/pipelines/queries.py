@@ -8318,3 +8318,241 @@ def q_embedding_quantize(sf_dir: str):
         )
 
     return ds.map_batches(quant_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# hopping-window approximate distinct users (window x sketch composition)
+# ---------------------------------------------------------------------------
+
+
+def q_hop_distinct_users_hll(sf_dir: str):
+    """Approximate DISTINCT USERS PER HOPPING WINDOW — the streaming
+    dashboard's 'active users in the last 10 minutes, every 5' tile at
+    a cardinality where exact per-window sets are unaffordable. This
+    composes the catalog's two streaming primitives: the hop-window
+    replication of q_event_hop_windows (every event lands in exactly
+    W/hop windows, integer arithmetic at the scan) and the MERGEABLE
+    HLL sketch of q_approx_distinct_users (register-max is
+    order/partition-independent, so overlapping windows cost one
+    sketch each, never a distinct-set shuffle).
+
+    Shape: per-block (window, registers) partials — payload bounded by
+    windows x blocks x 4 KiB at ANY event cardinality — one tiny keyed
+    exchange on window_us, register-max merge + closed-form estimate
+    per group. The scatter-max bank folds every window in ONE pass
+    (the q_approx_distinct_users kernel, keyed by window instead of
+    type)."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    hop_us = HOP_SECONDS * 1_000_000
+    n_hops = HOP_WINDOW_SECONDS // HOP_SECONDS
+    partial_schema = pa.schema(
+        [("window_us", pa.int64()), ("registers", pa.binary())]
+    )
+
+    def partial_sketches(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return partial_schema.empty_table()
+        t_us = np.asarray(batch.column("ts")).astype("datetime64[us]").view(np.int64)
+        ws0 = (t_us // hop_us) * hop_us
+        users = np.asarray(batch.column("user_id"), dtype=np.int64)
+        win = np.concatenate([ws0 - k * hop_us for k in range(n_hops)])
+        usr = np.tile(users, n_hops)
+        uniq, idx = np.unique(win, return_inverse=True)
+        h = splitmix64(usr)
+        reg_idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+        rank = (np.uint64(64) - _bit_length_u64(rest) + np.uint64(1)).astype(
+            np.uint8
+        )
+        bank = np.zeros((len(uniq), HLL_M), dtype=np.uint8)
+        np.maximum.at(bank.reshape(-1), idx * HLL_M + reg_idx, rank)
+        return pa.table(
+            {
+                "window_us": pa.array(uniq, type=pa.int64()),
+                "registers": pa.array([b.tobytes() for b in bank], type=pa.binary()),
+            },
+            schema=partial_schema,
+        )
+
+    partial = ds.map_batches(partial_sketches, batch_format="pyarrow")
+    out_schema = pa.schema([("window_us", pa.int64()), ("approx_users", pa.int64())])
+
+    def merge_estimate(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        win = np.asarray(block.column("window_us"), dtype=np.int64)
+        blobs = block.column("registers")
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        uniq, idx = np.unique(win, return_inverse=True)
+        out_n = []
+        for k in range(len(uniq)):
+            rows = np.flatnonzero(idx == k)
+            merged = np.zeros(HLL_M, dtype=np.uint8)
+            for r in rows:  # partials per window: bounded by input blocks
+                np.maximum(
+                    merged,
+                    np.frombuffer(blobs[int(r)].as_py(), dtype=np.uint8),
+                    out=merged,
+                )
+            out_n.append(hll_estimate(merged))
+        return pa.table(
+            {
+                "window_us": pa.array(uniq, type=pa.int64()),
+                "approx_users": pa.array(out_n, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return _keyed_exchange_apply(partial, ["window_us"], merge_estimate, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup (storage-level dedup ratio)
+# ---------------------------------------------------------------------------
+
+CDC_CHUNK_Q = 0x100000001B3  # FNV-64 prime (odd -> invertible mod 2^64)
+CDC_CHUNK_QINV = pow(CDC_CHUNK_Q, -1, 1 << 64)
+CDC_CHUNK_WIN = 8     # rolling-hash window bytes
+CDC_CHUNK_DIV = 64    # boundary where window hash % DIV == 0 (~64 B chunks)
+
+
+def q_doc_chunk_dedup(sf_dir: str):
+    """CONTENT-DEFINED CHUNKING dedup ratio — the storage-level dedup
+    a 100 TB lake runs under the row-level kinds: split every document
+    at positions where an 8-byte rolling polynomial hash lands on a
+    fixed residue (so boundaries survive insertions — the rsync/LBFS
+    trick), identify chunks by (length, position-normalized polynomial
+    hash), and report how much of the byte stream is duplicate chunks.
+
+    Kernel (all vectorized over the block's FLAT utf-8 buffer —
+    zero-copy from arrow, no per-doc Python): the rolling window hash
+    is 8 shifted multiply-adds in wrapping uint64; chunk hashes come
+    from ONE prefix-sum of byte*Q^pos re-based to each chunk start by
+    multiplying with the PRECOMPUTED modular-inverse power (Q is odd,
+    so Q^-1 mod 2^64 exists) — no per-chunk rehash. Memory is ~24x the
+    batch's text bytes (three uint64 arrays), which is the documented
+    batch-size knob at scale.
+
+    Distribution: per-block (chunk_hash, len) counts fold in-block,
+    ONE keyed exchange merges them (payload = distinct chunks x
+    blocks), each output partition folds to a single stats row and the
+    driver adds <= blocks rows. Identity is exact-by-construction for
+    the oracle (same hash both sides); 64-bit collisions are the
+    documented approximation for real corpora."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["text"])
+    part_schema = pa.schema(
+        [("chash", pa.int64()), ("clen", pa.int64()), ("n", pa.int64())]
+    )
+    win, div = CDC_CHUNK_WIN, CDC_CHUNK_DIV
+
+    def chunk_block(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        # string arrays carry offsets as buffer 1 (int32 / int64 for
+        # large_string) and the flat utf-8 bytes as buffer 2 — zero-copy
+        odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        off32 = np.frombuffer(col.buffers()[1], dtype=odt)
+        off = off32[col.offset : col.offset + len(col) + 1].astype(np.int64)
+        L = int(off[-1] - off[0])
+        if L == 0:
+            return part_schema.empty_table()
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        b = data[off[0] : off[-1]].astype(np.uint64)
+        offs = off - off[0]  # per-doc byte offsets into the flat stream
+        q = np.uint64(CDC_CHUNK_Q)
+        qp = np.empty(L + 1, dtype=np.uint64)
+        qp[0] = 1
+        np.cumprod(np.full(L, q, dtype=np.uint64), out=qp[1:])
+        qinv = np.uint64(CDC_CHUNK_QINV)
+        qip = np.empty(L, dtype=np.uint64)
+        qip[0] = 1
+        if L > 1:
+            np.cumprod(np.full(L - 1, qinv, dtype=np.uint64), out=qip[1:])
+        s0 = np.zeros(L + 1, dtype=np.uint64)
+        np.cumsum(b * qp[:L], out=s0[1:])
+        # rolling window hash ending at i (i >= win-1), g[i] = sum b[i-k]*Q^k
+        if L >= win:
+            g = np.zeros(L - win + 1, dtype=np.uint64)
+            for k in range(win):
+                g += b[win - 1 - k : L - k] * qp[k]
+            cand = np.flatnonzero(g % np.uint64(div) == 0) + (win - 1)
+            # the window must sit inside ONE doc, and a boundary at a
+            # doc's last byte is the forced end anyway
+            di = np.searchsorted(offs, cand, side="right") - 1
+            ok = (cand >= offs[di] + win - 1) & (cand <= offs[di + 1] - 2)
+            cand = cand[ok]
+        else:
+            cand = np.empty(0, dtype=np.int64)
+        doc_ends = offs[1:][np.diff(offs) > 0] - 1
+        ends = np.sort(np.concatenate([cand, doc_ends]))
+        starts = np.r_[0, ends[:-1] + 1]
+        clen = ends - starts + 1
+        chash = (s0[ends + 1] - s0[starts]) * qip[starts]
+        t = pa.table(
+            {
+                "chash": pa.array(chash.view(np.int64)),
+                "clen": pa.array(clen, type=pa.int64()),
+            }
+        )
+        agg = t.group_by(["chash", "clen"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "chash": agg.column("chash"),
+                "clen": agg.column("clen"),
+                "n": agg.column("count_all").cast(pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    partial = ds.map_batches(chunk_block, batch_format="pyarrow")
+    distinct = grouped_aggregate(partial, ["chash", "clen"], [("n", "sum", "n")])
+    stats_schema = pa.schema(
+        [
+            ("n_chunks", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("bytes_total", pa.int64()),
+            ("bytes_saved", pa.int64()),
+        ]
+    )
+
+    def stats_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return stats_schema.empty_table()
+        n = np.asarray(block.column("n"), dtype=np.int64)
+        clen = np.asarray(block.column("clen"), dtype=np.int64)
+        return pa.table(
+            {
+                "n_chunks": pa.array([int(n.sum())], type=pa.int64()),
+                "n_distinct": pa.array([block.num_rows], type=pa.int64()),
+                "bytes_total": pa.array([int((n * clen).sum())], type=pa.int64()),
+                "bytes_saved": pa.array([int(((n - 1) * clen).sum())], type=pa.int64()),
+            },
+            schema=stats_schema,
+        )
+
+    tot = {"n_chunks": 0, "n_distinct": 0, "bytes_total": 0, "bytes_saved": 0}
+    for r in distinct.map_batches(stats_block, batch_format="pyarrow").take_all():
+        for k in tot:
+            tot[k] += int(r[k])
+    dup_pm = (
+        1000 * (tot["n_chunks"] - tot["n_distinct"]) // tot["n_chunks"]
+        if tot["n_chunks"]
+        else 0
+    )
+    saved_pm = (
+        1000 * tot["bytes_saved"] // tot["bytes_total"] if tot["bytes_total"] else 0
+    )
+    return pa.table(
+        {
+            "n_chunks": pa.array([tot["n_chunks"]], type=pa.int64()),
+            "n_distinct": pa.array([tot["n_distinct"]], type=pa.int64()),
+            "dup_chunks_pm": pa.array([dup_pm], type=pa.int64()),
+            "bytes_total": pa.array([tot["bytes_total"]], type=pa.int64()),
+            "bytes_saved_pm": pa.array([saved_pm], type=pa.int64()),
+        }
+    )

@@ -1670,3 +1670,59 @@ def test_embedding_quantize_zero_and_negative(ray_session, tmp_path):
     assert out.loc[2, "q_min"] == -127
     assert out.loc[2, "q_max"] == 63
     assert out.loc[2, "q_sum"] == -127 + 63 + 31
+
+
+def test_doc_chunk_dedup_survives_prefix_insertion(ray_session, tmp_path):
+    """The content-defined property: prepending bytes to a copy of a
+    doc shifts every byte position, yet the boundaries (picked by a
+    rolling CONTENT hash) re-align after the first chunk — duplicate
+    chunks are found despite the shift, which fixed-width blocking
+    could never do. Engine result must equal the single-process oracle
+    on the same fixture."""
+    import pyarrow.parquet as pq
+
+    from embulk_input_marketo_ray.pipelines import oracles
+
+    rng = np.random.default_rng(3)
+    body = "".join(chr(97 + c) for c in rng.integers(0, 26, size=4000))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array([body, "PREFIX-INSERTED:" + body]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([len(body), len(body) + 16], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = q.q_doc_chunk_dedup(str(tmp_path)).to_pandas()
+    exp = oracles.oracle_doc_chunk_dedup(str(tmp_path)).to_pandas()
+    assert got.to_dict("records") == exp.to_dict("records")
+    # the shifted copy re-syncs: a large majority of the byte stream
+    # dedups away even though every absolute position moved
+    assert got.loc[0, "n_chunks"] > got.loc[0, "n_distinct"]
+    assert got.loc[0, "bytes_saved_pm"] > 400
+
+
+def test_hop_distinct_users_hll_window_replication(ray_session, tmp_path):
+    """One event lands in exactly WINDOW/HOP hop windows; a lone user
+    estimates to 1 in each (HLL is exact at tiny cardinalities via the
+    linear-counting branch)."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1], type=pa.int64()),
+            "ts": pa.array([q.HOP_WINDOW_SECONDS * 5 * 1_000_000], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([42], type=pa.int64()),
+            "event_type": pa.array(["view"]),
+            "value": pa.array([0.0]),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q.q_hop_distinct_users_hll(str(tmp_path)).to_pandas()
+    assert len(out) == q.HOP_WINDOW_SECONDS // q.HOP_SECONDS
+    assert (out["approx_users"] == 1).all()
