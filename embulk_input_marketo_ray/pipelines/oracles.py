@@ -896,16 +896,19 @@ def oracle_event_dedup_window(sf_dir: str, window_s: int = 600) -> pa.Table:
 _ORACLE_BUILDERS["event_dedup_window"] = oracle_event_dedup_window
 
 
-def oracle_hop_distinct_users_hll(sf_dir: str, p: int = 12) -> pa.Table:
+def oracle_hop_distinct_users_hll(sf_dir: str, p: int | None = None) -> pa.Table:
     """Single-process recompute of the hopping-window HLL composition:
     every event lands in WINDOW/HOP consecutive hop windows; per-window
     registers fold with the same SplitMix64/rank spec and the same
     histogram-ordered estimate as oracle_approx_distinct_users."""
     from embulk_input_marketo_ray.pipelines.queries import (
+        HOP_HLL_P,
         HOP_SECONDS,
         HOP_WINDOW_SECONDS,
     )
 
+    if p is None:
+        p = HOP_HLL_P
     t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     users = t.column("user_id").to_pylist()
     ts_us = t.column("ts").cast(pa.int64()).to_pylist()

@@ -5067,14 +5067,14 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     return n
 
 
-def hll_estimate(registers: np.ndarray) -> int:
+def hll_estimate(registers: np.ndarray, m_regs: int = HLL_M) -> int:
     """Standard HLL estimate with the small-range (linear counting)
     correction. The harmonic sum folds over the REGISTER-VALUE
     HISTOGRAM in ascending value order — a fixed <= 65-term float sum
     whose order is identical in any implementation, so the estimate is
     bit-deterministic for identical registers (a direct 4096-term sum
     would depend on summation order)."""
-    m = float(HLL_M)
+    m = float(m_regs)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     counts = np.bincount(registers.astype(np.int64), minlength=65)
     harm = 0.0
@@ -8325,6 +8325,10 @@ def q_embedding_quantize(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+HOP_HLL_P = 10  # windowed tiles: 2^10 registers (1 KiB, ~3.2% error)
+HOP_HLL_M = 1 << HOP_HLL_P
+
+
 def q_hop_distinct_users_hll(sf_dir: str):
     """Approximate DISTINCT USERS PER HOPPING WINDOW — the streaming
     dashboard's 'active users in the last 10 minutes, every 5' tile at
@@ -8337,7 +8341,7 @@ def q_hop_distinct_users_hll(sf_dir: str):
     sketch each, never a distinct-set shuffle).
 
     Shape: per-block (window, registers) partials — payload bounded by
-    windows x blocks x 4 KiB at ANY event cardinality — one tiny keyed
+    windows x blocks x 1 KiB at ANY event cardinality — one tiny keyed
     exchange on window_us, register-max merge + closed-form estimate
     per group. The scatter-max bank folds every window in ONE pass
     (the q_approx_distinct_users kernel, keyed by window instead of
@@ -8356,17 +8360,32 @@ def q_hop_distinct_users_hll(sf_dir: str):
         t_us = np.asarray(batch.column("ts")).astype("datetime64[us]").view(np.int64)
         ws0 = (t_us // hop_us) * hop_us
         users = np.asarray(batch.column("user_id"), dtype=np.int64)
-        win = np.concatenate([ws0 - k * hop_us for k in range(n_hops)])
-        usr = np.tile(users, n_hops)
-        uniq, idx = np.unique(win, return_inverse=True)
-        h = splitmix64(usr)
-        reg_idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
-        rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
-        rank = (np.uint64(64) - _bit_length_u64(rest) + np.uint64(1)).astype(
+        # hash ONCE per event (the n_hops replicas share user and rank,
+        # only the window key differs), then ONE lexsort of the
+        # replicated (window, register) pairs drives both groupings —
+        # grouped max via reduceat, then a collision-free scatter (an
+        # order of magnitude faster than np.maximum.at at this density)
+        h = splitmix64(users)
+        reg1 = (h >> np.uint64(64 - HOP_HLL_P)).astype(np.int64)
+        rest = (h << np.uint64(HOP_HLL_P)) | np.uint64((1 << HOP_HLL_P) - 1)
+        rank1 = (np.uint64(64) - _bit_length_u64(rest) + np.uint64(1)).astype(
             np.uint8
         )
-        bank = np.zeros((len(uniq), HLL_M), dtype=np.uint8)
-        np.maximum.at(bank.reshape(-1), idx * HLL_M + reg_idx, rank)
+        win = np.concatenate([ws0 - k * hop_us for k in range(n_hops)])
+        comb = win * np.int64(HOP_HLL_M) + np.tile(reg1, n_hops)
+        rank = np.tile(rank1, n_hops)
+        order = np.argsort(comb, kind="stable")
+        comb_s = comb[order]
+        new_pair = np.r_[True, comb_s[1:] != comb_s[:-1]]
+        pstarts = np.flatnonzero(new_pair)
+        pmax = np.maximum.reduceat(rank[order], pstarts)
+        pwin = comb_s[pstarts] // np.int64(HOP_HLL_M)
+        preg = comb_s[pstarts] % np.int64(HOP_HLL_M)
+        new_win = np.r_[True, pwin[1:] != pwin[:-1]]
+        uniq = pwin[new_win]  # window_us values (epoch-us * 2^10 fits int64)
+        widx = np.cumsum(new_win) - 1
+        bank = np.zeros((len(uniq), HOP_HLL_M), dtype=np.uint8)
+        bank[widx, preg] = pmax
         return pa.table(
             {
                 "window_us": pa.array(uniq, type=pa.int64()),
@@ -8385,21 +8404,25 @@ def q_hop_distinct_users_hll(sf_dir: str):
         blobs = block.column("registers")
         if isinstance(blobs, pa.ChunkedArray):
             blobs = blobs.combine_chunks()
-        uniq, idx = np.unique(win, return_inverse=True)
-        out_n = []
-        for k in range(len(uniq)):
-            rows = np.flatnonzero(idx == k)
-            merged = np.zeros(HLL_M, dtype=np.uint8)
-            for r in rows:  # partials per window: bounded by input blocks
-                np.maximum(
-                    merged,
-                    np.frombuffer(blobs[int(r)].as_py(), dtype=np.uint8),
-                    out=merged,
-                )
-            out_n.append(hll_estimate(merged))
+        # every blob is exactly HLL_M bytes, so the binary column's data
+        # buffer IS the (rows, HLL_M) register matrix — zero-copy view,
+        # then ONE grouped max via maximum.reduceat(axis=0); the only
+        # Python loop left is the per-window estimate (domain-bounded)
+        boff = np.frombuffer(blobs.buffers()[1], dtype=np.int32)
+        lo = int(boff[blobs.offset])
+        hi = int(boff[blobs.offset + len(blobs)])
+        mat = np.frombuffer(blobs.buffers()[2], dtype=np.uint8)[lo:hi].reshape(
+            -1, HOP_HLL_M
+        )
+        order = np.argsort(win, kind="stable")
+        win_s = win[order]
+        new_run = np.r_[True, win_s[1:] != win_s[:-1]]
+        starts = np.flatnonzero(new_run)
+        merged = np.maximum.reduceat(mat[order], starts, axis=0)
+        out_n = [hll_estimate(merged[k], HOP_HLL_M) for k in range(len(starts))]
         return pa.table(
             {
-                "window_us": pa.array(uniq, type=pa.int64()),
+                "window_us": pa.array(win_s[starts], type=pa.int64()),
                 "approx_users": pa.array(out_n, type=pa.int64()),
             },
             schema=out_schema,
