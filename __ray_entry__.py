@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": q.q_embedding_quantize,
         "hop_distinct_users_hll": q.q_hop_distinct_users_hll,
         "doc_chunk_dedup": q.q_doc_chunk_dedup,
+        "customer_order_dist": q.q_customer_order_dist,
+        "part_promo_share": q.q_part_promo_share,
     }
 
 
@@ -1740,6 +1742,31 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             WHERE h < n_chars * {WEIGHTED_RATE_NUM}
+        """,
+        "customer_order_dist": """
+            WITH c AS (
+              SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+              FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey
+            )
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM c GROUP BY c_count
+        """,
+        "part_promo_share": """
+            WITH j AS (
+              SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+                     (p.p_type = 'PROMO') AS is_promo
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+                AND l.l_shipdate < TIMESTAMP '1997-10-01'
+            )
+            SELECT coalesce(sum(CASE WHEN is_promo THEN rev END), 0)::BIGINT
+                     AS promo_rev_c100,
+                   coalesce(sum(rev), 0)::BIGINT AS total_rev_c100,
+                   (1000 * coalesce(sum(CASE WHEN is_promo THEN rev END), 0)
+                    // coalesce(sum(rev), 1))::BIGINT AS promo_share_pm
+        FROM j
         """,
         "hop_distinct_users_hll": (
             f"SELECT * FROM read_parquet('{oracle_paths['hop_distinct_users_hll']}')"

@@ -8579,3 +8579,204 @@ def q_doc_chunk_dedup(sf_dir: str):
             "bytes_saved_pm": pa.array([saved_pm], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 / Q14 shapes: left-join distribution, promo revenue share
+# ---------------------------------------------------------------------------
+
+
+def q_customer_order_dist(sf_dir: str):
+    """TPC-H Q13 shape (customer distribution): the histogram of
+    orders-per-customer INCLUDING zero-order customers — the LEFT-join
+    count whose empty side is exactly what an inner join loses. Both
+    sides ride ONE tagged-union keyed exchange on custkey; a run with
+    a customer row and no order rows counts 0 (the kernel's per-run
+    count, not a join result, carries the zero). The (count ->
+    customers) histogram folds IN-BLOCK — payload bounded by the
+    max-orders-per-customer domain x blocks — and a driver fold merges
+    the bounded partials."""
+    _ensure_hash_shuffle()
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    union_schema = pa.schema([("ckey", pa.int64()), ("side", pa.int8())])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "ckey": batch.column("c_custkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            },
+            schema=union_schema,
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            },
+            schema=union_schema,
+        )
+
+    tagged = cust.map_batches(cust_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow")
+    )
+    part_schema = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+
+    def dist_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("ckey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("ckey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        has_cust = side[starts] == 0
+        n_orders = np.add.reduceat(side.astype(np.int64), starts)[has_cust]
+        if len(n_orders) == 0:
+            return part_schema.empty_table()
+        hist = np.bincount(n_orders)
+        nz = np.flatnonzero(hist >= 1)
+        return pa.table(
+            {
+                "c_count": pa.array(nz.astype(np.int64)),
+                "custdist": pa.array(hist[nz].astype(np.int64)),
+            },
+            schema=part_schema,
+        )
+
+    totals: dict[int, int] = {}
+    for r in _keyed_exchange_apply(tagged, ["ckey"], dist_kernel, part_schema).take_all():
+        totals[int(r["c_count"])] = totals.get(int(r["c_count"]), 0) + int(r["custdist"])
+    keys = sorted(totals)
+    return pa.table(
+        {
+            "c_count": pa.array(keys, type=pa.int64()),
+            "custdist": pa.array([totals[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+Q14_FROM = np.datetime64("1997-09-01", "us")
+Q14_TO = np.datetime64("1997-10-01", "us")  # half-open ship month
+
+
+def q_part_promo_share(sf_dir: str):
+    """TPC-H Q14 shape (promotion effect): the per-mille share of one
+    ship-month's revenue earned by PROMO-type parts. lineitem x part
+    is a LARGE x LARGE join at warehouse scale, so both sides ride ONE
+    tagged-union keyed exchange on partkey (the Q12 idiom) with the
+    ship-month pushed into the lineitem scan; the part side collapses
+    to a single int8 is-promo flag AT THE SCAN (the string never
+    moves). The kernel folds (promo, total) revenue to ONE partial row
+    per block and a driver sum finishes — integer cents end to end,
+    the share an exact integer floor(1000 * promo / total)."""
+    _ensure_hash_shuffle()
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    line = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    union_schema = pa.schema(
+        [("pkey", pa.int64()), ("side", pa.int8()), ("promo", pa.int8()),
+         ("rev_c", pa.int64())]
+    )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "pkey": batch.column("p_partkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "promo": pc.equal(batch.column("p_type"), pa.scalar("PROMO"))
+                .cast(pa.int8()),
+                "rev_c": pa.array(np.zeros(n, dtype=np.int64)),
+            },
+            schema=union_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(
+                batch.column("l_shipdate"),
+                pa.scalar(Q14_FROM.item(), type=pa.timestamp("us")),
+            ),
+            pc.less(
+                batch.column("l_shipdate"),
+                pa.scalar(Q14_TO.item(), type=pa.timestamp("us")),
+            ),
+        )
+        t = batch.filter(keep)
+        n = t.num_rows
+        cents = np.rint(
+            np.asarray(t.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(t.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pkey": t.column("l_partkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "promo": pa.array(np.zeros(n, dtype=np.int8)),
+                "rev_c": pa.array(cents * (100 - disc)),
+            },
+            schema=union_schema,
+        )
+
+    tagged = part.map_batches(part_rows, batch_format="pyarrow").union(
+        line.map_batches(line_rows, batch_format="pyarrow")
+    )
+    part_schema = pa.schema(
+        [("promo_rev_c100", pa.int64()), ("total_rev_c100", pa.int64())]
+    )
+
+    def share_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("pkey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("pkey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        promo = np.asarray(t.column("promo"), dtype=np.int8)
+        rev = np.asarray(t.column("rev_c"), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        has_part = side[starts] == 0
+        run_rev = np.add.reduceat(rev, starts)[has_part]
+        run_promo = promo[starts][has_part]
+        total = int(run_rev.sum())
+        if total == 0:
+            return part_schema.empty_table()
+        return pa.table(
+            {
+                "promo_rev_c100": pa.array(
+                    [int(run_rev[run_promo == 1].sum())], type=pa.int64()
+                ),
+                "total_rev_c100": pa.array([total], type=pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    promo_rev = total_rev = 0
+    for r in _keyed_exchange_apply(tagged, ["pkey"], share_kernel, part_schema).take_all():
+        promo_rev += int(r["promo_rev_c100"])
+        total_rev += int(r["total_rev_c100"])
+    return pa.table(
+        {
+            "promo_rev_c100": pa.array([promo_rev], type=pa.int64()),
+            "total_rev_c100": pa.array([total_rev], type=pa.int64()),
+            "promo_share_pm": pa.array(
+                [1000 * promo_rev // total_rev if total_rev else 0], type=pa.int64()
+            ),
+        }
+    )

@@ -1726,3 +1726,76 @@ def test_hop_distinct_users_hll_window_replication(ray_session, tmp_path):
     out = q.q_hop_distinct_users_hll(str(tmp_path)).to_pandas()
     assert len(out) == q.HOP_WINDOW_SECONDS // q.HOP_SECONDS
     assert (out["approx_users"] == 1).all()
+
+
+def test_customer_order_dist_counts_zero(ray_session, tmp_path):
+    """The LEFT-join zero: a customer with no orders lands in the
+    c_count=0 bucket (an inner join would lose them); orphan order
+    rows without a customer never form a bucket."""
+    import pyarrow.parquet as pq
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+            "c_name": pa.array(["a", "b", "c"]),
+            "c_nationkey": pa.array([0, 0, 0], type=pa.int32()),
+            "c_acctbal": pa.array([0.0] * 3),
+            "c_mktsegment": pa.array(["X"] * 3),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+            "o_custkey": pa.array([1, 1, 9], type=pa.int64()),  # 9 is an orphan
+            "o_orderstatus": pa.array(["O"] * 3),
+            "o_totalprice": pa.array([1.0] * 3),
+            "o_orderdate": pa.array([0] * 3, type=pa.int64()).cast(pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * 3),
+        }
+    )
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = q.q_customer_order_dist(str(tmp_path)).to_pandas().set_index("c_count")
+    assert out.loc[0, "custdist"] == 2  # customers 2 and 3
+    assert out.loc[2, "custdist"] == 1  # customer 1
+    assert len(out) == 2  # no bucket from the orphan
+
+
+def test_part_promo_share_flag_and_month(ray_session, tmp_path):
+    """Only PROMO-part revenue counts in the numerator; lineitems
+    outside the ship month never enter either sum."""
+    import pyarrow.parquet as pq
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], type=pa.int64()),
+            "p_name": pa.array(["x", "y"]),
+            "p_brand": pa.array(["B"] * 2),
+            "p_type": pa.array(["PROMO", "ECONOMY"]),
+            "p_size": pa.array([1, 1], type=pa.int32()),
+            "p_retailprice": pa.array([1.0, 1.0]),
+        }
+    )
+    sep = np.datetime64("1997-09-15", "us").item()
+    oct_ = np.datetime64("1997-10-01", "us").item()
+    line = pa.table(
+        {
+            "l_partkey": pa.array([1, 2, 1], type=pa.int64()),
+            "l_orderkey": pa.array([1, 1, 1], type=pa.int64()),
+            "l_suppkey": pa.array([0] * 3, type=pa.int64()),
+            "l_linenumber": pa.array([1] * 3, type=pa.int32()),
+            "l_quantity": pa.array([1.0] * 3),
+            "l_extendedprice": pa.array([10.0, 30.0, 99.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0]),
+            "l_tax": pa.array([0.0] * 3),
+            "l_returnflag": pa.array(["N"] * 3),
+            "l_linestatus": pa.array(["O"] * 3),
+            "l_shipdate": pa.array([sep, sep, oct_], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    pq.write_table(line, str(tmp_path / "lineitem.parquet"))
+    out = q.q_part_promo_share(str(tmp_path)).to_pandas()
+    assert out.loc[0, "promo_rev_c100"] == 1000 * 100
+    assert out.loc[0, "total_rev_c100"] == 4000 * 100
+    assert out.loc[0, "promo_share_pm"] == 250
