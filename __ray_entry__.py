@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_dedup": q.q_doc_chunk_dedup,
         "customer_order_dist": q.q_customer_order_dist,
         "part_promo_share": q.q_part_promo_share,
+        "doc_novelty": q.q_doc_novelty,
+        "event_type_affinity": q.q_event_type_affinity,
     }
 
 
@@ -1742,6 +1744,37 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             WHERE h < n_chars * {WEIGHTED_RATE_NUM}
+        """,
+        "doc_novelty": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                FROM t WHERE len(toks) >= 3
+              )
+            ),
+            m AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+            SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+                     AS n_novel,
+                   (1000 * sum(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    // greatest(count(*), 1))::BIGINT AS novelty_pm
+            FROM g JOIN m USING (gram)
+            GROUP BY g.doc_id
+        """,
+        "event_type_affinity": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*)::BIGINT AS n_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         "customer_order_dist": """
             WITH c AS (

@@ -8780,3 +8780,174 @@ def q_part_promo_share(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# first-occurrence novelty, event-type audience affinity
+# ---------------------------------------------------------------------------
+
+
+def q_doc_novelty(sf_dir: str):
+    """FIRST-OCCURRENCE novelty: per doc, how many of its distinct
+    word 3-grams appear FIRST in this doc (global min doc_id owns the
+    gram) — the curriculum/dedup-adjacent signal that separates
+    originators from echoes in crawl order. Complements
+    ``doc_boilerplate`` (df-based commonness) with attribution.
+
+    Shape: the boilerplate idiom — distinct (doc_id, gram) rows
+    explode in-block, ONE gram-keyed exchange makes each gram's
+    postings co-resident so min-doc attribution folds in the same
+    kernel as the per-doc counts; per-doc sums return through the
+    two-phase aggregate and the per-mille is a final streaming map."""
+    from embulk_input_marketo_ray.stages.text import doc_grams
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_distinct(batch: pa.Table) -> pa.Table:
+        g = doc_grams(batch, n=3)
+        if g.num_rows:
+            g = g.group_by(["doc_id", "gram"]).aggregate([])
+        return g
+
+    grams = ds.map_batches(explode_distinct, batch_format="pyarrow")
+    by_gram = _keyed_repartition(grams, _shuffle_width(), ["gram"])
+    part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_novel", pa.int64())]
+    )
+
+    def novelty_partial(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(block, sort_keys=[("gram", "ascending")])
+        t = block.take(order)
+        gram = np.asarray(t.column("gram"), dtype=object)
+        doc = np.asarray(t.column("doc_id"), dtype=np.int64)
+        new_run = np.r_[True, gram[1:] != gram[:-1]]
+        run_idx = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        first_doc = np.minimum.reduceat(doc, starts)  # postings co-resident
+        novel = doc == first_doc[run_idx]
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(np.ones(len(doc), dtype=np.int64)),
+                "n_novel": pa.array(novel.astype(np.int64)),
+            }
+        )
+        agg = out.group_by(["doc_id"]).aggregate(
+            [("n_grams", "sum"), ("n_novel", "sum")]
+        )
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "n_grams": agg.column("n_grams_sum"),
+                "n_novel": agg.column("n_novel_sum"),
+            },
+            schema=part_schema,
+        )
+
+    partial = by_gram.map_batches(
+        novelty_partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_doc = grouped_aggregate(
+        partial,
+        ["doc_id"],
+        [("n_grams", "sum", "n_grams"), ("n_novel", "sum", "n_novel")],
+    )
+
+    def add_pm(batch: pa.Table) -> pa.Table:
+        ng = np.asarray(batch.column("n_grams"), dtype=np.int64)
+        nv = np.asarray(batch.column("n_novel"), dtype=np.int64)
+        return batch.append_column(
+            "novelty_pm", pa.array(1000 * nv // np.maximum(ng, 1), type=pa.int64())
+        )
+
+    return per_doc.map_batches(add_pm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_event_type_affinity(sf_dir: str):
+    """Audience AFFINITY matrix: for every unordered pair of event
+    types, how many users did BOTH — the overlap grid behind
+    cross-sell / funnel-design analytics (a set-similarity join whose
+    sets are keyed by user). The type domain is small by construction,
+    so pairs per user are bounded (|types| choose 2).
+
+    Shape: distinct (user, type) pairs fold in-block FIRST (payload =
+    users x their distinct types, never events), ONE keyed exchange on
+    user_id co-locates each user's type set, the kernel emits its
+    pairs via one triu fan-out per block (the co_change idiom) and
+    folds them to <= |types|^2 partial rows; a driver fold merges the
+    bounded partials."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def distinct_block(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs_schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()), ("n_users", pa.int64())]
+    )
+
+    def affinity_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pairs_schema.empty_table()
+        # the exchange may concatenate duplicate (user, type) rows from
+        # different source blocks: dedup again, then sort by user/type
+        block = block.group_by(["user_id", "event_type"]).aggregate([])
+        order = pc.sort_indices(
+            block,
+            sort_keys=[("user_id", "ascending"), ("event_type", "ascending")],
+        )
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        et = np.asarray(t.column("event_type"), dtype=object)
+        n = len(user)
+        new_run = np.r_[True, user[1:] != user[:-1]]
+        starts = np.flatnonzero(new_run)
+        sizes = np.diff(np.r_[starts, n])
+        # triu fan-out: for a run of k types, k*(k-1)/2 ordered pairs.
+        # The loop runs over (i, j) OFFSET pairs — bounded by the type
+        # domain squared, never by the number of users — and each
+        # iteration selects every qualifying run at once.
+        if int((sizes * (sizes - 1) // 2).sum()) == 0:
+            return pairs_schema.empty_table()
+        kmax = int(sizes.max())
+        a_idx, b_idx = [], []
+        for i in range(kmax - 1):
+            for j in range(i + 1, kmax):
+                m = sizes > j
+                a_idx.append(starts[m] + i)
+                b_idx.append(starts[m] + j)
+        a = np.concatenate(a_idx)
+        b = np.concatenate(b_idx)
+        out = pa.table(
+            {
+                "type_a": pa.array(et[a], type=pa.string()),
+                "type_b": pa.array(et[b], type=pa.string()),
+            }
+        )
+        agg = out.group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "type_a": agg.column("type_a"),
+                "type_b": agg.column("type_b"),
+                "n_users": agg.column("count_all").cast(pa.int64()),
+            },
+            schema=pairs_schema,
+        )
+
+    distinct = ds.map_batches(distinct_block, batch_format="pyarrow")
+    partial = _keyed_exchange_apply(distinct, ["user_id"], affinity_kernel, pairs_schema)
+    totals: dict[tuple[str, str], int] = {}
+    for r in partial.take_all():
+        k = (r["type_a"], r["type_b"])
+        totals[k] = totals.get(k, 0) + int(r["n_users"])
+    keys = sorted(totals)
+    return pa.table(
+        {
+            "type_a": pa.array([k[0] for k in keys], type=pa.string()),
+            "type_b": pa.array([k[1] for k in keys], type=pa.string()),
+            "n_users": pa.array([totals[k] for k in keys], type=pa.int64()),
+        }
+    )

@@ -1799,3 +1799,57 @@ def test_part_promo_share_flag_and_month(ray_session, tmp_path):
     assert out.loc[0, "promo_rev_c100"] == 1000 * 100
     assert out.loc[0, "total_rev_c100"] == 4000 * 100
     assert out.loc[0, "promo_share_pm"] == 250
+
+
+def test_doc_novelty_min_doc_attribution(ray_session, tmp_path):
+    """The gram's FIRST doc (min doc_id) owns it: a verbatim echo of an
+    earlier doc scores 0 novelty; the originator scores 1000; ties on
+    the same gram resolve to the smaller doc_id."""
+    import pyarrow.parquet as pq
+
+    original = "alpha beta gamma delta epsilon zeta"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([5, 9], type=pa.int64()),
+            "text": pa.array([original, original]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([len(original)] * 2, type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q.q_doc_novelty(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[5, "novelty_pm"] == 1000
+    assert out.loc[9, "novelty_pm"] == 0
+    assert out.loc[5, "n_grams"] == out.loc[9, "n_grams"] == 4
+
+
+def test_event_type_affinity_pairs(ray_session, tmp_path):
+    """Pairs are unordered (lexicographic a < b), deduped per user
+    (repeat events don't inflate the count), single-type users emit
+    nothing."""
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, "view"), (1, "view"), (1, "click"),    # user 1: click+view
+        (2, "view"), (2, "click"), (2, "buy"),     # user 2: 3 pairs
+        (3, "view"),                               # user 3: nothing
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "ts": pa.array([0] * len(rows), type=pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q.q_event_type_affinity(str(tmp_path)).to_pandas()
+    got = {(r.type_a, r.type_b): r.n_users for r in out.itertuples()}
+    assert got == {
+        ("click", "view"): 2,
+        ("buy", "click"): 1,
+        ("buy", "view"): 1,
+    }
