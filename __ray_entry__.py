@@ -207,6 +207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_promo_share": q.q_part_promo_share,
         "doc_novelty": q.q_doc_novelty,
         "event_type_affinity": q.q_event_type_affinity,
+        "top_supplier_revenue": q.q_top_supplier_revenue,
+        "supplier_part_counts": q.q_supplier_part_counts,
+        "part_small_qty": q.q_part_small_qty,
+        "idle_customer_balance": q.q_idle_customer_balance,
     }
 
 
@@ -1831,5 +1835,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max(codes) AS BIGINT) AS q_max,
                    CAST(list_sum(codes) AS BIGINT) AS q_sum
             FROM q
+        """,
+        "top_supplier_revenue": """
+            WITH r AS (
+              SELECT l_suppkey AS s_suppkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                        )::BIGINT AS revenue_c10k
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.revenue_c10k
+            FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE r.revenue_c10k = (SELECT max(revenue_c10k) FROM r)
+        """,
+        "supplier_part_counts": """
+            WITH ps AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p.p_brand AS brand, p.p_type AS ptype,
+                   CAST(p.p_size AS BIGINT) AS size,
+                   count(DISTINCT ps.l_suppkey)::BIGINT AS supplier_cnt
+            FROM part p JOIN ps ON ps.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#13'
+              AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 4, 7, 10)
+            GROUP BY 1, 2, 3
+        """,
+        "part_small_qty": """
+            WITH l AS (
+              SELECT l_partkey,
+                     CAST(round(l_quantity) AS BIGINT) AS q,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem
+            ),
+            a AS (
+              SELECT l_partkey, count(*)::BIGINT AS n, sum(q)::BIGINT AS sq
+              FROM l GROUP BY l_partkey
+            ),
+            s AS (
+              SELECT coalesce(sum(l.c), 0)::BIGINT AS total_c100,
+                     count(l.c)::BIGINT AS n_small
+              FROM l
+              JOIN part p ON p.p_partkey = l.l_partkey
+                         AND p.p_brand = 'Brand#13'
+              JOIN a ON a.l_partkey = l.l_partkey
+              WHERE 5 * l.q * a.n < a.sq
+            )
+            SELECT total_c100, n_small,
+                   (total_c100 // 7)::BIGINT AS avg_yearly_c100
+            FROM s
+        """,
+        "idle_customer_balance": """
+            WITH c AS (
+              SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+              FROM customer
+            ),
+            s AS (
+              SELECT coalesce(sum(bal), 0)::BIGINT AS s,
+                     count(*)::BIGINT AS n
+              FROM c WHERE bal > 0
+            )
+            SELECT c.nationkey, count(*)::BIGINT AS numcust,
+                   sum(c.bal)::BIGINT AS totacctbal_c100
+            FROM c, s
+            WHERE c.bal * s.n > s.s
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+              )
+            GROUP BY c.nationkey
         """,
     }

@@ -8951,3 +8951,492 @@ def q_event_type_affinity(sf_dir: str):
             "n_users": pa.array([totals[k] for k in keys], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# remaining TPC-H join/aggregate shapes: Q15 argmax-with-ties, Q16 grouped
+# count-distinct, Q17 per-key scalar-subquery filter, Q22 global-scalar +
+# anti-join composition
+# ---------------------------------------------------------------------------
+
+Q15_FROM = np.datetime64("1996-01-01", "us")
+Q15_TO = np.datetime64("1996-04-01", "us")  # half-open ship quarter
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): the supplier(s) with MAXIMUM
+    revenue in one ship-quarter, ties kept — the argmax-over-aggregate
+    shape (the reference view + WHERE total = (SELECT max ...)).
+
+    Shape: the quarter is pushed INTO the lineitem scan; revenue folds
+    per supplier IN-BLOCK first (payload = suppliers x blocks, never
+    lineitems), the two-phase grouped aggregate merges partials, and
+    the argmax-with-ties runs on the driver over the per-supplier
+    result — bounded by the SUPPLIER DIMENSION, which at 100 TB is
+    still a dimension table (the same contract as every driver fold in
+    this catalog). Supplier names attach driver-side from the
+    dimension read. Revenue is INTEGER-EXACT cents x (100 - disc%).
+
+    Ref: the reference exposes only per-entity streams
+    (MarketoService.java); this is the downstream "who won the
+    quarter" report its users build."""
+    import pyarrow.dataset as pds
+
+    _ensure_hash_shuffle()
+    line = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(
+            (pds.field("l_shipdate") >= pa.scalar(Q15_FROM.item(), type=pa.timestamp("us")))
+            & (pds.field("l_shipdate") < pa.scalar(Q15_TO.item(), type=pa.timestamp("us")))
+        ),
+    )
+    part_schema = pa.schema([("s_suppkey", pa.int64()), ("revenue_c10k", pa.int64())])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        cents = np.rint(
+            np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(batch.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "s_suppkey": batch.column("l_suppkey").cast(pa.int64()),
+                "revenue_c10k": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+        agg = t.group_by(["s_suppkey"]).aggregate([("revenue_c10k", "sum")])
+        return agg.rename_columns(["s_suppkey", "revenue_c10k"])
+
+    per_supp = grouped_aggregate(
+        line.map_batches(rev_partial, batch_format="pyarrow"),
+        ["s_suppkey"],
+        [("revenue_c10k", "sum", "revenue_c10k")],
+    )
+    rows = per_supp.take_all()  # bounded by the supplier dimension
+    if not rows:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "revenue_c10k": pa.array([], type=pa.int64()),
+            }
+        )
+    best = max(int(r["revenue_c10k"]) for r in rows)
+    winners = sorted(
+        int(r["s_suppkey"]) for r in rows if int(r["revenue_c10k"]) == best
+    )
+    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    names = {
+        int(k): str(v)
+        for k, v in zip(
+            np.asarray(sup.column("s_suppkey"), dtype=np.int64),
+            sup.column("s_name").to_pylist(),
+        )
+    }
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners, type=pa.int64()),
+            "s_name": pa.array([names[k] for k in winners], type=pa.string()),
+            "revenue_c10k": pa.array([best] * len(winners), type=pa.int64()),
+        }
+    )
+
+
+Q16_EXCL_BRAND = "Brand#13"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 7, 10)
+
+
+def q_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 shape (parts/supplier relationship): how many DISTINCT
+    suppliers ship each (brand, type, size) combination, excluding one
+    brand and one type and restricted to a size set — grouped COUNT
+    DISTINCT where the distinct key (the supplier) is NOT the grouping
+    key. The part-supplier relation derives from lineitem (this
+    dataset's partsupp analog).
+
+    Shape: (partkey, suppkey) pairs dedup IN-BLOCK first, then part
+    attrs attach via ONE tagged-union keyed exchange on partkey (the
+    Q12/Q14 idiom — parts are filtered AT THE SCAN so excluded rows
+    never ride); the kernel emits distinct (brand, type, size, skey)
+    rows; the global distinct + per-group count run through the
+    two-phase aggregate twice, both bounded by the attribute x supplier
+    DOMAIN, never by lineitem rows."""
+    _ensure_hash_shuffle()
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    line = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    union_schema = pa.schema(
+        [
+            ("pkey", pa.int64()),
+            ("side", pa.int8()),
+            ("brand", pa.string()),
+            ("ptype", pa.string()),
+            ("size", pa.int64()),
+            ("skey", pa.int64()),
+        ]
+    )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.not_equal(batch.column("p_brand"), pa.scalar(Q16_EXCL_BRAND)),
+                pc.not_equal(batch.column("p_type"), pa.scalar(Q16_EXCL_TYPE)),
+            ),
+            pc.is_in(
+                batch.column("p_size").cast(pa.int64()),
+                value_set=pa.array(list(Q16_SIZES), type=pa.int64()),
+            ),
+        )
+        t = batch.filter(keep)
+        n = t.num_rows
+        return pa.table(
+            {
+                "pkey": t.column("p_partkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "brand": t.column("p_brand"),
+                "ptype": t.column("p_type"),
+                "size": t.column("p_size").cast(pa.int64()),
+                "skey": pa.nulls(n, type=pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        n = t.num_rows
+        return pa.table(
+            {
+                "pkey": t.column("l_partkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "brand": pa.nulls(n, type=pa.string()),
+                "ptype": pa.nulls(n, type=pa.string()),
+                "size": pa.nulls(n, type=pa.int64()),
+                "skey": t.column("l_suppkey").cast(pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    tagged = part.map_batches(part_rows, batch_format="pyarrow").union(
+        line.map_batches(pair_rows, batch_format="pyarrow")
+    )
+    quad_schema = pa.schema(
+        [
+            ("brand", pa.string()),
+            ("ptype", pa.string()),
+            ("size", pa.int64()),
+            ("skey", pa.int64()),
+        ]
+    )
+
+    def attach_attrs(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return quad_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("pkey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("pkey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        run_idx = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        # a qualifying part row (side 0) sorts first in its run; runs
+        # without one (filtered part or partkey gap) drop entirely
+        has_part = side[starts] == 0
+        is_pair = (side == 1) & has_part[run_idx]
+        if not is_pair.any():
+            return quad_schema.empty_table()
+        src = starts[run_idx[is_pair]]  # the run's part row
+        sel = t.filter(pa.array(is_pair))
+        take = pa.array(src.astype(np.int64))
+        return pa.table(
+            {
+                "brand": t.column("brand").take(take),
+                "ptype": t.column("ptype").take(take),
+                "size": t.column("size").take(take),
+                "skey": sel.column("skey"),
+            },
+            schema=quad_schema,
+        )
+
+    quads = _keyed_exchange_apply(tagged, ["pkey"], attach_attrs, quad_schema)
+    distinct = grouped_aggregate(quads, ["brand", "ptype", "size", "skey"], [])
+    return grouped_aggregate(
+        distinct,
+        ["brand", "ptype", "size"],
+        [("skey", "count", "supplier_cnt")],
+    )
+
+
+Q17_BRAND = "Brand#13"
+
+
+def q_part_small_qty(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): total revenue of
+    lineitems of one brand's parts whose quantity is below 20% of that
+    PART's average quantity — the correlated-scalar-subquery filter
+    (each row compared against ITS OWN group's aggregate).
+
+    Shape: ONE tagged-union keyed exchange on partkey (parts filtered
+    to the brand AT THE SCAN) makes each part's lineitems co-resident;
+    the kernel folds the per-part mean and applies the 20% test in the
+    SAME pass — the comparison ``qty < sum/(5*n)`` evaluates as the
+    INTEGER cross-product ``5*qty*n < sum`` (quantities are integral),
+    so no float division touches the gate. Each block leaves ONE
+    partial row; a driver sum finishes. avg_yearly is the TPC-H /7.0,
+    kept integer as floor(total/7)."""
+    _ensure_hash_shuffle()
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    line = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    union_schema = pa.schema(
+        [
+            ("pkey", pa.int64()),
+            ("side", pa.int8()),
+            ("qty", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("p_brand"), pa.scalar(Q17_BRAND)))
+        n = t.num_rows
+        return pa.table(
+            {
+                "pkey": t.column("p_partkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "qty": pa.nulls(n, type=pa.int64()),
+                "cents": pa.nulls(n, type=pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        qty = np.rint(np.asarray(batch.column("l_quantity"), dtype=np.float64)).astype(
+            np.int64
+        )
+        cents = np.rint(
+            np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pkey": batch.column("l_partkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "qty": pa.array(qty),
+                "cents": pa.array(cents),
+            },
+            schema=union_schema,
+        )
+
+    tagged = part.map_batches(part_rows, batch_format="pyarrow").union(
+        line.map_batches(line_rows, batch_format="pyarrow")
+    )
+    part_schema = pa.schema([("total_c100", pa.int64()), ("n_small", pa.int64())])
+
+    def small_qty_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("pkey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        key = np.asarray(t.column("pkey"), dtype=np.int64)
+        qty = np.asarray(
+            t.column("qty").fill_null(0), dtype=np.int64
+        )
+        cents = np.asarray(t.column("cents").fill_null(0), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        run_idx = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        has_part = side[starts] == 0
+        is_line = side == 1
+        n_per = np.add.reduceat(is_line.astype(np.int64), starts)
+        sq_per = np.add.reduceat(np.where(is_line, qty, 0), starts)
+        # qty < 0.2 * (sum/n)  <=>  5*qty*n < sum   (exact int64)
+        small = (
+            is_line
+            & has_part[run_idx]
+            & (5 * qty * n_per[run_idx] < sq_per[run_idx])
+        )
+        if not small.any():
+            return part_schema.empty_table()
+        return pa.table(
+            {
+                "total_c100": pa.array([int(cents[small].sum())], type=pa.int64()),
+                "n_small": pa.array([int(small.sum())], type=pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    total = n = 0
+    for r in _keyed_exchange_apply(tagged, ["pkey"], small_qty_kernel, part_schema).take_all():
+        total += int(r["total_c100"])
+        n += int(r["n_small"])
+    return pa.table(
+        {
+            "total_c100": pa.array([total], type=pa.int64()),
+            "n_small": pa.array([n], type=pa.int64()),
+            "avg_yearly_c100": pa.array([total // 7], type=pa.int64()),
+        }
+    )
+
+
+Q22_RECENT = np.datetime64("2001-01-01", "us")
+
+
+def q_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22 shape (global-opportunity): per nation, the count and
+    total balance of customers whose balance exceeds the GLOBAL mean of
+    positive balances AND who placed no RECENT order (no order on/after
+    ``Q22_RECENT``; in this dataset every customer has SOME order, so
+    the recency window is what makes the anti-join discriminating) —
+    the uncorrelated scalar subquery composed with NOT EXISTS.
+
+    Shape: pass 1 folds (sum, count) of positive balances to one
+    partial per block (a driver sum — no exchange); the mean comparison
+    evaluates as the INTEGER cross-product ``bal*count > sum`` so the
+    scalar gate is exact. Pass 2 is the anti-join idiom: qualifying
+    customers and recent-order custkeys ride ONE tagged-union exchange
+    (the probe side filtered AT THE SCAN), the kernel keeps customer
+    runs with no probe row and folds per-nation (count, balance)
+    partials IN-BLOCK — the final fold moves only nation-domain rows,
+    assembled driver-side into a schema-stable table (empty results
+    keep their columns)."""
+    _ensure_hash_shuffle()
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    scan = _read(sf_dir, "customer", columns=["c_acctbal"])
+    stat_schema = pa.schema([("s", pa.int64()), ("n", pa.int64())])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = np.rint(
+            np.asarray(batch.column("c_acctbal"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        pos = bal > 0
+        if not pos.any():
+            return stat_schema.empty_table()
+        return pa.table(
+            {
+                "s": pa.array([int(bal[pos].sum())], type=pa.int64()),
+                "n": pa.array([int(pos.sum())], type=pa.int64()),
+            },
+            schema=stat_schema,
+        )
+
+    S = N = 0
+    for r in scan.map_batches(bal_partial, batch_format="pyarrow").take_all():
+        S += int(r["s"])
+        N += int(r["n"])
+
+    union_schema = pa.schema(
+        [
+            ("ckey", pa.int64()),
+            ("side", pa.int8()),
+            ("nation", pa.int64()),
+            ("bal_c100", pa.int64()),
+        ]
+    )
+
+    def customer_rows(batch: pa.Table) -> pa.Table:
+        bal = np.rint(
+            np.asarray(batch.column("c_acctbal"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        keep = bal * N > S  # bal > S/N, exact in int64
+        t = batch.filter(pa.array(keep))
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t.column("c_custkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "nation": t.column("c_nationkey").cast(pa.int64()),
+                "bal_c100": pa.array(bal[keep]),
+            },
+            schema=union_schema,
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        recent = batch.filter(
+            pc.greater_equal(
+                batch.column("o_orderdate"),
+                pa.scalar(Q22_RECENT.item(), type=pa.timestamp("us")),
+            )
+        )
+        t = recent.group_by(["o_custkey"]).aggregate([])
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "nation": pa.nulls(n, type=pa.int64()),
+                "bal_c100": pa.nulls(n, type=pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    customer = _read(sf_dir, "customer", columns=cust_cols)
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    tagged = customer.map_batches(customer_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow")
+    )
+    part_schema = pa.schema(
+        [
+            ("nationkey", pa.int64()),
+            ("numcust", pa.int64()),
+            ("totacctbal_c100", pa.int64()),
+        ]
+    )
+
+    def idle_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("ckey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("ckey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        run_idx = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        has_order = np.logical_or.reduceat(side == 1, starts)
+        keep = (side == 0) & ~has_order[run_idx]
+        if not keep.any():
+            return part_schema.empty_table()
+        sel = t.filter(pa.array(keep))
+        agg = (
+            pa.table(
+                {
+                    "nationkey": sel.column("nation"),
+                    "numcust": pa.array(np.ones(sel.num_rows, dtype=np.int64)),
+                    "totacctbal_c100": sel.column("bal_c100"),
+                }
+            )
+            .group_by(["nationkey"])
+            .aggregate([("numcust", "sum"), ("totacctbal_c100", "sum")])
+        )
+        return agg.rename_columns(["nationkey", "numcust", "totacctbal_c100"]).cast(
+            part_schema
+        )
+
+    partial = _keyed_exchange_apply(tagged, ["ckey"], idle_kernel, part_schema)
+    counts: dict[int, int] = {}
+    bals: dict[int, int] = {}
+    for r in partial.take_all():  # bounded by the nation domain x blocks
+        k = int(r["nationkey"])
+        counts[k] = counts.get(k, 0) + int(r["numcust"])
+        bals[k] = bals.get(k, 0) + int(r["totacctbal_c100"])
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "nationkey": pa.array(keys, type=pa.int64()),
+            "numcust": pa.array([counts[k] for k in keys], type=pa.int64()),
+            "totacctbal_c100": pa.array([bals[k] for k in keys], type=pa.int64()),
+        }
+    )

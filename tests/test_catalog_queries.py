@@ -1853,3 +1853,198 @@ def test_event_type_affinity_pairs(ray_session, tmp_path):
         ("buy", "click"): 1,
         ("buy", "view"): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15/Q16/Q17/Q22 shapes
+# ---------------------------------------------------------------------------
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows: (orderkey, partkey, suppkey, qty, price, disc, shipdate_str)."""
+    import pyarrow.parquet as pq
+
+    n = len(rows)
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], type=pa.int64()),
+            "l_suppkey": pa.array([r[2] for r in rows], type=pa.int64()),
+            "l_linenumber": pa.array(np.arange(n, dtype=np.int32)),
+            "l_quantity": pa.array([float(r[3]) for r in rows]),
+            "l_extendedprice": pa.array([float(r[4]) for r in rows]),
+            "l_discount": pa.array([float(r[5]) for r in rows]),
+            "l_tax": pa.array([0.0] * n),
+            "l_returnflag": pa.array(["N"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array(
+                [np.datetime64(r[6], "us") for r in rows], type=pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+
+
+def test_top_supplier_revenue_keeps_ties(ray_session, tmp_path):
+    """Two suppliers tying the quarter's max BOTH return; out-of-quarter
+    rows never count; revenue is cents x (100 - disc%)."""
+    import pyarrow.parquet as pq
+
+    _write_lineitem(
+        tmp_path,
+        [
+            (1, 1, 1, 1, 10.00, 0.00, "1996-02-01"),   # supp 1: 100000
+            (2, 1, 2, 1, 5.00, 0.00, "1996-02-01"),    # supp 2: 50000
+            (3, 1, 2, 1, 5.00, 0.00, "1996-03-31"),    # supp 2: +50000 -> tie
+            (4, 1, 3, 1, 99.00, 0.00, "1996-04-01"),   # outside (half-open)
+            (5, 1, 3, 1, 99.00, 0.00, "1995-12-31"),   # outside
+        ],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+                "s_name": pa.array(["sa", "sb", "sc"]),
+                "s_nationkey": pa.array([0, 0, 0], type=pa.int32()),
+                "s_acctbal": pa.array([0.0, 0.0, 0.0]),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    out = q.q_top_supplier_revenue(str(tmp_path)).to_pandas()
+    assert list(out["s_suppkey"]) == [1, 2]
+    assert list(out["s_name"]) == ["sa", "sb"]
+    assert set(out["revenue_c10k"]) == {100000}
+
+
+def test_part_small_qty_integer_gate(ray_session, tmp_path):
+    """The 20%-of-part-average gate evaluates as 5*qty*n < sum (exact):
+    a part with quantities [1, 10, 10, 10] (sum 31, n 4) keeps only the
+    qty-1 row (20 < 31); parts of other brands never contribute."""
+    import pyarrow.parquet as pq
+
+    _write_lineitem(
+        tmp_path,
+        [
+            (1, 1, 1, 1, 7.00, 0.0, "1996-01-01"),
+            (2, 1, 1, 10, 1.00, 0.0, "1996-01-01"),
+            (3, 1, 1, 10, 1.00, 0.0, "1996-01-01"),
+            (4, 1, 1, 10, 1.00, 0.0, "1996-01-01"),
+            (5, 2, 1, 1, 50.00, 0.0, "1996-01-01"),  # wrong brand
+        ],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], type=pa.int64()),
+                "p_name": pa.array(["a", "b"]),
+                "p_brand": pa.array([q.Q17_BRAND, "Brand#99"]),
+                "p_type": pa.array(["STANDARD", "STANDARD"]),
+                "p_size": pa.array([1, 1], type=pa.int32()),
+                "p_retailprice": pa.array([0.0, 0.0]),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    out = q.q_part_small_qty(str(tmp_path)).to_pandas()
+    assert out.iloc[0]["total_c100"] == 700
+    assert out.iloc[0]["n_small"] == 1
+    assert out.iloc[0]["avg_yearly_c100"] == 100
+
+
+def test_supplier_part_counts_distinct_and_exclusions(ray_session, tmp_path):
+    """Duplicate (part, supplier) lineitems count once; excluded brand /
+    type / size parts never appear."""
+    import pyarrow.parquet as pq
+
+    _write_lineitem(
+        tmp_path,
+        [
+            (1, 1, 1, 1, 1.0, 0.0, "1996-01-01"),
+            (2, 1, 1, 1, 1.0, 0.0, "1996-01-01"),  # dup pair
+            (3, 1, 2, 1, 1.0, 0.0, "1996-01-01"),
+            (4, 2, 1, 1, 1.0, 0.0, "1996-01-01"),  # excluded brand
+            (5, 3, 1, 1, 1.0, 0.0, "1996-01-01"),  # excluded size
+        ],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+                "p_name": pa.array(["a", "b", "c"]),
+                "p_brand": pa.array(["Brand#1", q.Q16_EXCL_BRAND, "Brand#1"]),
+                "p_type": pa.array(["STANDARD", "STANDARD", "STANDARD"]),
+                "p_size": pa.array([1, 1, 99], type=pa.int32()),
+                "p_retailprice": pa.array([0.0] * 3),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    out = q.q_supplier_part_counts(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["brand"], r["ptype"], r["size"], r["supplier_cnt"]) == (
+        "Brand#1", "STANDARD", 1, 2,
+    )
+
+
+def test_idle_customer_balance_gate_and_window(ray_session, tmp_path):
+    """Only above-mean-positive-balance customers with no RECENT order
+    survive; the empty result keeps its three columns."""
+    import pyarrow.parquet as pq
+
+    def write_customers(bals):
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array(
+                        np.arange(1, len(bals) + 1, dtype=np.int64)
+                    ),
+                    "c_name": pa.array([f"c{i}" for i in range(len(bals))]),
+                    "c_nationkey": pa.array([7] * len(bals), type=pa.int32()),
+                    "c_acctbal": pa.array([float(b) for b in bals]),
+                    "c_mktsegment": pa.array(["BUILDING"] * len(bals)),
+                }
+            ),
+            str(tmp_path / "customer.parquet"),
+        )
+
+    def write_orders(rows):  # (custkey, date)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        np.arange(1, len(rows) + 1, dtype=np.int64)
+                    ),
+                    "o_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(rows)),
+                    "o_totalprice": pa.array([1.0] * len(rows)),
+                    "o_orderdate": pa.array(
+                        [np.datetime64(r[1], "us") for r in rows],
+                        type=pa.timestamp("us"),
+                    ),
+                    "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+
+    # mean of positive balances = (100 + 300) / 2 = 200
+    write_customers([100.00, 300.00, -50.00, 250.00])
+    write_orders(
+        [
+            (2, "2001-05-01"),  # cust 2 above mean but RECENT order -> out
+            (4, "1999-01-01"),  # cust 4 above mean, only an OLD order -> in
+            (1, "1999-01-01"),  # cust 1 below mean -> out regardless
+        ]
+    )
+    out = q.q_idle_customer_balance(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["nationkey"], r["numcust"], r["totacctbal_c100"]) == (7, 1, 25000)
+
+    # everyone ordered recently -> empty but schema-stable
+    write_orders([(1, "2001-05-01"), (2, "2001-05-01"), (3, "2001-05-01"), (4, "2001-05-01")])
+    out = q.q_idle_customer_balance(str(tmp_path)).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["nationkey", "numcust", "totacctbal_c100"]
