@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_counts": q.q_supplier_part_counts,
         "part_small_qty": q.q_part_small_qty,
         "idle_customer_balance": q.q_idle_customer_balance,
+        "nation_pair_volume": q.q_nation_pair_volume,
+        "disjunctive_part_revenue": q.q_disjunctive_part_revenue,
+        "doc_surprisal": q.q_doc_surprisal,
     }
 
 
@@ -1909,5 +1912,63 @@ def oracle_sql() -> dict[str, str]:
                   AND o.o_orderdate >= TIMESTAMP '2001-01-01'
               )
             GROUP BY c.nationkey
+        """,
+        "nation_pair_volume": """
+            WITH sn AS (
+              SELECT s_suppkey, n_name
+              FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            ),
+            cn AS (
+              SELECT c_custkey, n_name
+              FROM customer JOIN nation ON n_nationkey = c_nationkey
+            )
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                      )::BIGINT AS revenue_c10k
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN cn ON cn.c_custkey = o.o_custkey
+            JOIN sn ON sn.s_suppkey = l.l_suppkey
+            WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+                   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "disjunctive_part_revenue": """
+            WITH j AS (
+              SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+                     CAST(round(l.l_quantity) AS BIGINT) AS q,
+                     p.p_brand AS b, p.p_size AS s
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            )
+            SELECT coalesce(sum(rev), 0)::BIGINT AS revenue_c10k,
+                   count(rev)::BIGINT AS n_items
+            FROM j
+            WHERE (b = 'Brand#1' AND s BETWEEN 1 AND 5 AND q BETWEEN 1 AND 11)
+               OR (b = 'Brand#2' AND s BETWEEN 1 AND 10 AND q BETWEEN 10 AND 20)
+               OR (b = 'Brand#3' AND s BETWEEN 1 AND 15 AND q BETWEEN 20 AND 30)
+        """,
+        "doc_surprisal": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+                       AS token
+              FROM documents
+            ),
+            c AS (SELECT token, count(*)::BIGINT AS n FROM t GROUP BY token),
+            s AS (SELECT coalesce(sum(n), 0)::BIGINT AS total FROM c)
+            SELECT t.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(length(printf('%b', s.total))
+                       - length(printf('%b', c.n)))::BIGINT AS sum_bits,
+                   (1000 * sum(length(printf('%b', s.total))
+                               - length(printf('%b', c.n)))
+                    // greatest(count(*), 1))::BIGINT AS mean_millibits
+            FROM t JOIN c USING (token), s
+            GROUP BY t.doc_id
         """,
     }

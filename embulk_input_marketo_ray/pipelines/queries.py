@@ -9440,3 +9440,575 @@ def q_idle_customer_balance(sf_dir: str):
             "totacctbal_c100": pa.array([bals[k] for k in keys], type=pa.int64()),
         }
     )
+
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_FROM = np.datetime64("1996-01-01", "us")
+Q7_TO = np.datetime64("1998-01-01", "us")  # half-open two ship-years
+
+
+def q_nation_pair_volume(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping): revenue between TWO specific
+    nations per direction per ship-year — supplier nation from the
+    selling side, customer nation via orders. The Q5 pipeline's
+    two-chained-exchange backbone with a PAIR filter instead of the
+    equality filter and a (pair x year) output grid.
+
+    - customers are filtered to the two nations AT THE SCAN (driver
+      resolves names -> keys from the 25-row dimension);
+    - exchange #1 (customer x orders on custkey) stamps each order
+      with its customer's nation and ships only (okey, cust_nation);
+    - exchange #2 (that stream x lineitem on orderkey): the ship-year
+      window prunes the lineitem SCAN, supplier nations attach from
+      the budgeted broadcast map, and the kernel keeps only the two
+      cross pairs, folding (supp, cust, year) partials IN-BLOCK — each
+      block leaves <= 2 x years rows; a driver fold + name attach
+      finish. Revenue integer-exact cents x (100 - disc%)."""
+    _ensure_hash_shuffle()
+    import pyarrow.dataset as pds
+
+    nation = pq.read_table(_t(sf_dir, "nation"))
+    key_of = {
+        str(n): int(k)
+        for n, k in zip(
+            nation.column("n_name").to_pylist(),
+            np.asarray(nation.column("n_nationkey")),
+        )
+    }
+    ka, kb = key_of[Q7_NATION_A], key_of[Q7_NATION_B]
+    name_of = {ka: Q7_NATION_A, kb: Q7_NATION_B}
+
+    sup_path = _t(sf_dir, "supplier")
+    if os.path.getsize(sup_path) > Q5_SUPPLIER_BROADCAST_BUDGET:
+        raise RuntimeError(
+            "supplier->nation map exceeds the broadcast budget "
+            f"({Q5_SUPPLIER_BROADCAST_BUDGET} B); route the supplier attach "
+            "through a third tagged-union exchange keyed on l_suppkey"
+        )
+    sup = pq.read_table(sup_path, columns=["s_suppkey", "s_nationkey"])
+    sup = sup.take(pc.sort_indices(sup, sort_keys=[("s_suppkey", "ascending")]))
+    sup_ref = ray.put(
+        (
+            np.asarray(sup.column("s_suppkey"), dtype=np.int64),
+            np.asarray(sup.column("s_nationkey"), dtype=np.int64),
+        )
+    )
+
+    # ---- exchange #1: customer x orders on the customer key ----------
+    u1_schema = pa.schema(
+        [
+            ("ckey", pa.int64()),
+            ("side", pa.int8()),
+            ("nation", pa.int64()),
+            ("okey", pa.int64()),
+        ]
+    )
+
+    def customer_rows(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+        t = batch.filter(pa.array((nk == ka) | (nk == kb)))
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t.column("c_custkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "nation": t.column("c_nationkey").cast(pa.int64()),
+                "okey": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u1_schema,
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "nation": pa.nulls(n, type=pa.int64()),
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+            },
+            schema=u1_schema,
+        )
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    tagged1 = customer.map_batches(customer_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow")
+    )
+    by_cust = _keyed_repartition(tagged1, _shuffle_width(), ["ckey"])
+
+    s1_schema = pa.schema([("okey", pa.int64()), ("cust_nation", pa.int64())])
+
+    def gather_nation(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return s1_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("ckey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("ckey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        nat_v = np.asarray(pc.fill_null(t.column("nation"), -1), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_has_cust = side[starts] == 0
+        run_nation = np.where(run_has_cust, nat_v[starts], -1)
+        row_nation = run_nation[run_idx]
+        keep = (side == 1) & (row_nation >= 0)
+        if not keep.any():
+            return s1_schema.empty_table()
+        return pa.table(
+            {
+                "okey": pa.array(np.asarray(t.column("okey"), dtype=np.int64)[keep]),
+                "cust_nation": pa.array(row_nation[keep]),
+            },
+            schema=s1_schema,
+        )
+
+    stage1 = by_cust.map_batches(
+        gather_nation, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # ---- exchange #2: stage1 x lineitem on the order key --------------
+    u2_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("cust_nation", pa.int64()),
+            ("supp_nation", pa.int64()),
+            ("l_year", pa.int64()),
+            ("rev_c", pa.int64()),
+        ]
+    )
+
+    def stage1_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("okey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "cust_nation": batch.column("cust_nation"),
+                "supp_nation": pa.nulls(n, type=pa.int64()),
+                "l_year": pa.nulls(n, type=pa.int64()),
+                "rev_c": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u2_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        skeys, snats = ray.get(sup_ref)
+        if len(skeys):
+            pos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+            supp_nat = np.where(skeys[pos] == sk, snats[pos], -1)
+        else:
+            supp_nat = np.full(len(sk), -1, dtype=np.int64)
+        # only the two nations' suppliers can contribute: prune pre-exchange
+        keep = (supp_nat == ka) | (supp_nat == kb)
+        t = batch.filter(pa.array(keep))
+        supp_nat = supp_nat[keep]
+        cents = np.rint(
+            np.asarray(t.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(t.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        year = pc.year(t.column("l_shipdate")).cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": t.column("l_orderkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "cust_nation": pa.nulls(n, type=pa.int64()),
+                "supp_nation": pa.array(supp_nat),
+                "l_year": year,
+                "rev_c": pa.array(cents * (100 - disc)),
+            },
+            schema=u2_schema,
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+        filter=(
+            (pds.field("l_shipdate") >= pa.scalar(Q7_FROM.item(), type=pa.timestamp("us")))
+            & (pds.field("l_shipdate") < pa.scalar(Q7_TO.item(), type=pa.timestamp("us")))
+        ),
+    )
+    tagged2 = stage1.map_batches(stage1_rows, batch_format="pyarrow").union(
+        lineitem.map_batches(line_rows, batch_format="pyarrow")
+    )
+    by_order = _keyed_repartition(tagged2, _shuffle_width(), ["okey"])
+
+    part_schema = pa.schema(
+        [
+            ("supp_nation", pa.int64()),
+            ("cust_nation", pa.int64()),
+            ("l_year", pa.int64()),
+            ("revenue_c10k", pa.int64()),
+        ]
+    )
+
+    def pair_volume(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        cn = np.asarray(pc.fill_null(t.column("cust_nation"), -1), dtype=np.int64)
+        sn = np.asarray(pc.fill_null(t.column("supp_nation"), -2), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_has_order = side[starts] == 0
+        run_cn = np.where(run_has_order, cn[starts], -1)
+        row_cn = run_cn[run_idx]
+        keep = (side == 1) & (((sn == ka) & (row_cn == kb)) | ((sn == kb) & (row_cn == ka)))
+        if not keep.any():
+            return part_schema.empty_table()
+        part = pa.table(
+            {
+                "supp_nation": pa.array(sn[keep]),
+                "cust_nation": pa.array(row_cn[keep]),
+                "l_year": t.column("l_year").filter(pa.array(keep)),
+                "revenue_c10k": t.column("rev_c").filter(pa.array(keep)),
+            },
+            schema=part_schema,
+        )
+        agg = part.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("revenue_c10k", "sum")]
+        )
+        return agg.rename_columns(
+            ["supp_nation", "cust_nation", "l_year", "revenue_c10k"]
+        ).cast(part_schema)
+
+    partial = by_order.map_batches(
+        pair_volume, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals: dict[tuple[int, int, int], int] = {}
+    for r in partial.take_all():  # <= 2 pairs x years x blocks
+        k = (int(r["supp_nation"]), int(r["cust_nation"]), int(r["l_year"]))
+        totals[k] = totals.get(k, 0) + int(r["revenue_c10k"])
+    keys = sorted(totals)
+    return pa.table(
+        {
+            "supp_nation": pa.array([name_of[k[0]] for k in keys], type=pa.string()),
+            "cust_nation": pa.array([name_of[k[1]] for k in keys], type=pa.string()),
+            "l_year": pa.array([k[2] for k in keys], type=pa.int64()),
+            "revenue_c10k": pa.array([totals[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+# TPC-H Q19 disjunctive clauses: (brand, max size, qty range) triples.
+Q19_CLAUSES = (
+    ("Brand#1", 5, 1, 11),
+    ("Brand#2", 10, 10, 20),
+    ("Brand#3", 15, 20, 30),
+)
+
+
+def q_disjunctive_part_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    revenue of lineitems matching ANY of three (brand, size-range,
+    quantity-range) clause conjunctions — the OR-of-ANDs join predicate
+    that defeats naive pushdown because each clause constrains BOTH
+    sides of the join.
+
+    Shape: each part collapses AT THE SCAN to an int8 CLAUSE BITMASK
+    (bit i set = this part satisfies clause i's brand+size conjunct;
+    parts matching no clause never ride); each lineitem computes its
+    quantity bitmask the same way; both sides share ONE tagged-union
+    exchange on partkey and the kernel's disjunction is a single
+    ``part_mask & qty_mask != 0`` — no string ever crosses the
+    exchange, and the OR costs one AND per row. One partial row per
+    block, driver sum."""
+    _ensure_hash_shuffle()
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    line = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    union_schema = pa.schema(
+        [
+            ("pkey", pa.int64()),
+            ("side", pa.int8()),
+            ("mask", pa.int8()),
+            ("rev_c", pa.int64()),
+        ]
+    )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        brand = np.asarray(batch.column("p_brand"), dtype=object)
+        size = np.asarray(batch.column("p_size"), dtype=np.int64)
+        mask = np.zeros(len(brand), dtype=np.int8)
+        for i, (b, smax, _, _) in enumerate(Q19_CLAUSES):
+            mask |= ((brand == b) & (size >= 1) & (size <= smax)).astype(np.int8) << i
+        t = batch.filter(pa.array(mask != 0))
+        m = mask[mask != 0]
+        n = t.num_rows
+        return pa.table(
+            {
+                "pkey": t.column("p_partkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "mask": pa.array(m),
+                "rev_c": pa.nulls(n, type=pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        qty = np.rint(np.asarray(batch.column("l_quantity"), dtype=np.float64)).astype(
+            np.int64
+        )
+        mask = np.zeros(len(qty), dtype=np.int8)
+        for i, (_, _, qlo, qhi) in enumerate(Q19_CLAUSES):
+            mask |= ((qty >= qlo) & (qty <= qhi)).astype(np.int8) << i
+        t = batch.filter(pa.array(mask != 0))
+        m = mask[mask != 0]
+        cents = np.rint(
+            np.asarray(t.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(t.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "pkey": t.column("l_partkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "mask": pa.array(m),
+                "rev_c": pa.array(cents * (100 - disc)),
+            },
+            schema=union_schema,
+        )
+
+    tagged = part.map_batches(part_rows, batch_format="pyarrow").union(
+        line.map_batches(line_rows, batch_format="pyarrow")
+    )
+    part_schema = pa.schema([("revenue_c10k", pa.int64()), ("n_items", pa.int64())])
+
+    def disjunction_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("pkey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("pkey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        mask = np.asarray(t.column("mask"), dtype=np.int8)
+        rev = np.asarray(pc.fill_null(t.column("rev_c"), 0), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        has_part = side[starts] == 0
+        part_mask = np.where(has_part, mask[starts], 0).astype(np.int8)
+        keep = (side == 1) & ((part_mask[run_idx] & mask) != 0)
+        if not keep.any():
+            return part_schema.empty_table()
+        return pa.table(
+            {
+                "revenue_c10k": pa.array([int(rev[keep].sum())], type=pa.int64()),
+                "n_items": pa.array([int(keep.sum())], type=pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    rev = n = 0
+    for r in _keyed_exchange_apply(
+        tagged, ["pkey"], disjunction_kernel, part_schema
+    ).take_all():
+        rev += int(r["revenue_c10k"])
+        n += int(r["n_items"])
+    return pa.table(
+        {
+            "revenue_c10k": pa.array([rev], type=pa.int64()),
+            "n_items": pa.array([n], type=pa.int64()),
+        }
+    )
+
+
+def q_doc_surprisal(sf_dir: str):
+    """Unigram SURPRISAL score (perplexity proxy): per document, the
+    summed information content of its token occurrences against the
+    corpus unigram model, measured in INTEGER BITS —
+    ``bits(total_tokens) - bits(count(token))`` per occurrence, where
+    ``bits(v)`` is the bit length of v (floor(log2)+1). High mean =
+    rare-token-heavy documents (OOV junk or genuinely novel text), low
+    mean = boilerplate; the exact-integer stand-in for the LM
+    perplexity filters of web-corpus pipelines, bit-stable against the
+    SQL oracle (no float log ever computed).
+
+    Shape: (1) global token counts via the two-phase grouped aggregate;
+    (2) the corpus total folds driver-side from per-block partial sums
+    of that SMALL count table; (3) docs explode to distinct
+    (doc_id, token, k) rows in-block and the count attach is BUDGETED —
+    a vocab at or under the broadcast limit ships once as sorted arrays
+    and the per-doc fold happens in the SAME streaming pass (one doc's
+    pairs never leave their block), a web-scale vocab falls back to one
+    keyed hash join + grouped aggregate. bits() is np.frexp's exponent
+    — exact for int64 counts (< 2^53). Zero-token docs drop
+    (inner-join semantics, matching the oracle)."""
+    from embulk_input_marketo_ray.stages.dedup import drop_schemaless_blocks
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+            pattern="[^a-z]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets)
+        doc_of = (
+            np.searchsorted(offsets, np.arange(len(flat), dtype=np.int64), side="right")
+            - 1
+        )
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)[doc_of]
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "token": flat}).filter(
+            pc.not_equal(flat, pa.scalar(""))
+        )
+        out = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["k" if c == "count_all" else c for c in out.column_names]
+        ).select(["doc_id", "token", "k"])
+
+    def token_counts_block(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+            pattern="[^a-z]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pa.table({"token": toks.flatten()})
+        flat = flat.filter(pc.not_equal(flat.column("token"), pa.scalar("")))
+        out = flat.group_by(["token"]).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        ).select(["token", "n"])
+
+    counts = grouped_aggregate(
+        ds.map_batches(token_counts_block, batch_format="pyarrow"),
+        ["token"],
+        [("n", "sum", "n")],
+    )
+    counts = drop_schemaless_blocks(
+        counts.materialize(), pa.schema([("token", pa.string()), ("n", pa.int64())])
+    )
+
+    def total_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"t": pa.array([int(pc.sum(b.column("n")).as_py() or 0)], type=pa.int64())}
+        )
+
+    total = 0
+    for r in counts.map_batches(total_partial, batch_format="pyarrow").take_all():
+        total += int(r["t"])
+    total_bits = int(total).bit_length()
+
+    def _bits(v: np.ndarray) -> np.ndarray:
+        # frexp: v = m * 2^e with m in [0.5, 1) -> e == bit_length(v),
+        # exact for every int64 count below 2^53
+        return np.frexp(v.astype(np.float64))[1].astype(np.int64)
+
+    pairs = ds.map_batches(explode_tokens, batch_format="pyarrow")
+    out_names = ["doc_id", "n_tokens", "sum_bits", "mean_millibits"]
+
+    vocab_ref = _budgeted_vocab_broadcast(counts, "token", "n", COLLOC_BROADCAST_VOCAB)
+    if vocab_ref is not None:
+
+        def fold_block(b: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "sum_bits": pa.array([], type=pa.int64()),
+                    "mean_millibits": pa.array([], type=pa.int64()),
+                }
+            )
+            if b.num_rows == 0:
+                return empty
+            tokens, ns = ray.get(vocab_ref)
+            tok = np.asarray(b.column("token"), dtype=object)
+            n = ns[np.searchsorted(tokens, tok)]
+            k = np.asarray(b.column("k"), dtype=np.int64)
+            t = pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    "w": pa.array(k * (total_bits - _bits(n)), type=pa.int64()),
+                    "k": pa.array(k, type=pa.int64()),
+                }
+            )
+            g = t.group_by(["doc_id"]).aggregate([("w", "sum"), ("k", "sum")])
+            sum_bits = np.asarray(g.column("w_sum"), dtype=np.int64)
+            n_tokens = np.asarray(g.column("k_sum"), dtype=np.int64)
+            return pa.table(
+                {
+                    "doc_id": g.column("doc_id"),
+                    "n_tokens": pa.array(n_tokens),
+                    "sum_bits": pa.array(sum_bits),
+                    "mean_millibits": pa.array(
+                        1000 * sum_bits // np.maximum(n_tokens, 1), type=pa.int64()
+                    ),
+                }
+            )
+
+        return pairs.map_batches(fold_block, batch_format="pyarrow")
+
+    joined = pairs.join(
+        counts,
+        "inner",
+        num_partitions=max(8, _shuffle_width() // 2),
+        on=("token",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def weight(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("k"), dtype=np.int64)
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "w": pa.array(k * (total_bits - _bits(n)), type=pa.int64()),
+                "k": pa.array(k, type=pa.int64()),
+            }
+        )
+
+    folded = grouped_aggregate(
+        joined.map_batches(weight, batch_format="pyarrow"),
+        ["doc_id"],
+        [("w", "sum", "sum_bits"), ("k", "sum", "n_tokens")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sum_bits = np.asarray(batch.column("sum_bits"), dtype=np.int64)
+        n_tokens = np.asarray(batch.column("n_tokens"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens),
+                "sum_bits": pa.array(sum_bits),
+                "mean_millibits": pa.array(
+                    1000 * sum_bits // np.maximum(n_tokens, 1), type=pa.int64()
+                ),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow").select_columns(out_names)

@@ -2048,3 +2048,140 @@ def test_idle_customer_balance_gate_and_window(ray_session, tmp_path):
     out = q.q_idle_customer_balance(str(tmp_path)).to_pandas()
     assert len(out) == 0
     assert list(out.columns) == ["nationkey", "numcust", "totacctbal_c100"]
+
+
+def test_nation_pair_volume_directions_and_years(ray_session, tmp_path):
+    """Both directions and ship-years land in separate cells; same-nation
+    trade and out-of-window rows never count."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([3, 7, 9], type=pa.int32()),
+                "n_name": pa.array(["NATION_3", "NATION_7", "NATION_9"]),
+                "n_regionkey": pa.array([0, 0, 0], type=pa.int32()),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+                "s_name": pa.array(["sa", "sb", "sc"]),
+                "s_nationkey": pa.array([3, 7, 9], type=pa.int32()),
+                "s_acctbal": pa.array([0.0] * 3),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 20, 30], type=pa.int64()),
+                "c_name": pa.array(["a", "b", "c"]),
+                "c_nationkey": pa.array([7, 3, 9], type=pa.int32()),
+                "c_acctbal": pa.array([0.0] * 3),
+                "c_mktsegment": pa.array(["BUILDING"] * 3),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 200, 300], type=pa.int64()),
+                "o_custkey": pa.array([10, 20, 30], type=pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3),
+                "o_totalprice": pa.array([1.0] * 3),
+                "o_orderdate": pa.array(
+                    [np.datetime64("1996-01-01", "us")] * 3, type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    _write_lineitem(
+        tmp_path,
+        [
+            (100, 1, 1, 1, 10.00, 0.00, "1996-06-01"),  # supp N3 -> cust N7, 1996
+            (100, 1, 1, 1, 20.00, 0.00, "1997-06-01"),  # same pair, 1997
+            (200, 1, 2, 1, 5.00, 0.00, "1996-06-01"),   # supp N7 -> cust N3
+            (200, 1, 1, 1, 99.00, 0.00, "1996-06-01"),  # supp N3 -> cust N3: same-nation, out
+            (300, 1, 1, 1, 99.00, 0.00, "1996-06-01"),  # cust N9: out
+            (100, 1, 1, 1, 99.00, 0.00, "1998-06-01"),  # outside window
+        ],
+    )
+    out = q.q_nation_pair_volume(str(tmp_path)).to_pandas()
+    got = {
+        (r.supp_nation, r.cust_nation, r.l_year): r.revenue_c10k
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("NATION_3", "NATION_7", 1996): 100000,
+        ("NATION_3", "NATION_7", 1997): 200000,
+        ("NATION_7", "NATION_3", 1996): 50000,
+    }
+
+
+def test_disjunctive_part_revenue_bitmask(ray_session, tmp_path):
+    """A row matches only when ONE clause's part conjunct AND quantity
+    conjunct hold together — a Brand#1 part with a clause-2 quantity
+    does NOT match (the cross-clause trap the bitmask AND must avoid)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], type=pa.int64()),
+                "p_name": pa.array(["a", "b"]),
+                "p_brand": pa.array(["Brand#1", "Brand#2"]),
+                "p_type": pa.array(["STANDARD"] * 2),
+                "p_size": pa.array([5, 10], type=pa.int32()),
+                "p_retailprice": pa.array([0.0] * 2),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    _write_lineitem(
+        tmp_path,
+        [
+            (1, 1, 1, 11, 10.00, 0.00, "1996-01-01"),  # clause 1: in
+            (2, 1, 1, 15, 99.00, 0.00, "1996-01-01"),  # Brand#1 + clause-2 qty: OUT
+            (3, 2, 1, 15, 7.00, 0.00, "1996-01-01"),   # clause 2: in
+            (4, 2, 1, 31, 99.00, 0.00, "1996-01-01"),  # no qty clause: out
+        ],
+    )
+    out = q.q_disjunctive_part_revenue(str(tmp_path)).to_pandas()
+    assert out.iloc[0]["revenue_c10k"] == (1000 + 700) * 100
+    assert out.iloc[0]["n_items"] == 2
+
+
+def test_doc_surprisal_bits_and_fallback(ray_session, tmp_path, monkeypatch):
+    """bits() semantics: corpus 'a a a b' -> total=4 (3 bits), count(a)=3
+    (2 bits), count(b)=1 (1 bit); doc surprisals follow exactly. The
+    keyed-join fallback (vocab budget 0) returns the identical table."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["a a a", "b"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([5, 1], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q.q_doc_surprisal(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    # doc 1: 3 occurrences x (3 - 2) = 3 bits; doc 2: 1 x (3 - 1) = 2 bits
+    assert out.loc[1, "n_tokens"] == 3 and out.loc[1, "sum_bits"] == 3
+    assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "sum_bits"] == 2
+    assert out.loc[1, "mean_millibits"] == 1000
+    assert out.loc[2, "mean_millibits"] == 2000
+
+    monkeypatch.setattr(q, "COLLOC_BROADCAST_VOCAB", 0)
+    fb = q.q_doc_surprisal(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert fb.equals(out)
