@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_pair_volume": q.q_nation_pair_volume,
         "disjunctive_part_revenue": q.q_disjunctive_part_revenue,
         "doc_surprisal": q.q_doc_surprisal,
+        "part_min_price_supplier": q.q_part_min_price_supplier,
+        "customer_rfm": q.q_customer_rfm,
+        "cochange_walk_rank": q.q_cochange_walk_rank,
     }
 
 
@@ -343,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         KEYTERMS_TOP_K,
         HOP_SECONDS,
         HOP_WINDOW_SECONDS,
+        WALK_RANK_INIT,
         COLLOC_MIN_PAIR,
         COLLOC_LIFT,
         RANGE_JOIN_SECONDS,
@@ -1970,5 +1974,70 @@ def oracle_sql() -> dict[str, str]:
                     // greatest(count(*), 1))::BIGINT AS mean_millibits
             FROM t JOIN c USING (token), s
             GROUP BY t.doc_id
+        """,
+        "part_min_price_supplier": """
+            WITH l AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem
+            ),
+            p AS (SELECT p_partkey FROM part WHERE p_type = 'LARGE'),
+            m AS (
+              SELECT l.l_partkey, min(l.c) AS mc
+              FROM l JOIN p ON p.p_partkey = l.l_partkey
+              GROUP BY l.l_partkey
+            )
+            SELECT DISTINCT l.l_partkey AS p_partkey,
+                   l.l_suppkey AS s_suppkey,
+                   m.mc AS min_price_c100
+            FROM l JOIN m ON m.l_partkey = l.l_partkey AND l.c = m.mc
+        """,
+        "customer_rfm": """
+            WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders)
+            SELECT o.o_custkey AS c_custkey,
+                   count(*)::BIGINT AS frequency,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT
+                     AS monetary_c100,
+                   CAST(date_diff('day', max(o.o_orderdate), a.anchor) AS BIGINT)
+                     AS recency_days
+            FROM orders o, a
+            GROUP BY o.o_custkey, a.anchor
+        """,
+        "cochange_walk_rank": f"""
+            WITH d AS (
+              SELECT DISTINCT repo,
+                     CAST(commit_seq // {COMMIT_WINDOW_SECONDS} AS BIGINT) AS win,
+                     path
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+            ),
+            pairs AS (
+              SELECT a.repo, a.path AS path_a, b.path AS path_b
+              FROM d a JOIN d b
+                ON a.repo = b.repo AND a.win = b.win AND a.path < b.path
+              GROUP BY a.repo, a.path, b.path
+              HAVING count(*) >= {CO_CHANGE_MIN_WINDOWS}
+            ),
+            edges AS (
+              SELECT repo, path_a AS src, path_b AS dst FROM pairs
+              UNION ALL
+              SELECT repo, path_b AS src, path_a AS dst FROM pairs
+            ),
+            deg AS (
+              SELECT repo, src, count(*)::BIGINT AS d FROM edges GROUP BY 1, 2
+            ),
+            r1 AS (
+              SELECT e.repo, e.dst AS node,
+                     sum({WALK_RANK_INIT} // g.d)::BIGINT AS rank
+              FROM edges e JOIN deg g ON g.repo = e.repo AND g.src = e.src
+              GROUP BY 1, 2
+            ),
+            r2 AS (
+              SELECT e.repo, e.dst AS node, sum(r1.rank // g.d)::BIGINT AS rank
+              FROM edges e
+              JOIN deg g ON g.repo = e.repo AND g.src = e.src
+              JOIN r1 ON r1.repo = e.repo AND r1.node = e.src
+              GROUP BY 1, 2
+            )
+            SELECT repo, node AS path, rank AS rank2 FROM r2
         """,
     }

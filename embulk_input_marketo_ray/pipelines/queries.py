@@ -10012,3 +10012,339 @@ def q_doc_surprisal(sf_dir: str):
         )
 
     return folded.map_batches(finish, batch_format="pyarrow").select_columns(out_names)
+
+
+PART_MIN_PRICE_TYPE = "LARGE"
+
+
+def q_part_min_price_supplier(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier): for every part of one
+    type, the supplier(s) whose lineitem price achieves that part's
+    MINIMUM — the per-group argmin JOIN-BACK (correlated min subquery),
+    ties kept. The part-supplier-price relation derives from lineitem
+    (this dataset's partsupp analog).
+
+    Shape: ONE tagged-union keyed exchange on partkey (parts filtered
+    to the type AT THE SCAN) co-locates each part's offers; the kernel
+    computes the run min and keeps the DISTINCT (part, supplier) pairs
+    achieving it in the same pass — no second join back to the fact,
+    because the argmin rows are already co-resident. Integer cents end
+    to end."""
+    _ensure_hash_shuffle()
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    line = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    union_schema = pa.schema(
+        [
+            ("pkey", pa.int64()),
+            ("side", pa.int8()),
+            ("skey", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.equal(batch.column("p_type"), pa.scalar(PART_MIN_PRICE_TYPE))
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "pkey": t.column("p_partkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "skey": pa.nulls(n, type=pa.int64()),
+                "cents": pa.nulls(n, type=pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def offer_rows(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        # in-block partial argmin: one row per (part, supplier) at its
+        # local min shrinks the exchange without changing the answer
+        t = (
+            pa.table(
+                {
+                    "pkey": batch.column("l_partkey").cast(pa.int64()),
+                    "skey": batch.column("l_suppkey").cast(pa.int64()),
+                    "cents": pa.array(cents),
+                }
+            )
+            .group_by(["pkey", "skey"])
+            .aggregate([("cents", "min")])
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "pkey": t.column("pkey"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "skey": t.column("skey"),
+                "cents": t.column("cents_min"),
+            },
+            schema=union_schema,
+        )
+
+    tagged = part.map_batches(part_rows, batch_format="pyarrow").union(
+        line.map_batches(offer_rows, batch_format="pyarrow")
+    )
+    out_schema = pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("s_suppkey", pa.int64()),
+            ("min_price_c100", pa.int64()),
+        ]
+    )
+
+    def argmin_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("pkey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("pkey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        cents = np.asarray(
+            pc.fill_null(t.column("cents"), np.iinfo(np.int64).max), dtype=np.int64
+        )
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        has_part = side[starts] == 0
+        run_min = np.minimum.reduceat(cents, starts)
+        keep = (side == 1) & has_part[run_idx] & (cents == run_min[run_idx])
+        if not keep.any():
+            return out_schema.empty_table()
+        sel = t.filter(pa.array(keep))
+        out = pa.table(
+            {
+                "p_partkey": sel.column("pkey"),
+                "s_suppkey": sel.column("skey"),
+                "min_price_c100": sel.column("cents"),
+            },
+            schema=out_schema,
+        )
+        # the in-block pre-dedup is per SOURCE block; the same (part,
+        # supp) min can arrive from several blocks — exact-distinct now
+        # that the key is co-resident
+        return (
+            out.group_by(["p_partkey", "s_suppkey", "min_price_c100"])
+            .aggregate([])
+            .select(["p_partkey", "s_suppkey", "min_price_c100"])
+            .cast(out_schema)
+        )
+
+    return _keyed_exchange_apply(tagged, ["pkey"], argmin_kernel, out_schema)
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation base table: per customer, Recency (days since
+    their latest order, anchored at the dataset's max order date),
+    Frequency (order count) and Monetary (total cents) — the canonical
+    CRM/LTV feature block (the reference's users feed Marketo leads
+    into exactly this kind of downstream scoring).
+
+    Shape: the global anchor folds from per-block max partials (driver
+    fold, no exchange); the per-customer triple is ONE two-phase
+    grouped aggregate; recency converts to whole days in a final
+    streaming map (pure int64 microsecond arithmetic — bit-stable)."""
+    _ensure_hash_shuffle()
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    anchor_schema = pa.schema([("m", pa.timestamp("us"))])
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return anchor_schema.empty_table()
+        return pa.table({"m": [pc.max(b.column("o_orderdate")).as_py()]}, schema=anchor_schema)
+
+    anchors = [
+        r["m"]
+        for r in _read(sf_dir, "orders", columns=["o_orderdate"])
+        .map_batches(max_partial, batch_format="pyarrow")
+        .take_all()
+    ]
+    if not anchors:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], type=pa.int64()),
+                "frequency": pa.array([], type=pa.int64()),
+                "monetary_c100": pa.array([], type=pa.int64()),
+                "recency_days": pa.array([], type=pa.int64()),
+            }
+        )
+    anchor_us = max(int(np.datetime64(a, "us").astype(np.int64)) for a in anchors)
+
+    def to_partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column("o_totalprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "cents": pa.array(cents),
+                "last_us": batch.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    agg = grouped_aggregate(
+        orders.map_batches(to_partial, batch_format="pyarrow"),
+        ["c_custkey"],
+        [
+            ("n", "sum", "frequency"),
+            ("cents", "sum", "monetary_c100"),
+            ("last_us", "max", "last_us"),
+        ],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last = np.asarray(batch.column("last_us"), dtype=np.int64)
+        days = (anchor_us - last) // 86_400_000_000
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "frequency": batch.column("frequency"),
+                "monetary_c100": batch.column("monetary_c100"),
+                "recency_days": pa.array(days, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+WALK_RANK_INIT = 1_000_000  # integer mass per node at step 0
+
+
+def q_cochange_walk_rank(sf_dir: str):
+    """Two-step integer RANDOM-WALK rank over the co-change graph — the
+    ITERATIVE distributed-graph shape (PageRank's inner loop, made
+    bit-exact): every path starts with 1e6 mass; each step every node
+    splits its mass equally over its neighbors (integer floor division,
+    so the result is deterministic and SQL-comparable). High rank2 =
+    paths central to the repo's coupling structure.
+
+    Shape: the pair miner's output (bounded: support >= 5 pairs)
+    materializes ONCE and explodes to directed edges; each step is ONE
+    keyed exchange on (repo, src) — edge rows union'd with the previous
+    step's rank rows — whose kernel derives the degree from the run's
+    own edge count (no separate degree table ever ships) and emits
+    in-block-summed (repo, dst, contrib) partials; a two-phase grouped
+    aggregate closes the step. Iterations are a FIXED count (2), each a
+    full-graph exchange: the 100-TB contract is edges x steps traffic,
+    no driver state beyond plan assembly."""
+    _ensure_hash_shuffle()
+    pairs = q_co_change_pairs(sf_dir).materialize()  # reused by both steps
+    edge_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("node", pa.string()),
+            ("side", pa.int8()),
+            ("dst", pa.string()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def explode_edges(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("path_a"), dtype=object)
+        b = np.asarray(batch.column("path_b"), dtype=object)
+        repo = np.asarray(batch.column("repo"), dtype=object)
+        n = len(a)
+        return pa.table(
+            {
+                "repo": pa.array(np.concatenate([repo, repo]), type=pa.string()),
+                "node": pa.array(np.concatenate([a, b]), type=pa.string()),
+                "side": pa.array(np.ones(2 * n, dtype=np.int8)),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.string()),
+                "rank": pa.nulls(2 * n, type=pa.int64()),
+            },
+            schema=edge_schema,
+        )
+
+    edges = pairs.map_batches(explode_edges, batch_format="pyarrow").materialize()
+
+    contrib_schema = pa.schema(
+        [("repo", pa.string()), ("node", pa.string()), ("rank", pa.int64())]
+    )
+
+    def walk_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return contrib_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("node", "ascending"),
+                ("side", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        repo = np.asarray(t.column("repo"), dtype=object)
+        node = np.asarray(t.column("node"), dtype=object)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        rank = np.asarray(pc.fill_null(t.column("rank"), 0), dtype=np.int64)
+        new_run = np.r_[True, (repo[1:] != repo[:-1]) | (node[1:] != node[:-1])]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        is_edge = side == 1
+        deg = np.add.reduceat(is_edge.astype(np.int64), starts)
+        # step 0 ships no rank rows: every run starts at WALK_RANK_INIT
+        has_rank = side[starts] == 0
+        run_rank = np.where(has_rank, rank[starts], WALK_RANK_INIT)
+        contrib = run_rank[run_idx] // np.maximum(deg[run_idx], 1)
+        keep = is_edge & (deg[run_idx] > 0)
+        if not keep.any():
+            return contrib_schema.empty_table()
+        out = pa.table(
+            {
+                "repo": t.column("repo").filter(pa.array(keep)),
+                "node": t.column("dst").filter(pa.array(keep)),
+                "rank": pa.array(contrib[keep]),
+            },
+            schema=contrib_schema,
+        )
+        agg = out.group_by(["repo", "node"]).aggregate([("rank", "sum")])
+        return agg.rename_columns(["repo", "node", "rank"]).cast(contrib_schema)
+
+    def step(ranks):
+        if ranks is None:
+            stream = edges
+        else:
+            def rank_rows(batch: pa.Table) -> pa.Table:
+                n = batch.num_rows
+                return pa.table(
+                    {
+                        "repo": batch.column("repo"),
+                        "node": batch.column("node"),
+                        "side": pa.array(np.zeros(n, dtype=np.int8)),
+                        "dst": pa.nulls(n, type=pa.string()),
+                        "rank": batch.column("rank").cast(pa.int64()),
+                    },
+                    schema=edge_schema,
+                )
+
+            stream = edges.union(
+                ranks.map_batches(rank_rows, batch_format="pyarrow")
+            )
+        partial = _keyed_exchange_apply(
+            stream, ["repo", "node"], walk_kernel, contrib_schema
+        )
+        return grouped_aggregate(
+            partial, ["repo", "node"], [("rank", "sum", "rank")]
+        )
+
+    rank1 = step(None).materialize()
+    rank2 = step(rank1)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "path": batch.column("node"),
+                "rank2": batch.column("rank").cast(pa.int64()),
+            }
+        )
+
+    return rank2.map_batches(rename, batch_format="pyarrow")

@@ -2185,3 +2185,91 @@ def test_doc_surprisal_bits_and_fallback(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(q, "COLLOC_BROADCAST_VOCAB", 0)
     fb = q.q_doc_surprisal(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
     assert fb.equals(out)
+
+
+def test_part_min_price_supplier_argmin_ties(ray_session, tmp_path):
+    """All suppliers tying the per-part min return once each (even when
+    one supplier offers the min price twice); non-LARGE parts drop."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], type=pa.int64()),
+                "p_name": pa.array(["a", "b"]),
+                "p_brand": pa.array(["Brand#1"] * 2),
+                "p_type": pa.array(["LARGE", "SMALL"]),
+                "p_size": pa.array([1, 1], type=pa.int32()),
+                "p_retailprice": pa.array([0.0] * 2),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    _write_lineitem(
+        tmp_path,
+        [
+            (1, 1, 1, 1, 5.00, 0.0, "1996-01-01"),
+            (2, 1, 1, 1, 5.00, 0.0, "1996-01-01"),  # same supp, min twice
+            (3, 1, 2, 1, 5.00, 0.0, "1996-01-01"),  # tie by another supp
+            (4, 1, 3, 1, 9.00, 0.0, "1996-01-01"),  # above min
+            (5, 2, 1, 1, 1.00, 0.0, "1996-01-01"),  # non-LARGE part
+        ],
+    )
+    out = q.q_part_min_price_supplier(str(tmp_path)).to_pandas()
+    got = sorted(
+        (r.p_partkey, r.s_suppkey, r.min_price_c100) for r in out.itertuples()
+    )
+    assert got == [(1, 1, 500), (1, 2, 500)]
+
+
+def test_customer_rfm_anchor_and_days(ray_session, tmp_path):
+    """Recency anchors at the GLOBAL max order date; frequency and
+    monetary fold per customer in integer cents."""
+    import pyarrow.parquet as pq
+
+    rows = [  # (custkey, date, price)
+        (1, "2000-01-01", 10.00),
+        (1, "2000-03-01", 5.50),
+        (2, "2000-03-11", 2.25),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+                "o_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(rows)),
+                "o_totalprice": pa.array([r[2] for r in rows]),
+                "o_orderdate": pa.array(
+                    [np.datetime64(r[1], "us") for r in rows], type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = (
+        q.q_customer_rfm(str(tmp_path)).to_pandas().set_index("c_custkey").sort_index()
+    )
+    assert out.loc[1, "frequency"] == 2
+    assert out.loc[1, "monetary_c100"] == 1550
+    assert out.loc[1, "recency_days"] == 10  # 2000-03-01 -> 2000-03-11
+    assert out.loc[2, "recency_days"] == 0
+
+
+def test_cochange_walk_rank_two_steps(ray_session, monkeypatch):
+    """Hand-computed 2-step walk on a 3-path a-b-c (deg a=c=1, b=2):
+    r1(a)=r1(c)=1e6//2=500000, r1(b)=1e6+1e6=2000000;
+    r2(a)=r2(c)=2000000//2=1000000, r2(b)=500000+500000=1000000."""
+    import ray.data
+
+    edges = pa.table(
+        {
+            "repo": pa.array(["r", "r"]),
+            "path_a": pa.array(["a", "b"]),
+            "path_b": pa.array(["b", "c"]),
+            "n_windows": pa.array([9, 9], pa.int64()),
+        }
+    )
+    monkeypatch.setattr(q, "q_co_change_pairs", lambda sf: ray.data.from_arrow(edges))
+    got = {r["path"]: r["rank2"] for r in q.q_cochange_walk_rank("unused").take_all()}
+    assert got == {"a": 1000000, "b": 1000000, "c": 1000000}
