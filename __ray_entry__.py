@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_min_price_supplier": q.q_part_min_price_supplier,
         "customer_rfm": q.q_customer_rfm,
         "cochange_walk_rank": q.q_cochange_walk_rank,
+        "nation_market_share": q.q_nation_market_share,
+        "cohort_revenue": q.q_cohort_revenue,
     }
 
 
@@ -2039,5 +2041,56 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT repo, node AS path, rank AS rank2 FROM r2
+        """,
+        "nation_market_share": """
+            WITH rn AS (
+              SELECT n_nationkey
+              FROM nation JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'ASIA'
+            ),
+            tgt AS (
+              SELECT n_nationkey AS k FROM nation WHERE n_name = 'NATION_3'
+            ),
+            o AS (
+              SELECT o.o_orderkey, CAST(year(o.o_orderdate) AS BIGINT) AS y
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              WHERE c.c_nationkey IN (SELECT n_nationkey FROM rn)
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            ),
+            l AS (
+              SELECT l.l_orderkey,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+                     (s.s_nationkey = (SELECT k FROM tgt)) AS is_t
+              FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            ),
+            g AS (
+              SELECT o.y AS o_year,
+                     coalesce(sum(CASE WHEN l.is_t THEN l.rev END), 0)::BIGINT
+                       AS target_rev_c10k,
+                     coalesce(sum(l.rev), 0)::BIGINT AS total_rev_c10k
+              FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.y
+            )
+            SELECT o_year, target_rev_c10k, total_rev_c10k,
+                   (1000 * target_rev_c10k
+                    // greatest(total_rev_c10k, 1))::BIGINT AS share_pm
+            FROM g
+        """,
+        "cohort_revenue": """
+            WITH o AS (
+              SELECT o_custkey,
+                     CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                          AS BIGINT) AS m,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders
+            ),
+            f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY o_custkey)
+            SELECT f.cohort AS cohort_month, o.m - f.cohort AS age_months,
+                   count(*)::BIGINT AS n_orders, sum(o.c)::BIGINT AS revenue_c100
+            FROM o JOIN f USING (o_custkey)
+            GROUP BY 1, 2
         """,
     }

@@ -10348,3 +10348,353 @@ def q_cochange_walk_rank(sf_dir: str):
         )
 
     return rank2.map_batches(rename, batch_format="pyarrow")
+
+
+Q8_REGION = "ASIA"
+Q8_TARGET_NATION = "NATION_3"
+Q8_FROM = np.datetime64("1996-01-01", "us")
+Q8_TO = np.datetime64("1998-01-01", "us")  # half-open two ORDER years
+
+
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): within one REGION's
+    customers, the per-mille share of each order-year's revenue
+    supplied by ONE target nation — the numerator/denominator aggregate
+    whose filter lives on a different dimension than its grouping.
+
+    Shape: the Q5 two-chained-exchange backbone. Region customers
+    filter at the scan (driver resolves the 25-row dimension); orders
+    carry their YEAR through exchange #1; exchange #2 attaches the
+    supplier's is-target flag from the budgeted broadcast at the
+    lineitem scan and folds (year, target_rev, total_rev) partials
+    in-kernel — bounded by the year domain; the driver computes the
+    exact integer per-mille."""
+    _ensure_hash_shuffle()
+
+    nation = pq.read_table(_t(sf_dir, "nation"))
+    region = pq.read_table(_t(sf_dir, "region"))
+    rkey = pc.filter(
+        region.column("r_regionkey"),
+        pc.equal(region.column("r_name"), pa.scalar(Q8_REGION)),
+    )
+    rkeys = set(np.asarray(rkey).tolist())
+    in_region = pa.array(
+        [int(k) in rkeys for k in np.asarray(nation.column("n_regionkey"))]
+    )
+    region_nations = np.sort(
+        np.asarray(nation.filter(in_region).column("n_nationkey"), dtype=np.int64)
+    )
+    target_key = int(
+        np.asarray(
+            nation.filter(
+                pc.equal(nation.column("n_name"), pa.scalar(Q8_TARGET_NATION))
+            ).column("n_nationkey")
+        )[0]
+    )
+    region_ref = ray.put(region_nations)
+
+    sup_path = _t(sf_dir, "supplier")
+    if os.path.getsize(sup_path) > Q5_SUPPLIER_BROADCAST_BUDGET:
+        raise RuntimeError(
+            "supplier->nation map exceeds the broadcast budget "
+            f"({Q5_SUPPLIER_BROADCAST_BUDGET} B); route the supplier attach "
+            "through a third tagged-union exchange keyed on l_suppkey"
+        )
+    sup = pq.read_table(sup_path, columns=["s_suppkey", "s_nationkey"])
+    sup = sup.take(pc.sort_indices(sup, sort_keys=[("s_suppkey", "ascending")]))
+    sup_ref = ray.put(
+        (
+            np.asarray(sup.column("s_suppkey"), dtype=np.int64),
+            np.asarray(sup.column("s_nationkey"), dtype=np.int64),
+        )
+    )
+
+    u1_schema = pa.schema(
+        [
+            ("ckey", pa.int64()),
+            ("side", pa.int8()),
+            ("okey", pa.int64()),
+            ("o_year", pa.int64()),
+        ]
+    )
+
+    def customer_rows(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+        keys = ray.get(region_ref)
+        if len(keys):
+            pos = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
+            hit = keys[pos] == nk
+        else:
+            hit = np.zeros(len(nk), dtype=bool)
+        t = batch.filter(pa.array(hit))
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t.column("c_custkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "okey": pa.nulls(n, type=pa.int64()),
+                "o_year": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u1_schema,
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_year": pc.year(batch.column("o_orderdate")).cast(pa.int64()),
+            },
+            schema=u1_schema,
+        )
+
+    import pyarrow.dataset as pds
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pds.field("o_orderdate") >= pa.scalar(Q8_FROM.item(), type=pa.timestamp("us")))
+            & (pds.field("o_orderdate") < pa.scalar(Q8_TO.item(), type=pa.timestamp("us")))
+        ),
+    )
+    tagged1 = customer.map_batches(customer_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow")
+    )
+    by_cust = _keyed_repartition(tagged1, _shuffle_width(), ["ckey"])
+
+    s1_schema = pa.schema([("okey", pa.int64()), ("o_year", pa.int64())])
+
+    def keep_region_orders(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return s1_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("ckey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("ckey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        has_cust = side[starts] == 0
+        keep = (side == 1) & has_cust[run_idx]
+        if not keep.any():
+            return s1_schema.empty_table()
+        sel = t.filter(pa.array(keep))
+        return pa.table(
+            {"okey": sel.column("okey"), "o_year": sel.column("o_year")},
+            schema=s1_schema,
+        )
+
+    stage1 = by_cust.map_batches(
+        keep_region_orders, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    u2_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("o_year", pa.int64()),
+            ("is_target", pa.int8()),
+            ("rev_c", pa.int64()),
+        ]
+    )
+
+    def stage1_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("okey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "o_year": batch.column("o_year"),
+                "is_target": pa.nulls(n, type=pa.int8()),
+                "rev_c": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u2_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        skeys, snats = ray.get(sup_ref)
+        if len(skeys):
+            pos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+            nat = np.where(skeys[pos] == sk, snats[pos], -1)
+        else:
+            nat = np.full(len(sk), -1, dtype=np.int64)
+        cents = np.rint(
+            np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(batch.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "o_year": pa.nulls(n, type=pa.int64()),
+                "is_target": pa.array((nat == target_key).astype(np.int8)),
+                "rev_c": pa.array(cents * (100 - disc)),
+            },
+            schema=u2_schema,
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    tagged2 = stage1.map_batches(stage1_rows, batch_format="pyarrow").union(
+        lineitem.map_batches(line_rows, batch_format="pyarrow")
+    )
+    by_order = _keyed_repartition(tagged2, _shuffle_width(), ["okey"])
+
+    part_schema = pa.schema(
+        [
+            ("o_year", pa.int64()),
+            ("target_rev_c10k", pa.int64()),
+            ("total_rev_c10k", pa.int64()),
+        ]
+    )
+
+    def share_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        year = np.asarray(pc.fill_null(t.column("o_year"), -1), dtype=np.int64)
+        tgt = np.asarray(pc.fill_null(t.column("is_target"), 0), dtype=np.int8)
+        rev = np.asarray(pc.fill_null(t.column("rev_c"), 0), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        has_order = side[starts] == 0
+        run_year = np.where(has_order, year[starts], -1)
+        row_year = run_year[run_idx]
+        keep = (side == 1) & (row_year >= 0)
+        if not keep.any():
+            return part_schema.empty_table()
+        out = pa.table(
+            {
+                "o_year": pa.array(row_year[keep]),
+                "target_rev_c10k": pa.array(rev[keep] * tgt[keep]),
+                "total_rev_c10k": pa.array(rev[keep]),
+            },
+            schema=part_schema,
+        )
+        agg = out.group_by(["o_year"]).aggregate(
+            [("target_rev_c10k", "sum"), ("total_rev_c10k", "sum")]
+        )
+        return agg.rename_columns(
+            ["o_year", "target_rev_c10k", "total_rev_c10k"]
+        ).cast(part_schema)
+
+    partial = by_order.map_batches(
+        share_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tgt_tot: dict[int, list[int]] = {}
+    for r in partial.take_all():  # bounded by the year domain x blocks
+        e = tgt_tot.setdefault(int(r["o_year"]), [0, 0])
+        e[0] += int(r["target_rev_c10k"])
+        e[1] += int(r["total_rev_c10k"])
+    years = sorted(tgt_tot)
+    return pa.table(
+        {
+            "o_year": pa.array(years, type=pa.int64()),
+            "target_rev_c10k": pa.array([tgt_tot[y][0] for y in years], type=pa.int64()),
+            "total_rev_c10k": pa.array([tgt_tot[y][1] for y in years], type=pa.int64()),
+            "share_pm": pa.array(
+                [1000 * tgt_tot[y][0] // max(tgt_tot[y][1], 1) for y in years],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def q_cohort_revenue(sf_dir: str):
+    """Cohort LTV matrix: revenue and order counts by (acquisition
+    month, months-since-acquisition) — the revenue-weighted companion
+    of ``user_retention`` (which counts distinct users); the growth
+    analytics grid behind payback-period dashboards.
+
+    Shape: ONE keyed exchange on custkey co-locates each customer's
+    orders; the kernel derives the cohort (run min month) and emits
+    (cohort, age, cents) partials folded IN-BLOCK — payload bounded by
+    the months^2 grid x blocks, never orders; a two-phase aggregate
+    merges. Months are exact integer year*12+month indexes."""
+    _ensure_hash_shuffle()
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        m = (
+            np.asarray(pc.year(batch.column("o_orderdate")), dtype=np.int64) * 12
+            + np.asarray(pc.month(batch.column("o_orderdate")), dtype=np.int64)
+            - 1
+        )
+        cents = np.rint(
+            np.asarray(batch.column("o_totalprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
+                "m": pa.array(m),
+                "cents": pa.array(cents),
+            }
+        )
+
+    part_schema = pa.schema(
+        [
+            ("cohort_month", pa.int64()),
+            ("age_months", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("revenue_c100", pa.int64()),
+        ]
+    )
+
+    def cohort_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(block, sort_keys=[("ckey", "ascending")])
+        t = block.take(order)
+        key = np.asarray(t.column("ckey"), dtype=np.int64)
+        m = np.asarray(t.column("m"), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        cohort = np.minimum.reduceat(m, starts)[run_idx]
+        out = pa.table(
+            {
+                "cohort_month": pa.array(cohort),
+                "age_months": pa.array(m - cohort),
+                "n_orders": pa.array(np.ones(len(m), dtype=np.int64)),
+                "revenue_c100": t.column("cents"),
+            },
+            schema=part_schema,
+        )
+        agg = out.group_by(["cohort_month", "age_months"]).aggregate(
+            [("n_orders", "sum"), ("revenue_c100", "sum")]
+        )
+        return agg.rename_columns(
+            ["cohort_month", "age_months", "n_orders", "revenue_c100"]
+        ).cast(part_schema)
+
+    partial = _keyed_exchange_apply(
+        orders.map_batches(to_rows, batch_format="pyarrow"),
+        ["ckey"],
+        cohort_kernel,
+        part_schema,
+    )
+    return grouped_aggregate(
+        partial,
+        ["cohort_month", "age_months"],
+        [("n_orders", "sum", "n_orders"), ("revenue_c100", "sum", "revenue_c100")],
+    )

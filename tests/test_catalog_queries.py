@@ -2273,3 +2273,121 @@ def test_cochange_walk_rank_two_steps(ray_session, monkeypatch):
     monkeypatch.setattr(q, "q_co_change_pairs", lambda sf: ray.data.from_arrow(edges))
     got = {r["path"]: r["rank2"] for r in q.q_cochange_walk_rank("unused").take_all()}
     assert got == {"a": 1000000, "b": 1000000, "c": 1000000}
+
+
+def test_nation_market_share_numerator(ray_session, tmp_path):
+    """Target-nation revenue counts in the numerator only for orders of
+    REGION customers; non-region customers' orders drop entirely."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], type=pa.int32()),
+                "r_name": pa.array(["ASIA", "OTHER"]),
+            }
+        ),
+        str(tmp_path / "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([3, 5, 9], type=pa.int32()),
+                "n_name": pa.array(["NATION_3", "NATION_5", "NATION_9"]),
+                "n_regionkey": pa.array([0, 0, 1], type=pa.int32()),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], type=pa.int64()),
+                "s_name": pa.array(["sa", "sb"]),
+                "s_nationkey": pa.array([3, 9], type=pa.int32()),  # 1=target
+                "s_acctbal": pa.array([0.0, 0.0]),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 20], type=pa.int64()),
+                "c_name": pa.array(["a", "b"]),
+                "c_nationkey": pa.array([5, 9], type=pa.int32()),  # 10 in-region
+                "c_acctbal": pa.array([0.0, 0.0]),
+                "c_mktsegment": pa.array(["BUILDING"] * 2),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 200], type=pa.int64()),
+                "o_custkey": pa.array([10, 20], type=pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 2),
+                "o_totalprice": pa.array([1.0] * 2),
+                "o_orderdate": pa.array(
+                    [np.datetime64("1996-05-01", "us")] * 2, type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 2),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    _write_lineitem(
+        tmp_path,
+        [
+            (100, 1, 1, 1, 10.00, 0.00, "1996-06-01"),  # target supp, region cust
+            (100, 1, 2, 1, 30.00, 0.00, "1996-06-01"),  # other supp, region cust
+            (200, 1, 1, 1, 99.00, 0.00, "1996-06-01"),  # non-region cust: out
+        ],
+    )
+    out = q.q_nation_market_share(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["o_year"], r["target_rev_c10k"], r["total_rev_c10k"], r["share_pm"]) == (
+        1996, 100000, 400000, 250,
+    )
+
+
+def test_cohort_revenue_ages(ray_session, tmp_path):
+    """Cohort = first order month; ages are month diffs; revenue folds
+    per (cohort, age) cell in integer cents."""
+    import pyarrow.parquet as pq
+
+    rows = [  # (custkey, date, price)
+        (1, "2000-01-15", 10.00),
+        (1, "2000-03-02", 5.00),   # age 2
+        (2, "2000-03-20", 2.00),   # its own cohort, age 0
+        (2, "2000-03-25", 3.00),   # same cell
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+                "o_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(rows)),
+                "o_totalprice": pa.array([r[2] for r in rows]),
+                "o_orderdate": pa.array(
+                    [np.datetime64(r[1], "us") for r in rows], type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = q.q_cohort_revenue(str(tmp_path)).to_pandas()
+    got = {
+        (r.cohort_month, r.age_months): (r.n_orders, r.revenue_c100)
+        for r in out.itertuples()
+    }
+    jan2000 = 2000 * 12 + 0
+    mar2000 = 2000 * 12 + 2
+    assert got == {
+        (jan2000, 0): (1, 1000),
+        (jan2000, 2): (1, 500),
+        (mar2000, 0): (2, 500),
+    }
