@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "nation_market_share": q.q_nation_market_share,
         "cohort_revenue": q.q_cohort_revenue,
+        "embedding_power_iteration": q.q_embedding_power_iteration,
     }
 
 
@@ -2092,5 +2093,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders, sum(o.c)::BIGINT AS revenue_c100
             FROM o JOIN f USING (o_custkey)
             GROUP BY 1, 2
+        """,
+        "embedding_power_iteration": f"""
+            WITH q AS (
+              SELECT list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})
+                                 AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            u AS (SELECT qv, list_sum(qv)::BIGINT AS u FROM q),
+            dims AS (
+              SELECT unnest(range(1, (SELECT max(len(qv)) FROM q) + 1)) AS i
+            )
+            SELECT CAST(d.i - 1 AS BIGINT) AS dim,
+                   sum(u.u * CAST(u.qv[d.i] AS BIGINT))::BIGINT AS w
+            FROM u CROSS JOIN dims d
+            GROUP BY d.i
         """,
     }

@@ -10698,3 +10698,51 @@ def q_cohort_revenue(sf_dir: str):
         ["cohort_month", "age_months"],
         [("n_orders", "sum", "n_orders"), ("revenue_c100", "sum", "revenue_c100")],
     )
+
+
+def q_embedding_power_iteration(sf_dir: str):
+    """One POWER-ITERATION step for the dominant direction of the
+    un-centered Gram matrix: w = A_q^T (A_q @ 1) on the same
+    floor(x*8192) integer grid as the k-means family — the distributed
+    MATVEC building block (PCA / spectral methods' inner loop), made
+    bit-exact so the SQL oracle can replicate it.
+
+    Shape: one streaming pass — each block flattens its list column
+    zero-copy, computes row sums u = A_q @ 1 and folds u^T A_q into a
+    SINGLE d-vector int64 partial (per-block magnitude <=
+    rows_per_block x (d x scale x |x|max)^2 ~ 2^56 at 131k-row blocks,
+    inside int64); the driver merges partials in unbounded Python ints.
+    No exchange at any corpus size; driver state is d numbers. A full
+    power method iterates this pattern with w broadcast back via
+    ray.put (the k-means-refine template)."""
+    from embulk_input_marketo_ray.stages.similarity import list_column_matrix
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    part_schema = pa.schema([("dim", pa.int64()), ("w", pa.int64())])
+
+    def matvec_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        emb = list_column_matrix(batch.column("embedding"))
+        q = np.floor(emb * KMEANS_SCALE).astype(np.int64)
+        u = q.sum(axis=1)
+        w = u @ q  # int64 matvec: u^T A_q
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(len(w), dtype=np.int64)),
+                "w": pa.array(w),
+            },
+            schema=part_schema,
+        )
+
+    totals: dict[int, int] = {}
+    for r in ds.map_batches(matvec_partial, batch_format="pyarrow").take_all():
+        totals[int(r["dim"])] = totals.get(int(r["dim"]), 0) + int(r["w"])
+    dims = sorted(totals)
+    return pa.table(
+        {
+            "dim": pa.array(dims, type=pa.int64()),
+            "w": pa.array([totals[d] for d in dims], type=pa.int64()),
+        }
+    )

@@ -2391,3 +2391,27 @@ def test_cohort_revenue_ages(ray_session, tmp_path):
         (jan2000, 2): (1, 500),
         (mar2000, 0): (2, 500),
     }
+
+
+def test_embedding_power_iteration_matvec(ray_session, tmp_path):
+    """Hand-computed w = A_q^T (A_q @ 1) on a 2x2 grid; negative floats
+    floor toward -inf like the SQL oracle."""
+    import pyarrow.parquet as pq
+
+    emb = [[1.0, 2.0], [-0.5, 1.0]]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], type=pa.int64()),
+                "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+                "label": pa.array([0, 0], type=pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    s = int(q.KMEANS_SCALE)
+    qm = np.floor(np.array(emb) * s).astype(np.int64)
+    expected = qm.sum(axis=1) @ qm
+    out = q.q_embedding_power_iteration(str(tmp_path)).to_pandas()
+    assert list(out["dim"]) == [0, 1]
+    assert list(out["w"]) == list(expected)
