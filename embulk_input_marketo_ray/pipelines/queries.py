@@ -4811,7 +4811,6 @@ def q_order_priority_report(sf_dir: str):
     tagged = orders.map_batches(order_rows, batch_format="pyarrow").union(
         lineitem.map_batches(line_rows, batch_format="pyarrow")
     )
-    by_key = _keyed_repartition(tagged, _shuffle_width(), ["okey"])
     partial_schema = pa.schema(
         [
             ("l_returnflag", pa.string()),
@@ -4857,9 +4856,7 @@ def q_order_priority_report(sf_dir: str):
             ["l_returnflag", "high_line_count", "low_line_count"]
         )
 
-    partial = by_key.map_batches(
-        join_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    partial = _keyed_exchange_apply(tagged, ["okey"], join_kernel, partial_schema)
     return grouped_aggregate(
         partial,
         ["l_returnflag"],
@@ -4991,7 +4988,6 @@ def q_customer_anti_join(sf_dir: str):
     tagged = customers.map_batches(customer_rows, batch_format="pyarrow").union(
         orders.map_batches(probe_rows, batch_format="pyarrow")
     )
-    by_key = _keyed_repartition(tagged, _shuffle_width(), ["ckey"])
     out_schema = pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())])
 
     def anti_kernel(block: pa.Table) -> pa.Table:
@@ -5017,9 +5013,7 @@ def q_customer_anti_join(sf_dir: str):
             }
         )
 
-    return by_key.map_batches(
-        anti_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return _keyed_exchange_apply(tagged, ["ckey"], anti_kernel, out_schema)
 
 
 HLL_P = 12                      # 2^12 = 4096 registers per sketch
@@ -5612,7 +5606,6 @@ def q_shipping_priority(sf_dir: str):
     tagged = orders.map_batches(order_rows, batch_format="pyarrow").union(
         lineitem.map_batches(line_rows, batch_format="pyarrow")
     )
-    by_key = _keyed_repartition(tagged, _shuffle_width(), ["okey"])
 
     out_schema = pa.schema(
         [
@@ -5661,8 +5654,8 @@ def q_shipping_priority(sf_dir: str):
         )
         return part.take(top.slice(0, Q3_TOP_K))
 
-    parts = by_key.map_batches(
-        join_topk, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    parts = _keyed_exchange_apply(
+        tagged, ["okey"], join_topk, out_schema
     ).take_all()  # bounded: <= Q3_TOP_K rows per block
     if not parts:
         return out_schema.empty_table()
@@ -5975,7 +5968,6 @@ def q_local_supplier_volume(sf_dir: str):
     tagged1 = customer.map_batches(customer_rows, batch_format="pyarrow").union(
         orders.map_batches(order_rows, batch_format="pyarrow")
     )
-    by_cust = _keyed_repartition(tagged1, _shuffle_width(), ["ckey"])
 
     s1_schema = pa.schema([("okey", pa.int64()), ("cust_nation", pa.int64())])
 
@@ -5989,6 +5981,7 @@ def q_local_supplier_volume(sf_dir: str):
         key = np.asarray(t.column("ckey"), dtype=np.int64)
         side = np.asarray(t.column("side"), dtype=np.int8)
         nat_v = np.asarray(pc.fill_null(t.column("nation"), -1), dtype=np.int64)
+        okey_v = np.asarray(pc.fill_null(t.column("okey"), -1), dtype=np.int64)
         new_run = np.r_[True, key[1:] != key[:-1]]
         starts = np.flatnonzero(new_run)
         run_idx = np.cumsum(new_run) - 1
@@ -6000,15 +5993,16 @@ def q_local_supplier_volume(sf_dir: str):
             return s1_schema.empty_table()
         return pa.table(
             {
-                "okey": pa.array(np.asarray(t.column("okey"), dtype=np.int64)[keep]),
+                "okey": pa.array(okey_v[keep]),
                 "cust_nation": pa.array(row_nation[keep]),
             },
             schema=s1_schema,
         )
 
-    stage1 = by_cust.map_batches(
-        gather_nation, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    # exchange #1 rides the adaptive path: the fragment exchange past
+    # 128 MiB of orders (the hash-shuffle operator floor), the hash
+    # exchange mid-size, one block when small
+    stage1 = _keyed_exchange_apply(tagged1, ["ckey"], gather_nation, s1_schema)
 
     # ---- exchange #2: stage1 x lineitem on the order key --------------
     u2_schema = pa.schema(
@@ -6068,7 +6062,6 @@ def q_local_supplier_volume(sf_dir: str):
     tagged2 = stage1.map_batches(stage1_rows, batch_format="pyarrow").union(
         lineitem.map_batches(line_rows, batch_format="pyarrow")
     )
-    by_order = _keyed_repartition(tagged2, _shuffle_width(), ["okey"])
 
     part_schema = pa.schema([("nation", pa.int64()), ("revenue_c100", pa.int64())])
 
@@ -6103,9 +6096,7 @@ def q_local_supplier_volume(sf_dir: str):
         agg = part.group_by(["nation"]).aggregate([("revenue_c100", "sum")])
         return agg.rename_columns(["nation", "revenue_c100"])
 
-    partial = by_order.map_batches(
-        local_volume, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    partial = _keyed_exchange_apply(tagged2, ["okey"], local_volume, part_schema)
     merged = grouped_aggregate(
         partial, ["nation"], [("revenue_c100", "sum", "revenue_c100")]
     )
@@ -6218,7 +6209,6 @@ def q_large_orders(sf_dir: str):
     tagged = heavy.map_batches(heavy_rows, batch_format="pyarrow").union(
         orders.map_batches(order_rows, batch_format="pyarrow")
     )
-    by_key = _keyed_repartition(tagged, _shuffle_width(), ["okey"])
 
     out_schema = pa.schema(
         [
@@ -6261,9 +6251,7 @@ def q_large_orders(sf_dir: str):
             schema=out_schema,
         )
 
-    return by_key.map_batches(
-        join_back, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return _keyed_exchange_apply(tagged, ["okey"], join_back, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -6496,7 +6484,6 @@ def q_cochange_triangles(sf_dir: str):
     tagged = edges.map_batches(edge_rows, batch_format="pyarrow").union(
         wedge_ds.map_batches(wedge_rows, batch_format="pyarrow")
     )
-    by_pair = _keyed_repartition(tagged, _shuffle_width(), ["repo", "v", "w"])
 
     part_schema = pa.schema(
         [
@@ -6554,9 +6541,7 @@ def q_cochange_triangles(sf_dir: str):
             schema=part_schema,
         )
 
-    partial = by_pair.map_batches(
-        confirm, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    partial = _keyed_exchange_apply(tagged, ["repo", "v", "w"], confirm, part_schema)
     return grouped_aggregate(
         partial, ["repo", "path"], [("n_triangles", "sum", "n_triangles")]
     )
@@ -9536,7 +9521,6 @@ def q_nation_pair_volume(sf_dir: str):
     tagged1 = customer.map_batches(customer_rows, batch_format="pyarrow").union(
         orders.map_batches(order_rows, batch_format="pyarrow")
     )
-    by_cust = _keyed_repartition(tagged1, _shuffle_width(), ["ckey"])
 
     s1_schema = pa.schema([("okey", pa.int64()), ("cust_nation", pa.int64())])
 
@@ -9550,6 +9534,7 @@ def q_nation_pair_volume(sf_dir: str):
         key = np.asarray(t.column("ckey"), dtype=np.int64)
         side = np.asarray(t.column("side"), dtype=np.int8)
         nat_v = np.asarray(pc.fill_null(t.column("nation"), -1), dtype=np.int64)
+        okey_v = np.asarray(pc.fill_null(t.column("okey"), -1), dtype=np.int64)
         new_run = np.r_[True, key[1:] != key[:-1]]
         starts = np.flatnonzero(new_run)
         run_idx = np.cumsum(new_run) - 1
@@ -9561,15 +9546,13 @@ def q_nation_pair_volume(sf_dir: str):
             return s1_schema.empty_table()
         return pa.table(
             {
-                "okey": pa.array(np.asarray(t.column("okey"), dtype=np.int64)[keep]),
+                "okey": pa.array(okey_v[keep]),
                 "cust_nation": pa.array(row_nation[keep]),
             },
             schema=s1_schema,
         )
 
-    stage1 = by_cust.map_batches(
-        gather_nation, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    stage1 = _keyed_exchange_apply(tagged1, ["ckey"], gather_nation, s1_schema)
 
     # ---- exchange #2: stage1 x lineitem on the order key --------------
     u2_schema = pa.schema(
@@ -9647,7 +9630,6 @@ def q_nation_pair_volume(sf_dir: str):
     tagged2 = stage1.map_batches(stage1_rows, batch_format="pyarrow").union(
         lineitem.map_batches(line_rows, batch_format="pyarrow")
     )
-    by_order = _keyed_repartition(tagged2, _shuffle_width(), ["okey"])
 
     part_schema = pa.schema(
         [
@@ -9694,9 +9676,7 @@ def q_nation_pair_volume(sf_dir: str):
             ["supp_nation", "cust_nation", "l_year", "revenue_c10k"]
         ).cast(part_schema)
 
-    partial = by_order.map_batches(
-        pair_volume, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    partial = _keyed_exchange_apply(tagged2, ["okey"], pair_volume, part_schema)
     totals: dict[tuple[int, int, int], int] = {}
     for r in partial.take_all():  # <= 2 pairs x years x blocks
         k = (int(r["supp_nation"]), int(r["cust_nation"]), int(r["l_year"]))
@@ -10465,7 +10445,6 @@ def q_nation_market_share(sf_dir: str):
     tagged1 = customer.map_batches(customer_rows, batch_format="pyarrow").union(
         orders.map_batches(order_rows, batch_format="pyarrow")
     )
-    by_cust = _keyed_repartition(tagged1, _shuffle_width(), ["ckey"])
 
     s1_schema = pa.schema([("okey", pa.int64()), ("o_year", pa.int64())])
 
@@ -10491,9 +10470,7 @@ def q_nation_market_share(sf_dir: str):
             schema=s1_schema,
         )
 
-    stage1 = by_cust.map_batches(
-        keep_region_orders, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    stage1 = _keyed_exchange_apply(tagged1, ["ckey"], keep_region_orders, s1_schema)
 
     u2_schema = pa.schema(
         [
@@ -10552,7 +10529,6 @@ def q_nation_market_share(sf_dir: str):
     tagged2 = stage1.map_batches(stage1_rows, batch_format="pyarrow").union(
         lineitem.map_batches(line_rows, batch_format="pyarrow")
     )
-    by_order = _keyed_repartition(tagged2, _shuffle_width(), ["okey"])
 
     part_schema = pa.schema(
         [
@@ -10598,9 +10574,7 @@ def q_nation_market_share(sf_dir: str):
             ["o_year", "target_rev_c10k", "total_rev_c10k"]
         ).cast(part_schema)
 
-    partial = by_order.map_batches(
-        share_kernel, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    partial = _keyed_exchange_apply(tagged2, ["okey"], share_kernel, part_schema)
     tgt_tot: dict[int, list[int]] = {}
     for r in partial.take_all():  # bounded by the year domain x blocks
         e = tgt_tot.setdefault(int(r["o_year"]), [0, 0])
