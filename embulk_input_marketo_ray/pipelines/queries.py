@@ -1085,8 +1085,13 @@ def q_doc_dedup_near_keep_best(sf_dir: str, loser_broadcast_limit: int = 256 << 
         # had a searchsorted clip hit; membership requires cluster_id
         return t.filter(pc.is_valid(t.column("cluster_id")))
 
-    attached = _keyed_repartition(tagged, _shuffle_width(), ["doc_id"]).map_batches(
-        attach, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    attached = _keyed_exchange_apply(
+        tagged,
+        ["doc_id"],
+        attach,
+        pa.schema(
+            [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("n_chars", pa.int64())]
+        ),
     )
 
     def losers_block(block: pa.Table) -> pa.Table:
@@ -3792,8 +3797,6 @@ def q_doc_decontaminate_bloom(sf_dir: str):
     tagged = survivors.union(
         bench_grams.map_batches(bench_tagged, batch_format="pyarrow")
     )
-    exchanged = _keyed_repartition(tagged, _shuffle_width(), ["gram"])
-
     def verify_block(block: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -3825,8 +3828,11 @@ def q_doc_decontaminate_bloom(sf_dir: str):
             }
         )
 
-    verified = exchanged.map_batches(
-        verify_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    verified = _keyed_exchange_apply(
+        tagged,
+        ["gram"],
+        verify_block,
+        pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())]),
     )
     return grouped_aggregate(verified, ["doc_id"], [("n_hits", "sum", "n_hits")])
 
