@@ -107,7 +107,20 @@ def _keyed_repartition(ds: "ray.data.Dataset", width: int, keys: list[str]):
     parallelism it buys, so collapse to ONE block via the split-based
     (task-only, no aggregator actors) repartition. Bigger inputs take
     the real keyed hash exchange at the tuned width — the 100 TB path
-    is unchanged."""
+    is unchanged.
+
+    Self-ensures HASH_SHUFFLE (keyed repartition requires it) so a
+    query that reaches here first in a FRESH session — e.g. via
+    scripts/run_query.py — doesn't crash on the sort-shuffle default;
+    the input-sized narrowing is re-applied because the full ensure
+    resets the session knobs."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    if DataContext.get_current().shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        _ensure_hash_shuffle()
+        if _TUNED_BYTES is not None:
+            _tune_shuffle_for_bytes(_TUNED_BYTES)
     if _small_input():
         return ds.repartition(1)
     return ds.repartition(width, keys=keys)

@@ -2415,3 +2415,20 @@ def test_embedding_power_iteration_matvec(ray_session, tmp_path):
     out = q.q_embedding_power_iteration(str(tmp_path)).to_pandas()
     assert list(out["dim"]) == [0, 1]
     assert list(out["w"]) == list(expected)
+
+
+def test_keyed_repartition_self_ensures_hash_shuffle(ray_session):
+    """A query whose first exchange is a direct _keyed_repartition must
+    not crash in a session still on the sort-shuffle default (the
+    standalone scripts/run_query.py path)."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    try:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+        out = q.q_co_change_pairs("unused")
+        assert out.count() >= 0
+    finally:
+        ctx.shuffle_strategy = prev
