@@ -109,18 +109,9 @@ def _keyed_repartition(ds: "ray.data.Dataset", width: int, keys: list[str]):
     the real keyed hash exchange at the tuned width — the 100 TB path
     is unchanged.
 
-    Self-ensures HASH_SHUFFLE (keyed repartition requires it) so a
-    query that reaches here first in a FRESH session — e.g. via
-    scripts/run_query.py — doesn't crash on the sort-shuffle default;
-    the input-sized narrowing is re-applied because the full ensure
-    resets the session knobs."""
-    from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
-
-    if DataContext.get_current().shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
-        _ensure_hash_shuffle()
-        if _TUNED_BYTES is not None:
-            _tune_shuffle_for_bytes(_TUNED_BYTES)
+    The shuffle strategy must be HASH_SHUFFLE BEFORE the source dataset
+    is created (Ray snapshots DataContext at creation), so the ensure
+    lives in ``_read`` / ``_read_events``, not here."""
     if _small_input():
         return ds.repartition(1)
     return ds.repartition(width, keys=keys)
@@ -175,6 +166,11 @@ def _read(sf_dir: str, name: str, columns=None, **kw):
     path = _t(sf_dir, name)
     import os as _os
 
+    # HASH_SHUFFLE must be set BEFORE the dataset exists: Ray snapshots
+    # DataContext at creation, so a downstream keyed repartition crashes
+    # in a fresh session (scripts/run_query.py) if the source was built
+    # under the sort-shuffle default
+    _ensure_hash_shuffle()
     # multi-table queries read the big driving table first, so its size
     # (not a small lookup side's) governs the plan's shuffle width
     _tune_shuffle_for_bytes(_os.path.getsize(path))
@@ -193,6 +189,7 @@ def _read_events(columns=None, n: int | None = None):
 
     events = _cdc_events_dir() if n is None else _cdc_events_dir(n)
     files = sorted(_glob.glob(f"{events}/events_*.parquet"))
+    _ensure_hash_shuffle()  # before creation — see _read
     _tune_shuffle_for_bytes(sum(_os.path.getsize(f) for f in files))
     return ray.data.read_parquet(files, columns=columns)
 

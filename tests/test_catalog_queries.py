@@ -2417,15 +2417,19 @@ def test_embedding_power_iteration_matvec(ray_session, tmp_path):
     assert list(out["w"]) == list(expected)
 
 
-def test_keyed_repartition_self_ensures_hash_shuffle(ray_session):
-    """A query whose first exchange is a direct _keyed_repartition must
+def test_keyed_repartition_self_ensures_hash_shuffle(ray_session, monkeypatch):
+    """A query whose first exchange is a direct keyed repartition must
     not crash in a session still on the sort-shuffle default (the
-    standalone scripts/run_query.py path)."""
+    standalone scripts/run_query.py path). Ray snapshots DataContext at
+    SOURCE-DATASET creation, so the ensure must run inside _read_events
+    — forcing the non-collapsed path (SMALL_INPUT_BYTES=0) proves the
+    real keyed exchange compiles."""
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
     ctx = DataContext.get_current()
     prev = ctx.shuffle_strategy
+    monkeypatch.setattr(q, "SMALL_INPUT_BYTES", 0)
     try:
         ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
         out = q.q_co_change_pairs("unused")
