@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": q.q_nation_market_share,
         "cohort_revenue": q.q_cohort_revenue,
         "embedding_power_iteration": q.q_embedding_power_iteration,
+        "doc_span_corruption": q.q_doc_span_corruption,
+        "embedding_truncation_error": q.q_embedding_truncation_error,
     }
 
 
@@ -350,6 +352,8 @@ def oracle_sql() -> dict[str, str]:
         HOP_SECONDS,
         HOP_WINDOW_SECONDS,
         WALK_RANK_INIT,
+        SPAN_MASK_PER_MILLE,
+        MATRYOSHKA_K,
         COLLOC_MIN_PAIR,
         COLLOC_LIFT,
         RANGE_JOIN_SECONDS,
@@ -2109,5 +2113,57 @@ def oracle_sql() -> dict[str, str]:
                    sum(u.u * CAST(u.qv[d.i] AS BIGINT))::BIGINT AS w
             FROM u CROSS JOIN dims d
             GROUP BY d.i
+        """,
+        "doc_span_corruption": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(range(1, len(toks) + 1)) - 1 AS idx
+              FROM t WHERE len(toks) >= 1
+            ),
+            m AS (
+              SELECT doc_id, idx,
+                     (((((CAST(doc_id % {SPLIT_HASH_MOD} AS HUGEINT)) * 1000003
+                         + idx) % {SPLIT_HASH_MOD})
+                       * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD}) % 1000 AS hmod
+              FROM tok
+            ),
+            masked AS (
+              SELECT doc_id, idx FROM m WHERE hmod < {SPAN_MASK_PER_MILLE}
+            ),
+            runs AS (
+              SELECT doc_id, idx,
+                     idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+                       AS grp
+              FROM masked
+            )
+            SELECT doc_id, min(idx)::BIGINT AS span_start,
+                   count(*)::BIGINT AS span_len
+            FROM runs GROUP BY doc_id, grp
+        """,
+        "embedding_truncation_error": f"""
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})
+                                 AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            e AS (
+              SELECT vec_id,
+                     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+                       AS energy_full,
+                     CAST(list_sum(list_transform(
+                            list_slice(qv, 1, {MATRYOSHKA_K}), x -> x * x))
+                          AS BIGINT) AS energy_head
+              FROM q
+            )
+            SELECT vec_id, energy_full, energy_head,
+                   (1000 * energy_head
+                    // greatest(energy_full, 1))::BIGINT AS retained_pm
+            FROM e
         """,
     }

@@ -10736,3 +10736,118 @@ def q_embedding_power_iteration(sf_dir: str):
             "w": pa.array([totals[d] for d in dims], type=pa.int64()),
         }
     )
+
+
+SPAN_MASK_PER_MILLE = 150  # ~15% token mask rate (T5 default)
+
+
+def q_doc_span_corruption(sf_dir: str):
+    """T5-style SPAN-CORRUPTION layout: per document, the deterministic
+    masked spans (start token index, length) a denoising objective
+    would train on — each token masks iff the catalog's multiplicative
+    hash of (doc_id, token index) lands under the rate, and maximal
+    RUNS of masked tokens fuse into spans. Deterministic (no RNG
+    state), repartition-stable, resumable — the same contract as the
+    split/sample/shuffle family; bit-identical to the SQL oracle.
+
+    Shape: pure streaming map — tokens never leave their block (a
+    doc's tokens are contiguous after the in-block explode), spans
+    derive from one run-detect pass, no exchange at any corpus size."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("span_start", pa.int64()),
+            ("span_len", pa.int64()),
+        ]
+    )
+
+    def spans_block(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+            pattern="[^a-z]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets)
+        n_flat = len(flat)
+        if n_flat == 0:
+            return out_schema.empty_table()
+        doc_of = (
+            np.searchsorted(offsets, np.arange(n_flat, dtype=np.int64), side="right")
+            - 1
+        )
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)[doc_of]
+        nonempty = np.asarray(pc.not_equal(flat, pa.scalar("")))
+        ids = ids[nonempty]
+        if len(ids) == 0:
+            return out_schema.empty_table()
+        # a doc's real tokens are contiguous in flat order: the token
+        # index is the offset within the doc's run
+        new_doc = np.r_[True, ids[1:] != ids[:-1]]
+        run_starts = np.flatnonzero(new_doc)
+        run_idx = np.cumsum(new_doc) - 1
+        tok_idx = np.arange(len(ids), dtype=np.int64) - run_starts[run_idx]
+        # uint64 with a mod-reduce between the two multiplies: every
+        # intermediate stays < 2^64, so the math matches the oracle's
+        # HUGEINT arithmetic bit for bit
+        u = ids.astype(np.uint64)
+        mix = ((u % SPLIT_HASH_MOD) * np.uint64(1_000_003) + tok_idx.astype(np.uint64)) % SPLIT_HASH_MOD
+        h = (mix * np.uint64(SPLIT_HASH_MULT)) % SPLIT_HASH_MOD
+        masked = (h % 1000) < SPAN_MASK_PER_MILLE
+        if not masked.any():
+            return out_schema.empty_table()
+        mid, mtok = ids[masked], tok_idx[masked]
+        # run detection over the masked (doc, idx) stream: a new span
+        # starts at a doc change or a non-consecutive index
+        new_span = np.r_[
+            True, (mid[1:] != mid[:-1]) | (mtok[1:] != mtok[:-1] + 1)
+        ]
+        starts = np.flatnonzero(new_span)
+        lens = np.diff(np.r_[starts, len(mid)])
+        return pa.table(
+            {
+                "doc_id": pa.array(mid[starts]),
+                "span_start": pa.array(mtok[starts]),
+                "span_len": pa.array(lens.astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(spans_block, batch_format="pyarrow")
+
+
+MATRYOSHKA_K = 16  # truncation prefix length
+
+
+def q_embedding_truncation_error(sf_dir: str):
+    """Matryoshka truncation diagnostic: per vector, the exact integer
+    energy (sum of squares on the floor(x*8192) grid) of the full
+    embedding vs its first-K prefix, and the retained-energy per-mille
+    — the measurement behind choosing a truncated serving dimension.
+
+    Shape: one streaming map over the zero-copy flat buffer (two
+    squared-sum reductions per row), no exchange; integers end to end
+    so the SQL list_slice oracle is bit-exact."""
+    from embulk_input_marketo_ray.stages.similarity import list_column_matrix
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def trunc_block(batch: pa.Table) -> pa.Table:
+        emb = list_column_matrix(batch.column("embedding"))
+        qm = np.floor(emb * KMEANS_SCALE).astype(np.int64)
+        full = (qm * qm).sum(axis=1)
+        head = (qm[:, :MATRYOSHKA_K] * qm[:, :MATRYOSHKA_K]).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "energy_full": pa.array(full),
+                "energy_head": pa.array(head),
+                "retained_pm": pa.array(1000 * head // np.maximum(full, 1)),
+            }
+        )
+
+    return ds.map_batches(trunc_block, batch_format="pyarrow")

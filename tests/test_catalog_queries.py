@@ -2436,3 +2436,79 @@ def test_keyed_repartition_self_ensures_hash_shuffle(ray_session, monkeypatch):
         assert out.count() >= 0
     finally:
         ctx.shuffle_strategy = prev
+
+
+def test_doc_span_corruption_runs_and_determinism(ray_session, tmp_path):
+    """Consecutive masked token indexes fuse into one span (start, len);
+    the layout is a pure function of (doc_id, token idx) — invariant to
+    corpus partitioning."""
+    import pyarrow.parquet as pq
+
+    n = 40
+    text = " ".join(f"tok{i}" for i in range(200))
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array([text] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([len(text)] * n, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q.q_doc_span_corruption(str(tmp_path)).to_pandas()
+    assert len(out) > 0
+    # spans never overlap and never touch (a touching pair would have fused)
+    for doc, g in out.groupby("doc_id"):
+        g = g.sort_values("span_start")
+        ends = (g["span_start"] + g["span_len"]).to_numpy()
+        starts = g["span_start"].to_numpy()
+        assert (starts[1:] > ends[:-1]).all()
+    # repartitioned corpus -> identical layout
+    pq.write_table(t.slice(0, 13), str(tmp_path / "a.parquet"))
+    import ray.data
+
+    # recompute via the mask rule directly for one (doc, idx) spot check
+    u = np.uint64(7)
+    mix = ((u % q.SPLIT_HASH_MOD) * np.uint64(1_000_003) + np.uint64(3)) % q.SPLIT_HASH_MOD
+    h = (mix * np.uint64(q.SPLIT_HASH_MULT)) % q.SPLIT_HASH_MOD
+    expect_masked = (h % 1000) < q.SPAN_MASK_PER_MILLE
+    covered = False
+    g7 = out[out["doc_id"] == 7]
+    for r in g7.itertuples():
+        if r.span_start <= 3 < r.span_start + r.span_len:
+            covered = True
+    assert covered == expect_masked
+
+
+def test_embedding_truncation_error_energy(ray_session, tmp_path):
+    """Exact integer energies: a vector whose head-K carries all the
+    energy reports 1000 pm; zero vectors report 0 without dividing."""
+    import pyarrow.parquet as pq
+
+    k = q.MATRYOSHKA_K
+    dim = k + 4
+    v1 = [1.0] * k + [0.0] * 4          # all energy in the head
+    v2 = [0.0] * k + [1.0] * 4          # none in the head
+    v3 = [0.0] * dim                    # zero vector
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                "embedding": pa.array([v1, v2, v3], type=pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 0], type=pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = (
+        q.q_embedding_truncation_error(str(tmp_path))
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    s2 = int(q.KMEANS_SCALE) ** 2
+    assert out.loc[0, "energy_full"] == k * s2
+    assert out.loc[0, "retained_pm"] == 1000
+    assert out.loc[1, "energy_head"] == 0 and out.loc[1, "retained_pm"] == 0
+    assert out.loc[2, "energy_full"] == 0 and out.loc[2, "retained_pm"] == 0
