@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_power_iteration": q.q_embedding_power_iteration,
         "doc_span_corruption": q.q_doc_span_corruption,
         "embedding_truncation_error": q.q_embedding_truncation_error,
+        "doc_incremental_dedup_deletes": q.q_doc_incremental_dedup_deletes,
     }
 
 
@@ -584,6 +585,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_incremental_dedup": (
             f"SELECT * FROM read_parquet('{oracle_paths['doc_incremental_dedup']}')"
+        ),
+        "doc_incremental_dedup_deletes": (
+            "SELECT * FROM read_parquet("
+            f"'{oracle_paths['doc_incremental_dedup_deletes']}')"
         ),
         "multimodal_pipeline": (
             f"SELECT * FROM read_parquet('{oracle_paths['multimodal_pipeline']}')"

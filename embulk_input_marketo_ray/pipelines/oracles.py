@@ -658,6 +658,84 @@ def oracle_doc_incremental_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+def oracle_doc_incremental_dedup_deletes(sf_dir: str) -> pa.Table:
+    """The deletes variant: identical sequential replica, but after
+    wave 1 every admitted doc with doc_id % 10 == 0 is REMOVED from the
+    dict index (bands + sigs) before wave 2 probes — the tombstone
+    semantics of ``stages/sig_index.delete_docs``."""
+    ids, texts = _docs(sf_dir)
+    a, b = _minhash_params()
+    mult = _band_mult()
+    r = _MINHASH_NUM_PERM // _SIGIDX_NUM_BANDS
+    text_of = dict(zip(ids, texts))
+    index_bands: dict[tuple[int, int], list[int]] = {}
+    index_sigs: dict[int, list[int]] = {}
+    out: list[tuple[int, int, str, int | None]] = []
+
+    def _agree(s1: list[int], s2: list[int]) -> int:
+        return sum(1 for x, y in zip(s1, s2) if x == y)
+
+    waves = [
+        sorted(int(i) for i in ids if int(i) % 2 == 0),
+        sorted(int(i) for i in ids if int(i) % 2 == 1),
+    ]
+    for wave_no, wave_ids in enumerate(waves, start=1):
+        sig = {i: _minhash_signature(text_of[i] or "", a, b) for i in wave_ids}
+        bands: dict[int, list[tuple[int, int]]] = {}
+        new_buckets: dict[tuple[int, int], list[int]] = {}
+        for i in wave_ids:
+            keys = []
+            for band in range(_SIGIDX_NUM_BANDS):
+                lo, hi = band * r, (band + 1) * r
+                keys.append((band, _band_hash(sig[i][lo:hi], mult[lo:hi])))
+            bands[i] = keys
+            for key in keys:
+                new_buckets.setdefault(key, []).append(i)
+        best_old: dict[int, int] = {}
+        best_new: dict[int, int] = {}
+        for i in wave_ids:
+            for key in bands[i]:
+                olds = index_bands.get(key)
+                if olds:
+                    mo = min(olds)
+                    if _agree(sig[i], index_sigs[mo]) >= _SIGIDX_AGREE_SLOTS:
+                        if i not in best_old or mo < best_old[i]:
+                            best_old[i] = mo
+                mn = min(new_buckets[key])
+                if mn < i and _agree(sig[i], sig[mn]) >= _SIGIDX_AGREE_SLOTS:
+                    if i not in best_new or mn < best_new[i]:
+                        best_new[i] = mn
+        for i in wave_ids:
+            if i in best_old:
+                status, dup = "dup", best_old[i]
+            elif i in best_new:
+                status, dup = "dup", best_new[i]
+            else:
+                status, dup = "admitted", None
+            out.append((i, wave_no, status, dup))
+            if status == "admitted":
+                for key in bands[i]:
+                    index_bands.setdefault(key, []).append(i)
+                index_sigs[i] = sig[i]
+        if wave_no == 1:
+            dead = {i for i in index_sigs if i % 10 == 0}
+            for key in list(index_bands):
+                index_bands[key] = [i for i in index_bands[key] if i not in dead]
+                if not index_bands[key]:
+                    del index_bands[key]
+            for i in dead:
+                del index_sigs[i]
+    out.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([x[0] for x in out], type=pa.int64()),
+            "wave": pa.array([x[1] for x in out], type=pa.int64()),
+            "status": pa.array([x[2] for x in out], type=pa.string()),
+            "dup_of": pa.array([x[3] for x in out], type=pa.int64()),
+        }
+    )
+
+
 _ORACLE_BUILDERS = {
     "doc_simhash": oracle_doc_simhash,
     "doc_fingerprint": oracle_doc_fingerprint,
@@ -670,6 +748,7 @@ _ORACLE_BUILDERS = {
     "embedding_dup_clusters": oracle_embedding_dup_clusters,
     "multimodal_pipeline": oracle_multimodal,
     "doc_incremental_dedup": oracle_doc_incremental_dedup,
+    "doc_incremental_dedup_deletes": oracle_doc_incremental_dedup_deletes,
     "ann_incremental_topk": oracle_ann_incremental_topk,
 }
 

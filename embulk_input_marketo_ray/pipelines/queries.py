@@ -3903,6 +3903,69 @@ def q_doc_incremental_dedup(sf_dir: str):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+DELETE_EVERY = 10  # tombstone wave-1 admitted docs with doc_id % 10 == 0
+
+
+def q_doc_incremental_dedup_deletes(sf_dir: str):
+    """Incremental dedup WITH RETRACTIONS: wave 1 (even doc_ids) builds
+    the index, a tombstone DELETE retracts every admitted wave-1 doc
+    with ``doc_id % DELETE_EVERY == 0`` (the GDPR-erasure / re-crawl
+    story), then wave 2 (odd ids) probes the SURVIVING state — a wave-2
+    doc whose only near-match was deleted is ADMITTED, exactly what an
+    erasure must mean for dedup state. Output shape matches
+    ``doc_incremental_dedup``: (doc_id, wave, status, dup_of).
+
+    Scale shape: the delete is one id-list tombstone file + manifest
+    commit; probes exclude tombstoned ids AT THE INDEX READ (broadcast
+    of the unfolded tombstone set, budgeted with the compaction
+    remedy); nothing is rewritten until ``compact_index`` folds the
+    tombstones into the bases."""
+    import shutil
+    import tempfile
+
+    from embulk_input_marketo_ray.stages.sig_index import (
+        delete_docs,
+        init_index,
+        ingest,
+    )
+
+    _ensure_hash_shuffle()
+    index_dir = tempfile.mkdtemp(prefix="graft_sigidx_del_")
+    try:
+        init_index(index_dir)
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def wave_filter(parity: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+                return batch.filter(pa.array(ids % 2 == parity))
+
+            return fn
+
+        parts = []
+        res1 = ingest(
+            index_dir, docs.map_batches(wave_filter(0), batch_format="pyarrow"), "wave1"
+        )
+        parts.append(
+            res1.add_column(1, "wave", pa.array([1] * res1.num_rows, type=pa.int64()))
+        )
+        admitted = res1.filter(pc.equal(res1.column("status"), pa.scalar("admitted")))
+        adm_ids = np.asarray(admitted.column("doc_id"), dtype=np.int64)
+        delete_docs(index_dir, adm_ids[adm_ids % DELETE_EVERY == 0], "retract1")
+        res2 = ingest(
+            index_dir, docs.map_batches(wave_filter(1), batch_format="pyarrow"), "wave2"
+        )
+        parts.append(
+            res2.add_column(1, "wave", pa.array([2] * res2.num_rows, type=pa.int64()))
+        )
+        out = pa.concat_tables(parts)
+        return out.take(
+            pc.sort_indices(out, sort_keys=[("doc_id", "ascending")])
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # deterministic global training shuffle (shard + position, no RNG state)
 # ---------------------------------------------------------------------------

@@ -190,6 +190,63 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+# tombstones-between-compactions budget: the unfolded delete set rides
+# one driver read + one broadcast per ingest, so it must stay the small
+# side. 10M int64 ids = 80 MB — generous; past it the remedy is a
+# compaction (which folds tombstones into the bases and clears the set)
+TOMBSTONE_BROADCAST_LIMIT = 10_000_000
+
+
+def delete_docs(index_dir: str, doc_ids, delete_id: str) -> dict:
+    """Tombstone-delete admitted docs from the index — the CDC 'op =
+    delete' story for the dedup state (GDPR erasure, retractions,
+    re-crawls): subsequent ingests no longer match against the deleted
+    docs, so an identical re-arrival is ADMITTED again.
+
+    Deletes are TOMBSTONES, not in-place rewrites (the lake's delta
+    rule): one ``deletes/<delete_id>.parquet`` id list, committed to
+    the manifest LAST, so a crashed delete is invisible and a committed
+    ``delete_id`` replays idempotently. Probes exclude tombstoned ids
+    at the index read; ``compact_index`` folds tombstones INTO the new
+    bases (dropping the rows) and marks them folded;
+    ``vacuum_index`` then reclaims the folded tombstone files.
+    Historical ingest RESULTS are never rewritten — a verdict that
+    pointed at a later-deleted doc is history, not state."""
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    state = _load_manifest(index_dir)
+    if delete_id in state.get("deletes", {}):
+        return state["deletes"][delete_id]
+    path = os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
+    _atomic_write(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), path)
+    with _manifest_lock(index_dir):
+        state = _load_manifest(index_dir)  # re-read: no lost updates
+        meta = {"n": int(len(ids))}
+        state.setdefault("deletes", {})[delete_id] = meta
+        _write_manifest(index_dir, state)
+    return meta
+
+
+def _tombstone_ids(state: dict, index_dir: str) -> np.ndarray:
+    """Sorted unique doc_ids of all committed, NOT-yet-folded deletes
+    (folded tombstones are already absent from the bases)."""
+    parts = []
+    for delete_id, meta in state.get("deletes", {}).items():
+        if meta.get("folded"):
+            continue
+        p = os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
+        parts.append(np.asarray(pq.read_table(p).column("doc_id"), dtype=np.int64))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    out = np.unique(np.concatenate(parts))
+    if len(out) > TOMBSTONE_BROADCAST_LIMIT:
+        raise RuntimeError(
+            f"{len(out)} unfolded tombstones exceed the broadcast budget "
+            f"({TOMBSTONE_BROADCAST_LIMIT}); run compact_index to fold them "
+            "into the bases"
+        )
+    return out
+
+
 class _SideBands:
     """Stage: tag band rows with probe side + band-hash bucket."""
 
@@ -573,10 +630,22 @@ def ingest(index_dir: str, docs, ingest_id: str):
     # the index grows
     hash_ref = ray.put(np.array(sorted(batch_hashes), dtype=np.uint64))
 
+    # tombstoned docs are dead to every probe: exclude them at the
+    # index read, before the exchange — a deleted doc can then never
+    # be a pair target, so its signature is never fetched either
+    # (candidate old ids derive from the surviving band rows)
+    tombstones = _tombstone_ids(state, index_dir)
+    tomb_ref = ray.put(tombstones) if len(tombstones) else None
+
     def prune_to_batch_hashes(batch: pa.Table) -> pa.Table:
         want = ray.get(hash_ref)
         h = np.asarray(batch.column("band_hash"), dtype=np.uint64)
-        return batch.filter(pa.array(sorted_member_mask(want, h)))
+        batch = batch.filter(pa.array(sorted_member_mask(want, h)))
+        if tomb_ref is not None and batch.num_rows:
+            dead = ray.get(tomb_ref)
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            batch = batch.filter(pa.array(~sorted_member_mask(dead, ids)))
+        return batch
 
     old_files = _committed_files(state, index_dir, "bands", touched)
     if old_files:
@@ -905,11 +974,24 @@ def compact_index(index_dir: str) -> list[str]:
 
     state = _load_manifest(index_dir)
     gen = int(state.get("base_gen", 0)) + 1
+    # tombstone snapshot: these deletes' ids are dropped from the new
+    # bases, so ONLY these delete entries flip to folded at commit (the
+    # same snapshot rule as folded_ids below — a delete committed after
+    # this snapshot keeps its tombstone file live for probes)
+    folded_delete_ids = {
+        d for d, meta in state.get("deletes", {}).items() if not meta.get("folded")
+    }
+    dead = _tombstone_ids(state, index_dir)
+    dead_ref = ray.put(dead)
 
     @ray.remote
     def _fold(kind: str, bucket: int, files: list[str]) -> str:
         parts = [pq.read_table(f) for f in files]
         merged = pa.concat_tables(parts).combine_chunks()
+        tomb = ray.get(dead_ref)
+        if len(tomb) and merged.num_rows:
+            ids = np.asarray(merged.column("doc_id"), dtype=np.int64)
+            merged = merged.filter(pa.array(~sorted_member_mask(tomb, ids)))
         path = os.path.join(index_dir, kind, f"bucket={bucket}", f"base-{gen}.parquet")
         _atomic_write(merged, path)
         return path
@@ -961,6 +1043,9 @@ def compact_index(index_dir: str) -> list[str]:
         for ingest_id in folded_ids:
             if ingest_id in state["ingests"]:
                 state["ingests"][ingest_id]["folded"] = True
+        for delete_id in folded_delete_ids:
+            if delete_id in state.get("deletes", {}):
+                state["deletes"][delete_id]["folded"] = True
         _write_manifest(index_dir, state)
     return out_paths
 
@@ -982,16 +1067,27 @@ def vacuum_index(index_dir: str, grace_seconds: float = 900.0) -> list[str]:
     state = _load_manifest(index_dir)
     referenced = set(_committed_files(state, index_dir, "bands", None))
     referenced.update(_committed_files(state, index_dir, "sigs", None))
+    # unfolded tombstone files are live probe state; folded ones were
+    # baked into the bases by the compaction and are reclaimable
+    for delete_id, meta in state.get("deletes", {}).items():
+        if not meta.get("folded"):
+            referenced.add(
+                os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
+            )
     now = time.time()
     removed = []
-    for kind in ("bands", "sigs"):
+    for kind in ("bands", "sigs", "deletes"):
         root = os.path.join(index_dir, kind)
         if not os.path.isdir(root):
             continue
         for bucket_dir in sorted(os.listdir(root)):
             d = os.path.join(root, bucket_dir)
-            for fname in sorted(os.listdir(d)):
-                path = os.path.join(d, fname)
+            # deletes/ is flat (no bucket subdirs); bands/sigs nest
+            files = (
+                [(d, None)] if os.path.isfile(d) else [(d, f) for f in sorted(os.listdir(d))]
+            )
+            for base, fname in files:
+                path = base if fname is None else os.path.join(base, fname)
                 if path in referenced:
                     continue
                 try:

@@ -312,3 +312,81 @@ def test_pack_sigs_rejects_int32_offset_overflow():
 
     with pytest.raises(ValueError, match="too large for int32"):
         pack_sigs(FakeCol(), num_perm=1)
+
+
+# ---------------------------------------------------------------------------
+# tombstone deletes
+# ---------------------------------------------------------------------------
+
+
+def test_delete_excludes_from_probes_and_readmits(ray_session, tmp_path):
+    """A doc identical to a DELETED doc is admitted (the erasure story);
+    an identical doc matching a surviving doc still flags dup."""
+    from embulk_input_marketo_ray.stages.sig_index import delete_docs
+
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    r1 = ingest(idx, _docs_ds([(10, LONG_A), (20, LONG_B)]), "w1")
+    assert r1.column("status").to_pylist() == ["admitted", "admitted"]
+
+    delete_docs(idx, [10], "d1")
+    r2 = ingest(idx, _docs_ds([(31, LONG_A), (32, LONG_B)]), "w2")
+    got = dict(zip(r2.column("doc_id").to_pylist(), r2.column("status").to_pylist()))
+    assert got == {31: "admitted", 32: "dup"}  # 10 erased, 20 survives
+
+
+def test_delete_replay_idempotent_and_crash_invisible(ray_session, tmp_path):
+    """A committed delete_id replays without effect; a tombstone file
+    WITHOUT a manifest entry (crash before commit) is invisible."""
+    from embulk_input_marketo_ray.stages.sig_index import (
+        _tombstone_ids,
+        delete_docs,
+    )
+
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    ingest(idx, _docs_ds([(10, LONG_A)]), "w1")
+    m1 = delete_docs(idx, [10], "d1")
+    m2 = delete_docs(idx, [10, 999], "d1")  # replay: ids ignored
+    assert m1 == m2 == {"n": 1}
+
+    # crash simulation: partial tombstone file, no manifest entry
+    orphan = pa.table({"doc_id": pa.array([20], type=pa.int64())})
+    pq.write_table(orphan, os.path.join(idx, "deletes", "crashed.parquet"))
+    state = _load_manifest(idx)
+    assert set(_tombstone_ids(state, idx).tolist()) == {10}
+
+
+def test_compact_folds_tombstones_and_vacuum_reclaims(ray_session, tmp_path):
+    """After compaction the tombstoned doc is gone from the BASES (probe
+    result unchanged with zero live tombstones), the delete entry is
+    folded, and vacuum reclaims its file; a delete committed AFTER the
+    fold snapshot stays live."""
+    from embulk_input_marketo_ray.stages.sig_index import (
+        _tombstone_ids,
+        compact_index,
+        delete_docs,
+        vacuum_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    ingest(idx, _docs_ds([(10, LONG_A), (20, LONG_B)]), "w1")
+    delete_docs(idx, [10], "d1")
+    compact_index(idx)
+    state = _load_manifest(idx)
+    assert state["deletes"]["d1"]["folded"] is True
+    assert len(_tombstone_ids(state, idx)) == 0
+
+    # the erased doc is really gone from the bases
+    r = ingest(idx, _docs_ds([(31, LONG_A), (32, LONG_B)]), "w2")
+    got = dict(zip(r.column("doc_id").to_pylist(), r.column("status").to_pylist()))
+    assert got == {31: "admitted", 32: "dup"}
+
+    removed = vacuum_index(idx, grace_seconds=0)
+    assert any("d1.parquet" in p for p in removed)
+    # a fresh (unfolded) delete's file survives vacuum
+    delete_docs(idx, [20], "d2")
+    removed2 = vacuum_index(idx, grace_seconds=0)
+    assert not any("d2.parquet" in p for p in removed2)
+    assert os.path.exists(os.path.join(idx, "deletes", "d2.parquet"))
