@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_span_corruption": q.q_doc_span_corruption,
         "embedding_truncation_error": q.q_embedding_truncation_error,
         "doc_incremental_dedup_deletes": q.q_doc_incremental_dedup_deletes,
+        "ann_incremental_topk_deletes": q.q_ann_incremental_topk_deletes,
     }
 
 
@@ -582,6 +583,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_incremental_topk": (
             f"SELECT * FROM read_parquet('{oracle_paths['ann_incremental_topk']}')"
+        ),
+        "ann_incremental_topk_deletes": (
+            "SELECT * FROM read_parquet("
+            f"'{oracle_paths['ann_incremental_topk_deletes']}')"
         ),
         "doc_incremental_dedup": (
             f"SELECT * FROM read_parquet('{oracle_paths['doc_incremental_dedup']}')"

@@ -520,6 +520,47 @@ def oracle_ann_incremental_topk(
     )
 
 
+def oracle_ann_incremental_topk_deletes(
+    sf_dir: str,
+    n_queries: int = 3,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    train_rows: int = 4096,
+) -> pa.Table:
+    """The deletes variant: identical replica, but vec_ids that are
+    even AND divisible by 8 are erased after wave 1 — excluded from
+    every neighbor list (the ``vec_index.delete_vectors`` contract)."""
+    ids, x = _normalized_embeddings(sf_dir)
+    ids_np = np.asarray(ids)
+    even_ids = np.sort(ids_np[(ids_np % 2) == 0])[:train_rows]
+    rows = [int(np.flatnonzero(ids_np == v)[0]) for v in even_ids]
+    centroids = _oracle_kmeans(x[rows], n_centroids)
+    assign = np.argmax(x @ centroids.T, axis=1)
+    deleted = (ids_np % 2 == 0) & (ids_np % 8 == 0)
+    row_of = {int(v): i for i, v in enumerate(ids)}
+    out_q, out_n, out_r = [], [], []
+    for q in range(n_queries):
+        probes = np.argsort(-(x[row_of[q]] @ centroids.T), kind="stable")[:n_probe]
+        member = np.isin(assign, probes) & ~deleted
+        nbrs = sorted(int(v) for v in ids[member])
+        if not nbrs:
+            continue
+        cos = x[[row_of[n] for n in nbrs]] @ x[row_of[q]]
+        order = sorted(zip(nbrs, cos), key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (n, _) in enumerate(order, start=1):
+            out_q.append(q)
+            out_n.append(n)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+        }
+    )
+
+
 def oracle_embedding_near_dup(
     sf_dir: str, threshold: float = 0.45, n_planes: int = 10, n_tables: int = 6
 ) -> pa.Table:
@@ -750,6 +791,7 @@ _ORACLE_BUILDERS = {
     "doc_incremental_dedup": oracle_doc_incremental_dedup,
     "doc_incremental_dedup_deletes": oracle_doc_incremental_dedup_deletes,
     "ann_incremental_topk": oracle_ann_incremental_topk,
+    "ann_incremental_topk_deletes": oracle_ann_incremental_topk_deletes,
 }
 
 

@@ -4175,6 +4175,64 @@ def q_ann_incremental_topk(sf_dir: str):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+VEC_DELETE_EVERY = 8  # tombstone indexed vectors with vec_id % 8 == 0
+
+
+def q_ann_incremental_topk_deletes(sf_dir: str):
+    """Incremental ANN WITH RETRACTIONS: wave 1 (even vec_ids) trains
+    and seeds the lists, a tombstone DELETE retracts every indexed
+    vector with ``vec_id % VEC_DELETE_EVERY == 0``, wave 2 (odd)
+    appends, and the query probes the SURVIVING union — erased vectors
+    can never be returned as neighbors (the vector-store deletion
+    contract). Output shape matches ``ann_incremental_topk``.
+
+    Scale shape: the delete is one id-list tombstone + manifest
+    commit; the query excludes tombstoned ids at scoring via a
+    budgeted broadcast; ``compact_vec_index`` folds tombstones into
+    the bases."""
+    import shutil
+    import tempfile
+
+    from embulk_input_marketo_ray.stages.similarity import read_query_vectors
+    from embulk_input_marketo_ray.stages.vec_index import (
+        ann_topk_index,
+        delete_vectors,
+        ingest_vectors,
+        init_vec_index,
+    )
+
+    _ensure_hash_shuffle()
+    index_dir = tempfile.mkdtemp(prefix="graft_vecidx_del_")
+    try:
+        init_vec_index(index_dir)
+
+        def wave_filter(parity: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+                return batch.filter(pa.array(ids % 2 == parity))
+
+            return fn
+
+        vecs1 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+            wave_filter(0), batch_format="pyarrow"
+        )
+        ingest_vectors(index_dir, vecs1, "wave1")
+        all_ids = np.asarray(
+            pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id"]).column("vec_id"),
+            dtype=np.int64,
+        )
+        dead = all_ids[(all_ids % 2 == 0) & (all_ids % VEC_DELETE_EVERY == 0)]
+        delete_vectors(index_dir, dead, "retract1")
+        vecs2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+            wave_filter(1), batch_format="pyarrow"
+        )
+        ingest_vectors(index_dir, vecs2, "wave2")
+        queries = read_query_vectors(_t(sf_dir, "embeddings"), ANN_NUM_QUERIES)
+        return ann_topk_index(index_dir, queries, k=ANN_TOP_K, n_probe=8)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # corpus composition report (per-source/lang accounting)
 # ---------------------------------------------------------------------------

@@ -104,6 +104,52 @@ def _load_centroids(index_dir: str) -> np.ndarray:
     return list_column_matrix(t.column("centroid"))
 
 
+def delete_vectors(index_dir: str, vec_ids, delete_id: str) -> dict:
+    """Tombstone-delete indexed vectors — the embedding-side sibling of
+    ``sig_index.delete_docs`` (erasure / retraction of indexed items):
+    one ``deletes/<delete_id>.parquet`` id list committed to the
+    manifest LAST (crash-invisible, idempotent replay). Queries exclude
+    tombstoned ids at scoring; ``compact_vec_index`` folds tombstones
+    into the new bases and marks them folded; ``vacuum_vec_index``
+    reclaims folded tombstone files."""
+    ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
+    state = _load_manifest(index_dir)
+    if delete_id in state.get("deletes", {}):
+        return state["deletes"][delete_id]
+    path = os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
+    _atomic_write(pa.table({"vec_id": pa.array(ids, type=pa.int64())}), path)
+    with _manifest_lock(index_dir):
+        state = _load_manifest(index_dir)  # re-read: no lost updates
+        meta = {"n": int(len(ids))}
+        state.setdefault("deletes", {})[delete_id] = meta
+        _write_manifest(index_dir, state)
+    return meta
+
+
+# same budget rationale as sig_index.TOMBSTONE_BROADCAST_LIMIT
+VEC_TOMBSTONE_BROADCAST_LIMIT = 10_000_000
+
+
+def _vec_tombstone_ids(state: dict, index_dir: str) -> np.ndarray:
+    """Sorted unique vec_ids of committed, not-yet-folded deletes."""
+    parts = []
+    for delete_id, meta in state.get("deletes", {}).items():
+        if meta.get("folded"):
+            continue
+        p = os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
+        parts.append(np.asarray(pq.read_table(p).column("vec_id"), dtype=np.int64))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    out = np.unique(np.concatenate(parts))
+    if len(out) > VEC_TOMBSTONE_BROADCAST_LIMIT:
+        raise RuntimeError(
+            f"{len(out)} unfolded tombstones exceed the broadcast budget "
+            f"({VEC_TOMBSTONE_BROADCAST_LIMIT}); run compact_vec_index to "
+            "fold them into the bases"
+        )
+    return out
+
+
 def _committed_files(state: dict, index_dir: str, clusters) -> list[str]:
     """Vector files visible through the manifest: the compacted base
     per cluster (if any) plus per-ingest files of unfolded ingests."""
@@ -286,6 +332,8 @@ def ann_topk_index(
     if not files:
         return empty
     qref = ray.put((qids, qm, probes_by_cluster))
+    tombstones = _vec_tombstone_ids(state, index_dir)
+    tomb_ref = ray.put(tombstones) if len(tombstones) else None
 
     def score_block(batch: pa.Table) -> pa.Table:
         out_schema = pa.schema(
@@ -295,6 +343,12 @@ def ann_topk_index(
                 ("cos", pa.float64()),
             ]
         )
+        if tomb_ref is not None and batch.num_rows:
+            from embulk_input_marketo_ray.stages.dedup import sorted_member_mask
+
+            dead = ray.get(tomb_ref)
+            bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            batch = batch.filter(pa.array(~sorted_member_mask(dead, bids)))
         if batch.num_rows == 0:
             return out_schema.empty_table()
         q_ids, q_mat, probing = ray.get(qref)
@@ -382,10 +436,24 @@ def compact_vec_index(index_dir: str) -> list[str]:
 
     state = _load_manifest(index_dir)
     gen = int(state.get("base_gen", 0)) + 1
+    # tombstone snapshot (same rule as the ingest fold snapshot below):
+    # these ids drop out of the new bases, so ONLY these delete entries
+    # flip to folded at commit
+    folded_delete_ids = {
+        d for d, meta in state.get("deletes", {}).items() if not meta.get("folded")
+    }
+    dead = _vec_tombstone_ids(state, index_dir)
+    dead_ref = ray.put(dead)
 
     @ray.remote
     def _fold(cluster: int, files: list[str]) -> str:
+        from embulk_input_marketo_ray.stages.dedup import sorted_member_mask
+
         merged = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        tomb = ray.get(dead_ref)
+        if len(tomb) and merged.num_rows:
+            ids = np.asarray(merged.column("vec_id"), dtype=np.int64)
+            merged = merged.filter(pa.array(~sorted_member_mask(tomb, ids)))
         path = os.path.join(
             index_dir, "vectors", f"cluster={cluster}", f"base-{gen}.parquet"
         )
@@ -432,6 +500,9 @@ def compact_vec_index(index_dir: str) -> list[str]:
         for ingest_id in folded_ids:
             if ingest_id in state["ingests"]:
                 state["ingests"][ingest_id]["folded"] = True
+        for delete_id in folded_delete_ids:
+            if delete_id in state.get("deletes", {}):
+                state["deletes"][delete_id]["folded"] = True
         _write_manifest(index_dir, state)
     return out
 
@@ -449,22 +520,30 @@ def vacuum_vec_index(index_dir: str, grace_seconds: float = 900.0) -> list[str]:
 
     state = _load_manifest(index_dir)
     referenced = set(_committed_files(state, index_dir, None))
+    # unfolded tombstone files are live query state; folded ones were
+    # baked into the bases and are reclaimable
+    for delete_id, meta in state.get("deletes", {}).items():
+        if not meta.get("folded"):
+            referenced.add(os.path.join(index_dir, "deletes", f"{delete_id}.parquet"))
     now = time.time()
     removed = []
-    root = os.path.join(index_dir, "vectors")
-    if not os.path.isdir(root):
-        return removed
-    for cluster_dir in sorted(os.listdir(root)):
-        d = os.path.join(root, cluster_dir)
-        for fname in sorted(os.listdir(d)):
-            path = os.path.join(d, fname)
-            if path in referenced:
-                continue
-            try:
-                if now - os.path.getmtime(path) < grace_seconds:
-                    continue  # possibly an in-flight ingest's file
-            except OSError:
-                continue
-            os.remove(path)
-            removed.append(path)
+    for root, nested in (
+        (os.path.join(index_dir, "vectors"), True),
+        (os.path.join(index_dir, "deletes"), False),
+    ):
+        if not os.path.isdir(root):
+            continue
+        for entry in sorted(os.listdir(root)):
+            d = os.path.join(root, entry)
+            files = [os.path.join(d, f) for f in sorted(os.listdir(d))] if nested else [d]
+            for path in files:
+                if path in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(path) < grace_seconds:
+                        continue  # possibly an in-flight ingest's file
+                except OSError:
+                    continue
+                os.remove(path)
+                removed.append(path)
     return removed

@@ -163,3 +163,58 @@ def test_vec_compact_vacuum_and_crash_retry(ray_session, tmp_path):
         os.path.relpath(p, idx_b) for p in glob.glob(f"{idx_b}/vectors/*/*.parquet")
     )
     assert files_a == files_b
+
+
+# ---------------------------------------------------------------------------
+# tombstone deletes
+# ---------------------------------------------------------------------------
+
+
+def test_vec_delete_excludes_from_queries_and_folds(ray_session, tmp_path):
+    """A deleted vector never returns as a neighbor; compaction folds
+    the tombstone into the bases (zero live tombstones, same results)
+    and vacuum reclaims the folded tombstone file."""
+    import numpy as np
+    import pyarrow as pa
+
+    from embulk_input_marketo_ray.stages.vec_index import (
+        _load_manifest,
+        _vec_tombstone_ids,
+        ann_topk_index,
+        compact_vec_index,
+        delete_vectors,
+        ingest_vectors,
+        init_vec_index,
+        vacuum_vec_index,
+    )
+
+    idx = str(tmp_path / "vidx")
+    init_vec_index(idx, n_centroids=2, train_rows=64)
+    rng = np.random.default_rng(5)
+    n, dim = 64, 8
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    x[1] = x[0]  # vec 1 is identical to vec 0 -> its top neighbor
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([row.tolist() for row in x], type=pa.list_(pa.float32())),
+        }
+    )
+    ingest_vectors(idx, _vecs_ds(np.arange(n, dtype=np.int64), x), "w1")
+    q = t.slice(0, 1)  # query with vec 0
+    r = ann_topk_index(idx, q, k=2, n_probe=2)
+    nbrs = r.column("neighbor_id").to_pylist()
+    assert nbrs[0] == 0 and 1 in nbrs  # self + identical twin
+
+    delete_vectors(idx, [1], "d1")
+    r2 = ann_topk_index(idx, q, k=2, n_probe=2)
+    assert 1 not in r2.column("neighbor_id").to_pylist()
+
+    compact_vec_index(idx)
+    state = _load_manifest(idx)
+    assert state["deletes"]["d1"]["folded"] is True
+    assert len(_vec_tombstone_ids(state, idx)) == 0
+    r3 = ann_topk_index(idx, q, k=2, n_probe=2)
+    assert r3.equals(r2)
+    removed = vacuum_vec_index(idx, grace_seconds=0)
+    assert any("d1.parquet" in p for p in removed)
