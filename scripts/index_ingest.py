@@ -14,6 +14,8 @@ On a real fixed-size cluster:
 
     python scripts/index_ingest.py vec ingest --index-dir ... \
         --input new_embeddings.parquet --ingest-id batch_0042
+    python scripts/index_ingest.py sig delete --index-dir ... \
+        --input retracted_ids.parquet --delete-id gdpr_0007
     python scripts/index_ingest.py sig compact --index-dir ...
     python scripts/index_ingest.py vec vacuum  --index-dir ...
 
@@ -34,6 +36,11 @@ through the committed manifest); an IN-FLIGHT ingest's uncommitted
 files are protected by the default 15-minute modification-time grace
 window, so don't pass ``grace_seconds=0`` while an ingest may be
 running.
+
+``delete`` tombstones ids (``--input`` = a parquet with a doc_id /
+vec_id column, ``--delete-id`` = the exactly-once key): probes exclude
+them immediately, compaction folds them into the bases, vacuum then
+reclaims the folded tombstone files.
 """
 
 from __future__ import annotations
@@ -45,10 +52,11 @@ import json
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("kind", choices=["sig", "vec"])
-    p.add_argument("action", choices=["init", "ingest", "compact", "vacuum"])
+    p.add_argument("action", choices=["init", "ingest", "delete", "compact", "vacuum"])
     p.add_argument("--index-dir", required=True)
     p.add_argument("--input", help="parquet path for ingest (doc_id+text / vec_id+embedding)")
     p.add_argument("--ingest-id", help="exactly-once key for ingest")
+    p.add_argument("--delete-id", help="exactly-once key for delete")
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--n-centroids", type=int, default=256)
     args = p.parse_args()
@@ -68,6 +76,7 @@ def main() -> None:
     if args.kind == "sig":
         from embulk_input_marketo_ray.stages.sig_index import (
             compact_index,
+            delete_docs,
             ingest,
             init_index,
             vacuum_index,
@@ -82,6 +91,13 @@ def main() -> None:
             res = ingest(args.index_dir, ds, args.ingest_id)
             st = res.column("status").to_pylist()
             out.update(n_docs=len(st), n_dup=st.count("dup"))
+        elif args.action == "delete":
+            if not (args.input and args.delete_id):
+                p.error("delete requires --input and --delete-id")
+            import pyarrow.parquet as pq
+
+            ids = pq.read_table(args.input, columns=["doc_id"]).column("doc_id")
+            out.update(delete_docs(args.index_dir, ids.to_pylist(), args.delete_id))
         elif args.action == "compact":
             out["bases"] = len(compact_index(args.index_dir))
         else:
@@ -89,6 +105,7 @@ def main() -> None:
     else:
         from embulk_input_marketo_ray.stages.vec_index import (
             compact_vec_index,
+            delete_vectors,
             ingest_vectors,
             init_vec_index,
             vacuum_vec_index,
@@ -101,6 +118,13 @@ def main() -> None:
                 p.error("ingest requires --input and --ingest-id")
             ds = ray.data.read_parquet(args.input, columns=["vec_id", "embedding"])
             out.update(ingest_vectors(args.index_dir, ds, args.ingest_id))
+        elif args.action == "delete":
+            if not (args.input and args.delete_id):
+                p.error("delete requires --input and --delete-id")
+            import pyarrow.parquet as pq
+
+            ids = pq.read_table(args.input, columns=["vec_id"]).column("vec_id")
+            out.update(delete_vectors(args.index_dir, ids.to_pylist(), args.delete_id))
         elif args.action == "compact":
             out["bases"] = len(compact_vec_index(args.index_dir))
         else:
