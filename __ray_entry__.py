@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_truncation_error": q.q_embedding_truncation_error,
         "doc_incremental_dedup_deletes": q.q_doc_incremental_dedup_deletes,
         "ann_incremental_topk_deletes": q.q_ann_incremental_topk_deletes,
+        "lang_confusion": q.q_lang_confusion,
+        "order_volume_cumulative": q.q_order_volume_cumulative,
     }
 
 
@@ -2175,5 +2177,22 @@ def oracle_sql() -> dict[str, str]:
                    (1000 * energy_head
                     // greatest(energy_full, 1))::BIGINT AS retained_pm
             FROM e
+        """,
+        "lang_confusion": f"""
+            WITH p AS ({_langid_sql()})
+            SELECT lang, lang_pred, count(*)::BIGINT AS n_docs
+            FROM p GROUP BY 1, 2
+        """,
+        "order_volume_cumulative": """
+            WITH d AS (
+              SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+                     count(*)::BIGINT AS n_orders,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS c
+              FROM orders GROUP BY 1
+            )
+            SELECT day, n_orders,
+                   sum(n_orders) OVER (ORDER BY day)::BIGINT AS cum_orders,
+                   sum(c) OVER (ORDER BY day)::BIGINT AS cum_revenue_c100
+            FROM d
         """,
     }

@@ -721,6 +721,82 @@ def q_doc_langid(sf_dir: str):
     return ds.select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def q_lang_confusion(sf_dir: str):
+    """Language-ID CONFUSION MATRIX: counts by (true lang, predicted
+    lang) — the quality-evaluation grid for the classifier behind the
+    stratified samplers and per-language curation (a misrouted language
+    poisons its stratum's mixing rate). Composes the LangId stage with
+    the two-phase grouped aggregate; the exchange moves only the
+    langs x langs grid."""
+    from embulk_input_marketo_ray.stages.text import LangId
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(_task_stage(LangId), batch_format="pyarrow")
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "lang_pred": batch.column("lang_pred"),
+                "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return grouped_aggregate(
+        ds.map_batches(to_pairs, batch_format="pyarrow"),
+        ["lang", "lang_pred"],
+        [("n_docs", "sum", "n_docs")],
+    )
+
+
+def q_order_volume_cumulative(sf_dir: str):
+    """Cumulative order volume by day — the running-total time series
+    (backlog/growth chart) computed WITHOUT a global sort: per-block
+    (day, count, cents) partials fold in-block (payload bounded by the
+    day domain x blocks), a driver merge walks the tiny day histogram
+    once with integer cumulative sums."""
+    _ensure_hash_shuffle()
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    part_schema = pa.schema(
+        [("day", pa.int64()), ("n", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        day = np.asarray(batch.column("o_orderdate"), dtype=np.int64) // 86_400_000_000
+        cents = np.rint(
+            np.asarray(batch.column("o_totalprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"day": pa.array(day), "n": pa.array(np.ones(len(day), dtype=np.int64)), "cents": pa.array(cents)})
+        agg = t.group_by(["day"]).aggregate([("n", "sum"), ("cents", "sum")])
+        return agg.rename_columns(["day", "n", "cents"]).cast(part_schema)
+
+    ns: dict[int, int] = {}
+    cs: dict[int, int] = {}
+    for r in orders.map_batches(day_partial, batch_format="pyarrow").take_all():
+        d = int(r["day"])
+        ns[d] = ns.get(d, 0) + int(r["n"])
+        cs[d] = cs.get(d, 0) + int(r["cents"])
+    days = sorted(ns)
+    cum_n = cum_c = 0
+    out_n, out_c = [], []
+    for d in days:
+        cum_n += ns[d]
+        cum_c += cs[d]
+        out_n.append(cum_n)
+        out_c.append(cum_c)
+    return pa.table(
+        {
+            "day": pa.array(days, type=pa.int64()),
+            "n_orders": pa.array([ns[d] for d in days], type=pa.int64()),
+            "cum_orders": pa.array(out_n, type=pa.int64()),
+            "cum_revenue_c100": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
 def q_doc_fingerprint(sf_dir: str):
     from embulk_input_marketo_ray.stages.text import Fingerprinter
 
