@@ -563,7 +563,18 @@ def attach_and_verify_sigs(pairs, sigs, num_perm: int, agree_slots: int):
     )
 
 
-def ingest(index_dir: str, docs, ingest_id: str):
+def probe_docs(index_dir: str, docs) -> pa.Table:
+    """READ-ONLY dedup lookup: the verdicts ``ingest`` would produce
+    for ``docs`` — duplicate-of-index / duplicate-within-batch /
+    admitted — WITHOUT mutating any state (no index append, no result
+    file, no manifest commit). The dedup-as-a-service call: 'would
+    these docs be duplicates?' before deciding to crawl / pay / store.
+    Identical decision rule and scale shape to ``ingest`` (the probe is
+    ingest minus its two write steps)."""
+    return ingest(index_dir, docs, ingest_id="__probe__", _commit=False)
+
+
+def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
     """Incrementally ingest ``docs`` (a Dataset with doc_id + text):
     flag each doc as duplicate-of-index / duplicate-within-batch /
     admitted, append admitted docs' bands + signatures to the index,
@@ -573,7 +584,8 @@ def ingest(index_dir: str, docs, ingest_id: str):
     Exactly-once: a committed ``ingest_id`` replays its recorded result
     without recomputation; a crashed ingest's partial files are
     invisible (manifest-resolved reads) and are overwritten
-    deterministically on retry."""
+    deterministically on retry. ``_commit=False`` (via ``probe_docs``)
+    skips the append + commit steps entirely."""
     import ray
     import ray.data
 
@@ -818,6 +830,8 @@ def ingest(index_dir: str, docs, ingest_id: str):
     )
     n_docs = result.num_rows
     dup_id_arr = all_ids[is_dup]
+    if not _commit:  # probe_docs: verdicts only, nothing written
+        return result
 
     # 5. append admitted docs' bands + sigs, one file per bucket;
     # the dup id set is bounded by the ingest batch (broadcast is the

@@ -390,3 +390,32 @@ def test_compact_folds_tombstones_and_vacuum_reclaims(ray_session, tmp_path):
     removed2 = vacuum_index(idx, grace_seconds=0)
     assert not any("d2.parquet" in p for p in removed2)
     assert os.path.exists(os.path.join(idx, "deletes", "d2.parquet"))
+
+
+def test_probe_docs_read_only_and_matches_ingest(ray_session, tmp_path):
+    """probe_docs returns the same verdicts a real ingest would, and
+    leaves manifest + filesystem untouched (re-probing and then
+    ingesting behaves as if the probe never happened)."""
+    import glob
+
+    from embulk_input_marketo_ray.stages.sig_index import probe_docs
+
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    ingest(idx, _docs_ds([(10, LONG_A), (20, LONG_B)]), "w1")
+    before_manifest = open(_manifest_path(idx)).read()
+    before_files = sorted(glob.glob(os.path.join(idx, "**", "*.parquet"), recursive=True))
+
+    batch = [(31, LONG_A), (40, "totally novel prose " * 40)]
+    p = probe_docs(idx, _docs_ds(batch))
+    got = dict(zip(p.column("doc_id").to_pylist(), p.column("status").to_pylist()))
+    assert got == {31: "dup", 40: "admitted"}
+
+    assert open(_manifest_path(idx)).read() == before_manifest
+    after_files = sorted(glob.glob(os.path.join(idx, "**", "*.parquet"), recursive=True))
+    assert after_files == before_files
+
+    # the real ingest after the probe sees the same verdicts
+    r = ingest(idx, _docs_ds(batch), "w2")
+    got2 = dict(zip(r.column("doc_id").to_pylist(), r.column("status").to_pylist()))
+    assert got2 == got
