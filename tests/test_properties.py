@@ -663,3 +663,62 @@ def test_hll_estimate_accuracy_and_mergeability(n, seed):
 
     est = hll_estimate(whole)
     assert abs(est - true_n) <= max(0.10 * true_n, 20), (est, true_n)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_docs=st.integers(min_value=1, max_value=8),
+    max_tokens=st.integers(min_value=0, max_value=60),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_span_corruption_matches_python_reference(n_docs, max_tokens, seed):
+    """The vectorized mask+run-fuse kernel equals a per-token Python
+    walk of the same hash rule on arbitrary corpora (including empty
+    docs and docs whose every token masks)."""
+    import pyarrow.parquet as pq
+
+    from embulk_input_marketo_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(seed)
+    docs = {}
+    for d in range(n_docs):
+        k = int(rng.integers(0, max_tokens + 1))
+        docs[d] = ["w%d" % rng.integers(0, 50) for _ in range(k)]
+
+    # pure-Python reference of the documented rule
+    expected = set()
+    for d, toks in docs.items():
+        cur = None
+        for i in range(len(toks)):
+            mix = (((d % q.SPLIT_HASH_MOD) * 1_000_003 + i) % q.SPLIT_HASH_MOD)
+            h = (mix * q.SPLIT_HASH_MULT) % q.SPLIT_HASH_MOD
+            if h % 1000 < q.SPAN_MASK_PER_MILLE:
+                if cur is None:
+                    cur = [i, 1]
+                else:
+                    cur[1] += 1
+            else:
+                if cur is not None:
+                    expected.add((d, cur[0], cur[1]))
+                    cur = None
+        if cur is not None:
+            expected.add((d, cur[0], cur[1]))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), type=pa.int64()),
+                "text": pa.array([" ".join(docs[d]) for d in sorted(docs)]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["s"] * len(docs)),
+                "n_chars": pa.array([0] * len(docs), type=pa.int64()),
+            }
+        )
+        pq.write_table(t, f"{tmp}/documents.parquet")
+        out = q.q_doc_span_corruption(tmp).to_pandas()
+        got = {
+            (r.doc_id, r.span_start, r.span_len) for r in out.itertuples()
+        }
+    assert got == expected
