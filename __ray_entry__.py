@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_incremental_topk_deletes": q.q_ann_incremental_topk_deletes,
         "lang_confusion": q.q_lang_confusion,
         "order_volume_cumulative": q.q_order_volume_cumulative,
+        "doc_curation_priority": q.q_doc_curation_priority,
     }
 
 
@@ -2194,5 +2195,48 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_orders) OVER (ORDER BY day)::BIGINT AS cum_orders,
                    sum(c) OVER (ORDER BY day)::BIGINT AS cum_revenue_c100
             FROM d
+        """,
+        "doc_curation_priority": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                FROM t
+              )
+            ),
+            rep AS (
+              SELECT t.doc_id,
+                     coalesce(a.n_grams, 0) AS n_grams,
+                     coalesce(a.n_dist, 0) AS n_dist
+              FROM t LEFT JOIN (
+                SELECT doc_id, count(*)::BIGINT AS n_grams,
+                       count(DISTINCT gram)::BIGINT AS n_dist
+                FROM g GROUP BY doc_id
+              ) a USING (doc_id)
+            ),
+            base AS (
+              SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS m_len,
+                     (1000 * (r.n_grams - r.n_dist)
+                      // greatest(r.n_grams, 1))::BIGINT AS rep_pm,
+                     c.ratio_permille AS comp_pm
+              FROM documents d
+              JOIN rep r USING (doc_id)
+              JOIN read_parquet(
+                '{oracle_paths['doc_compression_ratio']}') c USING (doc_id)
+            ),
+            n AS (SELECT count(*)::BIGINT AS total FROM base)
+            SELECT b.doc_id, b.m_len, b.rep_pm, b.comp_pm,
+                   (1000 * (rank() OVER (ORDER BY b.m_len) - 1) // n.total
+                    + (1000
+                       - 1000 * (rank() OVER (ORDER BY b.rep_pm) - 1) // n.total)
+                    + 1000 * (rank() OVER (ORDER BY b.comp_pm) - 1) // n.total
+                   )::BIGINT AS priority
+            FROM base b, n
         """,
     }

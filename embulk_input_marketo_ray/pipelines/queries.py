@@ -797,6 +797,153 @@ def q_order_volume_cumulative(sf_dir: str):
     )
 
 
+CURATION_HIST_BUDGET = 2_000_000  # distinct metric values broadcast cap
+
+
+def q_doc_curation_priority(sf_dir: str):
+    """Composite CURATION PRIORITY: each doc scored by the sum of its
+    integer percentile ranks across three quality metrics — length
+    (higher better), 3-gram repetition per-mille (lower better),
+    zlib compression per-mille (higher = less templated, better) —
+    the multi-signal eviction/keep policy real curation pipelines run
+    after the individual filters. ``priority = pct(len) + (1000 -
+    pct(rep)) + pct(comp)`` where ``pct(v) = 1000 * #{strictly
+    smaller} // total`` — pure integers, bit-stable vs the SQL
+    rank()-window oracle.
+
+    Shape: ONE metrics pass (grams + zlib fused per block) materializes
+    a 4-int-column table; per-metric VALUE histograms fold from
+    in-block partials to the driver (domains: distinct lengths +
+    2x1001 per-milles — budgeted); percentiles then need only a
+    broadcast cumulative histogram, NO keyed exchange and no global
+    sort anywhere."""
+    import zlib
+
+    from embulk_input_marketo_ray.stages.text import doc_grams
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    metrics_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("m_len", pa.int64()),
+            ("rep_pm", pa.int64()),
+            ("comp_pm", pa.int64()),
+        ]
+    )
+
+    def metrics_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return metrics_schema.empty_table()
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        g = doc_grams(batch, n=3)
+        n_grams = np.zeros(len(ids), dtype=np.int64)
+        n_dist = np.zeros(len(ids), dtype=np.int64)
+        if g.num_rows:
+            tot = g.group_by(["doc_id"]).aggregate([([], "count_all")])
+            pos = np.searchsorted(ids, np.asarray(tot.column("doc_id"), dtype=np.int64))
+            n_grams[pos] = np.asarray(tot.column("count_all"), dtype=np.int64)
+            dis = (
+                g.group_by(["doc_id", "gram"])
+                .aggregate([])
+                .group_by(["doc_id"])
+                .aggregate([([], "count_all")])
+            )
+            pos = np.searchsorted(ids, np.asarray(dis.column("doc_id"), dtype=np.int64))
+            n_dist[pos] = np.asarray(dis.column("count_all"), dtype=np.int64)
+        rep_pm = 1000 * (n_grams - n_dist) // np.maximum(n_grams, 1)
+        # same formula as q_doc_compression_ratio (ratio 0 for empty
+        # text) so the SQL oracle can join that entry's parquet oracle
+        comp = np.empty(len(ids), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        for i, s in enumerate(texts):  # GIL-released C compress per doc
+            raw = (s or "").encode("utf-8")
+            comp[i] = (
+                1000 * len(zlib.compress(raw, 6)) // len(raw) if raw else 0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "m_len": batch.column("n_chars").cast(pa.int64()),
+                "rep_pm": pa.array(rep_pm),
+                "comp_pm": pa.array(comp),
+            },
+            schema=metrics_schema,
+        )
+
+    # metrics_block's searchsorted alignment needs doc_ids sorted
+    # within the block: sort each batch first (cheap, in-block)
+    def sort_block(batch: pa.Table) -> pa.Table:
+        return batch.take(pc.sort_indices(batch, sort_keys=[("doc_id", "ascending")]))
+
+    metrics = (
+        ds.map_batches(sort_block, batch_format="pyarrow")
+        .map_batches(metrics_block, batch_format="pyarrow")
+        .materialize()
+    )
+
+    hist_schema = pa.schema(
+        [("metric", pa.int32()), ("value", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for mi, col in enumerate(["m_len", "rep_pm", "comp_pm"]):
+            t = (
+                pa.table({"value": batch.column(col)})
+                .group_by(["value"])
+                .aggregate([([], "count_all")])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "metric": pa.array(
+                            np.full(t.num_rows, mi, dtype=np.int32)
+                        ),
+                        "value": t.column("value"),
+                        "cnt": t.column("count_all").cast(pa.int64()),
+                    },
+                    schema=hist_schema,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    hists: dict[int, dict[int, int]] = {0: {}, 1: {}, 2: {}}
+    for r in metrics.map_batches(hist_partial, batch_format="pyarrow").take_all():
+        h = hists[int(r["metric"])]
+        v = int(r["value"])
+        h[v] = h.get(v, 0) + int(r["cnt"])
+    if sum(len(h) for h in hists.values()) > CURATION_HIST_BUDGET:
+        raise RuntimeError(
+            "metric-value histograms exceed the broadcast budget "
+            f"({CURATION_HIST_BUDGET}); range-partition the metric space "
+            "and rank per range instead"
+        )
+    total = sum(hists[0].values())
+    broadcast = []
+    for mi in range(3):
+        vals = np.array(sorted(hists[mi]), dtype=np.int64)
+        cnts = np.array([hists[mi][v] for v in vals], dtype=np.int64)
+        below = np.r_[0, np.cumsum(cnts)[:-1]]  # strictly-smaller counts
+        broadcast.append((vals, below))
+    hist_ref = ray.put((broadcast, total))
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("priority", pa.array([], type=pa.int64()))
+        (bc, tot) = ray.get(hist_ref)
+
+        def pct(col: str, mi: int) -> np.ndarray:
+            v = np.asarray(batch.column(col), dtype=np.int64)
+            vals, below = bc[mi]
+            return 1000 * below[np.searchsorted(vals, v)] // max(tot, 1)
+
+        prio = pct("m_len", 0) + (1000 - pct("rep_pm", 1)) + pct("comp_pm", 2)
+        return batch.append_column("priority", pa.array(prio, type=pa.int64()))
+
+    return metrics.map_batches(score_block, batch_format="pyarrow")
+
+
 def q_doc_fingerprint(sf_dir: str):
     from embulk_input_marketo_ray.stages.text import Fingerprinter
 

@@ -2512,3 +2512,43 @@ def test_embedding_truncation_error_energy(ray_session, tmp_path):
     assert out.loc[0, "retained_pm"] == 1000
     assert out.loc[1, "energy_head"] == 0 and out.loc[1, "retained_pm"] == 0
     assert out.loc[2, "energy_full"] == 0 and out.loc[2, "retained_pm"] == 0
+
+
+def test_doc_curation_priority_percentiles(ray_session, tmp_path):
+    """Hand-checkable percentile algebra on 4 docs: longer + less
+    repetitive + less compressible docs rank higher; percentile = 1000
+    x strictly-smaller // total."""
+    import pyarrow.parquet as pq
+
+    texts = [
+        "a b c " * 2,                    # short, repetitive (1 distinct gram)
+        "unique words flow here nicely today",   # mid, no repetition
+        "x " * 200,                     # long but maximally repetitive+compressible
+        "completely varied language sample with many different tokens around",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        q.q_doc_curation_priority(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # recompute expected priorities from the returned metrics
+    total = len(out)
+    for col, invert in (("m_len", False), ("rep_pm", True), ("comp_pm", False)):
+        vals = out[col].to_numpy()
+        pct = np.array([1000 * int((vals < v).sum()) // total for v in vals])
+        out[f"pct_{col}"] = (1000 - pct) if invert else pct
+    expect = out["pct_m_len"] + out["pct_rep_pm"] + out["pct_comp_pm"]
+    assert (out["priority"] == expect).all()
+    # doc 4 (long, varied, incompressible) outranks doc 3 (repetitive)
+    assert out.loc[4, "priority"] > out.loc[3, "priority"]
