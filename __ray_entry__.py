@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": q.q_lang_confusion,
         "order_volume_cumulative": q.q_order_volume_cumulative,
         "doc_curation_priority": q.q_doc_curation_priority,
+        "doc_bottomk_sample": q.q_doc_bottomk_sample,
+        "token_kmv_distinct": q.q_token_kmv_distinct,
     }
 
 
@@ -359,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         WALK_RANK_INIT,
         SPAN_MASK_PER_MILLE,
         MATRYOSHKA_K,
+        BOTTOMK_K,
         COLLOC_MIN_PAIR,
         COLLOC_LIFT,
         RANGE_JOIN_SECONDS,
@@ -2239,4 +2242,16 @@ def oracle_sql() -> dict[str, str]:
                    )::BIGINT AS priority
             FROM base b, n
         """,
+        "doc_bottomk_sample": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     ((CAST(doc_id % {SPLIT_HASH_MOD} AS HUGEINT)
+                       * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD})::BIGINT AS h
+              FROM documents
+            )
+            SELECT doc_id, h FROM h ORDER BY h, doc_id LIMIT {BOTTOMK_K}
+        """,
+        "token_kmv_distinct": (
+            f"SELECT * FROM read_parquet('{oracle_paths['token_kmv_distinct']}')"
+        ),
     }

@@ -777,6 +777,39 @@ def oracle_doc_incremental_dedup_deletes(sf_dir: str) -> pa.Table:
     )
 
 
+def oracle_token_kmv_distinct(sf_dir: str, k: int = 256) -> pa.Table:
+    """Pure-Python replica of the KMV distinct-token estimator: same
+    tokenizer, same polynomial 64-bit hash (base 1099511628211, seed
+    0x9E3779B9, mod 2^64), same (k-1)*2^64//h_k rule — none of the
+    engine's vectorized machinery."""
+    import re
+
+    _, texts = _docs(sf_dir)
+    base, seed, mod = 1099511628211, 0x9E3779B9, 1 << 64
+    distinct: set[str] = set()
+    for t in texts:
+        distinct.update(re.findall(r"[a-z]+", (t or "").lower()))
+    hs = set()
+    for tok in distinct:
+        h = seed
+        for b in tok.encode("utf-8"):
+            h = (h * base + b) % mod
+        hs.add(h)
+    ordered = sorted(hs)
+    if len(ordered) >= k:
+        est = (k - 1) * mod // max(ordered[k - 1], 1)
+        k_used = k
+    else:
+        est = len(ordered)
+        k_used = len(ordered)
+    return pa.table(
+        {
+            "k_used": pa.array([k_used], type=pa.int64()),
+            "est_distinct": pa.array([int(est)], type=pa.int64()),
+        }
+    )
+
+
 _ORACLE_BUILDERS = {
     "doc_simhash": oracle_doc_simhash,
     "doc_fingerprint": oracle_doc_fingerprint,
@@ -792,6 +825,7 @@ _ORACLE_BUILDERS = {
     "doc_incremental_dedup_deletes": oracle_doc_incremental_dedup_deletes,
     "ann_incremental_topk": oracle_ann_incremental_topk,
     "ann_incremental_topk_deletes": oracle_ann_incremental_topk_deletes,
+    "token_kmv_distinct": oracle_token_kmv_distinct,
 }
 
 

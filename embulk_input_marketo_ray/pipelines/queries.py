@@ -797,6 +797,105 @@ def q_order_volume_cumulative(sf_dir: str):
     )
 
 
+BOTTOMK_K = 100
+
+
+def q_doc_bottomk_sample(sf_dir: str):
+    """Fixed-size UNIFORM sample via the mergeable BOTTOM-K sketch: the
+    K docs with the smallest multiplicative hash of doc_id — the
+    distributed equivalent of reservoir sampling, but deterministic,
+    mergeable (bottom-k of a union = bottom-k of the partials' union)
+    and resumable (no RNG state, stable under repartition and under
+    corpus growth: a new doc only enters by evicting the current max).
+
+    Shape: per-block bottom-K partials (one np.partition per block),
+    driver merge of K x blocks rows — no exchange at any corpus
+    size."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    part_schema = pa.schema([("doc_id", pa.int64()), ("h", pa.int64())])
+
+    def bottomk_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        ids = np.asarray(batch.column("doc_id"), dtype=np.uint64)
+        h = ((ids % SPLIT_HASH_MOD) * SPLIT_HASH_MULT) % SPLIT_HASH_MOD
+        k = min(BOTTOMK_K, len(h))
+        sel = np.argpartition(h, k - 1)[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel].astype(np.int64)),
+                "h": pa.array(h[sel].astype(np.int64)),
+            },
+            schema=part_schema,
+        )
+
+    rows = ds.map_batches(bottomk_partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return part_schema.empty_table()
+    merged = pa.Table.from_pylist(rows, schema=part_schema)
+    order = pc.sort_indices(
+        merged, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+    )
+    return merged.take(order.slice(0, BOTTOMK_K))
+
+
+KMV_K = 256
+
+
+def q_token_kmv_distinct(sf_dir: str):
+    """Distinct-token CARDINALITY via the KMV (k minimum values)
+    sketch: keep the K smallest version-stable 64-bit token hashes;
+    ``est = (K-1) * 2^64 // h_K`` — the classic order-statistics
+    estimator, an alternative to HLL whose sketch doubles as a uniform
+    sample of the distinct domain. Integer end to end (the division is
+    one Python bigint floor on the driver), so the oracle (an
+    independent pure-Python replica of the same polynomial hash) is
+    bit-exact.
+
+    Shape: per-block distinct-hash bottom-K partials, driver merge —
+    the corpus never shuffles and the sketch is K uint64s."""
+    from embulk_input_marketo_ray.stages.text import _poly_hash64
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["text"])
+    part_schema = pa.schema([("h", pa.uint64())])
+
+    def kmv_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+            pattern="[^a-z]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        if len(flat) == 0:
+            return part_schema.empty_table()
+        flat = pc.unique(flat)
+        h = np.unique(_poly_hash64(flat, np.uint64(1099511628211), np.uint64(0x9E3779B9)))
+        k = min(KMV_K, len(h))
+        return pa.table({"h": pa.array(h[:k], type=pa.uint64())}, schema=part_schema)
+
+    hs = []
+    for r in ds.map_batches(kmv_partial, batch_format="pyarrow").take_all():
+        hs.append(int(r["h"]))
+    merged = np.unique(np.array(hs, dtype=np.uint64))
+    if len(merged) >= KMV_K:
+        kth = int(merged[KMV_K - 1])
+        est = (KMV_K - 1) * (1 << 64) // max(kth, 1)
+        k_used = KMV_K
+    else:
+        est = len(merged)  # fewer distinct than K: the sketch is exact
+        k_used = len(merged)
+    return pa.table(
+        {
+            "k_used": pa.array([k_used], type=pa.int64()),
+            "est_distinct": pa.array([int(est)], type=pa.int64()),
+        }
+    )
+
+
 CURATION_HIST_BUDGET = 2_000_000  # distinct metric values broadcast cap
 
 

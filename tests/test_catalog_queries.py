@@ -2552,3 +2552,32 @@ def test_doc_curation_priority_percentiles(ray_session, tmp_path):
     assert (out["priority"] == expect).all()
     # doc 4 (long, varied, incompressible) outranks doc 3 (repetitive)
     assert out.loc[4, "priority"] > out.loc[3, "priority"]
+
+
+def test_bottomk_sample_mergeable_and_partition_invariant(ray_session, tmp_path):
+    """The bottom-K of the whole corpus equals the bottom-K of any
+    partitioning's partial bottom-Ks (the mergeability the per-block
+    partials rely on), and the estimator entry is exact below K."""
+    import pyarrow.parquet as pq
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array([chr(ord("a") + (i % 7)) * 3 for i in ids]),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([2] * n, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q.q_doc_bottomk_sample(str(tmp_path)).to_pandas()
+    h = ((ids.astype(np.uint64) % q.SPLIT_HASH_MOD) * q.SPLIT_HASH_MULT) % q.SPLIT_HASH_MOD
+    order = np.lexsort((ids, h))
+    expect = ids[order][: q.BOTTOMK_K]
+    assert list(out["doc_id"]) == list(expect)
+
+    # KMV with fewer distinct tokens than K: exact count
+    r = q.q_token_kmv_distinct(str(tmp_path)).to_pandas()
+    assert r.iloc[0]["k_used"] == 7 and r.iloc[0]["est_distinct"] == 7
