@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation_priority": q.q_doc_curation_priority,
         "doc_bottomk_sample": q.q_doc_bottomk_sample,
         "token_kmv_distinct": q.q_token_kmv_distinct,
+        "user_cm_sketch": q.q_user_cm_sketch,
     }
 
 
@@ -2253,5 +2254,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_kmv_distinct": (
             f"SELECT * FROM read_parquet('{oracle_paths['token_kmv_distinct']}')"
+        ),
+        "user_cm_sketch": (
+            f"SELECT * FROM read_parquet('{oracle_paths['user_cm_sketch']}')"
         ),
     }

@@ -777,6 +777,38 @@ def oracle_doc_incremental_dedup_deletes(sf_dir: str) -> pa.Table:
     )
 
 
+def oracle_user_cm_sketch(sf_dir: str) -> pa.Table:
+    """Pure-Python Count-Min replica: same SplitMix64 (scalar ints mod
+    2^64), same seeds/depth/width/probe set, dict-of-dicts cells."""
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    users = [int(v) for v in t.column("user_id").to_pylist()]
+    depth, width = 4, 1024
+    mod = 1 << 64
+    seeds = [(d * 0xA24BAED4963EE407) % mod for d in range(1, depth + 1)]
+
+    def sm64(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) % mod
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % mod
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % mod
+        return z ^ (z >> 31)
+
+    cm = [[0] * width for _ in range(depth)]
+    for u in users:
+        uu = u % mod  # int64 -> uint64 view
+        for d in range(depth):
+            cm[d][sm64(uu ^ seeds[d]) % width] += 1
+    out_u, out_e = [], []
+    for u in range(10):
+        out_u.append(u)
+        out_e.append(min(cm[d][sm64(u ^ seeds[d]) % width] for d in range(depth)))
+    return pa.table(
+        {
+            "user_id": pa.array(out_u, type=pa.int64()),
+            "est_count": pa.array(out_e, type=pa.int64()),
+        }
+    )
+
+
 def oracle_token_kmv_distinct(sf_dir: str, k: int = 256) -> pa.Table:
     """Pure-Python replica of the KMV distinct-token estimator: same
     tokenizer, same polynomial 64-bit hash (base 1099511628211, seed
@@ -826,6 +858,7 @@ _ORACLE_BUILDERS = {
     "ann_incremental_topk": oracle_ann_incremental_topk,
     "ann_incremental_topk_deletes": oracle_ann_incremental_topk_deletes,
     "token_kmv_distinct": oracle_token_kmv_distinct,
+    "user_cm_sketch": oracle_user_cm_sketch,
 }
 
 

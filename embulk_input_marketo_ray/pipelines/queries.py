@@ -797,6 +797,84 @@ def q_order_volume_cumulative(sf_dir: str):
     )
 
 
+CM_DEPTH = 4
+CM_WIDTH = 1024
+CM_PROBE_USERS = tuple(range(10))
+
+
+def q_user_cm_sketch(sf_dir: str):
+    """COUNT-MIN frequency sketch over the event stream: estimated
+    per-user event counts for a probe set, from a d x w integer sketch
+    — the mergeable point-frequency structure (Cormode & Muthukrishnan)
+    completing the sketch family next to HLL (distinct), DDSketch
+    (quantiles), KMV (cardinality+sample) and bottom-K (sampling).
+    Estimates are upper bounds (est >= exact, within n/w with
+    probability 1-2^-d); every arithmetic step is integer and the hash
+    is the repo's SplitMix64, so the independent Python-replica oracle
+    is bit-exact.
+
+    Shape: each block folds its events into ONE d x w int64 matrix
+    (three vectorized passes), partials ship as <= d*w nonzero rows,
+    the driver sums matrices and answers the probe set with a min over
+    d cells — the stream never shuffles and the sketch is 32 KiB at
+    any cardinality."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    part_schema = pa.schema(
+        [("row", pa.int32()), ("col", pa.int32()), ("cnt", pa.int64())]
+    )
+    seeds = np.arange(1, CM_DEPTH + 1, dtype=np.uint64) * np.uint64(
+        0xA24BAED4963EE407
+    )
+
+    def cm_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(batch.column("user_id"), dtype=np.int64).view(np.uint64)
+        rows_l, cols_l, cnts_l = [], [], []
+        for d in range(CM_DEPTH):
+            cols = (splitmix64(u ^ seeds[d]) % np.uint64(CM_WIDTH)).astype(np.int64)
+            cnt = np.bincount(cols, minlength=CM_WIDTH).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            rows_l.append(np.full(len(nz), d, dtype=np.int32))
+            cols_l.append(nz.astype(np.int32))
+            cnts_l.append(cnt[nz])
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows_l)),
+                "col": pa.array(np.concatenate(cols_l)),
+                "cnt": pa.array(np.concatenate(cnts_l)),
+            },
+            schema=part_schema,
+        )
+
+    cm = np.zeros((CM_DEPTH, CM_WIDTH), dtype=np.int64)
+    for r in ds.map_batches(cm_partial, batch_format="pyarrow").take_all():
+        cm[int(r["row"]), int(r["col"])] += int(r["cnt"])
+    probe = np.array(CM_PROBE_USERS, dtype=np.uint64)
+    ests = np.empty(len(probe), dtype=np.int64)
+    for i, u in enumerate(probe):
+        # % must stay in uint64 (a Python-int modulus silently promotes
+        # uint64 to float64 and corrupts the low bits)
+        cells = [
+            cm[
+                d,
+                int(
+                    splitmix64(np.array([u], dtype=np.uint64) ^ seeds[d])[0]
+                    % np.uint64(CM_WIDTH)
+                ),
+            ]
+            for d in range(CM_DEPTH)
+        ]
+        ests[i] = min(cells)
+    return pa.table(
+        {
+            "user_id": pa.array(probe.astype(np.int64)),
+            "est_count": pa.array(ests),
+        }
+    )
+
+
 BOTTOMK_K = 100
 
 

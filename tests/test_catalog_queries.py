@@ -2581,3 +2581,30 @@ def test_bottomk_sample_mergeable_and_partition_invariant(ray_session, tmp_path)
     # KMV with fewer distinct tokens than K: exact count
     r = q.q_token_kmv_distinct(str(tmp_path)).to_pandas()
     assert r.iloc[0]["k_used"] == 7 and r.iloc[0]["est_distinct"] == 7
+
+
+def test_user_cm_sketch_upper_bound(ray_session, tmp_path):
+    """CM estimates are exact-or-over: est >= exact count for present
+    users; a user with a unique unsaturated cell reports exactly."""
+    import pyarrow.parquet as pq
+
+    rows = [0] * 50 + [1] * 7 + [2] * 1
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "ts": pa.array([0] * len(rows), type=pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(rows, type=pa.int64()),
+            "event_type": pa.array(["e"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q.q_user_cm_sketch(str(tmp_path)).to_pandas().set_index("user_id")
+    exact = {0: 50, 1: 7, 2: 1}
+    for u, n in exact.items():
+        assert out.loc[u, "est_count"] >= n
+    # with 3 users in a 4x1024 sketch collisions are impossible: exact
+    assert out.loc[0, "est_count"] == 50
+    assert out.loc[1, "est_count"] == 7
+    assert out.loc[2, "est_count"] == 1
