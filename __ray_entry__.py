@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bottomk_sample": q.q_doc_bottomk_sample,
         "token_kmv_distinct": q.q_token_kmv_distinct,
         "user_cm_sketch": q.q_user_cm_sketch,
+        "funnel_latency": q.q_funnel_latency,
     }
 
 
@@ -2258,4 +2259,26 @@ def oracle_sql() -> dict[str, str]:
         "user_cm_sketch": (
             f"SELECT * FROM read_parquet('{oracle_paths['user_cm_sketch']}')"
         ),
+        "funnel_latency": """
+            WITH a AS (
+              SELECT user_id, min(epoch_us(ts)) AS ta
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            b AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS tb
+              FROM events e JOIN a USING (user_id)
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= a.ta
+              GROUP BY e.user_id
+            ),
+            lat AS (
+              SELECT b.tb - a.ta AS l FROM a JOIN b USING (user_id)
+            )
+            SELECT count(*)::BIGINT AS n_converted,
+                   coalesce(sum(l), 0)::BIGINT AS sum_lat_us,
+                   (coalesce(sum(l), 0) // greatest(count(*), 1))::BIGINT
+                     AS mean_lat_us,
+                   coalesce(min(l), 0)::BIGINT AS min_lat_us,
+                   coalesce(max(l), 0)::BIGINT AS max_lat_us
+            FROM lat
+        """,
     }

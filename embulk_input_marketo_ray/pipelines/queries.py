@@ -797,6 +797,110 @@ def q_order_volume_cumulative(sf_dir: str):
     )
 
 
+FUNNEL_LAT_A = "signup"
+FUNNEL_LAT_B = "purchase"
+
+
+def q_funnel_latency(sf_dir: str):
+    """Funnel STEP LATENCY: per user, the time from their FIRST
+    ``signup`` to their first ``purchase`` AT OR AFTER it, aggregated
+    to (n_converted, sum/min/max latency in exact integer us) — the
+    time-to-convert metric next to ``event_funnel``'s ordered-stage
+    counts. Users whose purchases all precede their signup don't
+    convert.
+
+    Shape: the scan keeps only the two step types (pushdown filter
+    in-block), ONE keyed exchange on user co-locates each user's step
+    events, the kernel takes first-A then searchsorted first-B >= A
+    per run, and the block folds to ONE partial row; a driver sum
+    finishes — integer microseconds end to end."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def steps_only(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array([FUNNEL_LAT_A, FUNNEL_LAT_B]),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "is_b": pc.equal(
+                    t.column("event_type"), pa.scalar(FUNNEL_LAT_B)
+                ).cast(pa.int8()),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    part_schema = pa.schema(
+        [
+            ("n_converted", pa.int64()),
+            ("sum_lat_us", pa.int64()),
+            ("min_lat_us", pa.int64()),
+            ("max_lat_us", pa.int64()),
+        ]
+    )
+
+    def latency_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("user_id", "ascending"), ("ts_us", "ascending")]
+        )
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        is_b = np.asarray(t.column("is_b"), dtype=np.int8)
+        ts = np.asarray(t.column("ts_us"), dtype=np.int64)
+        new_run = np.r_[True, user[1:] != user[:-1]]
+        run_idx = np.cumsum(new_run) - 1
+        n_runs = int(run_idx[-1]) + 1
+        _IMAX = np.iinfo(np.int64).max
+        # first A timestamp per run (events are time-sorted in-run)
+        first_a = np.full(n_runs, _IMAX, dtype=np.int64)
+        a_rows = is_b == 0
+        np.minimum.at(first_a, run_idx[a_rows], ts[a_rows])
+        # first B at or after the run's first A
+        first_b = np.full(n_runs, _IMAX, dtype=np.int64)
+        b_rows = (is_b == 1) & (ts >= first_a[run_idx])
+        np.minimum.at(first_b, run_idx[b_rows], ts[b_rows])
+        conv = (first_a < _IMAX) & (first_b < _IMAX)
+        if not conv.any():
+            return part_schema.empty_table()
+        lat = first_b[conv] - first_a[conv]
+        return pa.table(
+            {
+                "n_converted": pa.array([int(conv.sum())], type=pa.int64()),
+                "sum_lat_us": pa.array([int(lat.sum())], type=pa.int64()),
+                "min_lat_us": pa.array([int(lat.min())], type=pa.int64()),
+                "max_lat_us": pa.array([int(lat.max())], type=pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    n = s = 0
+    mn, mx = None, None
+    for r in _keyed_exchange_apply(
+        ds.map_batches(steps_only, batch_format="pyarrow"),
+        ["user_id"],
+        latency_kernel,
+        part_schema,
+    ).take_all():
+        n += int(r["n_converted"])
+        s += int(r["sum_lat_us"])
+        mn = int(r["min_lat_us"]) if mn is None else min(mn, int(r["min_lat_us"]))
+        mx = int(r["max_lat_us"]) if mx is None else max(mx, int(r["max_lat_us"]))
+    return pa.table(
+        {
+            "n_converted": pa.array([n], type=pa.int64()),
+            "sum_lat_us": pa.array([s], type=pa.int64()),
+            "mean_lat_us": pa.array([s // max(n, 1)], type=pa.int64()),
+            "min_lat_us": pa.array([mn if mn is not None else 0], type=pa.int64()),
+            "max_lat_us": pa.array([mx if mx is not None else 0], type=pa.int64()),
+        }
+    )
+
+
 CM_DEPTH = 4
 CM_WIDTH = 1024
 CM_PROBE_USERS = tuple(range(10))

@@ -2608,3 +2608,39 @@ def test_user_cm_sketch_upper_bound(ray_session, tmp_path):
     assert out.loc[0, "est_count"] == 50
     assert out.loc[1, "est_count"] == 7
     assert out.loc[2, "est_count"] == 1
+
+
+def test_funnel_latency_first_pair_semantics(ray_session, tmp_path):
+    """Latency = first signup -> first purchase AT OR AFTER it; a
+    purchase before the signup neither converts nor pollutes; users
+    without both steps drop."""
+    import pyarrow.parquet as pq
+
+    rows = [  # (user, type, t_us)
+        (1, "purchase", 50),   # BEFORE signup: ignored
+        (1, "signup", 100),
+        (1, "purchase", 400),  # first after -> lat 300
+        (1, "purchase", 900),
+        (2, "signup", 10),     # never purchases
+        (3, "purchase", 5),    # never signs up
+        (4, "signup", 0),
+        (4, "purchase", 0),    # same instant -> lat 0
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "ts": pa.array([r[2] for r in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q.q_funnel_latency(str(tmp_path)).to_pandas().iloc[0]
+    assert out["n_converted"] == 2
+    assert out["sum_lat_us"] == 300
+    assert out["min_lat_us"] == 0 and out["max_lat_us"] == 300
+    assert out["mean_lat_us"] == 150
