@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_kmv_distinct": q.q_token_kmv_distinct,
         "user_cm_sketch": q.q_user_cm_sketch,
         "funnel_latency": q.q_funnel_latency,
+        "repo_activity_trend": q.q_repo_activity_trend,
+        "token_overlap_sketch": q.q_token_overlap_sketch,
     }
 
 
@@ -2281,4 +2283,26 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(max(l), 0)::BIGINT AS max_lat_us
             FROM lat
         """,
+        "repo_activity_trend": f"""
+            WITH d AS (
+              SELECT repo,
+                     CAST(epoch_us(event_ts) // 86400000000 AS BIGINT) AS day,
+                     count(*)::BIGINT AS n
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT repo, count(*)::BIGINT AS k, sum(day)::BIGINT AS sx,
+                     sum(n)::BIGINT AS sy, sum(day * n)::BIGINT AS sxy,
+                     sum(day * day)::BIGINT AS sxx
+              FROM d GROUP BY repo
+            )
+            SELECT repo, k AS n_days,
+                   (k * sxy - sx * sy)::BIGINT AS slope_num,
+                   (k * sxx - sx * sx)::BIGINT AS slope_den
+            FROM s
+        """,
+        "token_overlap_sketch": (
+            f"SELECT * FROM read_parquet('{oracle_paths['token_overlap_sketch']}')"
+        ),
     }

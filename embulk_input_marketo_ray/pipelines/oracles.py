@@ -809,6 +809,48 @@ def oracle_user_cm_sketch(sf_dir: str) -> pa.Table:
     )
 
 
+def oracle_token_overlap_sketch(sf_dir: str, k: int = 256) -> pa.Table:
+    """Pure-Python KMV-Jaccard replica: per-side distinct-token hash
+    sets (same polynomial hash), union bottom-k, both-membership
+    fraction in integer per-mille."""
+    import re
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    base, seed, mod = 1099511628211, 0x9E3779B9, 1 << 64
+
+    def hset(side: int) -> set[int]:
+        toks: set[str] = set()
+        for i, s in zip(ids, texts):
+            if int(i) % 2 == side:
+                toks.update(re.findall(r"[a-z]+", (s or "").lower()))
+        out = set()
+        for tok in toks:
+            h = seed
+            for bch in tok.encode("utf-8"):
+                h = (h * base + bch) % mod
+            out.add(h)
+        return out
+
+    a_all, b_all = hset(0), hset(1)
+    a = set(sorted(a_all)[:k])
+    b = set(sorted(b_all)[:k])
+    union = sorted(a | b)
+    k_used = min(k, len(union))
+    top = union[:k_used]
+    n_both = sum(1 for h in top if h in a and h in b)
+    return pa.table(
+        {
+            "k_used": pa.array([k_used], type=pa.int64()),
+            "n_both": pa.array([n_both], type=pa.int64()),
+            "est_jaccard_pm": pa.array(
+                [1000 * n_both // max(k_used, 1)], type=pa.int64()
+            ),
+        }
+    )
+
+
 def oracle_token_kmv_distinct(sf_dir: str, k: int = 256) -> pa.Table:
     """Pure-Python replica of the KMV distinct-token estimator: same
     tokenizer, same polynomial 64-bit hash (base 1099511628211, seed
@@ -859,6 +901,7 @@ _ORACLE_BUILDERS = {
     "ann_incremental_topk_deletes": oracle_ann_incremental_topk_deletes,
     "token_kmv_distinct": oracle_token_kmv_distinct,
     "user_cm_sketch": oracle_user_cm_sketch,
+    "token_overlap_sketch": oracle_token_overlap_sketch,
 }
 
 

@@ -797,6 +797,83 @@ def q_order_volume_cumulative(sf_dir: str):
     )
 
 
+def q_repo_activity_trend(sf_dir: str):
+    """Per-repo ACTIVITY TREND: the least-squares slope of daily event
+    counts over the repo's day index, reported as the EXACT integer
+    pair (numerator = n*Sxy - Sx*Sy, denominator = n*Sxx - Sx*Sx) so
+    sign and cross-repo comparisons are bit-stable (slope = num/den;
+    no float ever materializes). The regression-style aggregate shape:
+    everything reduces to the five classic sums.
+
+    Shape: (repo, day) counts via the two-phase aggregate; per-repo
+    sums fold from <= days-per-repo rows through a second tiny
+    aggregate — the exchange never carries events."""
+    _ensure_hash_shuffle()
+    ds = _read_events(columns=["repo", "event_ts"])
+
+    def day_rows(batch: pa.Table) -> pa.Table:
+        day = (
+            np.asarray(batch.column("event_ts"), dtype="datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "day": pa.array(day, type=pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    daily = grouped_aggregate(
+        ds.map_batches(day_rows, batch_format="pyarrow"),
+        ["repo", "day"],
+        [("n", "sum", "n")],
+    )
+
+    def sums_rows(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column("day"), dtype=np.int64)
+        y = np.asarray(batch.column("n"), dtype=np.int64)
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "k": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        )
+
+    sums = grouped_aggregate(
+        daily.map_batches(sums_rows, batch_format="pyarrow"),
+        ["repo"],
+        [
+            ("k", "sum", "k"),
+            ("sx", "sum", "sx"),
+            ("sy", "sum", "sy"),
+            ("sxy", "sum", "sxy"),
+            ("sxx", "sum", "sxx"),
+        ],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("k"), dtype=np.int64)
+        sx = np.asarray(batch.column("sx"), dtype=np.int64)
+        sy = np.asarray(batch.column("sy"), dtype=np.int64)
+        sxy = np.asarray(batch.column("sxy"), dtype=np.int64)
+        sxx = np.asarray(batch.column("sxx"), dtype=np.int64)
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "n_days": pa.array(k),
+                "slope_num": pa.array(k * sxy - sx * sy, type=pa.int64()),
+                "slope_den": pa.array(k * sxx - sx * sx, type=pa.int64()),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 FUNNEL_LAT_A = "signup"
 FUNNEL_LAT_B = "purchase"
 
@@ -1074,6 +1151,74 @@ def q_token_kmv_distinct(sf_dir: str):
         {
             "k_used": pa.array([k_used], type=pa.int64()),
             "est_distinct": pa.array([int(est)], type=pa.int64()),
+        }
+    )
+
+
+def q_token_overlap_sketch(sf_dir: str):
+    """KMV SET-OPERATION estimate: the Jaccard overlap between the
+    even-doc and odd-doc token vocabularies from two mergeable bottom-K
+    sketches — among the K smallest hashes of the UNION, the fraction
+    present in BOTH sides (the classic theta/KMV intersection rule; a
+    union-bottom-K hash is always inside its own side's bottom-K, so
+    the two per-side sketches suffice). Integer per-mille output,
+    bit-exact vs the pure-Python replica oracle.
+
+    Shape: per-block per-side distinct-hash bottom-K partials, driver
+    merge of 2 x K x blocks uint64s — corpus never shuffles."""
+    from embulk_input_marketo_ray.stages.text import _poly_hash64
+
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    part_schema = pa.schema([("side", pa.int8()), ("h", pa.uint64())])
+
+    def kmv_sides(batch: pa.Table) -> pa.Table:
+        parts = []
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        for side in (0, 1):
+            sel = batch.filter(pa.array(ids % 2 == side))
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(pc.coalesce(sel.column("text"), pa.scalar(""))),
+                pattern="[^a-z]+",
+            )
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.flatten()
+            flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+            if len(flat) == 0:
+                continue
+            h = np.unique(
+                _poly_hash64(pc.unique(flat), np.uint64(1099511628211), np.uint64(0x9E3779B9))
+            )[: KMV_K]
+            parts.append(
+                pa.table(
+                    {
+                        "side": pa.array(np.full(len(h), side, dtype=np.int8)),
+                        "h": pa.array(h, type=pa.uint64()),
+                    },
+                    schema=part_schema,
+                )
+            )
+        return pa.concat_tables(parts) if parts else part_schema.empty_table()
+
+    a_parts, b_parts = [], []
+    for r in ds.map_batches(kmv_sides, batch_format="pyarrow").take_all():
+        (a_parts if int(r["side"]) == 0 else b_parts).append(int(r["h"]))
+    a = np.unique(np.array(a_parts, dtype=np.uint64))[:KMV_K]
+    b = np.unique(np.array(b_parts, dtype=np.uint64))[:KMV_K]
+    union = np.unique(np.concatenate([a, b]))
+    k_used = min(KMV_K, len(union))
+    top = union[:k_used]
+    n_both = int(
+        (np.isin(top, a) & np.isin(top, b)).sum()
+    )
+    return pa.table(
+        {
+            "k_used": pa.array([k_used], type=pa.int64()),
+            "n_both": pa.array([n_both], type=pa.int64()),
+            "est_jaccard_pm": pa.array(
+                [1000 * n_both // max(k_used, 1)], type=pa.int64()
+            ),
         }
     )
 
