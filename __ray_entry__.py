@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_latency": q.q_funnel_latency,
         "repo_activity_trend": q.q_repo_activity_trend,
         "token_overlap_sketch": q.q_token_overlap_sketch,
+        "multimodal_real_decode": q.q_multimodal_real_decode,
     }
 
 
@@ -2304,5 +2305,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_overlap_sketch": (
             f"SELECT * FROM read_parquet('{oracle_paths['token_overlap_sketch']}')"
+        ),
+        "multimodal_real_decode": (
+            f"SELECT * FROM read_parquet('{oracle_paths['multimodal_real_decode']}')"
         ),
     }

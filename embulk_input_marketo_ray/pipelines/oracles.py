@@ -809,6 +809,58 @@ def oracle_user_cm_sketch(sf_dir: str) -> pa.Table:
     )
 
 
+def oracle_multimodal_real_decode(sf_dir: str, n: int = 256) -> pa.Table:
+    """Ground-truth decode facts via an INDEPENDENT path: image sums
+    recomputed from the generator's pixel rule (no BMP parsing at
+    all), audio facts via the stdlib ``wave`` reader (a different
+    parser than the engine's RIFF walker). Imports only the shared
+    input generator."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from embulk_input_marketo_ray.synth import synth_real_media_table
+
+    t = synth_real_media_table(n)
+    seed = 42
+    rows = []
+    payloads = t.column("payload")
+    for i in range(n):
+        kind = t.column("media_type")[i].as_py()
+        if kind == "image":
+            w = int(t.column("meta_width")[i].as_py())
+            h = int(t.column("meta_height")[i].as_py())
+            rng = np.random.default_rng(seed * 1_000_003 + i)
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            rows.append(
+                (i, kind, True, w, h, int(sums[0]), int(sums[1]), int(sums[2]), 0, 0, 0, 0)
+            )
+        else:
+            wv = wave.open(io.BytesIO(payloads[i].as_py()))
+            data = np.frombuffer(
+                wv.readframes(wv.getnframes()), dtype="<i2"
+            ).astype(np.int64)
+            rows.append(
+                (
+                    i, kind, True, 0, 0, 0, 0, 0,
+                    int(len(data)), int(wv.getframerate()),
+                    int((data * data).sum()),
+                    int(np.abs(data).max()) if len(data) else 0,
+                )
+            )
+    cols = list(zip(*rows))
+    names = [
+        "media_id", "media_type", "decode_ok", "width", "height",
+        "sum_b", "sum_g", "sum_r", "n_samples", "sample_rate", "sum_sq", "peak",
+    ]
+    types = [pa.int64(), pa.string(), pa.bool_()] + [pa.int64()] * 9
+    return pa.table(
+        {nm: pa.array(c, type=ty) for nm, c, ty in zip(names, cols, types)}
+    )
+
+
 def oracle_token_overlap_sketch(sf_dir: str, k: int = 256) -> pa.Table:
     """Pure-Python KMV-Jaccard replica: per-side distinct-token hash
     sets (same polynomial hash), union bottom-k, both-membership
@@ -902,6 +954,7 @@ _ORACLE_BUILDERS = {
     "token_kmv_distinct": oracle_token_kmv_distinct,
     "user_cm_sketch": oracle_user_cm_sketch,
     "token_overlap_sketch": oracle_token_overlap_sketch,
+    "multimodal_real_decode": oracle_multimodal_real_decode,
 }
 
 

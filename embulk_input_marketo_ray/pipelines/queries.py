@@ -1455,6 +1455,34 @@ def q_multimodal_pipeline(sf_dir: str):
     return ds.select_columns(["media_id", "media_type", "decode_ok"])
 
 
+def q_multimodal_real_decode(sf_dir: str):
+    """GENUINE-codec multimodal decode: real 24-bit BMPs and PCM16
+    WAVs (generated by ``synth.synth_real_media_table``, validated by
+    stdlib readers) decoded by ``RealMediaDecoder`` — struct header
+    parsing + numpy pixel/sample kernels, no external codec libraries
+    — closing the 'decode is a stub' gap for the formats pure
+    stdlib/numpy can handle. Integer-exact decode facts (channel sums,
+    sample energy, peak) so the oracle (generator-side ground truth +
+    stdlib ``wave``) is bit-exact. Actor-pool stage, small batches for
+    wide rows (the multimodal memory contract)."""
+    import ray.data as rd
+
+    from embulk_input_marketo_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        RealMediaDecoder,
+    )
+    from embulk_input_marketo_ray.synth import synth_real_media_table
+
+    _ensure_hash_shuffle()
+    ds = rd.from_arrow(synth_real_media_table(256))
+    return ds.map_batches(
+        RealMediaDecoder,
+        batch_format="pyarrow",
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )
+
+
 def q_activity_static_schema(sf_dir: str):
     """F4: activity-style all-string payload -> static typed schema with
     canonical-JSON attributes + invalid-record (dead-letter) filter."""

@@ -181,3 +181,121 @@ class AudioFeaturizer:
             pa.array(feats.reshape(-1), type=pa.float32()), self.N_FEATURES
         )
         return batch.append_column("audio_features", fcol)
+
+
+class RealMediaDecoder:
+    """Actor-pool stage with GENUINE codecs — no external libraries:
+    24-bit BMP parsing (struct header + numpy row de-padding/flip) and
+    PCM16 WAV parsing (RIFF chunk walk) implemented directly, closing
+    the 'decode is a stub' gap for the two formats pure
+    stdlib/numpy can decode. Emits per-row integer-exact decode facts:
+
+    - image: (width, height, sum_b/sum_g/sum_r channel sums)
+    - audio: (n_samples, sample_rate, sum_sq energy, peak amplitude)
+
+    plus ``decode_ok`` (malformed payloads -> False, zeros). Other
+    container formats (JPEG/PNG/FLAC/...) still need PIL/soundfile —
+    the ImageDecoder/AudioFeaturizer stubs keep that seam documented.
+    """
+
+    def __init__(self) -> None:
+        import struct
+
+        self._struct = struct  # codec state resolved once per actor
+
+    def _decode_bmp(self, raw: bytes):
+        s = self._struct
+        if len(raw) < 54 or raw[:2] != b"BM":
+            return None
+        pixel_offset = s.unpack_from("<I", raw, 10)[0]
+        hdr_size, width, height = s.unpack_from("<Iii", raw, 14)
+        bpp = s.unpack_from("<H", raw, 28)[0]
+        compression = s.unpack_from("<I", raw, 30)[0]
+        if hdr_size < 40 or bpp != 24 or compression != 0 or width <= 0:
+            return None
+        flip = height > 0
+        height = abs(height)
+        row_bytes = width * 3
+        stride = (row_bytes + 3) & ~3
+        need = pixel_offset + stride * height
+        if len(raw) < need:
+            return None
+        body = np.frombuffer(raw, dtype=np.uint8, count=stride * height, offset=pixel_offset)
+        rows = body.reshape(height, stride)[:, :row_bytes].reshape(height, width, 3)
+        if flip:
+            rows = rows[::-1]
+        sums = rows.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        return width, height, int(sums[0]), int(sums[1]), int(sums[2])
+
+    def _decode_wav(self, raw: bytes):
+        s = self._struct
+        if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return None
+        pos, rate, bits, channels, data = 12, None, None, None, None
+        while pos + 8 <= len(raw):
+            cid, size = s.unpack_from("<4sI", raw, pos)
+            body = raw[pos + 8 : pos + 8 + size]
+            if cid == b"fmt " and size >= 16:
+                fmt_tag, channels, rate = s.unpack_from("<HHI", body, 0)
+                bits = s.unpack_from("<H", body, 14)[0]
+                if fmt_tag != 1:
+                    return None
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if rate is None or data is None or bits != 16 or channels != 1:
+            return None
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        if len(samples) == 0:
+            return len(samples), int(rate), 0, 0
+        return (
+            len(samples),
+            int(rate),
+            int((samples * samples).sum()),
+            int(np.abs(samples).max()),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("payload")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        kinds = batch.column("media_type").to_pylist()
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        sum_b = np.zeros(n, dtype=np.int64)
+        sum_g = np.zeros(n, dtype=np.int64)
+        sum_r = np.zeros(n, dtype=np.int64)
+        n_samples = np.zeros(n, dtype=np.int64)
+        rate = np.zeros(n, dtype=np.int64)
+        sum_sq = np.zeros(n, dtype=np.int64)
+        peak = np.zeros(n, dtype=np.int64)
+        for i, (kind, v) in enumerate(zip(kinds, col)):
+            raw = v.as_py() if v.is_valid else b""
+            if kind == "image":
+                got = self._decode_bmp(raw)
+                if got is not None:
+                    width[i], height[i], sum_b[i], sum_g[i], sum_r[i] = got
+                    ok[i] = True
+            elif kind == "audio":
+                got = self._decode_wav(raw)
+                if got is not None:
+                    n_samples[i], rate[i], sum_sq[i], peak[i] = got
+                    ok[i] = True
+        return pa.table(
+            {
+                "media_id": batch.column("media_id").cast(pa.int64()),
+                "media_type": batch.column("media_type"),
+                "decode_ok": pa.array(ok),
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "sum_b": pa.array(sum_b),
+                "sum_g": pa.array(sum_g),
+                "sum_r": pa.array(sum_r),
+                "n_samples": pa.array(n_samples),
+                "sample_rate": pa.array(rate),
+                "sum_sq": pa.array(sum_sq),
+                "peak": pa.array(peak),
+            }
+        )

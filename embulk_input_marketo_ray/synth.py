@@ -266,3 +266,81 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.T
             "meta_n_frames": pa.array(rng.integers(8, 240, size=n), type=pa.int32()),
         }
     )
+
+
+def synth_bmp(width: int, height: int, seed: int) -> bytes:
+    """A REAL 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding) with deterministic pixels — decodable by any
+    standards-compliant reader, built with nothing but struct/numpy."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)  # BGR
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = b"".join(
+        px[r].tobytes() + b"\x00" * pad for r in range(height - 1, -1, -1)
+    )
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + body
+
+
+def synth_wav(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """A REAL PCM16 mono WAV (RIFF/fmt/data) with a deterministic
+    waveform — playable/decodable anywhere, pure struct/numpy."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(1 << 15), 1 << 15, size=n_samples, dtype=np.int64).astype(
+        np.int16
+    )
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Media corpus with REAL codec payloads: even rows are genuine
+    24-bit BMPs, odd rows genuine PCM16 WAVs — the decodable companion
+    of ``synth_media_table`` (kept for the PIL/soundfile-shaped stub
+    stages). Small dimensions keep rows bounded (wide-row batch-size
+    contract unchanged)."""
+    rng = np.random.default_rng(seed)
+    kinds, payloads, widths, heights, rates, frames = [], [], [], [], [], []
+    for i in range(n):
+        if i % 2 == 0:
+            w = int(rng.integers(4, 24))
+            h = int(rng.integers(4, 24))
+            kinds.append("image")
+            payloads.append(synth_bmp(w, h, seed=seed * 1_000_003 + i))
+            widths.append(w)
+            heights.append(h)
+            rates.append(0)
+            frames.append(1)
+        else:
+            ns = int(rng.integers(256, 2048))
+            kinds.append("audio")
+            payloads.append(synth_wav(ns, 16000, seed=seed * 1_000_003 + i))
+            widths.append(0)
+            heights.append(0)
+            rates.append(16000)
+            frames.append(ns)
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "media_type": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "meta_width": pa.array(widths, type=pa.int32()),
+            "meta_height": pa.array(heights, type=pa.int32()),
+            "meta_sample_rate": pa.array(rates, type=pa.int32()),
+            "meta_n_frames": pa.array(frames, type=pa.int32()),
+        }
+    )

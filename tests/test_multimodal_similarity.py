@@ -187,3 +187,53 @@ def test_list_column_matrix_shapes_and_slices():
     # ragged input fails loudly
     with pytest.raises(ValueError, match="ragged"):
         list_column_matrix(pa.array([[1.0], [1.0, 2.0]], type=pa.list_(pa.float32())))
+
+
+def test_real_media_decoder_genuine_codecs_and_malformed(ray_session):
+    """The BMP/WAV decoders parse REAL containers (stdlib wave agrees)
+    and reject malformed payloads with decode_ok=False instead of
+    raising — truncation, bad magic, unsupported bit depth."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+    import pyarrow as pa
+
+    from embulk_input_marketo_ray.stages.multimodal import RealMediaDecoder
+    from embulk_input_marketo_ray.synth import synth_bmp, synth_wav
+
+    bmp = synth_bmp(6, 4, seed=9)
+    wav = synth_wav(300, 16000, seed=9)
+    # stdlib cross-check of the WAV payload
+    w = wave_mod.open(io.BytesIO(wav))
+    assert (w.getnframes(), w.getframerate()) == (300, 16000)
+
+    rows = [
+        ("image", bmp),
+        ("audio", wav),
+        ("image", bmp[:20]),            # truncated header
+        ("image", b"XX" + bmp[2:]),     # bad magic
+        ("audio", wav[:16]),            # truncated RIFF
+        ("audio", b""),                 # empty
+    ]
+    t = pa.table(
+        {
+            "media_id": pa.array(range(len(rows)), type=pa.int64()),
+            "media_type": pa.array([r[0] for r in rows]),
+            "payload": pa.array([r[1] for r in rows], type=pa.binary()),
+        }
+    )
+    out = RealMediaDecoder()(t)
+    ok = out.column("decode_ok").to_pylist()
+    assert ok == [True, True, False, False, False, False]
+    # image sums equal a direct numpy recompute from the generator rule
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert out.column("sum_b")[0].as_py() == int(sums[0])
+    assert out.column("sum_r")[0].as_py() == int(sums[2])
+    # audio energy equals the stdlib-decoded samples' energy
+    data = np.frombuffer(w.readframes(0) or b"", dtype="<i2")  # reset below
+    w2 = wave_mod.open(io.BytesIO(wav))
+    s = np.frombuffer(w2.readframes(w2.getnframes()), dtype="<i2").astype(np.int64)
+    assert out.column("sum_sq")[1].as_py() == int((s * s).sum())
