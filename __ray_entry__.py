@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_activity_trend": q.q_repo_activity_trend,
         "token_overlap_sketch": q.q_token_overlap_sketch,
         "multimodal_real_decode": q.q_multimodal_real_decode,
+        "event_trigram_paths": q.q_event_trigram_paths,
     }
 
 
@@ -2309,4 +2310,22 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_real_decode": (
             f"SELECT * FROM read_parquet('{oracle_paths['multimodal_real_decode']}')"
         ),
+        "event_trigram_paths": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type, 1) OVER w AS p1,
+                     lag(event_type, 2) OVER w AS p2,
+                     lag(user_id, 2) OVER w AS u2
+              FROM events
+              WINDOW w AS (ORDER BY user_id, ts, event_id)
+            ),
+            tri AS (
+              SELECT p2 AS t1, p1 AS t2, event_type AS t3,
+                     count(*)::BIGINT AS n
+              FROM o WHERE u2 = user_id
+              GROUP BY 1, 2, 3
+            )
+            SELECT t1, t2, t3, n FROM tri
+            ORDER BY n DESC, t1, t2, t3 LIMIT 20
+        """,
     }

@@ -7732,6 +7732,81 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+TRIGRAM_TOP_K = 20
+
+
+def q_event_trigram_paths(sf_dir: str):
+    """Top 3-STEP user journeys: counts of consecutive event-type
+    triples per user's (ts, event_id)-ordered stream, global top-K by
+    (count desc, path asc) — the second-order extension of
+    ``event_transitions`` (path analysis asks 'what leads INTO
+    checkout', which pairs cannot answer).
+
+    Shape: same single keyed exchange; the kernel shifts TWICE and
+    folds triple counts in-block (payload bounded by the type-domain
+    CUBED x blocks — still tiny); a driver fold + top-K finishes, no
+    global sort."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    part_schema = pa.schema(
+        [
+            ("t1", pa.string()),
+            ("t2", pa.string()),
+            ("t3", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def trigrams(block: pa.Table) -> pa.Table:
+        if block.num_rows < 3:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = block.take(order)
+        user = np.asarray(t.column("user_id"), dtype=np.int64)
+        et = np.asarray(t.column("event_type"), dtype=object)
+        same3 = (user[2:] == user[1:-1]) & (user[1:-1] == user[:-2])
+        if not same3.any():
+            return part_schema.empty_table()
+        triples = pa.table(
+            {
+                "t1": pa.array(et[:-2][same3], type=pa.string()),
+                "t2": pa.array(et[1:-1][same3], type=pa.string()),
+                "t3": pa.array(et[2:][same3], type=pa.string()),
+            }
+        )
+        agg = triples.group_by(["t1", "t2", "t3"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "t1": agg.column("t1"),
+                "t2": agg.column("t2"),
+                "t3": agg.column("t3"),
+                "n": agg.column("count_all").cast(pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    totals: dict[tuple[str, str, str], int] = {}
+    for r in _keyed_exchange_apply(ds, ["user_id"], trigrams, part_schema).take_all():
+        k = (r["t1"], r["t2"], r["t3"])
+        totals[k] = totals.get(k, 0) + int(r["n"])
+    top = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:TRIGRAM_TOP_K]
+    return pa.table(
+        {
+            "t1": pa.array([k[0] for k, _ in top], type=pa.string()),
+            "t2": pa.array([k[1] for k, _ in top], type=pa.string()),
+            "t3": pa.array([k[2] for k, _ in top], type=pa.string()),
+            "n": pa.array([v for _, v in top], type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # distributed global rank / NTILE without a global sort
 # ---------------------------------------------------------------------------

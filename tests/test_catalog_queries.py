@@ -2644,3 +2644,34 @@ def test_funnel_latency_first_pair_semantics(ray_session, tmp_path):
     assert out["sum_lat_us"] == 300
     assert out["min_lat_us"] == 0 and out["max_lat_us"] == 300
     assert out["mean_lat_us"] == 150
+
+
+def test_event_trigram_paths_user_boundaries(ray_session, tmp_path):
+    """Triples never span users; counts follow each user's (ts,
+    event_id) order."""
+    import pyarrow.parquet as pq
+
+    rows = [  # (user, type, t)
+        (1, "view", 0), (1, "click", 1), (1, "purchase", 2), (1, "view", 3),
+        (2, "view", 0), (2, "click", 1),  # only 2 events: no triple
+        (3, "view", 0), (3, "click", 1), (3, "purchase", 2),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "ts": pa.array([r[2] for r in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q.q_event_trigram_paths(str(tmp_path)).to_pandas()
+    got = {(r.t1, r.t2, r.t3): r.n for r in out.itertuples()}
+    assert got == {
+        ("view", "click", "purchase"): 2,
+        ("click", "purchase", "view"): 1,
+    }
