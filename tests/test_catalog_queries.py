@@ -2675,3 +2675,91 @@ def test_event_trigram_paths_user_boundaries(ray_session, tmp_path):
         ("view", "click", "purchase"): 2,
         ("click", "purchase", "view"): 1,
     }
+
+
+def test_session_new_operators_survive_empty_inputs(ray_session, tmp_path):
+    """Every operator added in the round-4 continuation returns an
+    empty or zero-valued result (not an exception) on zero-row input
+    tables — the empty-corpus guard extended to the new families."""
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        f"{sf_dir}/documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.float64()),
+                "props": pa.array([], type=pa.string()),
+            }
+        ),
+        f"{sf_dir}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_custkey": pa.array([], type=pa.int64()),
+                "o_orderstatus": pa.array([], type=pa.string()),
+                "o_totalprice": pa.array([], type=pa.float64()),
+                "o_orderdate": pa.array([], type=pa.timestamp("us")),
+                "o_orderpriority": pa.array([], type=pa.string()),
+            }
+        ),
+        f"{sf_dir}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float32())),
+                "label": pa.array([], type=pa.int32()),
+            }
+        ),
+        f"{sf_dir}/embeddings.parquet",
+    )
+
+    # doc family: zero rows out
+    for fn in (
+        q.q_doc_surprisal,
+        q.q_doc_span_corruption,
+        q.q_doc_curation_priority,
+        q.q_doc_bottomk_sample,
+    ):
+        res = fn(sf_dir)
+        n = res.num_rows if isinstance(res, pa.Table) else res.count()
+        assert n == 0, fn.__name__
+    # sketches / scalars: one row, zero-valued
+    r = q.q_token_kmv_distinct(sf_dir)
+    assert r.column("est_distinct")[0].as_py() == 0
+    r = q.q_token_overlap_sketch(sf_dir)
+    assert r.column("k_used")[0].as_py() == 0
+    # event family
+    assert q.q_event_trigram_paths(sf_dir).num_rows == 0
+    r = q.q_funnel_latency(sf_dir)
+    assert r.column("n_converted")[0].as_py() == 0
+    r = q.q_user_cm_sketch(sf_dir)
+    assert sum(r.column("est_count").to_pylist()) == 0
+    # orders family
+    out = q.q_customer_rfm(sf_dir)
+    n = out.num_rows if isinstance(out, pa.Table) else out.count()
+    assert n == 0
+    assert q.q_order_volume_cumulative(sf_dir).num_rows == 0
+    assert q.q_cohort_revenue(sf_dir).count() == 0
+    # embeddings family
+    assert q.q_embedding_power_iteration(sf_dir).num_rows == 0
+    assert q.q_embedding_truncation_error(sf_dir).count() == 0
