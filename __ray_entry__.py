@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_overlap_sketch": q.q_token_overlap_sketch,
         "multimodal_real_decode": q.q_multimodal_real_decode,
         "event_trigram_paths": q.q_event_trigram_paths,
+        "doc_cross_probe": q.q_doc_cross_probe,
     }
 
 
@@ -2327,5 +2328,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t1, t2, t3, n FROM tri
             ORDER BY n DESC, t1, t2, t3 LIMIT 20
+        """,
+        "doc_cross_probe": f"""
+            SELECT doc_id, status, dup_of
+            FROM read_parquet('{oracle_paths['doc_incremental_dedup']}')
+            WHERE wave = 2
         """,
     }

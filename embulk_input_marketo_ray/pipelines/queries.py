@@ -4580,6 +4580,46 @@ def q_doc_incremental_dedup(sf_dir: str):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def q_doc_cross_probe(sf_dir: str):
+    """READ-ONLY cross-corpus dedup check through ``probe_docs``: the
+    even-doc corpus builds the index, the odd-doc corpus is PROBED
+    without mutating anything — 'would these be duplicates?' before
+    paying to store/crawl them. Verdicts are identical to what a real
+    ingest would record (the probe is ingest minus its write steps, by
+    construction), which is exactly what the oracle asserts."""
+    import shutil
+    import tempfile
+
+    from embulk_input_marketo_ray.stages.sig_index import (
+        init_index,
+        ingest,
+        probe_docs,
+    )
+
+    _ensure_hash_shuffle()
+    index_dir = tempfile.mkdtemp(prefix="graft_sigidx_probe_")
+    try:
+        init_index(index_dir)
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def wave_filter(parity: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+                return batch.filter(pa.array(ids % 2 == parity))
+
+            return fn
+
+        ingest(
+            index_dir, docs.map_batches(wave_filter(0), batch_format="pyarrow"), "base"
+        )
+        res = probe_docs(
+            index_dir, docs.map_batches(wave_filter(1), batch_format="pyarrow")
+        )
+        return res.take(pc.sort_indices(res, sort_keys=[("doc_id", "ascending")]))
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 DELETE_EVERY = 10  # tombstone wave-1 admitted docs with doc_id % 10 == 0
 
 
