@@ -79,8 +79,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
             setattr(q, _name, staticmethod(_wrap()))
 
+    # Key order is deliberate: the correctness driver samples the FIRST 50
+    # dict keys, so the flagship stays in slot 1 and the entries that have
+    # not yet carried a driver correctness row come next, cheapest-first
+    # (by the last bench's per-query wall time) to maximise rows per driver
+    # time budget; previously-sampled entries follow.
     return {
         "cdc_replay": _q_cdc_replay,
+        "program_date_range": q.q_program_date_range,
+        "custom_object_filter_values": q.q_custom_object_filter_values,
+        "path_lifecycle": q.q_path_lifecycle,
+        "version_retention": q.q_version_retention,
+        "scd2_history": q.q_scd2_history,
+        "repo_freshness": q.q_repo_freshness,
+        "cdc_before_image": q.q_cdc_before_image,
+        "event_rolling_stats": q.q_event_rolling_stats,
+        "cdc_late_arrivals": q.q_cdc_late_arrivals,
+        "repo_churn_concentration": q.q_repo_churn_concentration,
+        "user_interarrival": q.q_user_interarrival,
+        "user_retention": q.q_user_retention,
+        "event_transitions": q.q_event_transitions,
+        "event_trigram_paths": q.q_event_trigram_paths,
+        "doc_bottomk_sample": q.q_doc_bottomk_sample,
+        "embedding_power_iteration": q.q_embedding_power_iteration,
+        "repo_activity_trend": q.q_repo_activity_trend,
+        "embedding_truncation_error": q.q_embedding_truncation_error,
+        "incremental_view": q.q_incremental_view,
+        "embedding_quantize": q.q_embedding_quantize,
+        "doc_weighted_sample": q.q_doc_weighted_sample,
+        "token_kmv_distinct": q.q_token_kmv_distinct,
+        "doc_chunks": q.q_doc_chunks,
+        "token_overlap_sketch": q.q_token_overlap_sketch,
+        "bpe_pair_stats": q.q_bpe_pair_stats,
+        "doc_span_corruption": q.q_doc_span_corruption,
+        "lineitem_discount_revenue": q.q_lineitem_discount_revenue,
+        "funnel_latency": q.q_funnel_latency,
+        "doc_compression_ratio": q.q_doc_compression_ratio,
+        "value_quantile_sketch": q.q_value_quantile_sketch,
+        "event_type_affinity": q.q_event_type_affinity,
+        "token_packing": q.q_token_packing,
+        "lang_token_quantiles": q.q_lang_token_quantiles,
+        "order_volume_cumulative": q.q_order_volume_cumulative,
+        "lang_confusion": q.q_lang_confusion,
+        "vocab_coverage": q.q_vocab_coverage,
+        "top_supplier_revenue": q.q_top_supplier_revenue,
+        "doc_chunk_dedup": q.q_doc_chunk_dedup,
+        "token_quantiles": q.q_token_quantiles,
+        "event_trending": q.q_event_trending,
+        "event_dedup_window": q.q_event_dedup_window,
+        "cohort_revenue": q.q_cohort_revenue,
+        "doc_length_ntiles": q.q_doc_length_ntiles,
+        "lineitem_rollup_levels": q.q_lineitem_rollup_levels,
+        "event_asof_join": q.q_event_asof_join,
+        "event_range_join": q.q_event_range_join,
+        "user_cm_sketch": q.q_user_cm_sketch,
+        "event_funnel": q.q_event_funnel,
+        "event_hop_windows": q.q_event_hop_windows,
+        "cochange_walk_rank": q.q_cochange_walk_rank,
+        "embedding_outliers": q.q_embedding_outliers,
+        "doc_novelty": q.q_doc_novelty,
+        "doc_decontaminate": q.q_doc_decontaminate,
+        "embedding_kmeans": q.q_embedding_kmeans,
+        "part_promo_share": q.q_part_promo_share,
+        "customer_rfm": q.q_customer_rfm,
+        "customer_order_dist": q.q_customer_order_dist,
+        "doc_curation_priority": q.q_doc_curation_priority,
+        "customer_anti_join": q.q_customer_anti_join,
+        "approx_distinct_users": q.q_approx_distinct_users,
+        "doc_heavy_hitters": q.q_doc_heavy_hitters,
+        "doc_keyterms": q.q_doc_keyterms,
+        "part_small_qty": q.q_part_small_qty,
+        "doc_token_rarity": q.q_doc_token_rarity,
+        "multimodal_real_decode": q.q_multimodal_real_decode,
+        "embedding_kmeans_refine": q.q_embedding_kmeans_refine,
+        "part_min_price_supplier": q.q_part_min_price_supplier,
+        "disjunctive_part_revenue": q.q_disjunctive_part_revenue,
+        "shipping_priority": q.q_shipping_priority,
+        "doc_surprisal": q.q_doc_surprisal,
+        "order_exists_join": q.q_order_exists_join,
+        "hop_distinct_users_hll": q.q_hop_distinct_users_hll,
+        "doc_dup_windows": q.q_doc_dup_windows,
+        "idle_customer_balance": q.q_idle_customer_balance,
+        "doc_dup_coverage": q.q_doc_dup_coverage,
+        "large_orders": q.q_large_orders,
+        "order_priority_report": q.q_order_priority_report,
+        "supplier_part_counts": q.q_supplier_part_counts,
+        "doc_decontaminate_bloom": q.q_doc_decontaminate_bloom,
+        "nation_pair_volume": q.q_nation_pair_volume,
+        "ann_incremental_topk_deletes": q.q_ann_incremental_topk_deletes,
+        "cochange_triangles": q.q_cochange_triangles,
+        "returned_revenue_topk": q.q_returned_revenue_topk,
+        "ann_incremental_topk": q.q_ann_incremental_topk,
+        "nation_market_share": q.q_nation_market_share,
+        "doc_dedup_near_keep_best": q.q_doc_dedup_near_keep_best,
+        "bigram_collocations": q.q_bigram_collocations,
+        "local_supplier_volume": q.q_local_supplier_volume,
+        "dq_audit": q.q_dq_audit,
+        "doc_cross_probe": q.q_doc_cross_probe,
+        "doc_incremental_dedup_deletes": q.q_doc_incremental_dedup_deletes,
+        "doc_incremental_dedup": q.q_doc_incremental_dedup,
         "time_travel": q.q_time_travel,
         "cdc_feed": q.q_cdc_feed,
         "snapshot_diff": q.q_snapshot_diff,
@@ -131,8 +228,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "program_by_tag": q.q_program_by_tag,
         "offset_paged_csv": q.q_offset_paged_csv,
         "custom_object_source": q.q_custom_object_source,
-        "custom_object_filter_values": q.q_custom_object_filter_values,
-        "program_date_range": q.q_program_date_range,
         "lead_by_list_join": q.q_lead_by_list_join,
         "csv_parse": q.q_csv_parse,
         "ann_lsh_topk": q.q_ann_lsh_topk,
@@ -144,98 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": q.q_doc_split,
         "doc_curation": q.q_doc_curation,
         "doc_vocab_topk": q.q_doc_vocab_topk,
-        "doc_heavy_hitters": q.q_doc_heavy_hitters,
         "doc_dedup_near": q.q_doc_dedup_near,
-        "doc_dedup_near_keep_best": q.q_doc_dedup_near_keep_best,
         "doc_topk_per_lang": q.q_doc_topk_per_lang,
-        "doc_decontaminate": q.q_doc_decontaminate,
-        "doc_decontaminate_bloom": q.q_doc_decontaminate_bloom,
-        "doc_incremental_dedup": q.q_doc_incremental_dedup,
-        "ann_incremental_topk": q.q_ann_incremental_topk,
-        "token_quantiles": q.q_token_quantiles,
-        "doc_token_rarity": q.q_doc_token_rarity,
-        "event_asof_join": q.q_event_asof_join,
-        "event_range_join": q.q_event_range_join,
-        "doc_dup_windows": q.q_doc_dup_windows,
-        "doc_dup_coverage": q.q_doc_dup_coverage,
-        "lang_token_quantiles": q.q_lang_token_quantiles,
-        "token_packing": q.q_token_packing,
-        "doc_keyterms": q.q_doc_keyterms,
-        "event_hop_windows": q.q_event_hop_windows,
-        "bigram_collocations": q.q_bigram_collocations,
-        "event_funnel": q.q_event_funnel,
-        "doc_chunks": q.q_doc_chunks,
-        "user_retention": q.q_user_retention,
-        "embedding_outliers": q.q_embedding_outliers,
-        "order_priority_report": q.q_order_priority_report,
-        "event_rolling_stats": q.q_event_rolling_stats,
-        "customer_anti_join": q.q_customer_anti_join,
-        "approx_distinct_users": q.q_approx_distinct_users,
-        "scd2_history": q.q_scd2_history,
-        "version_retention": q.q_version_retention,
-        "dq_audit": q.q_dq_audit,
-        "lineitem_rollup_levels": q.q_lineitem_rollup_levels,
-        "shipping_priority": q.q_shipping_priority,
-        "cdc_before_image": q.q_cdc_before_image,
-        "incremental_view": q.q_incremental_view,
-        "local_supplier_volume": q.q_local_supplier_volume,
-        "large_orders": q.q_large_orders,
-        "embedding_kmeans": q.q_embedding_kmeans,
-        "cochange_triangles": q.q_cochange_triangles,
-        "bpe_pair_stats": q.q_bpe_pair_stats,
-        "embedding_kmeans_refine": q.q_embedding_kmeans_refine,
-        "value_quantile_sketch": q.q_value_quantile_sketch,
-        "event_transitions": q.q_event_transitions,
-        "doc_length_ntiles": q.q_doc_length_ntiles,
-        "doc_compression_ratio": q.q_doc_compression_ratio,
-        "event_dedup_window": q.q_event_dedup_window,
-        "cdc_late_arrivals": q.q_cdc_late_arrivals,
-        "path_lifecycle": q.q_path_lifecycle,
-        "repo_churn_concentration": q.q_repo_churn_concentration,
-        "repo_freshness": q.q_repo_freshness,
-        "order_exists_join": q.q_order_exists_join,
-        "vocab_coverage": q.q_vocab_coverage,
-        "user_interarrival": q.q_user_interarrival,
-        "returned_revenue_topk": q.q_returned_revenue_topk,
-        "lineitem_discount_revenue": q.q_lineitem_discount_revenue,
-        "event_trending": q.q_event_trending,
-        "doc_weighted_sample": q.q_doc_weighted_sample,
-        "embedding_quantize": q.q_embedding_quantize,
-        "hop_distinct_users_hll": q.q_hop_distinct_users_hll,
-        "doc_chunk_dedup": q.q_doc_chunk_dedup,
-        "customer_order_dist": q.q_customer_order_dist,
-        "part_promo_share": q.q_part_promo_share,
-        "doc_novelty": q.q_doc_novelty,
-        "event_type_affinity": q.q_event_type_affinity,
-        "top_supplier_revenue": q.q_top_supplier_revenue,
-        "supplier_part_counts": q.q_supplier_part_counts,
-        "part_small_qty": q.q_part_small_qty,
-        "idle_customer_balance": q.q_idle_customer_balance,
-        "nation_pair_volume": q.q_nation_pair_volume,
-        "disjunctive_part_revenue": q.q_disjunctive_part_revenue,
-        "doc_surprisal": q.q_doc_surprisal,
-        "part_min_price_supplier": q.q_part_min_price_supplier,
-        "customer_rfm": q.q_customer_rfm,
-        "cochange_walk_rank": q.q_cochange_walk_rank,
-        "nation_market_share": q.q_nation_market_share,
-        "cohort_revenue": q.q_cohort_revenue,
-        "embedding_power_iteration": q.q_embedding_power_iteration,
-        "doc_span_corruption": q.q_doc_span_corruption,
-        "embedding_truncation_error": q.q_embedding_truncation_error,
-        "doc_incremental_dedup_deletes": q.q_doc_incremental_dedup_deletes,
-        "ann_incremental_topk_deletes": q.q_ann_incremental_topk_deletes,
-        "lang_confusion": q.q_lang_confusion,
-        "order_volume_cumulative": q.q_order_volume_cumulative,
-        "doc_curation_priority": q.q_doc_curation_priority,
-        "doc_bottomk_sample": q.q_doc_bottomk_sample,
-        "token_kmv_distinct": q.q_token_kmv_distinct,
-        "user_cm_sketch": q.q_user_cm_sketch,
-        "funnel_latency": q.q_funnel_latency,
-        "repo_activity_trend": q.q_repo_activity_trend,
-        "token_overlap_sketch": q.q_token_overlap_sketch,
-        "multimodal_real_decode": q.q_multimodal_real_decode,
-        "event_trigram_paths": q.q_event_trigram_paths,
-        "doc_cross_probe": q.q_doc_cross_probe,
     }
 
 
