@@ -235,7 +235,10 @@ class RealMediaDecoder:
         while pos + 8 <= len(raw):
             cid, size = s.unpack_from("<4sI", raw, pos)
             body = raw[pos + 8 : pos + 8 + size]
-            if cid == b"fmt " and size >= 16:
+            # Guard on the BYTES PRESENT, not the declared chunk size: a
+            # truncated fmt chunk whose header claims >= 16 bytes would
+            # otherwise crash unpack_from instead of yielding decode_ok=False.
+            if cid == b"fmt " and len(body) >= 16:
                 fmt_tag, channels, rate = s.unpack_from("<HHI", body, 0)
                 bits = s.unpack_from("<H", body, 14)[0]
                 if fmt_tag != 1:
@@ -245,6 +248,8 @@ class RealMediaDecoder:
             pos += 8 + size + (size & 1)
         if rate is None or data is None or bits != 16 or channels != 1:
             return None
+        if len(data) % 2:
+            return None  # odd byte count cannot be PCM16 — malformed
         samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
         if len(samples) == 0:
             return len(samples), int(rate), 0, 0

@@ -190,6 +190,64 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+def _next_seq(state: dict) -> int:
+    """Monotonic commit sequence shared by ingests and deletes (assigned
+    under the manifest lock, so commit order == seq order). It scopes
+    tombstone application: a delete at seq D kills only rows written by
+    ingests with seq < D, so a doc re-ingested (and re-ADMITTED) after
+    its delete stays visible to probes and survives compaction's fold."""
+    return int(state.get("next_seq", 0))
+
+
+# seq assigned to data rows whose per-ingest provenance is gone (compacted
+# base files): every tombstone applies to them — a base only ever contains
+# rows of ingests committed BEFORE any still-unfolded delete (the fold
+# snapshot takes unfolded ingests and unfolded deletes from one manifest
+# read, and seq order == commit order)
+_BASE_FILE_SEQ = -1
+# legacy delete entries (written before seq stamping) keep the old
+# kill-everything semantics; legacy ingest entries sort before any
+# stamped delete
+_LEGACY_DELETE_SEQ = np.iinfo(np.int64).max
+_LEGACY_INGEST_SEQ = 0
+
+
+def _dead_mask(dead_ids: np.ndarray, dead_seqs: np.ndarray, ids: np.ndarray,
+               file_seq: int) -> np.ndarray:
+    """Boolean mask of ``ids`` killed for rows written at ``file_seq``:
+    id is tombstoned AND its latest delete committed after the write."""
+    if not len(dead_ids) or not len(ids):
+        return np.zeros(len(ids), dtype=bool)
+    idx = np.minimum(np.searchsorted(dead_ids, ids), len(dead_ids) - 1)
+    return (dead_ids[idx] == ids) & (dead_seqs[idx] > file_seq)
+
+
+def _committed_files_by_seq(
+    state: dict, index_dir: str, kind: str, buckets
+) -> list[tuple[int, list[str]]]:
+    """Like ``_committed_files`` but grouped by the writing ingest's
+    commit seq (base files under ``_BASE_FILE_SEQ``), so readers can
+    apply seq-scoped tombstones per group. Group count is bounded by
+    the number of unfolded ingests (1 right after a compaction)."""
+    want = None if buckets is None else set(int(b) for b in buckets)
+    groups: dict[int, list[str]] = {}
+    for b, fname in state.get("base", {}).get(kind, {}).items():
+        if want is None or int(b) in want:
+            groups.setdefault(_BASE_FILE_SEQ, []).append(
+                os.path.join(index_dir, kind, f"bucket={b}", fname)
+            )
+    for ingest_id, meta in state["ingests"].items():
+        if meta.get("folded"):
+            continue
+        seq = int(meta.get("seq", _LEGACY_INGEST_SEQ))
+        for b in meta.get(f"{kind}_buckets", []):
+            if want is None or int(b) in want:
+                groups.setdefault(seq, []).append(
+                    os.path.join(index_dir, kind, f"bucket={b}", f"{ingest_id}.parquet")
+                )
+    return sorted(groups.items())
+
+
 # tombstones-between-compactions budget: the unfolded delete set rides
 # one driver read + one broadcast per ingest, so it must stay the small
 # side. 10M int64 ids = 80 MB — generous; past it the remedy is a
@@ -206,12 +264,17 @@ def delete_docs(index_dir: str, doc_ids, delete_id: str) -> dict:
     Deletes are TOMBSTONES, not in-place rewrites (the lake's delta
     rule): one ``deletes/<delete_id>.parquet`` id list, committed to
     the manifest LAST, so a crashed delete is invisible and a committed
-    ``delete_id`` replays idempotently. Probes exclude tombstoned ids
-    at the index read; ``compact_index`` folds tombstones INTO the new
-    bases (dropping the rows) and marks them folded;
-    ``vacuum_index`` then reclaims the folded tombstone files.
-    Historical ingest RESULTS are never rewritten — a verdict that
-    pointed at a later-deleted doc is history, not state."""
+    ``delete_id`` replays idempotently. Each delete commit records the
+    shared seq counter, and tombstones apply ONLY to rows of ingests
+    committed before the delete — a re-ingested (re-admitted) id is
+    live again immediately and is NOT dropped by a later compaction
+    fold (the re-crawl / GDPR-then-reconsent flow). Probes exclude
+    tombstoned ids at the index read; ``compact_index`` folds
+    tombstones INTO the new bases (dropping only the rows they scope
+    to) and marks them folded; ``vacuum_index`` then reclaims the
+    folded tombstone files. Historical ingest RESULTS are never
+    rewritten — a verdict that pointed at a later-deleted doc is
+    history, not state."""
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     state = _load_manifest(index_dir)
     if delete_id in state.get("deletes", {}):
@@ -220,31 +283,46 @@ def delete_docs(index_dir: str, doc_ids, delete_id: str) -> dict:
     _atomic_write(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), path)
     with _manifest_lock(index_dir):
         state = _load_manifest(index_dir)  # re-read: no lost updates
-        meta = {"n": int(len(ids))}
+        if delete_id in state.get("deletes", {}):
+            return state["deletes"][delete_id]
+        seq = _next_seq(state)
+        meta = {"n": int(len(ids)), "seq": seq}
         state.setdefault("deletes", {})[delete_id] = meta
+        state["next_seq"] = seq + 1
         _write_manifest(index_dir, state)
     return meta
 
 
-def _tombstone_ids(state: dict, index_dir: str) -> np.ndarray:
-    """Sorted unique doc_ids of all committed, NOT-yet-folded deletes
-    (folded tombstones are already absent from the bases)."""
-    parts = []
+def _tombstone_entries(state: dict, index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, seqs): sorted unique doc_ids of all committed NOT-yet-folded
+    deletes, with each id's LATEST delete seq (folded tombstones are
+    already absent from the bases). A row written by an ingest at seq s
+    is dead iff its id is here with seq > s — see ``_dead_mask``."""
+    parts, seq_parts = [], []
     for delete_id, meta in state.get("deletes", {}).items():
         if meta.get("folded"):
             continue
         p = os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
-        parts.append(np.asarray(pq.read_table(p).column("doc_id"), dtype=np.int64))
+        ids = np.asarray(pq.read_table(p).column("doc_id"), dtype=np.int64)
+        parts.append(ids)
+        seq_parts.append(
+            np.full(len(ids), int(meta.get("seq", _LEGACY_DELETE_SEQ)), dtype=np.int64)
+        )
     if not parts:
-        return np.empty(0, dtype=np.int64)
-    out = np.unique(np.concatenate(parts))
-    if len(out) > TOMBSTONE_BROADCAST_LIMIT:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ids = np.concatenate(parts)
+    seqs = np.concatenate(seq_parts)
+    order = np.lexsort((seqs, ids))  # by id, then seq: run-last = max seq
+    ids, seqs = ids[order], seqs[order]
+    last = np.r_[ids[1:] != ids[:-1], True]
+    ids, seqs = ids[last], seqs[last]
+    if len(ids) > TOMBSTONE_BROADCAST_LIMIT:
         raise RuntimeError(
-            f"{len(out)} unfolded tombstones exceed the broadcast budget "
+            f"{len(ids)} unfolded tombstones exceed the broadcast budget "
             f"({TOMBSTONE_BROADCAST_LIMIT}); run compact_index to fold them "
             "into the bases"
         )
-    return out
+    return ids, seqs
 
 
 class _SideBands:
@@ -645,33 +723,42 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
     # tombstoned docs are dead to every probe: exclude them at the
     # index read, before the exchange — a deleted doc can then never
     # be a pair target, so its signature is never fetched either
-    # (candidate old ids derive from the surviving band rows)
-    tombstones = _tombstone_ids(state, index_dir)
-    tomb_ref = ray.put(tombstones) if len(tombstones) else None
+    # (candidate old ids derive from the surviving band rows).
+    # Tombstones are SEQ-SCOPED: a delete kills only rows of ingests
+    # committed before it, so files are read in per-ingest-seq groups
+    # (group count = unfolded ingests, 1 right after a compaction)
+    tomb_ids, tomb_seqs = _tombstone_entries(state, index_dir)
+    tomb_ref = ray.put((tomb_ids, tomb_seqs)) if len(tomb_ids) else None
 
-    def prune_to_batch_hashes(batch: pa.Table) -> pa.Table:
-        want = ray.get(hash_ref)
-        h = np.asarray(batch.column("band_hash"), dtype=np.uint64)
-        batch = batch.filter(pa.array(sorted_member_mask(want, h)))
-        if tomb_ref is not None and batch.num_rows:
-            dead = ray.get(tomb_ref)
-            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-            batch = batch.filter(pa.array(~sorted_member_mask(dead, ids)))
-        return batch
+    def make_band_pruner(file_seq: int):
+        def prune_to_batch_hashes(batch: pa.Table) -> pa.Table:
+            want = ray.get(hash_ref)
+            h = np.asarray(batch.column("band_hash"), dtype=np.uint64)
+            batch = batch.filter(pa.array(sorted_member_mask(want, h)))
+            if tomb_ref is not None and batch.num_rows:
+                dead_ids, dead_seqs = ray.get(tomb_ref)
+                ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+                batch = batch.filter(
+                    pa.array(~_dead_mask(dead_ids, dead_seqs, ids, file_seq))
+                )
+            return batch
 
-    old_files = _committed_files(state, index_dir, "bands", touched)
-    if old_files:
+        return prune_to_batch_hashes
+
+    old_band_sides = []
+    for file_seq, files in _committed_files_by_seq(state, index_dir, "bands", touched):
         # columns= also suppresses hive-partition inference (the
         # bucket=<b> path segment would otherwise be appended as a
         # string column and break the union schema)
-        bands_old = (
-            ray.data.read_parquet(old_files, columns=["band", "band_hash", "doc_id"])
-            .map_batches(prune_to_batch_hashes, batch_format="pyarrow")
+        old_band_sides.append(
+            ray.data.read_parquet(files, columns=["band", "band_hash", "doc_id"])
+            .map_batches(make_band_pruner(file_seq), batch_format="pyarrow")
             .map_batches(
                 _SideBands(side=0, num_buckets=num_buckets), batch_format="pyarrow"
             )
         )
-        tagged = bands_new.union(bands_old)
+    if old_band_sides:
+        tagged = bands_new.union(*old_band_sides)
     else:
         tagged = bands_new
     by_band = _keyed_repartition(tagged, _shuffle_width(), ["band", "band_hash"])
@@ -705,25 +792,36 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
         else np.array([], dtype=np.int64)
     )
     sig_buckets = np.unique(old_ids % num_buckets).tolist()
-    sig_files = _committed_files(state, index_dir, "sigs", sig_buckets)
     sig_sides = [sigs_new]
-    if sig_files:
-        # same prefilter shape: only candidate old ids' signatures
-        # enter the verify exchange (the id set is ∝ the sparse
-        # candidate pairs, driver-known already)
-        old_ids_ref = ray.put(old_ids)
+    # same prefilter shape: only candidate old ids' signatures enter the
+    # verify exchange (the id set is ∝ the sparse candidate pairs,
+    # driver-known already). Seq-scoped dead filtering matters here too:
+    # a re-admitted id has signature rows in BOTH its dead pre-delete
+    # file and its live re-ingest file — only the live one may join
+    old_ids_ref = ray.put(old_ids)
 
+    def make_sig_pruner(file_seq: int):
         def prune_to_candidates(batch: pa.Table) -> pa.Table:
             want = ray.get(old_ids_ref)
             ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-            return batch.filter(pa.array(sorted_member_mask(want, ids)))
+            batch = batch.filter(pa.array(sorted_member_mask(want, ids)))
+            if tomb_ref is not None and batch.num_rows:
+                dead_ids, dead_seqs = ray.get(tomb_ref)
+                ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+                batch = batch.filter(
+                    pa.array(~_dead_mask(dead_ids, dead_seqs, ids, file_seq))
+                )
+            return batch
 
+        return prune_to_candidates
+
+    for file_seq, files in _committed_files_by_seq(state, index_dir, "sigs", sig_buckets):
         sig_sides.append(
-            ray.data.read_parquet(sig_files, columns=["doc_id", "minhash"]).map_batches(
-                prune_to_candidates, batch_format="pyarrow"
+            ray.data.read_parquet(files, columns=["doc_id", "minhash"]).map_batches(
+                make_sig_pruner(file_seq), batch_format="pyarrow"
             )
         )
-    sigs_all = sig_sides[0] if len(sig_sides) == 1 else sig_sides[0].union(sig_sides[1])
+    sigs_all = sig_sides[0] if len(sig_sides) == 1 else sig_sides[0].union(*sig_sides[1:])
     verified = attach_and_verify_sigs(pairs, sigs_all, num_perm, agree_slots)
 
     # 4. verdicts. The per-doc (min old target, min new target) fold
@@ -956,12 +1054,15 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
     _atomic_write(result, result_path)
     with _manifest_lock(index_dir):
         state = _load_manifest(index_dir)  # re-read: no lost updates
+        seq = _next_seq(state)
         state["ingests"][ingest_id] = {
             "bands_buckets": written_band_buckets,
             "sigs_buckets": written_sig_buckets,
             "n_docs": int(n_docs),
             "n_admitted": int(n_docs - len(dup_id_arr)),
+            "seq": seq,
         }
+        state["next_seq"] = seq + 1
         _write_manifest(index_dir, state)
     return result
 
@@ -995,17 +1096,22 @@ def compact_index(index_dir: str) -> list[str]:
     folded_delete_ids = {
         d for d, meta in state.get("deletes", {}).items() if not meta.get("folded")
     }
-    dead = _tombstone_ids(state, index_dir)
-    dead_ref = ray.put(dead)
+    dead_ref = ray.put(_tombstone_entries(state, index_dir))
 
     @ray.remote
-    def _fold(kind: str, bucket: int, files: list[str]) -> str:
-        parts = [pq.read_table(f) for f in files]
+    def _fold(kind: str, bucket: int, files: list[tuple[str, int]]) -> str:
+        # files carry the writing ingest's commit seq: a tombstone drops
+        # only rows written BEFORE it, so an id re-admitted after its
+        # delete keeps its rows in the new base (the ADVICE re-ingest fix)
+        dead_ids, dead_seqs = ray.get(dead_ref)
+        parts = []
+        for f, file_seq in files:
+            t = pq.read_table(f)
+            if len(dead_ids) and t.num_rows:
+                ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+                t = t.filter(pa.array(~_dead_mask(dead_ids, dead_seqs, ids, file_seq)))
+            parts.append(t)
         merged = pa.concat_tables(parts).combine_chunks()
-        tomb = ray.get(dead_ref)
-        if len(tomb) and merged.num_rows:
-            ids = np.asarray(merged.column("doc_id"), dtype=np.int64)
-            merged = merged.filter(pa.array(~sorted_member_mask(tomb, ids)))
         path = os.path.join(index_dir, kind, f"bucket={bucket}", f"base-{gen}.parquet")
         _atomic_write(merged, path)
         return path
@@ -1023,19 +1129,25 @@ def compact_index(index_dir: str) -> list[str]:
         if not meta.get("folded")
     }
     for kind in ("bands", "sigs"):
-        by_bucket: dict[int, list[str]] = {}
+        by_bucket: dict[int, list[tuple[str, int]]] = {}
         # current resolution: existing base (if any) + unfolded ingests
         base = state.get("base", {}).get(kind, {})
         for b, fname in base.items():
             by_bucket.setdefault(int(b), []).append(
-                os.path.join(index_dir, kind, f"bucket={b}", fname)
+                (os.path.join(index_dir, kind, f"bucket={b}", fname), _BASE_FILE_SEQ)
             )
         for ingest_id, meta in state["ingests"].items():
             if ingest_id not in folded_ids:
                 continue
+            seq = int(meta.get("seq", _LEGACY_INGEST_SEQ))
             for b in meta.get(f"{kind}_buckets", []):
                 by_bucket.setdefault(int(b), []).append(
-                    os.path.join(index_dir, kind, f"bucket={b}", f"{ingest_id}.parquet")
+                    (
+                        os.path.join(
+                            index_dir, kind, f"bucket={b}", f"{ingest_id}.parquet"
+                        ),
+                        seq,
+                    )
                 )
         for bucket, files in sorted(by_bucket.items()):
             tasks.append((kind, bucket, _fold.remote(kind, bucket, files)))

@@ -43,7 +43,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from embulk_input_marketo_ray.stages.sig_index import _manifest_lock
+from embulk_input_marketo_ray.stages.sig_index import (
+    _BASE_FILE_SEQ,
+    _LEGACY_DELETE_SEQ,
+    _LEGACY_INGEST_SEQ,
+    _dead_mask,
+    _manifest_lock,
+    _next_seq,
+)
 from embulk_input_marketo_ray.stages.similarity import (
     kmeans_centroids,
     list_column_matrix,
@@ -108,10 +115,13 @@ def delete_vectors(index_dir: str, vec_ids, delete_id: str) -> dict:
     """Tombstone-delete indexed vectors — the embedding-side sibling of
     ``sig_index.delete_docs`` (erasure / retraction of indexed items):
     one ``deletes/<delete_id>.parquet`` id list committed to the
-    manifest LAST (crash-invisible, idempotent replay). Queries exclude
-    tombstoned ids at scoring; ``compact_vec_index`` folds tombstones
-    into the new bases and marks them folded; ``vacuum_vec_index``
-    reclaims folded tombstone files."""
+    manifest LAST (crash-invisible, idempotent replay). Deletes are
+    SEQ-SCOPED like the signature index's: the recorded commit seq
+    limits the tombstone to rows of ingests committed before it, so a
+    vec_id re-ingested after its delete is scored again and survives
+    compaction. Queries exclude tombstoned ids at scoring;
+    ``compact_vec_index`` folds tombstones into the new bases and marks
+    them folded; ``vacuum_vec_index`` reclaims folded tombstone files."""
     ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
     state = _load_manifest(index_dir)
     if delete_id in state.get("deletes", {}):
@@ -120,8 +130,12 @@ def delete_vectors(index_dir: str, vec_ids, delete_id: str) -> dict:
     _atomic_write(pa.table({"vec_id": pa.array(ids, type=pa.int64())}), path)
     with _manifest_lock(index_dir):
         state = _load_manifest(index_dir)  # re-read: no lost updates
-        meta = {"n": int(len(ids))}
+        if delete_id in state.get("deletes", {}):
+            return state["deletes"][delete_id]
+        seq = _next_seq(state)
+        meta = {"n": int(len(ids)), "seq": seq}
         state.setdefault("deletes", {})[delete_id] = meta
+        state["next_seq"] = seq + 1
         _write_manifest(index_dir, state)
     return meta
 
@@ -130,45 +144,68 @@ def delete_vectors(index_dir: str, vec_ids, delete_id: str) -> dict:
 VEC_TOMBSTONE_BROADCAST_LIMIT = 10_000_000
 
 
-def _vec_tombstone_ids(state: dict, index_dir: str) -> np.ndarray:
-    """Sorted unique vec_ids of committed, not-yet-folded deletes."""
-    parts = []
+def _vec_tombstone_entries(state: dict, index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, seqs): sorted unique vec_ids of committed not-yet-folded
+    deletes with each id's LATEST delete seq (see sig_index's
+    ``_tombstone_entries`` / ``_dead_mask`` for the scoping rule)."""
+    parts, seq_parts = [], []
     for delete_id, meta in state.get("deletes", {}).items():
         if meta.get("folded"):
             continue
         p = os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
-        parts.append(np.asarray(pq.read_table(p).column("vec_id"), dtype=np.int64))
+        ids = np.asarray(pq.read_table(p).column("vec_id"), dtype=np.int64)
+        parts.append(ids)
+        seq_parts.append(
+            np.full(len(ids), int(meta.get("seq", _LEGACY_DELETE_SEQ)), dtype=np.int64)
+        )
     if not parts:
-        return np.empty(0, dtype=np.int64)
-    out = np.unique(np.concatenate(parts))
-    if len(out) > VEC_TOMBSTONE_BROADCAST_LIMIT:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ids = np.concatenate(parts)
+    seqs = np.concatenate(seq_parts)
+    order = np.lexsort((seqs, ids))
+    ids, seqs = ids[order], seqs[order]
+    last = np.r_[ids[1:] != ids[:-1], True]
+    ids, seqs = ids[last], seqs[last]
+    if len(ids) > VEC_TOMBSTONE_BROADCAST_LIMIT:
         raise RuntimeError(
-            f"{len(out)} unfolded tombstones exceed the broadcast budget "
+            f"{len(ids)} unfolded tombstones exceed the broadcast budget "
             f"({VEC_TOMBSTONE_BROADCAST_LIMIT}); run compact_vec_index to "
             "fold them into the bases"
         )
-    return out
+    return ids, seqs
 
 
 def _committed_files(state: dict, index_dir: str, clusters) -> list[str]:
     """Vector files visible through the manifest: the compacted base
     per cluster (if any) plus per-ingest files of unfolded ingests."""
+    return [f for _, fs in _committed_files_by_seq(state, index_dir, clusters) for f in fs]
+
+
+def _committed_files_by_seq(
+    state: dict, index_dir: str, clusters
+) -> list[tuple[int, list[str]]]:
+    """Committed vector files grouped by the writing ingest's commit
+    seq (base files under ``_BASE_FILE_SEQ``), for seq-scoped tombstone
+    application at the read."""
     want = None if clusters is None else set(int(c) for c in clusters)
-    out = []
+    groups: dict[int, list[str]] = {}
     for c, fname in state.get("base", {}).items():
         if want is None or int(c) in want:
-            out.append(os.path.join(index_dir, "vectors", f"cluster={c}", fname))
+            groups.setdefault(_BASE_FILE_SEQ, []).append(
+                os.path.join(index_dir, "vectors", f"cluster={c}", fname)
+            )
     for ingest_id, meta in state["ingests"].items():
         if meta.get("folded"):
             continue
+        seq = int(meta.get("seq", _LEGACY_INGEST_SEQ))
         for c in meta.get("clusters", []):
             if want is None or int(c) in want:
-                out.append(
+                groups.setdefault(seq, []).append(
                     os.path.join(
                         index_dir, "vectors", f"cluster={c}", f"{ingest_id}.parquet"
                     )
                 )
-    return out
+    return sorted(groups.items())
 
 
 def ingest_vectors(index_dir: str, vecs, ingest_id: str) -> dict:
@@ -287,7 +324,9 @@ def ingest_vectors(index_dir: str, vecs, ingest_id: str) -> dict:
     with _manifest_lock(index_dir):
         state = _load_manifest(index_dir)
         state["trained"] = True
-        state["ingests"][ingest_id] = {"clusters": clusters, "n": n}
+        seq = _next_seq(state)
+        state["ingests"][ingest_id] = {"clusters": clusters, "n": n, "seq": seq}
+        state["next_seq"] = seq + 1
         _write_manifest(index_dir, state)
     return dict(state["ingests"][ingest_id])
 
@@ -321,7 +360,7 @@ def ann_topk_index(
     for qi, row in enumerate(probe):
         for cid in row:
             probes_by_cluster.setdefault(int(cid), []).append(qi)
-    files = _committed_files(state, index_dir, probed_clusters)
+    file_groups = _committed_files_by_seq(state, index_dir, probed_clusters)
     empty = pa.table(
         {
             "query_id": pa.array([], type=pa.int64()),
@@ -329,13 +368,19 @@ def ann_topk_index(
             "rank": pa.array([], type=pa.int64()),
         }
     )
-    if not files:
+    if not file_groups:
         return empty
     qref = ray.put((qids, qm, probes_by_cluster))
-    tombstones = _vec_tombstone_ids(state, index_dir)
-    tomb_ref = ray.put(tombstones) if len(tombstones) else None
+    tomb_ids, tomb_seqs = _vec_tombstone_entries(state, index_dir)
+    tomb_ref = ray.put((tomb_ids, tomb_seqs)) if len(tomb_ids) else None
 
-    def score_block(batch: pa.Table) -> pa.Table:
+    def make_score_block(file_seq: int):
+        def score_block(batch: pa.Table) -> pa.Table:
+            return _score_block(batch, file_seq)
+
+        return score_block
+
+    def _score_block(batch: pa.Table, file_seq: int) -> pa.Table:
         out_schema = pa.schema(
             [
                 ("query_id", pa.int64()),
@@ -344,11 +389,11 @@ def ann_topk_index(
             ]
         )
         if tomb_ref is not None and batch.num_rows:
-            from embulk_input_marketo_ray.stages.dedup import sorted_member_mask
-
-            dead = ray.get(tomb_ref)
+            dead_ids, dead_seqs = ray.get(tomb_ref)
             bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
-            batch = batch.filter(pa.array(~sorted_member_mask(dead, bids)))
+            batch = batch.filter(
+                pa.array(~_dead_mask(dead_ids, dead_seqs, bids, file_seq))
+            )
         if batch.num_rows == 0:
             return out_schema.empty_table()
         q_ids, q_mat, probing = ray.get(qref)
@@ -394,8 +439,14 @@ def ann_topk_index(
             return out_schema.empty_table()
         return pa.concat_tables(parts)
 
-    ds = ray.data.read_parquet(files, columns=["vec_id", "embedding", "cluster"])
-    rows = ds.map_batches(score_block, batch_format="pyarrow").take_all()
+    sides = [
+        ray.data.read_parquet(
+            files, columns=["vec_id", "embedding", "cluster"]
+        ).map_batches(make_score_block(file_seq), batch_format="pyarrow")
+        for file_seq, files in file_groups
+    ]
+    ds = sides[0] if len(sides) == 1 else sides[0].union(*sides[1:])
+    rows = ds.take_all()
     if not rows:
         return empty
     merged = pa.Table.from_pylist(rows)
@@ -442,29 +493,32 @@ def compact_vec_index(index_dir: str) -> list[str]:
     folded_delete_ids = {
         d for d, meta in state.get("deletes", {}).items() if not meta.get("folded")
     }
-    dead = _vec_tombstone_ids(state, index_dir)
-    dead_ref = ray.put(dead)
+    dead_ref = ray.put(_vec_tombstone_entries(state, index_dir))
 
     @ray.remote
-    def _fold(cluster: int, files: list[str]) -> str:
-        from embulk_input_marketo_ray.stages.dedup import sorted_member_mask
-
-        merged = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
-        tomb = ray.get(dead_ref)
-        if len(tomb) and merged.num_rows:
-            ids = np.asarray(merged.column("vec_id"), dtype=np.int64)
-            merged = merged.filter(pa.array(~sorted_member_mask(tomb, ids)))
+    def _fold(cluster: int, files: list[tuple[str, int]]) -> str:
+        # seq-scoped: a tombstone drops only rows written before it, so
+        # a re-ingested-after-delete vec_id keeps its rows in the base
+        dead_ids, dead_seqs = ray.get(dead_ref)
+        parts = []
+        for f, file_seq in files:
+            t = pq.read_table(f)
+            if len(dead_ids) and t.num_rows:
+                ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+                t = t.filter(pa.array(~_dead_mask(dead_ids, dead_seqs, ids, file_seq)))
+            parts.append(t)
+        merged = pa.concat_tables(parts).combine_chunks()
         path = os.path.join(
             index_dir, "vectors", f"cluster={cluster}", f"base-{gen}.parquet"
         )
         _atomic_write(merged, path)
         return path
 
-    by_cluster: dict[int, list[str]] = {}
+    by_cluster: dict[int, list[tuple[str, int]]] = {}
     base = state.get("base", {})
     for c, fname in base.items():
         by_cluster.setdefault(int(c), []).append(
-            os.path.join(index_dir, "vectors", f"cluster={c}", fname)
+            (os.path.join(index_dir, "vectors", f"cluster={c}", fname), _BASE_FILE_SEQ)
         )
     # the fold snapshot: only these ingests are marked folded at
     # commit — an ingest that commits between snapshot and commit
@@ -478,9 +532,15 @@ def compact_vec_index(index_dir: str) -> list[str]:
     for ingest_id, meta in state["ingests"].items():
         if ingest_id not in folded_ids:
             continue
+        seq = int(meta.get("seq", _LEGACY_INGEST_SEQ))
         for c in meta.get("clusters", []):
             by_cluster.setdefault(int(c), []).append(
-                os.path.join(index_dir, "vectors", f"cluster={c}", f"{ingest_id}.parquet")
+                (
+                    os.path.join(
+                        index_dir, "vectors", f"cluster={c}", f"{ingest_id}.parquet"
+                    ),
+                    seq,
+                )
             )
     refs = [(c, _fold.remote(c, files)) for c, files in sorted(by_cluster.items())]
     new_base: dict[str, str] = {}

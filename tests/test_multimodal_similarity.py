@@ -215,6 +215,10 @@ def test_real_media_decoder_genuine_codecs_and_malformed(ray_session):
         ("image", b"XX" + bmp[2:]),     # bad magic
         ("audio", wav[:16]),            # truncated RIFF
         ("audio", b""),                 # empty
+        ("audio", wav[:-1]),            # data chunk cut to an ODD byte length
+        # fmt chunk DECLARES 16 bytes but only 8 are present, stream ends
+        ("audio", b"RIFF" + (16).to_bytes(4, "little") + b"WAVE"
+                  + b"fmt " + (16).to_bytes(4, "little") + b"\x01\x00\x01\x00" + b"\x00" * 4),
     ]
     t = pa.table(
         {
@@ -225,7 +229,7 @@ def test_real_media_decoder_genuine_codecs_and_malformed(ray_session):
     )
     out = RealMediaDecoder()(t)
     ok = out.column("decode_ok").to_pylist()
-    assert ok == [True, True, False, False, False, False]
+    assert ok == [True, True, False, False, False, False, False, False]
     # image sums equal a direct numpy recompute from the generator rule
     rng = np.random.default_rng(9)
     px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)

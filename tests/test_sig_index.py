@@ -339,7 +339,7 @@ def test_delete_replay_idempotent_and_crash_invisible(ray_session, tmp_path):
     """A committed delete_id replays without effect; a tombstone file
     WITHOUT a manifest entry (crash before commit) is invisible."""
     from embulk_input_marketo_ray.stages.sig_index import (
-        _tombstone_ids,
+        _tombstone_entries,
         delete_docs,
     )
 
@@ -348,13 +348,13 @@ def test_delete_replay_idempotent_and_crash_invisible(ray_session, tmp_path):
     ingest(idx, _docs_ds([(10, LONG_A)]), "w1")
     m1 = delete_docs(idx, [10], "d1")
     m2 = delete_docs(idx, [10, 999], "d1")  # replay: ids ignored
-    assert m1 == m2 == {"n": 1}
+    assert m1 == m2 and m1["n"] == 1
 
     # crash simulation: partial tombstone file, no manifest entry
     orphan = pa.table({"doc_id": pa.array([20], type=pa.int64())})
     pq.write_table(orphan, os.path.join(idx, "deletes", "crashed.parquet"))
     state = _load_manifest(idx)
-    assert set(_tombstone_ids(state, idx).tolist()) == {10}
+    assert set(_tombstone_entries(state, idx)[0].tolist()) == {10}
 
 
 def test_compact_folds_tombstones_and_vacuum_reclaims(ray_session, tmp_path):
@@ -363,7 +363,7 @@ def test_compact_folds_tombstones_and_vacuum_reclaims(ray_session, tmp_path):
     folded, and vacuum reclaims its file; a delete committed AFTER the
     fold snapshot stays live."""
     from embulk_input_marketo_ray.stages.sig_index import (
-        _tombstone_ids,
+        _tombstone_entries,
         compact_index,
         delete_docs,
         vacuum_index,
@@ -376,7 +376,7 @@ def test_compact_folds_tombstones_and_vacuum_reclaims(ray_session, tmp_path):
     compact_index(idx)
     state = _load_manifest(idx)
     assert state["deletes"]["d1"]["folded"] is True
-    assert len(_tombstone_ids(state, idx)) == 0
+    assert len(_tombstone_entries(state, idx)[0]) == 0
 
     # the erased doc is really gone from the bases
     r = ingest(idx, _docs_ds([(31, LONG_A), (32, LONG_B)]), "w2")
@@ -419,3 +419,85 @@ def test_probe_docs_read_only_and_matches_ingest(ray_session, tmp_path):
     r = ingest(idx, _docs_ds(batch), "w2")
     got2 = dict(zip(r.column("doc_id").to_pylist(), r.column("status").to_pylist()))
     assert got2 == got
+
+
+def test_readmit_after_delete_is_probe_visible_and_survives_compaction(
+    ray_session, tmp_path
+):
+    """The re-crawl / GDPR-then-reconsent flow: delete doc 10, re-ingest
+    the SAME id — the re-admitted rows must be live to later probes
+    (tombstones are seq-scoped to ingests committed BEFORE the delete)
+    and must survive compaction's fold instead of silently vanishing."""
+    from embulk_input_marketo_ray.stages.sig_index import (
+        compact_index,
+        delete_docs,
+        vacuum_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    ingest(idx, _docs_ds([(10, LONG_A)]), "w1")
+    delete_docs(idx, [10], "d1")
+    # re-arrival of the deleted id: admitted again (not matched against
+    # its own dead rows)
+    r2 = ingest(idx, _docs_ds([(10, LONG_A)]), "w2")
+    assert r2.column("status").to_pylist() == ["admitted"]
+
+    # the re-admitted doc is LIVE index state: a near-identical arrival
+    # dups against it even though the tombstone is still unfolded
+    r3 = ingest(idx, _docs_ds([(31, LONG_A)]), "w3")
+    assert r3.to_pylist() == [{"doc_id": 31, "status": "dup", "dup_of": 10}]
+
+    # compaction folds the tombstone WITHOUT dropping the re-admitted
+    # rows (only pre-delete rows are scoped to the tombstone)
+    compact_index(idx)
+    vacuum_index(idx, grace_seconds=0)
+    state = _load_manifest(idx)
+    assert state["deletes"]["d1"]["folded"] is True
+    r4 = ingest(idx, _docs_ds([(52, LONG_A)]), "w4")
+    assert r4.column("status").to_pylist() == ["dup"]
+    assert r4.column("dup_of").to_pylist() == [10]
+
+
+def test_compaction_snapshot_interleaved_ingest_and_vacuum_grace(
+    ray_session, tmp_path, monkeypatch
+):
+    """The two lifecycle races ADVICE flagged, exercised for real: an
+    ingest that commits BETWEEN compaction's snapshot and its manifest
+    commit (1) keeps its rows probe-visible afterwards (it must NOT be
+    marked folded by that compaction) and (2) its files survive a
+    post-compaction vacuum with the default grace window."""
+    import embulk_input_marketo_ray.stages.sig_index as si
+
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    ingest(idx, _docs_ds([(10, LONG_A)]), "w1")
+
+    # interleave: fire the w2 ingest commit inside compaction's window
+    # between its state snapshot and its manifest commit, by hooking the
+    # manifest-lock acquisition compaction takes for its final commit
+    real_lock = si._manifest_lock
+    fired = {"done": False}
+
+    def lock_with_interleaved_ingest(index_dir, **kw):
+        if not fired["done"]:
+            fired["done"] = True  # before re-entering: ingest locks too
+            ingest(idx, _docs_ds([(20, LONG_B)]), "w2")
+        return real_lock(index_dir, **kw)
+
+    monkeypatch.setattr(si, "_manifest_lock", lock_with_interleaved_ingest)
+    si.compact_index(idx)
+    monkeypatch.setattr(si, "_manifest_lock", real_lock)
+
+    state = _load_manifest(idx)
+    # w1 folded into the base; the interleaved w2 must NOT be folded
+    assert state["ingests"]["w1"]["folded"] is True
+    assert not state["ingests"]["w2"].get("folded")
+
+    # vacuum with the default grace must spare w2's freshly-written,
+    # still-referenced files; with grace it spares even unreferenced
+    # fresh files, so check nothing referenced is gone via a probe
+    si.vacuum_index(idx)
+    r = ingest(idx, _docs_ds([(31, LONG_B), (32, LONG_A)]), "w3")
+    got = dict(zip(r.column("doc_id").to_pylist(), r.column("status").to_pylist()))
+    assert got == {31: "dup", 32: "dup"}  # both w1 (base) and w2 rows live

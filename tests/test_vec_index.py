@@ -179,7 +179,7 @@ def test_vec_delete_excludes_from_queries_and_folds(ray_session, tmp_path):
 
     from embulk_input_marketo_ray.stages.vec_index import (
         _load_manifest,
-        _vec_tombstone_ids,
+        _vec_tombstone_entries,
         ann_topk_index,
         compact_vec_index,
         delete_vectors,
@@ -213,8 +213,59 @@ def test_vec_delete_excludes_from_queries_and_folds(ray_session, tmp_path):
     compact_vec_index(idx)
     state = _load_manifest(idx)
     assert state["deletes"]["d1"]["folded"] is True
-    assert len(_vec_tombstone_ids(state, idx)) == 0
+    assert len(_vec_tombstone_entries(state, idx)[0]) == 0
     r3 = ann_topk_index(idx, q, k=2, n_probe=2)
     assert r3.equals(r2)
     removed = vacuum_vec_index(idx, grace_seconds=0)
     assert any("d1.parquet" in p for p in removed)
+
+
+def test_vec_readmit_after_delete_is_live_and_survives_compaction(
+    ray_session, tmp_path
+):
+    """Seq-scoped tombstones: a vec_id re-ingested AFTER its delete is
+    scored again (only its pre-delete rows are dead) and its rows
+    survive compaction's fold."""
+    import numpy as np
+    import pyarrow as pa
+
+    from embulk_input_marketo_ray.stages.vec_index import (
+        _load_manifest,
+        ann_topk_index,
+        compact_vec_index,
+        delete_vectors,
+        ingest_vectors,
+        init_vec_index,
+        vacuum_vec_index,
+    )
+
+    idx = str(tmp_path / "vidx")
+    init_vec_index(idx, n_centroids=2, train_rows=64)
+    rng = np.random.default_rng(11)
+    n, dim = 64, 8
+    x = rng.standard_normal((n, dim)).astype(np.float64)
+    x[1] = x[0]  # vec 1 identical to vec 0
+    ingest_vectors(idx, _vecs_ds(np.arange(n, dtype=np.int64), x), "w1")
+    q = pa.table(
+        {
+            "vec_id": pa.array([0], type=pa.int64()),
+            "embedding": pa.array([x[0].tolist()], type=pa.list_(pa.float64())),
+        }
+    )
+    delete_vectors(idx, [1], "d1")
+    assert 1 not in ann_topk_index(idx, q, k=2, n_probe=2).column(
+        "neighbor_id"
+    ).to_pylist()
+
+    # re-arrival of the deleted id: its new rows are live immediately
+    ingest_vectors(idx, _vecs_ds(np.array([1]), x[1:2]), "w2")
+    r = ann_topk_index(idx, q, k=2, n_probe=2)
+    assert 1 in r.column("neighbor_id").to_pylist()
+
+    # and survive the fold (the delete only scopes to w1's rows)
+    compact_vec_index(idx)
+    vacuum_vec_index(idx, grace_seconds=0)
+    state = _load_manifest(idx)
+    assert state["deletes"]["d1"]["folded"] is True
+    r2 = ann_topk_index(idx, q, k=2, n_probe=2)
+    assert 1 in r2.column("neighbor_id").to_pylist()
