@@ -808,6 +808,23 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     frag_fmt = cfg.fragment_format
     if frag_fmt == "auto":
         frag_fmt = "ipc" if scratch_root.startswith("/dev/shm") else "parquet"
+    # fail FAST on a multi-node cluster with node-local scratch: the
+    # phase-B merge tasks would not see fragments written on other
+    # nodes and die with confusing missing-fragment errors instead
+    import tempfile as _tempfile
+
+    from embulk_input_marketo_ray.pipelines.queries import _multi_node_cluster
+
+    if (
+        scratch_root.startswith(("/dev/shm", _tempfile.gettempdir()))
+        and _multi_node_cluster()
+    ):
+        raise RuntimeError(
+            f"shuffle_scratch_dir={scratch_root!r} is node-local but this "
+            "Ray cluster has multiple alive nodes; point it (or leave the "
+            "default lake-local _shuffle) at a filesystem shared by every "
+            "node"
+        )
 
     # ---- materialization decision (see ReplayConfig.materialization) ----
     mat_used = "eager"

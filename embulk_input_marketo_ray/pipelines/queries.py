@@ -2808,7 +2808,15 @@ def q_co_change_pairs(sf_dir: str):
     )
 
 
-def q_doc_jaccard_pairs(sf_dir: str):
+# document-frequency cap for q_doc_jaccard_pairs: 0 = exact (no cap).
+# A positive value drops posting runs longer than this before the
+# O(run^2) pair fan-out — the stop-gram guard for boilerplate-heavy
+# corpora, at the cost of missing pairs whose ONLY shared grams are
+# stop grams (each drop is counted and logged per block).
+JACCARD_MAX_DF = 0
+
+
+def q_doc_jaccard_pairs(sf_dir: str, max_df: int | None = None):
     """EXACT n-gram-Jaccard duplicate pairs via a gram inverted index —
     the approximation-free counterpart of the MinHash path (recall 1.0
     by construction: any pair with J >= threshold shares a gram).
@@ -2829,11 +2837,18 @@ def q_doc_jaccard_pairs(sf_dir: str):
 
     Partitioning assumption (100 TB note): candidate fan-out is
     O(posting_list^2) per gram — boilerplate "stop grams" in a web
-    corpus need a document-frequency cap (drop grams with df > K, at
-    the cost of missing pairs whose ONLY shared grams are stop grams);
-    at that scale prefer the MinHash path and keep this as the exact
+    corpus need the document-frequency cap (``max_df`` /
+    ``JACCARD_MAX_DF``: posting runs longer than the cap are dropped
+    before the pair fan-out and counted into a per-block log line, so
+    the exact path degrades predictably instead of exploding); capped
+    runs lose pairs whose ONLY shared grams are stop grams, so at that
+    scale prefer the MinHash path and keep this as the exact
     small/medium-corpus baseline."""
     from embulk_input_marketo_ray.stages.dedup import _ngram_set
+
+    # resolved DRIVER-side so the closure captures the value (a module
+    # global read inside the worker would see the import-time default)
+    max_df = JACCARD_MAX_DF if max_df is None else int(max_df)
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -2881,15 +2896,27 @@ def q_doc_jaccard_pairs(sf_dir: str):
         starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
         ends = np.r_[starts[1:], len(gram)]
         out_a, out_b, out_na, out_nb = [], [], [], []
+        dropped_grams = 0
         for s, e in zip(starts, ends):
             g = e - s
             if g < 2:
+                continue
+            if max_df and g > max_df:
+                dropped_grams += 1  # stop-gram guard: skip the O(g^2) fan-out
                 continue
             i, j = np.triu_indices(g, k=1)
             out_a.append(ids[s:e][i])
             out_b.append(ids[s:e][j])
             out_na.append(ns[s:e][i])
             out_nb.append(ns[s:e][j])
+        if dropped_grams:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "jaccard df-cap dropped %d gram(s) with df > %d in one block",
+                dropped_grams,
+                max_df,
+            )
         if not out_a:
             return empty
         pair_tbl = pa.table(
@@ -6700,6 +6727,121 @@ Q5_TO = np.datetime64("1998-01-01", "us")
 Q5_SUPPLIER_BROADCAST_BUDGET = 512 << 20
 
 
+def _attach_supplier_nation(sf_dir: str, line_payload, payload_schema: pa.Schema):
+    """Attach the supplier's nation to a prepared lineitem-side stream —
+    the shared supplier-dimension join of the Q5/Q7/Q8 shapes, chosen
+    budget-adaptively (the keep_best anti-join idiom):
+
+    - ``line_payload``: Dataset with schema ``(skey:int64, <payload>)``
+      (skey = l_suppkey; payload = the narrowest carry-through columns).
+    - returns: Dataset with schema ``(supp_nation:int64, <payload>)``;
+      rows whose skey misses the supplier dimension are DROPPED
+      (inner-join semantics, matching the SQL oracles).
+
+    Under ``Q5_SUPPLIER_BROADCAST_BUDGET`` the sorted (s_suppkey ->
+    s_nationkey) arrays ship ONCE via ray.put and attach in-block.
+    Past it — at 100x TPC-H scale supplier stops being a broadcastable
+    dimension — the attach rides a THIRD tagged-union keyed exchange
+    on the supplier key: supplier rows (side 0) union lineitem payload
+    rows (side 1), co-partitioned on skey, and a run-gather kernel
+    stamps each payload row with its run's supplier nation. Payload
+    stays the narrowest projection, so exchange traffic is ∝ the
+    already-pruned lineitem stream, never the raw fact table."""
+    out_schema = pa.schema(
+        [("supp_nation", pa.int64())]
+        + [payload_schema.field(i) for i in range(len(payload_schema))]
+    )
+    sup_path = _t(sf_dir, "supplier")
+    if os.path.getsize(sup_path) <= Q5_SUPPLIER_BROADCAST_BUDGET:
+        sup = pq.read_table(sup_path, columns=["s_suppkey", "s_nationkey"])
+        sup = sup.take(pc.sort_indices(sup, sort_keys=[("s_suppkey", "ascending")]))
+        sup_ref = ray.put(
+            (
+                np.asarray(sup.column("s_suppkey"), dtype=np.int64),
+                np.asarray(sup.column("s_nationkey"), dtype=np.int64),
+            )
+        )
+
+        def attach(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            sk = np.asarray(batch.column("skey"), dtype=np.int64)
+            skeys, snats = ray.get(sup_ref)
+            if len(skeys):
+                pos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+                hit = skeys[pos] == sk
+                nat = snats[pos]
+            else:
+                hit = np.zeros(len(sk), dtype=bool)
+                nat = np.zeros(len(sk), dtype=np.int64)
+            t = batch.filter(pa.array(hit))
+            cols = {"supp_nation": pa.array(nat[hit], type=pa.int64())}
+            for name in payload_schema.names:
+                cols[name] = t.column(name)
+            return pa.table(cols, schema=out_schema)
+
+        return line_payload.map_batches(attach, batch_format="pyarrow")
+
+    u_schema = pa.schema(
+        [("skey", pa.int64()), ("side", pa.int8()), ("nation", pa.int64())]
+        + [payload_schema.field(i) for i in range(len(payload_schema))]
+    )
+
+    def supplier_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "skey": batch.column("s_suppkey").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "nation": batch.column("s_nationkey").cast(pa.int64()),
+        }
+        for i, name in enumerate(payload_schema.names):
+            cols[name] = pa.nulls(n, type=payload_schema.types[i])
+        return pa.table(cols, schema=u_schema)
+
+    def payload_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "skey": batch.column("skey").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "nation": pa.nulls(n, type=pa.int64()),
+        }
+        for name in payload_schema.names:
+            cols[name] = batch.column(name)
+        return pa.table(cols, schema=u_schema)
+
+    sup_ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    tagged = sup_ds.map_batches(supplier_rows, batch_format="pyarrow").union(
+        line_payload.map_batches(payload_rows, batch_format="pyarrow")
+    )
+
+    def gather_supp(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("skey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("skey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        nat_v = np.asarray(pc.fill_null(t.column("nation"), -1), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        has_sup = side[starts] == 0
+        run_nat = np.where(has_sup, nat_v[starts], -1)
+        row_nat = run_nat[run_idx]
+        keep = (side == 1) & (row_nat >= 0)
+        if not keep.any():
+            return out_schema.empty_table()
+        sel = t.filter(pa.array(keep))
+        cols = {"supp_nation": pa.array(row_nat[keep], type=pa.int64())}
+        for name in payload_schema.names:
+            cols[name] = sel.column(name)
+        return pa.table(cols, schema=out_schema)
+
+    return _keyed_exchange_apply(tagged, ["skey"], gather_supp, out_schema)
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape (local-supplier volume): revenue per nation of one
     region from lineitems where the SUPPLIER's nation equals the
@@ -6717,11 +6859,11 @@ def q_local_supplier_volume(sf_dir: str):
       and emits only (okey, cust_nation) - the narrowest possible
       carry-through.
     - that stream x lineitem ride tagged-union exchange #2 on the
-      ORDER key; supplier nations come from a budgeted broadcast map
-      (see Q5_SUPPLIER_BROADCAST_BUDGET) applied at the lineitem scan,
-      so the local-supplier filter (supp_nation == cust_nation) and the
-      revenue fold happen inside the join kernel - each block leaves
-      <= |nations| partial rows.
+      ORDER key; supplier nations attach via ``_attach_supplier_nation``
+      (broadcast under Q5_SUPPLIER_BROADCAST_BUDGET, a third keyed
+      exchange on l_suppkey past it), so the local-supplier filter
+      (supp_nation == cust_nation) and the revenue fold happen inside
+      the join kernel - each block leaves <= |nations| partial rows.
     - the final aggregate is a tiny keyed merge; nation names attach
       driver-side to the <= 25-row result.
 
@@ -6751,23 +6893,6 @@ def q_local_supplier_volume(sf_dir: str):
         )
     }
     nation_keys_ref = ray.put(nation_keys)
-
-    sup_path = _t(sf_dir, "supplier")
-    if os.path.getsize(sup_path) > Q5_SUPPLIER_BROADCAST_BUDGET:
-        raise RuntimeError(
-            "supplier->nation map exceeds the broadcast budget "
-            f"({Q5_SUPPLIER_BROADCAST_BUDGET} B); route the supplier attach "
-            "through a third tagged-union exchange keyed on l_suppkey"
-        )
-    sup = pq.read_table(sup_path, columns=["s_suppkey", "s_nationkey"])
-    s_order = pc.sort_indices(sup, sort_keys=[("s_suppkey", "ascending")])
-    sup = sup.take(s_order)
-    sup_ref = ray.put(
-        (
-            np.asarray(sup.column("s_suppkey"), dtype=np.int64),
-            np.asarray(sup.column("s_nationkey"), dtype=np.int64),
-        )
-    )
 
     # ---- exchange #1: customer x orders on the customer key ----------
     u1_schema = pa.schema(
@@ -6882,28 +7007,32 @@ def q_local_supplier_volume(sf_dir: str):
             schema=u2_schema,
         )
 
-    def line_rows(batch: pa.Table) -> pa.Table:
-        sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
-        skeys, snats = ray.get(sup_ref)
-        if len(skeys):
-            pos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
-            supp_nat = np.where(skeys[pos] == sk, snats[pos], -1)
-        else:
-            supp_nat = np.full(len(sk), -1, dtype=np.int64)
+    line_pay_schema = pa.schema([("okey", pa.int64()), ("rev_c", pa.int64())])
+
+    def line_payload(batch: pa.Table) -> pa.Table:
         cents = np.rint(
             np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
         ).astype(np.int64)
         disc = np.rint(
             np.asarray(batch.column("l_discount"), dtype=np.float64) * 100.0
         ).astype(np.int64)
+        return pa.table(
+            {
+                "skey": batch.column("l_suppkey").cast(pa.int64()),
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "rev_c": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table(
             {
-                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "okey": batch.column("okey"),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
                 "cust_nation": pa.nulls(n, type=pa.int64()),
-                "supp_nation": pa.array(supp_nat),
-                "rev_c": pa.array(cents * (100 - disc)),
+                "supp_nation": batch.column("supp_nation"),
+                "rev_c": batch.column("rev_c"),
             },
             schema=u2_schema,
         )
@@ -6913,8 +7042,13 @@ def q_local_supplier_volume(sf_dir: str):
         "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
+    attached = _attach_supplier_nation(
+        sf_dir,
+        lineitem.map_batches(line_payload, batch_format="pyarrow"),
+        line_pay_schema,
+    )
     tagged2 = stage1.map_batches(stage1_rows, batch_format="pyarrow").union(
-        lineitem.map_batches(line_rows, batch_format="pyarrow")
+        attached.map_batches(line_rows, batch_format="pyarrow")
     )
 
     part_schema = pa.schema([("nation", pa.int64()), ("revenue_c100", pa.int64())])
@@ -8117,8 +8251,29 @@ def _frag_scratch_root() -> str:
     # /dev/shm on a single node (fragment IO becomes memcpy); a
     # multi-node cluster must point GRAFT_FRAG_DIR at a shared
     # filesystem or per-node spill volume — same contract as the lake
-    # scratch (sinks/exactly_once.py FragmentWriter docstring)
+    # scratch (sinks/exactly_once.py FragmentWriter docstring). Fail
+    # FAST on a multi-node cluster instead of surfacing later as
+    # confusing missing-fragment reads on the merge side.
+    if _multi_node_cluster():
+        raise RuntimeError(
+            "fragment exchange scratch defaults to node-local /dev/shm, "
+            "but this Ray cluster has multiple alive nodes — phase-B "
+            "merge tasks would not see phase-A fragments written on "
+            "other nodes. Set GRAFT_FRAG_DIR to a filesystem shared by "
+            "every node (or a per-node spill volume with node-affinity "
+            "scheduling)."
+        )
     return "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+
+
+def _multi_node_cluster() -> bool:
+    """True when the connected Ray cluster has >1 ALIVE node."""
+    try:
+        if not ray.is_initialized():
+            return False
+        return sum(1 for n in ray.nodes() if n.get("Alive")) > 1
+    except Exception:
+        return False
 
 
 def fragment_keyed_exchange(
@@ -9952,6 +10107,10 @@ def q_top_supplier_revenue(sf_dir: str):
             sup.column("s_name").to_pylist(),
         )
     }
+    # inner-join semantics (matching the SQL oracle): a winning suppkey
+    # absent from the supplier dimension is DROPPED, not a KeyError — a
+    # referential-integrity gap must not diverge Ray vs oracle behavior
+    winners = [k for k in winners if k in names]
     return pa.table(
         {
             "s_suppkey": pa.array(winners, type=pa.int64()),
@@ -10374,11 +10533,12 @@ def q_nation_pair_volume(sf_dir: str):
     - exchange #1 (customer x orders on custkey) stamps each order
       with its customer's nation and ships only (okey, cust_nation);
     - exchange #2 (that stream x lineitem on orderkey): the ship-year
-      window prunes the lineitem SCAN, supplier nations attach from
-      the budgeted broadcast map, and the kernel keeps only the two
-      cross pairs, folding (supp, cust, year) partials IN-BLOCK — each
-      block leaves <= 2 x years rows; a driver fold + name attach
-      finish. Revenue integer-exact cents x (100 - disc%)."""
+      window prunes the lineitem SCAN, supplier nations attach via
+      ``_attach_supplier_nation`` (budget-adaptive broadcast / third
+      keyed exchange), and the kernel keeps only the two cross pairs,
+      folding (supp, cust, year) partials IN-BLOCK — each block leaves
+      <= 2 x years rows; a driver fold + name attach finish. Revenue
+      integer-exact cents x (100 - disc%)."""
     _ensure_hash_shuffle()
     import pyarrow.dataset as pds
 
@@ -10392,22 +10552,6 @@ def q_nation_pair_volume(sf_dir: str):
     }
     ka, kb = key_of[Q7_NATION_A], key_of[Q7_NATION_B]
     name_of = {ka: Q7_NATION_A, kb: Q7_NATION_B}
-
-    sup_path = _t(sf_dir, "supplier")
-    if os.path.getsize(sup_path) > Q5_SUPPLIER_BROADCAST_BUDGET:
-        raise RuntimeError(
-            "supplier->nation map exceeds the broadcast budget "
-            f"({Q5_SUPPLIER_BROADCAST_BUDGET} B); route the supplier attach "
-            "through a third tagged-union exchange keyed on l_suppkey"
-        )
-    sup = pq.read_table(sup_path, columns=["s_suppkey", "s_nationkey"])
-    sup = sup.take(pc.sort_indices(sup, sort_keys=[("s_suppkey", "ascending")]))
-    sup_ref = ray.put(
-        (
-            np.asarray(sup.column("s_suppkey"), dtype=np.int64),
-            np.asarray(sup.column("s_nationkey"), dtype=np.int64),
-        )
-    )
 
     # ---- exchange #1: customer x orders on the customer key ----------
     u1_schema = pa.schema(
@@ -10509,34 +10653,40 @@ def q_nation_pair_volume(sf_dir: str):
             schema=u2_schema,
         )
 
-    def line_rows(batch: pa.Table) -> pa.Table:
-        sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
-        skeys, snats = ray.get(sup_ref)
-        if len(skeys):
-            pos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
-            supp_nat = np.where(skeys[pos] == sk, snats[pos], -1)
-        else:
-            supp_nat = np.full(len(sk), -1, dtype=np.int64)
-        # only the two nations' suppliers can contribute: prune pre-exchange
-        keep = (supp_nat == ka) | (supp_nat == kb)
-        t = batch.filter(pa.array(keep))
-        supp_nat = supp_nat[keep]
+    line_pay_schema = pa.schema(
+        [("okey", pa.int64()), ("l_year", pa.int64()), ("rev_c", pa.int64())]
+    )
+
+    def line_payload(batch: pa.Table) -> pa.Table:
         cents = np.rint(
-            np.asarray(t.column("l_extendedprice"), dtype=np.float64) * 100.0
+            np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
         ).astype(np.int64)
         disc = np.rint(
-            np.asarray(t.column("l_discount"), dtype=np.float64) * 100.0
+            np.asarray(batch.column("l_discount"), dtype=np.float64) * 100.0
         ).astype(np.int64)
-        year = pc.year(t.column("l_shipdate")).cast(pa.int64())
+        return pa.table(
+            {
+                "skey": batch.column("l_suppkey").cast(pa.int64()),
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "l_year": pc.year(batch.column("l_shipdate")).cast(pa.int64()),
+                "rev_c": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        # only the two nations' suppliers can contribute: prune before
+        # exchange #2 (post-attach, pre-orderkey-exchange)
+        sn = np.asarray(batch.column("supp_nation"), dtype=np.int64)
+        t = batch.filter(pa.array((sn == ka) | (sn == kb)))
         n = t.num_rows
         return pa.table(
             {
-                "okey": t.column("l_orderkey").cast(pa.int64()),
+                "okey": t.column("okey"),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
                 "cust_nation": pa.nulls(n, type=pa.int64()),
-                "supp_nation": pa.array(supp_nat),
-                "l_year": year,
-                "rev_c": pa.array(cents * (100 - disc)),
+                "supp_nation": t.column("supp_nation"),
+                "l_year": t.column("l_year"),
+                "rev_c": t.column("rev_c"),
             },
             schema=u2_schema,
         )
@@ -10556,8 +10706,13 @@ def q_nation_pair_volume(sf_dir: str):
             & (pds.field("l_shipdate") < pa.scalar(Q7_TO.item(), type=pa.timestamp("us")))
         ),
     )
+    attached = _attach_supplier_nation(
+        sf_dir,
+        lineitem.map_batches(line_payload, batch_format="pyarrow"),
+        line_pay_schema,
+    )
     tagged2 = stage1.map_batches(stage1_rows, batch_format="pyarrow").union(
-        lineitem.map_batches(line_rows, batch_format="pyarrow")
+        attached.map_batches(line_rows, batch_format="pyarrow")
     )
 
     part_schema = pa.schema(
@@ -11178,44 +11333,54 @@ def q_cochange_walk_rank(sf_dir: str):
         [("repo", pa.string()), ("node", pa.string()), ("rank", pa.int64())]
     )
 
-    def walk_kernel(block: pa.Table) -> pa.Table:
-        if block.num_rows == 0:
-            return contrib_schema.empty_table()
-        order = pc.sort_indices(
-            block,
-            sort_keys=[
-                ("repo", "ascending"),
-                ("node", "ascending"),
-                ("side", "ascending"),
-            ],
-        )
-        t = block.take(order)
-        repo = np.asarray(t.column("repo"), dtype=object)
-        node = np.asarray(t.column("node"), dtype=object)
-        side = np.asarray(t.column("side"), dtype=np.int8)
-        rank = np.asarray(pc.fill_null(t.column("rank"), 0), dtype=np.int64)
-        new_run = np.r_[True, (repo[1:] != repo[:-1]) | (node[1:] != node[:-1])]
-        starts = np.flatnonzero(new_run)
-        run_idx = np.cumsum(new_run) - 1
-        is_edge = side == 1
-        deg = np.add.reduceat(is_edge.astype(np.int64), starts)
-        # step 0 ships no rank rows: every run starts at WALK_RANK_INIT
-        has_rank = side[starts] == 0
-        run_rank = np.where(has_rank, rank[starts], WALK_RANK_INIT)
-        contrib = run_rank[run_idx] // np.maximum(deg[run_idx], 1)
-        keep = is_edge & (deg[run_idx] > 0)
-        if not keep.any():
-            return contrib_schema.empty_table()
-        out = pa.table(
-            {
-                "repo": t.column("repo").filter(pa.array(keep)),
-                "node": t.column("dst").filter(pa.array(keep)),
-                "rank": pa.array(contrib[keep]),
-            },
-            schema=contrib_schema,
-        )
-        agg = out.group_by(["repo", "node"]).aggregate([("rank", "sum")])
-        return agg.rename_columns(["repo", "node", "rank"]).cast(contrib_schema)
+    def make_walk_kernel(first_step: bool):
+        def walk_kernel(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return contrib_schema.empty_table()
+            order = pc.sort_indices(
+                block,
+                sort_keys=[
+                    ("repo", "ascending"),
+                    ("node", "ascending"),
+                    ("side", "ascending"),
+                ],
+            )
+            t = block.take(order)
+            repo = np.asarray(t.column("repo"), dtype=object)
+            node = np.asarray(t.column("node"), dtype=object)
+            side = np.asarray(t.column("side"), dtype=np.int8)
+            rank = np.asarray(pc.fill_null(t.column("rank"), 0), dtype=np.int64)
+            new_run = np.r_[True, (repo[1:] != repo[:-1]) | (node[1:] != node[:-1])]
+            starts = np.flatnonzero(new_run)
+            run_idx = np.cumsum(new_run) - 1
+            is_edge = side == 1
+            deg = np.add.reduceat(is_edge.astype(np.int64), starts)
+            has_rank = side[starts] == 0
+            # step 1 ships no rank rows: every run starts at
+            # WALK_RANK_INIT. LATER steps must NOT re-seed a run whose
+            # rank row is absent (the SQL oracle's inner join contributes
+            # nothing for absent nodes) — such runs are dropped, which
+            # only matters for directed/pruned edge sets (the symmetric
+            # explode guarantees a step-1 row for every node today)
+            run_rank = np.where(has_rank, rank[starts], WALK_RANK_INIT)
+            contrib = run_rank[run_idx] // np.maximum(deg[run_idx], 1)
+            keep = is_edge & (deg[run_idx] > 0)
+            if not first_step:
+                keep &= has_rank[run_idx]
+            if not keep.any():
+                return contrib_schema.empty_table()
+            out = pa.table(
+                {
+                    "repo": t.column("repo").filter(pa.array(keep)),
+                    "node": t.column("dst").filter(pa.array(keep)),
+                    "rank": pa.array(contrib[keep]),
+                },
+                schema=contrib_schema,
+            )
+            agg = out.group_by(["repo", "node"]).aggregate([("rank", "sum")])
+            return agg.rename_columns(["repo", "node", "rank"]).cast(contrib_schema)
+
+        return walk_kernel
 
     def step(ranks):
         if ranks is None:
@@ -11238,7 +11403,7 @@ def q_cochange_walk_rank(sf_dir: str):
                 ranks.map_batches(rank_rows, batch_format="pyarrow")
             )
         partial = _keyed_exchange_apply(
-            stream, ["repo", "node"], walk_kernel, contrib_schema
+            stream, ["repo", "node"], make_walk_kernel(ranks is None), contrib_schema
         )
         return grouped_aggregate(
             partial, ["repo", "node"], [("rank", "sum", "rank")]
@@ -11301,22 +11466,6 @@ def q_nation_market_share(sf_dir: str):
         )[0]
     )
     region_ref = ray.put(region_nations)
-
-    sup_path = _t(sf_dir, "supplier")
-    if os.path.getsize(sup_path) > Q5_SUPPLIER_BROADCAST_BUDGET:
-        raise RuntimeError(
-            "supplier->nation map exceeds the broadcast budget "
-            f"({Q5_SUPPLIER_BROADCAST_BUDGET} B); route the supplier attach "
-            "through a third tagged-union exchange keyed on l_suppkey"
-        )
-    sup = pq.read_table(sup_path, columns=["s_suppkey", "s_nationkey"])
-    sup = sup.take(pc.sort_indices(sup, sort_keys=[("s_suppkey", "ascending")]))
-    sup_ref = ray.put(
-        (
-            np.asarray(sup.column("s_suppkey"), dtype=np.int64),
-            np.asarray(sup.column("s_nationkey"), dtype=np.int64),
-        )
-    )
 
     u1_schema = pa.schema(
         [
@@ -11424,28 +11573,33 @@ def q_nation_market_share(sf_dir: str):
             schema=u2_schema,
         )
 
-    def line_rows(batch: pa.Table) -> pa.Table:
-        sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
-        skeys, snats = ray.get(sup_ref)
-        if len(skeys):
-            pos = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
-            nat = np.where(skeys[pos] == sk, snats[pos], -1)
-        else:
-            nat = np.full(len(sk), -1, dtype=np.int64)
+    line_pay_schema = pa.schema([("okey", pa.int64()), ("rev_c", pa.int64())])
+
+    def line_payload(batch: pa.Table) -> pa.Table:
         cents = np.rint(
             np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
         ).astype(np.int64)
         disc = np.rint(
             np.asarray(batch.column("l_discount"), dtype=np.float64) * 100.0
         ).astype(np.int64)
+        return pa.table(
+            {
+                "skey": batch.column("l_suppkey").cast(pa.int64()),
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "rev_c": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        nat = np.asarray(batch.column("supp_nation"), dtype=np.int64)
         n = batch.num_rows
         return pa.table(
             {
-                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "okey": batch.column("okey"),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
                 "o_year": pa.nulls(n, type=pa.int64()),
                 "is_target": pa.array((nat == target_key).astype(np.int8)),
-                "rev_c": pa.array(cents * (100 - disc)),
+                "rev_c": batch.column("rev_c"),
             },
             schema=u2_schema,
         )
@@ -11455,8 +11609,13 @@ def q_nation_market_share(sf_dir: str):
         "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
+    attached = _attach_supplier_nation(
+        sf_dir,
+        lineitem.map_batches(line_payload, batch_format="pyarrow"),
+        line_pay_schema,
+    )
     tagged2 = stage1.map_batches(stage1_rows, batch_format="pyarrow").union(
-        lineitem.map_batches(line_rows, batch_format="pyarrow")
+        attached.map_batches(line_rows, batch_format="pyarrow")
     )
 
     part_schema = pa.schema(

@@ -2763,3 +2763,60 @@ def test_session_new_operators_survive_empty_inputs(ray_session, tmp_path):
     # embeddings family
     assert q.q_embedding_power_iteration(sf_dir).num_rows == 0
     assert q.q_embedding_truncation_error(sf_dir).count() == 0
+
+
+def test_supplier_attach_exchange_fallback_matches_broadcast(
+    ray_session, monkeypatch
+):
+    """Past Q5_SUPPLIER_BROADCAST_BUDGET the supplier-nation attach must
+    ride the third tagged-union keyed exchange on l_suppkey and return
+    tables identical to the broadcast path, for all three Q5/Q7/Q8
+    shapes (the keep_best anti-join fallback idiom)."""
+    sf = "/root/testdata/sf0.001"
+    fns = [
+        q.q_local_supplier_volume,
+        q.q_nation_pair_volume,
+        q.q_nation_market_share,
+    ]
+    want = [fn(sf) for fn in fns]
+    want = [w if isinstance(w, pa.Table) else w.to_arrow_refs() and None for w in want]
+
+    monkeypatch.setattr(q, "Q5_SUPPLIER_BROADCAST_BUDGET", 0)
+    got = [fn(sf) for fn in fns]
+    for fn, w, g in zip(fns, want, got):
+        assert w is not None, f"{fn.__name__} did not return a pa.Table"
+        gp = g.to_pandas().sort_values(list(g.column_names)).reset_index(drop=True)
+        wp = w.to_pandas().sort_values(list(w.column_names)).reset_index(drop=True)
+        assert gp.equals(wp), f"{fn.__name__} exchange path diverged"
+
+
+def test_jaccard_df_cap_bounds_boilerplate_fanout(ray_session, tmp_path):
+    """A corpus where EVERY doc shares one boilerplate 3-gram: with the
+    df cap the stop gram's O(n^2) fan-out is skipped (no pair may rely
+    on it), while true duplicate pairs (sharing many rare grams) still
+    pair; without the cap the boilerplate gram alone must NOT reach the
+    J >= 1/2 threshold, so results agree on this corpus."""
+    import pyarrow.parquet as pq
+
+    # 12 docs with the same boilerplate sentence prefix, unique bodies;
+    # docs 100/101 are verbatim duplicates of each other
+    boiler = "all rights reserved"
+    rows = []
+    for d in range(12):
+        rows.append((d, f"{boiler} unique body {d} alpha beta gamma delta {d}"))
+    dup_text = f"{boiler} identical duplicate content here repeated words"
+    rows += [(100, dup_text), (101, dup_text)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    capped = q.q_doc_jaccard_pairs(str(tmp_path), max_df=4).to_pandas()
+    pairs = set(zip(capped["doc_id"], capped["dup_of"]))
+    assert pairs == {(100, 101)}  # dup pair survives the cap
+    uncapped = q.q_doc_jaccard_pairs(str(tmp_path)).to_pandas()
+    assert set(zip(uncapped["doc_id"], uncapped["dup_of"])) == {(100, 101)}

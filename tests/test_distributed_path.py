@@ -74,3 +74,31 @@ def test_distributed_matches_recompute(name, oracle_name):
     exp = canon(getattr(oracles, oracle_name)(SF_DIR).to_pandas())
     assert len(got) == len(exp), f"{name}: rows {len(got)} vs oracle {len(exp)}"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_frag_scratch_guard_on_multi_node(ray_session, monkeypatch):
+    """With >1 alive Ray node and no GRAFT_FRAG_DIR, the fragment
+    exchange must fail fast (node-local /dev/shm scratch would lose
+    phase-A fragments); a shared GRAFT_FRAG_DIR passes through."""
+    import pytest
+    import ray as ray_mod
+
+    from embulk_input_marketo_ray.pipelines import queries as q
+
+    monkeypatch.delenv("GRAFT_FRAG_DIR", raising=False)
+    monkeypatch.setattr(
+        ray_mod, "nodes", lambda: [{"Alive": True}, {"Alive": True}]
+    )
+    assert q._multi_node_cluster() is True
+    with pytest.raises(RuntimeError, match="GRAFT_FRAG_DIR"):
+        q._frag_scratch_root()
+    monkeypatch.setenv("GRAFT_FRAG_DIR", "/tmp/shared_scratch")
+    assert q._frag_scratch_root() == "/tmp/shared_scratch"
+
+    # single node (or a dead second node): the local default is fine
+    monkeypatch.delenv("GRAFT_FRAG_DIR", raising=False)
+    monkeypatch.setattr(
+        ray_mod, "nodes", lambda: [{"Alive": True}, {"Alive": False}]
+    )
+    assert q._multi_node_cluster() is False
+    assert q._frag_scratch_root()
