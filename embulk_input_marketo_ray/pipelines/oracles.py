@@ -811,10 +811,11 @@ def oracle_user_cm_sketch(sf_dir: str) -> pa.Table:
 
 def oracle_multimodal_real_decode(sf_dir: str, n: int = 256) -> pa.Table:
     """Ground-truth decode facts via an INDEPENDENT path: image sums
-    recomputed from the generator's pixel rule (no BMP parsing at
-    all), audio facts via the stdlib ``wave`` reader (a different
-    parser than the engine's RIFF walker). Imports only the shared
-    input generator."""
+    recomputed from the generator's pixel rule (no BMP/PNG parsing at
+    all — the same pixel array is stored as BGR by BMP rows, i%3==0,
+    and as RGB by PNG rows, i%3==2), audio facts via the stdlib
+    ``wave`` reader (a different parser than the engine's RIFF
+    walker). Imports only the shared input generator."""
     import io
     import wave
 
@@ -834,9 +835,11 @@ def oracle_multimodal_real_decode(sf_dir: str, n: int = 256) -> pa.Table:
             rng = np.random.default_rng(seed * 1_000_003 + i)
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
-            rows.append(
-                (i, kind, True, w, h, int(sums[0]), int(sums[1]), int(sums[2]), 0, 0, 0, 0)
-            )
+            if i % 3 == 0:  # BMP: channel 0 is B
+                b, g, r = int(sums[0]), int(sums[1]), int(sums[2])
+            else:  # PNG: channel 0 is R
+                r, g, b = int(sums[0]), int(sums[1]), int(sums[2])
+            rows.append((i, kind, True, w, h, b, g, r, 0, 0, 0, 0))
         else:
             wv = wave.open(io.BytesIO(payloads[i].as_py()))
             data = np.frombuffer(

@@ -185,23 +185,30 @@ class AudioFeaturizer:
 
 class RealMediaDecoder:
     """Actor-pool stage with GENUINE codecs — no external libraries:
-    24-bit BMP parsing (struct header + numpy row de-padding/flip) and
-    PCM16 WAV parsing (RIFF chunk walk) implemented directly, closing
-    the 'decode is a stub' gap for the two formats pure
-    stdlib/numpy can decode. Emits per-row integer-exact decode facts:
+    24-bit BMP parsing (struct header + numpy row de-padding/flip),
+    8-bit RGB PNG parsing (chunk walk with CRC32 verification, zlib
+    inflate, scanline de-filtering for filter types 0/1/2) and PCM16
+    WAV parsing (RIFF chunk walk) implemented directly, closing the
+    'decode is a stub' gap for the formats pure stdlib/numpy can
+    decode. Image payloads are dispatched by MAGIC (PNG signature vs
+    'BM'), like a real decoder. Emits per-row integer-exact decode
+    facts:
 
     - image: (width, height, sum_b/sum_g/sum_r channel sums)
     - audio: (n_samples, sample_rate, sum_sq energy, peak amplitude)
 
-    plus ``decode_ok`` (malformed payloads -> False, zeros). Other
-    container formats (JPEG/PNG/FLAC/...) still need PIL/soundfile —
-    the ImageDecoder/AudioFeaturizer stubs keep that seam documented.
+    plus ``decode_ok`` (malformed payloads -> False, zeros; PNG filter
+    types 3/4 — Average/Paeth, sequential-dependent — are rejected,
+    not mis-decoded). JPEG/FLAC/... still need PIL/soundfile — the
+    ImageDecoder/AudioFeaturizer stubs keep that seam documented.
     """
 
     def __init__(self) -> None:
         import struct
+        import zlib
 
         self._struct = struct  # codec state resolved once per actor
+        self._zlib = zlib
 
     def _decode_bmp(self, raw: bytes):
         s = self._struct
@@ -226,6 +233,82 @@ class RealMediaDecoder:
             rows = rows[::-1]
         sums = rows.reshape(-1, 3).astype(np.int64).sum(axis=0)
         return width, height, int(sums[0]), int(sums[1]), int(sums[2])
+
+    def _decode_png(self, raw: bytes):
+        """8-bit RGB (color type 2), non-interlaced. Chunk CRCs are
+        VERIFIED; scanline filters 0 (None), 1 (Sub: per-row cumsum
+        mod 256) and 2 (Up: add previous row) are reconstructed with
+        numpy; 3/4 (Average/Paeth) are rejected as unsupported. Returns
+        (width, height, sum_b, sum_g, sum_r) — file channel order is
+        RGB, so sums map reversed relative to BMP's BGR."""
+        s, z = self._struct, self._zlib
+        sig = b"\x89PNG\r\n\x1a\n"
+        if len(raw) < len(sig) + 8 or raw[: len(sig)] != sig:
+            return None
+        pos = len(sig)
+        width = height = None
+        idat = []
+        seen_end = False
+        while pos + 8 <= len(raw):
+            length, ctype = s.unpack_from(">I4s", raw, pos)
+            data_start = pos + 8
+            data_end = data_start + length
+            if data_end + 4 > len(raw):
+                return None  # truncated chunk
+            data = raw[data_start:data_end]
+            (crc,) = s.unpack_from(">I", raw, data_end)
+            if z.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                return None  # corrupt chunk
+            if ctype == b"IHDR":
+                if length != 13:
+                    return None
+                width, height, depth, ctype_v, comp, filt, interlace = s.unpack_from(
+                    ">IIBBBBB", data, 0
+                )
+                if (
+                    depth != 8
+                    or ctype_v != 2
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0
+                    or width == 0
+                    or height == 0
+                ):
+                    return None
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                seen_end = True
+                break
+            pos = data_end + 4
+        if width is None or not idat or not seen_end:
+            return None
+        try:
+            body = z.decompress(b"".join(idat))
+        except z.error:
+            return None
+        stride = 1 + width * 3
+        if len(body) != stride * height:
+            return None
+        rows = np.frombuffer(body, dtype=np.uint8).reshape(height, stride)
+        ftypes = rows[:, 0]
+        if not np.isin(ftypes, (0, 1, 2)).all():
+            return None  # Average/Paeth unsupported — reject, never mis-decode
+        out = np.zeros((height, width, 3), dtype=np.uint8)
+        prev = np.zeros((width, 3), dtype=np.uint8)
+        for r in range(height):
+            cur = rows[r, 1:].reshape(width, 3)
+            f = int(ftypes[r])
+            if f == 0:
+                rec = cur
+            elif f == 1:  # Sub: add left neighbor -> cumsum over pixels
+                rec = np.cumsum(cur.astype(np.int64), axis=0).astype(np.uint8)
+            else:  # Up: add the row above
+                rec = cur + prev  # uint8 wraps mod 256, per spec
+            out[r] = rec
+            prev = rec
+        sums = out.reshape(-1, 3).astype(np.int64).sum(axis=0)  # R, G, B
+        return int(width), int(height), int(sums[2]), int(sums[1]), int(sums[0])
 
     def _decode_wav(self, raw: bytes):
         s = self._struct
@@ -279,7 +362,11 @@ class RealMediaDecoder:
         for i, (kind, v) in enumerate(zip(kinds, col)):
             raw = v.as_py() if v.is_valid else b""
             if kind == "image":
-                got = self._decode_bmp(raw)
+                # dispatch on magic, like a real decoder
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    got = self._decode_png(raw)
+                else:
+                    got = self._decode_bmp(raw)
                 if got is not None:
                     width[i], height[i], sum_b[i], sum_g[i], sum_r[i] = got
                     ok[i] = True

@@ -307,25 +307,43 @@ def synth_wav(n_samples: int, sample_rate: int, seed: int) -> bytes:
     return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
 
 
+def synth_png(width: int, height: int, seed: int) -> bytes:
+    """A REAL 8-bit RGB PNG (signature + IHDR/IDAT/IEND with correct
+    CRC32s, zlib-compressed scanlines, filter type 0) with
+    deterministic pixels — decodable by any standards-compliant
+    reader, built with nothing but struct/zlib/numpy. The pixel rule
+    is the same rng rule as ``synth_bmp`` (array is RGB here; BMP
+    stores the same array as BGR)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)  # RGB
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(height))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Media corpus with REAL codec payloads: even rows are genuine
-    24-bit BMPs, odd rows genuine PCM16 WAVs — the decodable companion
+    """Media corpus with REAL codec payloads: rows cycle genuine
+    24-bit BMP / PCM16 WAV / 8-bit RGB PNG — the decodable companion
     of ``synth_media_table`` (kept for the PIL/soundfile-shaped stub
     stages). Small dimensions keep rows bounded (wide-row batch-size
     contract unchanged)."""
     rng = np.random.default_rng(seed)
     kinds, payloads, widths, heights, rates, frames = [], [], [], [], [], []
     for i in range(n):
-        if i % 2 == 0:
-            w = int(rng.integers(4, 24))
-            h = int(rng.integers(4, 24))
-            kinds.append("image")
-            payloads.append(synth_bmp(w, h, seed=seed * 1_000_003 + i))
-            widths.append(w)
-            heights.append(h)
-            rates.append(0)
-            frames.append(1)
-        else:
+        if i % 3 == 1:
             ns = int(rng.integers(256, 2048))
             kinds.append("audio")
             payloads.append(synth_wav(ns, 16000, seed=seed * 1_000_003 + i))
@@ -333,6 +351,16 @@ def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
             heights.append(0)
             rates.append(16000)
             frames.append(ns)
+        else:
+            w = int(rng.integers(4, 24))
+            h = int(rng.integers(4, 24))
+            maker = synth_bmp if i % 3 == 0 else synth_png
+            kinds.append("image")
+            payloads.append(maker(w, h, seed=seed * 1_000_003 + i))
+            widths.append(w)
+            heights.append(h)
+            rates.append(0)
+            frames.append(1)
     return pa.table(
         {
             "media_id": pa.array(range(n), type=pa.int64()),
