@@ -81,6 +81,7 @@ class AuditReport:
     file_sets: dict  # pid -> absolute paths (committed + staged)
     from_ts: datetime
     to_ts: datetime
+    filesystem: "object" = None
 
     def read_state(self, columns: list | None = None):
         from embulk_input_marketo_ray.sinks.exactly_once import read_file_sets
@@ -89,7 +90,7 @@ class AuditReport:
 
         if not self.file_sets:
             return _rd.from_items([]).limit(0)
-        return read_file_sets(self.file_sets, columns=columns)
+        return read_file_sets(self.file_sets, columns=columns, filesystem=self.filesystem)
 
     @property
     def total_rows(self) -> int:
@@ -225,6 +226,14 @@ class ReplayConfig:
     # itself when the skipped per-event work (~5 us x losing events)
     # exceeds it — breakeven ~200k events on this hardware
     late_min_events: int = 200_000
+    # Optional pyarrow.fs.FileSystem routing ALL lake-side state IO
+    # (manifest, partition files, watermark checkpoint, audit reads) —
+    # the object-store seam (state/fsio.py; S3 caveat documented
+    # there). None = local POSIX fast path. The "disk" shuffle's
+    # fragment scratch is NODE-LOCAL/shared-POSIX by contract and is
+    # NOT routed: with a non-local lake filesystem an explicit
+    # shuffle_scratch_dir is required for shuffle="disk".
+    lake_filesystem: "object" = None
 
 
 def _estimate_window_rows(files: list[str], slices, ts_column: str) -> tuple[int, int]:
@@ -588,7 +597,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     if cfg.incremental and cfg.use_updated_at:
         raise ValueError("Column 'updatedAt' cannot be incremental imported")
 
-    ckpt = WatermarkCheckpoint(cfg.lake_dir + "/_state")
+    ckpt = WatermarkCheckpoint(cfg.lake_dir + "/_state", filesystem=cfg.lake_filesystem)
     from_ts = ckpt.from_date(cfg.from_ts)
     if from_ts >= cfg.job_start:
         # W5: nothing to fetch yet; re-emit the same window untouched
@@ -597,7 +606,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
     slices = slice_range(from_ts, to_ts, timedelta(days=cfg.max_range_days))
     watermark_to = to_ts.strftime(_ISO)
 
-    manifest = PartitionManifest(cfg.lake_dir)
+    manifest = PartitionManifest(cfg.lake_dir, filesystem=cfg.lake_filesystem)
     manifest.prepare()
     manifest_state = manifest.load()
     manifest.check_routing_version(manifest_state)
@@ -797,14 +806,28 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         writer = DeltaBucketWriter(
             cfg.lake_dir, watermark_to, target_schema,
             fail_buckets=cfg.fail_buckets, compact_threshold=cfg.compact_threshold,
+            filesystem=cfg.lake_filesystem,
             **split_kwargs,
         )
     else:
         writer = BucketMergeWriter(
             cfg.lake_dir, watermark_to, target_schema, fail_buckets=cfg.fail_buckets,
+            filesystem=cfg.lake_filesystem,
             **split_kwargs,
         )
-    scratch_root = cfg.shuffle_scratch_dir or os.path.join(cfg.lake_dir, "_shuffle")
+    if cfg.lake_filesystem is not None and not cfg.shuffle_scratch_dir:
+        # fragment/scan scratch is node-local/shared-POSIX by contract
+        # and is NOT routed through the lake filesystem: with a remote
+        # lake, default it to a deterministic local temp dir (multi-node
+        # clusters are caught by the node-local guard below and must
+        # set shuffle_scratch_dir explicitly)
+        import hashlib as _hashlib
+        import tempfile as _tf
+
+        tag = _hashlib.sha256(cfg.lake_dir.encode()).hexdigest()[:12]
+        scratch_root = os.path.join(_tf.gettempdir(), f"graft_shuffle_{tag}")
+    else:
+        scratch_root = cfg.shuffle_scratch_dir or os.path.join(cfg.lake_dir, "_shuffle")
     frag_fmt = cfg.fragment_format
     if frag_fmt == "auto":
         frag_fmt = "ipc" if scratch_root.startswith("/dev/shm") else "parquet"
@@ -966,9 +989,13 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
         # per-stage wall/cpu/row throughput (ds.stats) for this run,
         # persisted next to the checkpoint — the "throughput metrics
         # emitted per stage" artifact
-        os.makedirs(cfg.lake_dir + "/_state", exist_ok=True)
-        with open(cfg.lake_dir + "/_state/last_run_stats.txt", "w") as f:
-            f.write(stage_stats_text)
+        from embulk_input_marketo_ray.state.fsio import fs_mkdirs, fs_open_output
+
+        fs_mkdirs(cfg.lake_filesystem, cfg.lake_dir + "/_state")
+        with fs_open_output(
+            cfg.lake_filesystem, cfg.lake_dir + "/_state/last_run_stats.txt"
+        ) as f:
+            f.write(stage_stats_text.encode())
 
     pids = [r["pid"] for r in stats_rows]
     if len(set(pids)) != len(pids):
@@ -995,6 +1022,7 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             file_sets=would_be,
             from_ts=from_ts,
             to_ts=to_ts,
+            filesystem=cfg.lake_filesystem,
         )
         if cfg.audit(report) is False:
             raise AuditFailed(

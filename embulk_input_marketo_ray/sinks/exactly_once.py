@@ -40,6 +40,15 @@ import pyarrow.parquet as pq
 import ray.data
 
 from embulk_input_marketo_ray.stages.lww import BUCKET_COLUMN, LAKE_KEY, lww_merge
+from embulk_input_marketo_ray.state.fsio import (
+    fs_exists,
+    fs_file_size,
+    fs_isdir,
+    fs_isfile,
+    fs_listdir,
+    fs_delete,
+    fs_open_output,
+)
 from embulk_input_marketo_ray.state.manifest import PartitionManifest
 
 
@@ -135,7 +144,12 @@ class BucketMergeWriter:
         split_threshold: int | None = None,
         depths: dict[int, int] | None = None,
         split_max_depth: int = 20,
+        filesystem=None,
     ) -> None:
+        # optional pyarrow.fs.FileSystem routing all lake IO (picklable,
+        # so the object rides the stage closure into Ray workers); None
+        # = local POSIX fast path (state/fsio.py seam)
+        self.fs = filesystem
         self.lake_dir = lake_dir
         self.watermark_to = watermark_to
         self.target_schema = target_schema
@@ -213,18 +227,18 @@ class BucketMergeWriter:
     def _write_one(self, bucket: int, group: pa.Table) -> pa.Table:
         if bucket in self.fail_buckets:
             raise RuntimeError(f"injected crash in bucket {bucket}")
-        manifest = PartitionManifest(self.lake_dir)
+        manifest = PartitionManifest(self.lake_dir, filesystem=self.fs)
         pid = f"{bucket:05d}"
         events = group.drop_columns([BUCKET_COLUMN])
 
         lake_path = manifest.data_path(pid)
-        if os.path.exists(lake_path):
+        if fs_exists(self.fs, lake_path):
             # prior windows' committed state; synthetic op/seq columns are
             # restored from the stored commit_seq (kept in the lake).
             # Unify BOTH sides toward the union of the stored lake schema
             # and the new target schema so a narrowed included_fields run
             # never deletes committed columns.
-            stored = pq.read_table(lake_path)
+            stored = pq.read_table(lake_path, filesystem=self.fs)
             union = self._union_schema(stored.schema)
             lake = self._unify(stored, union)
             lake_in = lake.num_rows
@@ -248,10 +262,8 @@ class BucketMergeWriter:
         for i, (suffix, depth, piece) in enumerate(pieces):
             piece_pid = f"{suffix:05d}"
             tmp = manifest.tmp_path(piece_pid)
-            with open(tmp, "wb") as f:
+            with fs_open_output(self.fs, tmp) as f:
                 pq.write_table(piece, f)
-                f.flush()
-                os.fsync(f.fileno())
             manifest.promote(piece_pid)
             # window lineage is attributed to the first piece (the
             # original suffix); per-piece rows/fingerprints stay exact
@@ -306,6 +318,7 @@ class DeltaBucketWriter(BucketMergeWriter):
         split_threshold: int | None = None,
         depths: dict[int, int] | None = None,
         split_max_depth: int = 20,
+        filesystem=None,
     ) -> None:
         super().__init__(
             lake_dir,
@@ -315,6 +328,7 @@ class DeltaBucketWriter(BucketMergeWriter):
             split_threshold=split_threshold,
             depths=depths,
             split_max_depth=split_max_depth,
+            filesystem=filesystem,
         )
         self.compact_threshold = compact_threshold
         import re as _re
@@ -326,7 +340,7 @@ class DeltaBucketWriter(BucketMergeWriter):
 
         if bucket in self.fail_buckets:
             raise RuntimeError(f"injected crash in bucket {bucket}")
-        manifest = PartitionManifest(self.lake_dir)
+        manifest = PartitionManifest(self.lake_dir, filesystem=self.fs)
         pid = f"{bucket:05d}"
         events = group.drop_columns([BUCKET_COLUMN])
 
@@ -334,10 +348,8 @@ class DeltaBucketWriter(BucketMergeWriter):
         delta = lww_merge(self._unify(events), LAKE_KEY, "commit_seq", op_column=None)
         name = f"delta-{pid}-{self._wm_tag}.parquet"
         tmp = manifest.tmp_file_path(name)
-        with open(tmp, "wb") as f:
+        with fs_open_output(self.fs, tmp) as f:
             pq.write_table(delta, f)
-            f.flush()
-            os.fsync(f.fileno())
         manifest.promote_file(name)
 
         entry = manifest.load()["partitions"].get(pid)
@@ -366,7 +378,9 @@ class DeltaBucketWriter(BucketMergeWriter):
         # an oversized bucket leaves compaction as several suffix
         # children, each with its own single base file
         merged = merge_bucket_files(
-            [manifest.file_path(n) for n in files], drop_tombstones=True
+            [manifest.file_path(n) for n in files],
+            drop_tombstones=True,
+            filesystem=self.fs,
         )
         pieces = self._maybe_split(bucket, merged)
         rows = []
@@ -374,10 +388,8 @@ class DeltaBucketWriter(BucketMergeWriter):
             piece_pid = f"{suffix:05d}"
             base = f"base-{piece_pid}-{self._wm_tag}.parquet"
             btmp = manifest.tmp_file_path(base)
-            with open(btmp, "wb") as f:
+            with fs_open_output(self.fs, btmp) as f:
                 pq.write_table(piece, f)
-                f.flush()
-                os.fsync(f.fileno())
             manifest.promote_file(base)
             rows.append(
                 {
@@ -400,6 +412,7 @@ def merge_bucket_files(
     drop_tombstones: bool = True,
     columns: list[str] | None = None,
     filter_expr=None,
+    filesystem=None,
 ) -> pa.Table:
     """LWW merge-on-read of one bucket's committed file set (optional
     base + per-window deltas). Schemas may differ across windows
@@ -423,15 +436,15 @@ def merge_bucket_files(
     if columns is not None:
         need = list(dict.fromkeys(list(columns) + LAKE_KEY + ["commit_seq", "op"]))
     def _read_one(p: str) -> pa.Table:
-        present = set(pq.read_schema(p).names)
+        present = set(pq.read_schema(p, filesystem=filesystem).names)
         cols = [c for c in need if c in present] if need is not None else None
         if filter_expr is not None:
-            return pads.dataset(p, format="parquet").to_table(
+            return pads.dataset(p, format="parquet", filesystem=filesystem).to_table(
                 columns=cols, filter=filter_expr
             )
         if need is None:
-            return pq.read_table(p)
-        return pq.read_table(p, columns=cols)
+            return pq.read_table(p, filesystem=filesystem)
+        return pq.read_table(p, columns=cols, filesystem=filesystem)
 
     tables = [_read_one(p) for p in paths]
     if len(tables) == 1 and drop_tombstones is False:
@@ -636,7 +649,8 @@ def select_files_as_of(sets: dict[str, list[str]], as_of) -> dict[str, list[str]
 
 
 def changes_between(
-    lake_dir: str, since, until=None, columns: list[str] | None = None
+    lake_dir: str, since, until=None, columns: list[str] | None = None,
+    filesystem=None,
 ) -> "ray.data.Dataset":
     """CDC feed OUT of the delta lake: one row per key changed in the
     windows committed after ``since`` and at-or-before ``until``
@@ -653,7 +667,9 @@ def changes_between(
     no shuffle (files are already key-partitioned)."""
     since_tag = _as_of_tag(since)
     until_tag = _as_of_tag(until) if until is not None else None
-    sets = PartitionManifest(lake_dir).committed_file_sets()
+    manifest = PartitionManifest(lake_dir, filesystem=filesystem)
+    filesystem = manifest.fs
+    sets = manifest.committed_file_sets()
     selected: dict[str, list[str]] = {}
     for pid, fs in sorted(sets.items()):
         kept: list[str] = []
@@ -689,7 +705,8 @@ def changes_between(
     def merge_read(batch: pa.Table):
         for paths in batch.column("paths").to_pylist():
             merged = merge_bucket_files(
-                paths.split("\n"), drop_tombstones=False, columns=columns
+                paths.split("\n"), drop_tombstones=False, columns=columns,
+                filesystem=filesystem,
             )
             yield merged.select(columns) if columns else merged
 
@@ -707,7 +724,7 @@ _DIFF_SCHEMA = pa.schema(
 )
 
 
-def snapshot_diff(lake_dir: str, v1, v2) -> "ray.data.Dataset":
+def snapshot_diff(lake_dir: str, v1, v2, filesystem=None) -> "ray.data.Dataset":
     """Set-level diff between two committed lake versions: one row per
     key whose live state differs between the ``v1`` and ``v2``
     snapshots, classified ``added`` (absent at v1), ``deleted``
@@ -731,7 +748,9 @@ def snapshot_diff(lake_dir: str, v1, v2) -> "ray.data.Dataset":
     compaction (the only split point in the delta layout) folded
     history after ``v1`` — if both selections succeed, no key moved
     buckets between the two versions."""
-    sets = PartitionManifest(lake_dir).committed_file_sets()
+    manifest = PartitionManifest(lake_dir, filesystem=filesystem)
+    filesystem = manifest.fs
+    sets = manifest.committed_file_sets()
     old_sets = select_files_as_of(sets, v1)
     new_sets = select_files_as_of(sets, v2)
     pids = sorted(set(old_sets) | set(new_sets))
@@ -759,7 +778,8 @@ def snapshot_diff(lake_dir: str, v1, v2) -> "ray.data.Dataset":
                 }
             )
         t = merge_bucket_files(
-            paths.split("\n"), drop_tombstones=True, columns=["commit_seq"]
+            paths.split("\n"), drop_tombstones=True, columns=["commit_seq"],
+            filesystem=filesystem,
         )
         return t.select(LAKE_KEY + ["commit_seq"]).rename_columns(
             LAKE_KEY + [seq_name]
@@ -806,7 +826,7 @@ def diff_states(old: pa.Table, new: pa.Table) -> pa.Table:
 
 
 def read_lake(
-    lake_dir: str, columns: list[str] | None = None, as_of=None
+    lake_dir: str, columns: list[str] | None = None, as_of=None, filesystem=None
 ) -> "ray.data.Dataset":
     """Read the committed lake partitions (manifest-listed files only).
 
@@ -816,16 +836,17 @@ def read_lake(
     partitioned by the bucket hash of the upsert key). ``as_of``
     (delta layout only) reads the lake AS OF an earlier window's
     watermark (see select_files_as_of)."""
-    sets = PartitionManifest(lake_dir).committed_file_sets()
+    manifest = PartitionManifest(lake_dir, filesystem=filesystem)
+    sets = manifest.committed_file_sets()
     if as_of is not None:
         sets = select_files_as_of(sets, as_of)
     if not sets:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")
-    return read_file_sets(sets, columns=columns)
+    return read_file_sets(sets, columns=columns, filesystem=manifest.fs)
 
 
 def read_file_sets(
-    sets: dict[str, list[str]], columns: list[str] | None = None
+    sets: dict[str, list[str]], columns: list[str] | None = None, filesystem=None
 ) -> "ray.data.Dataset":
     """Merge-on-read over explicit pid -> file-path sets — the kernel of
     ``read_lake``, reusable on file sets that are NOT (yet) the
@@ -834,7 +855,7 @@ def read_file_sets(
     pipelines.cdc_replay.AuditReport.read_state)."""
     if all(len(fs) == 1 and _is_merged_file(fs[0]) for fs in sets.values()):
         files = [fs[0] for _, fs in sorted(sets.items())]
-        return ray.data.read_parquet(files, columns=columns)
+        return ray.data.read_parquet(files, columns=columns, filesystem=filesystem)
 
     specs = ray.data.from_items(
         [{"pid": pid, "paths": "\n".join(fs)} for pid, fs in sorted(sets.items())]
@@ -843,7 +864,8 @@ def read_file_sets(
     def merge_read(batch: pa.Table):
         for paths in batch.column("paths").to_pylist():
             merged = merge_bucket_files(
-                paths.split("\n"), drop_tombstones=True, columns=columns
+                paths.split("\n"), drop_tombstones=True, columns=columns,
+                filesystem=filesystem,
             )
             yield merged.select(columns) if columns else merged
 
@@ -851,11 +873,13 @@ def read_file_sets(
 
 
 def read_lake_table(
-    lake_dir: str, columns: list[str] | None = None, as_of=None
+    lake_dir: str, columns: list[str] | None = None, as_of=None, filesystem=None
 ) -> pa.Table:
     """Driver-side (small-result) materialization of the lake;
     ``as_of`` = time travel (delta layout, see select_files_as_of)."""
-    sets = PartitionManifest(lake_dir).committed_file_sets()
+    manifest = PartitionManifest(lake_dir, filesystem=filesystem)
+    filesystem = manifest.fs
+    sets = manifest.committed_file_sets()
     if as_of is not None:
         sets = select_files_as_of(sets, as_of)
     if not sets:
@@ -864,12 +888,17 @@ def read_lake_table(
     for _, fs in sorted(sets.items()):
         if len(fs) == 1 and _is_merged_file(fs[0]):
             if columns:
-                present = set(pq.read_schema(fs[0]).names)
-                merged = pq.read_table(fs[0], columns=[c for c in columns if c in present])
+                present = set(pq.read_schema(fs[0], filesystem=filesystem).names)
+                merged = pq.read_table(
+                    fs[0], columns=[c for c in columns if c in present],
+                    filesystem=filesystem,
+                )
             else:
-                merged = pq.read_table(fs[0])
+                merged = pq.read_table(fs[0], filesystem=filesystem)
         else:  # delta sets (even singletons) still hold tombstones
-            merged = merge_bucket_files(fs, drop_tombstones=True, columns=columns)
+            merged = merge_bucket_files(
+                fs, drop_tombstones=True, columns=columns, filesystem=filesystem
+            )
         tables.append(merged.select(columns) if columns else merged)
     return pa.concat_tables(tables, promote_options="permissive")
 
@@ -885,6 +914,7 @@ def lookup_keys(
     lake_dir: str,
     keys: list[tuple[str, str]],
     columns: list[str] | None = None,
+    filesystem=None,
 ) -> pa.Table:
     """Point lookup with partition pruning: read ONLY the buckets the
     requested ``(repo, path)`` keys route to, never the whole lake.
@@ -909,7 +939,8 @@ def lookup_keys(
     )
     from embulk_input_marketo_ray.state.manifest import PartitionManifest
 
-    manifest = PartitionManifest(lake_dir)
+    manifest = PartitionManifest(lake_dir, filesystem=filesystem)
+    filesystem = manifest.fs
     state = manifest.load()
     num_buckets = state.get("num_buckets")
     if num_buckets is None:
@@ -953,7 +984,8 @@ def lookup_keys(
         if not fs:
             continue  # bucket never received data -> keys absent
         merged = merge_bucket_files(
-            fs, drop_tombstones=True, columns=columns, filter_expr=probe_filter
+            fs, drop_tombstones=True, columns=columns, filter_expr=probe_filter,
+            filesystem=filesystem,
         )
         joined = pc.binary_join_element_wise(
             merged.column("repo").cast(pa.string()),
@@ -965,14 +997,15 @@ def lookup_keys(
         out.append(part.select(columns) if columns else part)
     if not out:
         empty = merge_bucket_files(
-            [fs[0] for fs in list(committed.values())[:1]], drop_tombstones=True
+            [fs[0] for fs in list(committed.values())[:1]], drop_tombstones=True,
+            filesystem=filesystem,
         ).slice(0, 0)
         return empty.select(columns) if columns else empty
     return pa.concat_tables(out, promote_options="permissive")
 
 
 
-def lake_stats(lake_dir: str) -> dict:
+def lake_stats(lake_dir: str, filesystem=None) -> dict:
     """ANALYZE-style lake inventory from metadata alone: per-partition
     physical rows (parquet footers) + last-commit lineage rows, file
     count/bytes, parquet row-group count
@@ -985,23 +1018,30 @@ def lake_stats(lake_dir: str) -> dict:
     The sortedness probe compares each row group's first-key-column
     min/max chain (ascending => clustered); it is exact for what the
     pruning path (merge_bucket_files filter_expr) feeds on."""
-    manifest = PartitionManifest(lake_dir)
+    manifest = PartitionManifest(lake_dir, filesystem=filesystem)
+    filesystem = manifest.fs
+
+    def _pf(path: str) -> pq.ParquetFile:
+        if filesystem is None:
+            return pq.ParquetFile(path)
+        return pq.ParquetFile(filesystem.open_input_file(path))
+
     state = manifest.load()
     parts = {}
     totals = {"rows": 0, "files": 0, "bytes": 0, "row_groups": 0}
     for pid, entry in sorted(state["partitions"].items()):
         names = entry.get("files") or [f"part-{pid}.parquet"]
         paths = [manifest.file_path(n) for n in names]
-        nbytes = sum(os.path.getsize(p) for p in paths)
+        nbytes = sum(fs_file_size(filesystem, p) for p in paths)
         row_groups = 0
         physical_rows = 0
         clustered = None
         for p in paths:
-            md = pq.ParquetFile(p).metadata
+            md = _pf(p).metadata
             row_groups += md.num_row_groups
             physical_rows += md.num_rows
         if len(paths) == 1 and _is_merged_file(paths[0]):
-            pf = pq.ParquetFile(paths[0])
+            pf = _pf(paths[0])
             try:
                 ri = pf.schema_arrow.names.index(LAKE_KEY[0])
                 chain = [
@@ -1037,7 +1077,7 @@ def lake_stats(lake_dir: str) -> dict:
     }
 
 
-def vacuum(lake_dir: str, dry_run: bool = False) -> list[str]:
+def vacuum(lake_dir: str, dry_run: bool = False, filesystem=None) -> list[str]:
     """Remove lake data files the manifest no longer references:
     compaction-superseded deltas (a compaction rewrites a partition's
     file list to its single ``base-`` file, orphaning the old per-window
@@ -1056,12 +1096,14 @@ def vacuum(lake_dir: str, dry_run: bool = False) -> list[str]:
     vacuum does not reduce the reachable history."""
     from embulk_input_marketo_ray.state.manifest import PartitionManifest
 
-    manifest = PartitionManifest(lake_dir)
+    manifest = PartitionManifest(lake_dir, filesystem=filesystem)
+    filesystem = manifest.fs
+    lake_dir = manifest.out_dir
     referenced = {os.path.basename(p) for fs in manifest.committed_file_sets().values() for p in fs}
     removed: list[str] = []
-    for name in sorted(os.listdir(lake_dir)):
+    for name in fs_listdir(filesystem, lake_dir):
         full = os.path.join(lake_dir, name)
-        if not os.path.isfile(full):
+        if not fs_isfile(filesystem, full):
             continue
         is_data = name.endswith(".parquet") and (
             name.startswith(("part-", "base-", "delta-"))
@@ -1069,13 +1111,13 @@ def vacuum(lake_dir: str, dry_run: bool = False) -> list[str]:
         if is_data and name not in referenced:
             removed.append(full)
     tmp_dir = os.path.join(lake_dir, "_tmp")
-    if os.path.isdir(tmp_dir):
+    if fs_isdir(filesystem, tmp_dir):
         removed.extend(
-            os.path.join(tmp_dir, n) for n in sorted(os.listdir(tmp_dir))
+            os.path.join(tmp_dir, n) for n in fs_listdir(filesystem, tmp_dir)
         )
     if not dry_run:
         for p in removed:
-            os.remove(p)
+            fs_delete(filesystem, p)
     return removed
 
 
@@ -1085,6 +1127,7 @@ def compact(
     dry_run: bool = False,
     sort: bool = False,
     row_group_rows: int = 16384,
+    filesystem=None,
 ) -> list[dict]:
     """Standalone lake maintenance: fold every delta-layout partition's
     base+delta files into ONE fresh base file (tombstones dropped) —
@@ -1130,7 +1173,8 @@ def compact(
 
     from embulk_input_marketo_ray.state.manifest import PartitionManifest
 
-    manifest = PartitionManifest(lake_dir)
+    manifest = PartitionManifest(lake_dir, filesystem=filesystem)
+    filesystem = manifest.fs
     state = manifest.load()
     work: list[tuple[str, list[str], str]] = []
     for pid, entry in sorted(state["partitions"].items()):
@@ -1148,9 +1192,10 @@ def compact(
         return [{"pid": pid, "files_merged": len(ns), "rows": None} for pid, ns, _ in work]
 
     def _compact_one(pid: str, names: list[str], tag: str) -> dict:
-        m = PartitionManifest(lake_dir)
+        m = PartitionManifest(lake_dir, filesystem=filesystem)
         merged = merge_bucket_files(
-            [m.file_path(n) for n in names], drop_tombstones=True
+            [m.file_path(n) for n in names], drop_tombstones=True,
+            filesystem=filesystem,
         )
         if sort:
             merged = merged.sort_by(
@@ -1158,12 +1203,10 @@ def compact(
             )
         base = f"base-{pid}-{tag}.parquet"
         tmp = m.tmp_file_path(base)
-        with open(tmp, "wb") as f:
+        with fs_open_output(filesystem, tmp) as f:
             pq.write_table(
                 merged, f, row_group_size=row_group_rows if sort else None
             )
-            f.flush()
-            os.fsync(f.fileno())
         m.promote_file(base)
         return {
             "pid": pid,

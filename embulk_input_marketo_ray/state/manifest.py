@@ -19,6 +19,15 @@ from __future__ import annotations
 import json
 import os
 
+from embulk_input_marketo_ray.state.fsio import (
+    fs_exists,
+    fs_mkdirs,
+    fs_open_output,
+    fs_read_json,
+    fs_replace,
+    resolve_path,
+)
+
 
 class PartitionManifest:
     """Atomic record of committed output partitions.
@@ -34,20 +43,25 @@ class PartitionManifest:
     data file; the re-run overwrites it deterministically.
     """
 
-    def __init__(self, out_dir: str) -> None:
+    def __init__(self, out_dir: str, filesystem=None) -> None:
+        # ``filesystem``: optional pyarrow.fs.FileSystem routing ALL
+        # manifest/data IO (state/fsio.py seam); None = local POSIX
+        # fast path. URI-style out_dir ("s3://...") auto-resolves.
+        if filesystem is None:
+            filesystem, out_dir = resolve_path(out_dir)
+        self.fs = filesystem
         self.out_dir = out_dir
         self.tmp_dir = os.path.join(out_dir, "_tmp")
         self.path = os.path.join(out_dir, "manifest.json")
 
     def prepare(self) -> None:
-        os.makedirs(self.out_dir, exist_ok=True)
-        os.makedirs(self.tmp_dir, exist_ok=True)
+        fs_mkdirs(self.fs, self.out_dir)
+        fs_mkdirs(self.fs, self.tmp_dir)
 
     def load(self) -> dict:
-        if not os.path.exists(self.path):
+        if not fs_exists(self.fs, self.path):
             return {"partitions": {}}
-        with open(self.path) as f:
-            return json.load(f)
+        return fs_read_json(self.fs, self.path)
 
     def committed_ids(self) -> set[str]:
         return set(self.load()["partitions"].keys())
@@ -105,8 +119,10 @@ class PartitionManifest:
         return os.path.join(self.tmp_dir, f"part-{pid}.parquet")
 
     def promote(self, pid: str) -> None:
-        """Atomically move a finished tmp partition file into place."""
-        os.replace(self.tmp_path(pid), self.data_path(pid))
+        """Atomically move a finished tmp partition file into place
+        (atomic locally; see fsio.fs_replace for the object-store
+        caveat — visibility still comes from the manifest commit)."""
+        fs_replace(self.fs, self.tmp_path(pid), self.data_path(pid))
 
     # --- named-file variants (delta lake layout: a partition is a SET
     # of files — optional base + per-window deltas — listed in its
@@ -119,7 +135,7 @@ class PartitionManifest:
         return os.path.join(self.tmp_dir, name)
 
     def promote_file(self, name: str) -> None:
-        os.replace(self.tmp_file_path(name), self.file_path(name))
+        fs_replace(self.fs, self.tmp_file_path(name), self.file_path(name))
 
     def files_of(self, pid: str) -> list[str]:
         """Committed file names of a partition: the entry's "files"
@@ -149,11 +165,9 @@ class PartitionManifest:
         # check_routing_version) instead of silently double-keying it
         state["routing_hash"] = ROUTING_HASH_VERSION
         tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.path)
+        with fs_open_output(self.fs, tmp) as f:
+            f.write(json.dumps(state, sort_keys=True).encode())
+        fs_replace(self.fs, tmp, self.path)
 
     def committed_files(self) -> list[str]:
         state = self.load()

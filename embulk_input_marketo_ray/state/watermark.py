@@ -99,15 +99,22 @@ class WatermarkCheckpoint:
     (delegate/MarketoBaseBulkExtractInputPlugin.java:125-137).
     """
 
-    def __init__(self, state_dir: str) -> None:
+    def __init__(self, state_dir: str, filesystem=None) -> None:
+        # optional pyarrow.fs routing (state/fsio.py seam); None = POSIX
+        from embulk_input_marketo_ray.state.fsio import resolve_path
+
+        if filesystem is None:
+            filesystem, state_dir = resolve_path(state_dir)
+        self.fs = filesystem
         self.state_dir = state_dir
         self.path = os.path.join(state_dir, "checkpoint.json")
 
     def load(self) -> dict | None:
-        if not os.path.exists(self.path):
+        from embulk_input_marketo_ray.state.fsio import fs_exists, fs_read_json
+
+        if not fs_exists(self.fs, self.path):
             return None
-        with open(self.path) as f:
-            return json.load(f)
+        return fs_read_json(self.fs, self.path)
 
     def from_date(self, default: datetime) -> datetime:
         state = self.load()
@@ -117,7 +124,12 @@ class WatermarkCheckpoint:
 
     def advance(self, to_date: datetime, report_duration: timedelta | None = None) -> None:
         """``from_date := to_date`` for the next run; atomic write."""
-        os.makedirs(self.state_dir, exist_ok=True)
+        from embulk_input_marketo_ray.state.fsio import (
+            fs_mkdirs,
+            fs_write_json_atomic,
+        )
+
+        fs_mkdirs(self.fs, self.state_dir)
         prev = self.load() or {"runs": 0}
         state = {
             "from_date": to_date.strftime(_ISO),
@@ -126,9 +138,4 @@ class WatermarkCheckpoint:
             ),
             "runs": prev.get("runs", 0) + 1,
         }
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.path)
+        fs_write_json_atomic(self.fs, self.path, state)
