@@ -961,12 +961,58 @@ _ORACLE_BUILDERS = {
 }
 
 
+def _package_code_key() -> str:
+    """sha256 over every .py of the package — the oracle outputs are
+    pure functions of (sf_dir, package code), so this key makes the
+    materialize cache exactly as fresh as the code. ~1 MB, <10 ms."""
+    import hashlib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(p.encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()
+
+
 def materialize(sf_dir: str, out_dir: str | None = None) -> dict[str, str]:
     """Write every parquet oracle for ``sf_dir``; returns name->path.
-    Idempotent (atomic replace); cheap at correctness scale (500 docs)."""
+    Idempotent (atomic replace); cheap at correctness scale (500 docs).
+
+    Cached on (sf_dir, package code): a ``_cache_key.json`` stamped
+    with the package-source sha skips the full rebuild when nothing
+    changed — the oracles are deterministic functions of exactly those
+    two inputs, so the cache can never serve stale results across a
+    code edit (the key changes) or a different sf_dir (the dir path
+    changes). Repeated oracle_sql()/test sessions drop from ~20 s of
+    recompute to one hash."""
+    import json as _json
+
     tag = sf_dir.strip("/").replace("/", "_")
     out_dir = out_dir or os.path.join(ORACLE_DIR, tag)
-    return {name: _write(name, fn(sf_dir), out_dir) for name, fn in _ORACLE_BUILDERS.items()}
+    paths = {
+        name: os.path.join(out_dir, f"{name}.parquet") for name in _ORACLE_BUILDERS
+    }
+    key_path = os.path.join(out_dir, "_cache_key.json")
+    key = _package_code_key() + "|" + sf_dir
+    try:
+        with open(key_path) as f:
+            cached = _json.load(f).get("key")
+        if cached == key and all(os.path.exists(p) for p in paths.values()):
+            return paths
+    except (OSError, ValueError):
+        pass
+    out = {name: _write(name, fn(sf_dir), out_dir) for name, fn in _ORACLE_BUILDERS.items()}
+    tmp = key_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"key": key}, f)
+    os.replace(tmp, key_path)
+    return out
 
 
 def oracle_embedding_outliers(sf_dir: str, top_k: int = 5) -> pa.Table:
