@@ -162,6 +162,24 @@ def _clean_schema(path: str, columns=None) -> pa.Schema:
     return pa.schema(fields)
 
 
+# Below this input size the read gets an EXPLICIT block count: Ray's
+# dynamic block splitting (file sampling + SplitBlocks planning) costs
+# a measured ~0.25 s PER EXECUTION regardless of data size — pure fixed
+# cost on a sub-64MB table, the dominant term of every small catalog
+# query. Explicit blocks keep 4..cpus-way parallelism without the
+# sampling pass; big inputs keep Ray's dynamic sizing (the 100 TB path
+# is unchanged).
+_READ_DYNAMIC_BYTES = 64 << 20
+_READ_BLOCK_BYTES = 256 << 10
+
+
+def _small_read_blocks(total_bytes: int) -> int | None:
+    if total_bytes >= _READ_DYNAMIC_BYTES:
+        return None
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(4, min(cpus, total_bytes // _READ_BLOCK_BYTES + 1))
+
+
 def _read(sf_dir: str, name: str, columns=None, **kw):
     path = _t(sf_dir, name)
     import os as _os
@@ -173,7 +191,12 @@ def _read(sf_dir: str, name: str, columns=None, **kw):
     _ensure_hash_shuffle()
     # multi-table queries read the big driving table first, so its size
     # (not a small lookup side's) governs the plan's shuffle width
-    _tune_shuffle_for_bytes(_os.path.getsize(path))
+    nbytes = _os.path.getsize(path)
+    _tune_shuffle_for_bytes(nbytes)
+    if "override_num_blocks" not in kw:
+        blocks = _small_read_blocks(nbytes)
+        if blocks is not None:
+            kw["override_num_blocks"] = blocks
     return ray.data.read_parquet(
         path, columns=columns, schema=_clean_schema(path, columns), **kw
     )
@@ -190,8 +213,14 @@ def _read_events(columns=None, n: int | None = None):
     events = _cdc_events_dir() if n is None else _cdc_events_dir(n)
     files = sorted(_glob.glob(f"{events}/events_*.parquet"))
     _ensure_hash_shuffle()  # before creation — see _read
-    _tune_shuffle_for_bytes(sum(_os.path.getsize(f) for f in files))
-    return ray.data.read_parquet(files, columns=columns)
+    nbytes = sum(_os.path.getsize(f) for f in files)
+    _tune_shuffle_for_bytes(nbytes)
+    blocks = _small_read_blocks(nbytes)
+    # explicit blocks can't go below the file count (Ray would coalesce
+    # metadata fetches but still pays the sampling pass otherwise)
+    if blocks is not None:
+        blocks = max(blocks, len(files))
+    return ray.data.read_parquet(files, columns=columns, override_num_blocks=blocks)
 
 
 
@@ -3595,46 +3624,59 @@ def q_bigram_collocations(sf_dir: str):
     _ensure_hash_shuffle()
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def bigrams_block(batch: pa.Table) -> pa.Table:
+    # ONE tokenize pass + ONE keyed exchange for both count tables:
+    # unigrams ride the same (t1, t2) key with the empty-string
+    # sentinel in t2 (tokens are never empty — _explode_doc_tokens
+    # strips boundary empties), halving the corpus passes and
+    # collapsing the two grouped aggregates into one.
+    _GRAMS_SCHEMA = pa.schema(
+        [("t1", pa.string()), ("t2", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def grams_block(batch: pa.Table) -> pa.Table:
         flat, doc_of, _ = _explode_doc_tokens(batch)
         n = len(flat)
-        empty = pa.table(
-            {
-                "t1": pa.array([], type=pa.string()),
-                "t2": pa.array([], type=pa.string()),
-                "n_xy": pa.array([], type=pa.int64()),
-            }
-        )
-        if n < 2:
-            return empty
-        valid = pa.array(doc_of[1:] == doc_of[:-1])
-        t = pa.table(
-            {"t1": flat.slice(0, n - 1), "t2": flat.slice(1)}
-        ).filter(valid)
+        if n == 0:
+            return _GRAMS_SCHEMA.empty_table()
+        parts = [
+            pa.table(
+                {
+                    "t1": flat,
+                    "t2": pa.array(np.full(n, "", dtype=object), type=pa.string()),
+                }
+            )
+        ]
+        if n >= 2:
+            valid = pa.array(doc_of[1:] == doc_of[:-1])
+            parts.append(
+                pa.table(
+                    {"t1": flat.slice(0, n - 1), "t2": flat.slice(1)}
+                ).filter(valid)
+            )
+        t = pa.concat_tables(parts)
         out = t.group_by(["t1", "t2"]).aggregate([([], "count_all")])
         return out.rename_columns(
-            ["n_xy" if c == "count_all" else c for c in out.column_names]
-        ).select(["t1", "t2", "n_xy"])
+            ["cnt" if c == "count_all" else c for c in out.column_names]
+        ).select(["t1", "t2", "cnt"]).cast(_GRAMS_SCHEMA)
 
-    def unigrams_block(batch: pa.Table) -> pa.Table:
-        flat, _, _ = _explode_doc_tokens(batch)
-        out = pa.table({"token": flat}).group_by(["token"]).aggregate(
-            [([], "count_all")]
-        )
-        return out.rename_columns(
-            ["n" if c == "count_all" else c for c in out.column_names]
-        ).select(["token", "n"])
-
-    pair_counts = grouped_aggregate(
-        ds.map_batches(bigrams_block, batch_format="pyarrow"),
+    counts = grouped_aggregate(
+        ds.map_batches(grams_block, batch_format="pyarrow"),
         ["t1", "t2"],
-        [("n_xy", "sum", "n_xy")],
-    )
-    uni = grouped_aggregate(
-        ds.map_batches(unigrams_block, batch_format="pyarrow"),
-        ["token"],
-        [("n", "sum", "n")],
+        [("cnt", "sum", "cnt")],
     ).materialize()
+
+    def split_uni(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.equal(b.column("t2"), pa.scalar("")))
+        return pa.table({"token": sel.column("t1"), "n": sel.column("cnt")})
+
+    def split_pairs(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.not_equal(b.column("t2"), pa.scalar("")))
+        return pa.table(
+            {"t1": sel.column("t1"), "t2": sel.column("t2"), "n_xy": sel.column("cnt")}
+        )
+
+    pair_counts = counts.map_batches(split_pairs, batch_format="pyarrow")
+    uni = counts.map_batches(split_uni, batch_format="pyarrow").materialize()
     total_tokens = int(uni.sum(on="n") or 0)
     uni = drop_schemaless_blocks(
         uni, pa.schema([("token", pa.string()), ("n", pa.int64())])
@@ -6285,14 +6327,16 @@ def q_dq_audit(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    report = null_name.union(bad_qty).union(orphans).union(dup_keys)
     # the partial stream is bounded by checks x blocks (one row per
     # block per check), so the merge is a driver fold — the bounded-
-    # domain histogram idiom, not an exchange
-    parts = report.take_all()
+    # domain histogram idiom, not an exchange. Each check executes as
+    # its own dataset: Dataset.union costs ~0.5 s of non-streaming
+    # per-input overhead in Ray 2.49, which dominated these four tiny
+    # counter streams (measured 2.1 s -> 0.6 s for the whole audit)
     totals: dict[str, int] = {}
-    for r in parts:
-        totals[r["check_name"]] = totals.get(r["check_name"], 0) + int(r["bad_rows"])
+    for branch in (null_name, bad_qty, orphans, dup_keys):
+        for r in branch.take_all():
+            totals[r["check_name"]] = totals.get(r["check_name"], 0) + int(r["bad_rows"])
     names = sorted(totals)
     return pa.table(
         {
