@@ -190,6 +190,17 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+def _index_read_blocks(files: list[str]) -> int | None:
+    """Explicit block count for index-file reads: Ray's dynamic block
+    splitting costs ~0.25 s of sampling per execution — pure overhead
+    on the small committed-file sets a probe touches. Above 64 MB keep
+    dynamic sizing (the historical-corpus path)."""
+    total = sum(os.path.getsize(f) for f in files)
+    if total >= (64 << 20):
+        return None
+    return max(4, len(files))
+
+
 def _next_seq(state: dict) -> int:
     """Monotonic commit sequence shared by ingests and deletes (assigned
     under the manifest lock, so commit order == seq order). It scopes
@@ -751,7 +762,11 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
         # bucket=<b> path segment would otherwise be appended as a
         # string column and break the union schema)
         old_band_sides.append(
-            ray.data.read_parquet(files, columns=["band", "band_hash", "doc_id"])
+            ray.data.read_parquet(
+                files,
+                columns=["band", "band_hash", "doc_id"],
+                override_num_blocks=_index_read_blocks(files),
+            )
             .map_batches(make_band_pruner(file_seq), batch_format="pyarrow")
             .map_batches(
                 _SideBands(side=0, num_buckets=num_buckets), batch_format="pyarrow"
@@ -817,9 +832,11 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
 
     for file_seq, files in _committed_files_by_seq(state, index_dir, "sigs", sig_buckets):
         sig_sides.append(
-            ray.data.read_parquet(files, columns=["doc_id", "minhash"]).map_batches(
-                make_sig_pruner(file_seq), batch_format="pyarrow"
-            )
+            ray.data.read_parquet(
+                files,
+                columns=["doc_id", "minhash"],
+                override_num_blocks=_index_read_blocks(files),
+            ).map_batches(make_sig_pruner(file_seq), batch_format="pyarrow")
         )
     sigs_all = sig_sides[0] if len(sig_sides) == 1 else sig_sides[0].union(*sig_sides[1:])
     verified = attach_and_verify_sigs(pairs, sigs_all, num_perm, agree_slots)

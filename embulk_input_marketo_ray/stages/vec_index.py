@@ -45,6 +45,7 @@ import pyarrow.parquet as pq
 
 from embulk_input_marketo_ray.stages.sig_index import (
     _BASE_FILE_SEQ,
+    _index_read_blocks,
     _LEGACY_DELETE_SEQ,
     _LEGACY_INGEST_SEQ,
     _dead_mask,
@@ -441,7 +442,9 @@ def ann_topk_index(
 
     sides = [
         ray.data.read_parquet(
-            files, columns=["vec_id", "embedding", "cluster"]
+            files,
+            columns=["vec_id", "embedding", "cluster"],
+            override_num_blocks=_index_read_blocks(files),
         ).map_batches(make_score_block(file_seq), batch_format="pyarrow")
         for file_seq, files in file_groups
     ]
