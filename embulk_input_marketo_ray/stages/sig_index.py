@@ -69,6 +69,20 @@ from embulk_input_marketo_ray.stages.dedup import (
     explode_lsh_bands,
     sorted_member_mask,
 )
+from embulk_input_marketo_ray.state.fsio import (
+    fs_delete,
+    fs_exists,
+    fs_file_size,
+    fs_isdir,
+    fs_isfile,
+    fs_listdir,
+    fs_mkdirs,
+    fs_mtime,
+    fs_open_output,
+    fs_read_json,
+    fs_replace,
+    resolve_path,
+)
 
 def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest.json")
@@ -80,11 +94,17 @@ def init_index(
     num_perm: int = 64,
     num_buckets: int = 8,
     agree_slots: int = 32,
+    filesystem=None,
 ) -> dict:
     """Create an empty index (idempotent: an existing manifest with the
     same parameters is returned; different parameters raise — the band
-    hashes of two parameterizations are not comparable)."""
-    os.makedirs(index_dir, exist_ok=True)
+    hashes of two parameterizations are not comparable).
+
+    ``filesystem``: optional pyarrow.fs.FileSystem routing ALL index
+    state IO (state/fsio.py seam, same contract as the lake); None =
+    local POSIX fast path. URI-style index_dir auto-resolves."""
+    filesystem, index_dir = _resolve_index_fs(index_dir, filesystem)
+    fs_mkdirs(filesystem, index_dir)
     params = {
         "num_bands": num_bands,
         "num_perm": num_perm,
@@ -92,8 +112,8 @@ def init_index(
         "agree_slots": agree_slots,
     }
     path = _manifest_path(index_dir)
-    if os.path.exists(path):
-        state = json.load(open(path))
+    if fs_exists(filesystem, path):
+        state = fs_read_json(filesystem, path)
         got = {k: state[k] for k in params}
         if got != params:
             raise ValueError(
@@ -102,20 +122,27 @@ def init_index(
             )
         return state
     state = {**params, "ingests": {}}
-    _write_manifest(index_dir, state)
+    _write_manifest(index_dir, state, fs=filesystem)
     return state
 
 
-def _write_manifest(index_dir: str, state: dict) -> None:
+def _resolve_index_fs(index_dir: str, filesystem):
+    """(fs, path) front door shared by every index entry point."""
+    if filesystem is None:
+        return resolve_path(index_dir)
+    return filesystem, index_dir
+
+
+def _write_manifest(index_dir: str, state: dict, fs=None) -> None:
     path = _manifest_path(index_dir)
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(state, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+    with fs_open_output(fs, tmp) as f:
+        f.write(json.dumps(state, indent=1, sort_keys=True).encode())
+    fs_replace(fs, tmp, path)
 
 
 @contextlib.contextmanager
-def _manifest_lock(index_dir: str, timeout: float = 30.0, stale_after: float = 60.0):
+def _manifest_lock(index_dir: str, timeout: float = 30.0, stale_after: float = 60.0, fs=None):
     """Serialize manifest read-modify-write across concurrently
     submitted ingest / compact jobs (scripts/index_ingest.py presents
     them as independent cluster jobs). The commit critical section is
@@ -128,7 +155,16 @@ def _manifest_lock(index_dir: str, timeout: float = 30.0, stale_after: float = 6
     filesystem (atomic there, incl. NFSv3+ — the same requirement the
     manifest's ``os.replace`` commit already imposes). A crashed
     holder's lock goes stale after ``stale_after`` seconds and is
-    broken by the next waiter."""
+    broken by the next waiter.
+
+    Non-local filesystems (``fs`` set) have no O_EXCL: the lock
+    degrades to a no-op and the SINGLE-WRITER-PER-INDEX discipline is
+    the contract — the same caveat as the lake manifest on S3-class
+    stores (state/fsio.py docstring); a multi-writer deployment there
+    needs a conditional-put/lease protocol out of scope here."""
+    if fs is not None:
+        yield
+        return
     path = os.path.join(index_dir, "manifest.lock")
     deadline = time.time() + timeout
     while True:
@@ -158,8 +194,8 @@ def _manifest_lock(index_dir: str, timeout: float = 30.0, stale_after: float = 6
             os.unlink(path)
 
 
-def _load_manifest(index_dir: str) -> dict:
-    return json.load(open(_manifest_path(index_dir)))
+def _load_manifest(index_dir: str, fs=None) -> dict:
+    return fs_read_json(fs, _manifest_path(index_dir))
 
 
 def _committed_files(state: dict, index_dir: str, kind: str, buckets) -> list[str]:
@@ -183,19 +219,20 @@ def _committed_files(state: dict, index_dir: str, kind: str, buckets) -> list[st
     return out
 
 
-def _atomic_write(table: pa.Table, path: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+def _atomic_write(table: pa.Table, path: str, fs=None) -> None:
+    fs_mkdirs(fs, os.path.dirname(path))
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
+    with fs_open_output(fs, tmp) as f:
+        pq.write_table(table, f)
+    fs_replace(fs, tmp, path)
 
 
-def _index_read_blocks(files: list[str]) -> int | None:
+def _index_read_blocks(files: list[str], fs=None) -> int | None:
     """Explicit block count for index-file reads: Ray's dynamic block
     splitting costs ~0.25 s of sampling per execution — pure overhead
     on the small committed-file sets a probe touches. Above 64 MB keep
     dynamic sizing (the historical-corpus path)."""
-    total = sum(os.path.getsize(f) for f in files)
+    total = sum(fs_file_size(fs, f) for f in files)
     if total >= (64 << 20):
         return None
     return max(4, len(files))
@@ -266,7 +303,7 @@ def _committed_files_by_seq(
 TOMBSTONE_BROADCAST_LIMIT = 10_000_000
 
 
-def delete_docs(index_dir: str, doc_ids, delete_id: str) -> dict:
+def delete_docs(index_dir: str, doc_ids, delete_id: str, filesystem=None) -> dict:
     """Tombstone-delete admitted docs from the index — the CDC 'op =
     delete' story for the dedup state (GDPR erasure, retractions,
     re-crawls): subsequent ingests no longer match against the deleted
@@ -286,25 +323,26 @@ def delete_docs(index_dir: str, doc_ids, delete_id: str) -> dict:
     folded tombstone files. Historical ingest RESULTS are never
     rewritten — a verdict that pointed at a later-deleted doc is
     history, not state."""
+    fs, index_dir = _resolve_index_fs(index_dir, filesystem)
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
-    state = _load_manifest(index_dir)
+    state = _load_manifest(index_dir, fs=fs)
     if delete_id in state.get("deletes", {}):
         return state["deletes"][delete_id]
     path = os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
-    _atomic_write(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), path)
-    with _manifest_lock(index_dir):
-        state = _load_manifest(index_dir)  # re-read: no lost updates
+    _atomic_write(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), path, fs=fs)
+    with _manifest_lock(index_dir, fs=fs):
+        state = _load_manifest(index_dir, fs=fs)  # re-read: no lost updates
         if delete_id in state.get("deletes", {}):
             return state["deletes"][delete_id]
         seq = _next_seq(state)
         meta = {"n": int(len(ids)), "seq": seq}
         state.setdefault("deletes", {})[delete_id] = meta
         state["next_seq"] = seq + 1
-        _write_manifest(index_dir, state)
+        _write_manifest(index_dir, state, fs=fs)
     return meta
 
 
-def _tombstone_entries(state: dict, index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def _tombstone_entries(state: dict, index_dir: str, fs=None) -> tuple[np.ndarray, np.ndarray]:
     """(ids, seqs): sorted unique doc_ids of all committed NOT-yet-folded
     deletes, with each id's LATEST delete seq (folded tombstones are
     already absent from the bases). A row written by an ingest at seq s
@@ -314,7 +352,9 @@ def _tombstone_entries(state: dict, index_dir: str) -> tuple[np.ndarray, np.ndar
         if meta.get("folded"):
             continue
         p = os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
-        ids = np.asarray(pq.read_table(p).column("doc_id"), dtype=np.int64)
+        ids = np.asarray(
+            pq.read_table(p, filesystem=fs).column("doc_id"), dtype=np.int64
+        )
         parts.append(ids)
         seq_parts.append(
             np.full(len(ids), int(meta.get("seq", _LEGACY_DELETE_SEQ)), dtype=np.int64)
@@ -652,7 +692,7 @@ def attach_and_verify_sigs(pairs, sigs, num_perm: int, agree_slots: int):
     )
 
 
-def probe_docs(index_dir: str, docs) -> pa.Table:
+def probe_docs(index_dir: str, docs, filesystem=None) -> pa.Table:
     """READ-ONLY dedup lookup: the verdicts ``ingest`` would produce
     for ``docs`` — duplicate-of-index / duplicate-within-batch /
     admitted — WITHOUT mutating any state (no index append, no result
@@ -660,10 +700,12 @@ def probe_docs(index_dir: str, docs) -> pa.Table:
     these docs be duplicates?' before deciding to crawl / pay / store.
     Identical decision rule and scale shape to ``ingest`` (the probe is
     ingest minus its two write steps)."""
-    return ingest(index_dir, docs, ingest_id="__probe__", _commit=False)
+    return ingest(
+        index_dir, docs, ingest_id="__probe__", _commit=False, filesystem=filesystem
+    )
 
 
-def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
+def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True, filesystem=None):
     """Incrementally ingest ``docs`` (a Dataset with doc_id + text):
     flag each doc as duplicate-of-index / duplicate-within-batch /
     admitted, append admitted docs' bands + signatures to the index,
@@ -684,10 +726,11 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
         _shuffle_width,
     )
 
-    state = _load_manifest(index_dir)
+    fs, index_dir = _resolve_index_fs(index_dir, filesystem)
+    state = _load_manifest(index_dir, fs=fs)
     result_path = os.path.join(index_dir, "results", f"{ingest_id}.parquet")
     if ingest_id in state["ingests"]:
-        return pq.read_table(result_path)
+        return pq.read_table(result_path, filesystem=fs)
 
     num_bands = state["num_bands"]
     num_perm = state["num_perm"]
@@ -738,7 +781,7 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
     # Tombstones are SEQ-SCOPED: a delete kills only rows of ingests
     # committed before it, so files are read in per-ingest-seq groups
     # (group count = unfolded ingests, 1 right after a compaction)
-    tomb_ids, tomb_seqs = _tombstone_entries(state, index_dir)
+    tomb_ids, tomb_seqs = _tombstone_entries(state, index_dir, fs=fs)
     tomb_ref = ray.put((tomb_ids, tomb_seqs)) if len(tomb_ids) else None
 
     def make_band_pruner(file_seq: int):
@@ -765,7 +808,8 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
             ray.data.read_parquet(
                 files,
                 columns=["band", "band_hash", "doc_id"],
-                override_num_blocks=_index_read_blocks(files),
+                override_num_blocks=_index_read_blocks(files, fs=fs),
+                filesystem=fs,
             )
             .map_batches(make_band_pruner(file_seq), batch_format="pyarrow")
             .map_batches(
@@ -835,7 +879,8 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
             ray.data.read_parquet(
                 files,
                 columns=["doc_id", "minhash"],
-                override_num_blocks=_index_read_blocks(files),
+                override_num_blocks=_index_read_blocks(files, fs=fs),
+                filesystem=fs,
             ).map_batches(make_sig_pruner(file_seq), batch_format="pyarrow")
         )
     sigs_all = sig_sides[0] if len(sig_sides) == 1 else sig_sides[0].union(*sig_sides[1:])
@@ -1042,6 +1087,7 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
                     os.path.join(
                         index_dir, kind, f"bucket={int(bkt)}", f"{ingest_id}.parquet"
                     ),
+                    fs=fs,
                 )
                 out_kind.append(kind_code)
                 out_bucket.append(int(bkt))
@@ -1068,9 +1114,9 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
     # 6. record the result, then commit the manifest LAST (under the
     # commit lock: a concurrent compact's read-modify-write must not
     # interleave with ours, or one side's entry is lost)
-    _atomic_write(result, result_path)
-    with _manifest_lock(index_dir):
-        state = _load_manifest(index_dir)  # re-read: no lost updates
+    _atomic_write(result, result_path, fs=fs)
+    with _manifest_lock(index_dir, fs=fs):
+        state = _load_manifest(index_dir, fs=fs)  # re-read: no lost updates
         seq = _next_seq(state)
         state["ingests"][ingest_id] = {
             "bands_buckets": written_band_buckets,
@@ -1080,7 +1126,7 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
             "seq": seq,
         }
         state["next_seq"] = seq + 1
-        _write_manifest(index_dir, state)
+        _write_manifest(index_dir, state, fs=fs)
     return result
 
 
@@ -1089,7 +1135,7 @@ def ingest(index_dir: str, docs, ingest_id: str, _commit: bool = True):
 # ---------------------------------------------------------------------------
 
 
-def compact_index(index_dir: str) -> list[str]:
+def compact_index(index_dir: str, filesystem=None) -> list[str]:
     """Fold every bucket's per-ingest files into ONE base file per
     (kind, bucket) — the read-amplification fix once many small
     ingests have accumulated (a probe otherwise opens one file per
@@ -1104,7 +1150,8 @@ def compact_index(index_dir: str) -> list[str]:
     ``vacuum_index`` reclaims. Returns the new base file paths."""
     import ray
 
-    state = _load_manifest(index_dir)
+    fs, index_dir = _resolve_index_fs(index_dir, filesystem)
+    state = _load_manifest(index_dir, fs=fs)
     gen = int(state.get("base_gen", 0)) + 1
     # tombstone snapshot: these deletes' ids are dropped from the new
     # bases, so ONLY these delete entries flip to folded at commit (the
@@ -1113,7 +1160,7 @@ def compact_index(index_dir: str) -> list[str]:
     folded_delete_ids = {
         d for d, meta in state.get("deletes", {}).items() if not meta.get("folded")
     }
-    dead_ref = ray.put(_tombstone_entries(state, index_dir))
+    dead_ref = ray.put(_tombstone_entries(state, index_dir, fs=fs))
 
     @ray.remote
     def _fold(kind: str, bucket: int, files: list[tuple[str, int]]) -> str:
@@ -1123,14 +1170,14 @@ def compact_index(index_dir: str) -> list[str]:
         dead_ids, dead_seqs = ray.get(dead_ref)
         parts = []
         for f, file_seq in files:
-            t = pq.read_table(f)
+            t = pq.read_table(f, filesystem=fs)
             if len(dead_ids) and t.num_rows:
                 ids = np.asarray(t.column("doc_id"), dtype=np.int64)
                 t = t.filter(pa.array(~_dead_mask(dead_ids, dead_seqs, ids, file_seq)))
             parts.append(t)
         merged = pa.concat_tables(parts).combine_chunks()
         path = os.path.join(index_dir, kind, f"bucket={bucket}", f"base-{gen}.parquet")
-        _atomic_write(merged, path)
+        _atomic_write(merged, path, fs=fs)
         return path
 
     tasks = []
@@ -1179,8 +1226,8 @@ def compact_index(index_dir: str) -> list[str]:
     # not clobbered (an unlocked re-read still loses an ingest that
     # commits between it and the write), and mark folded ONLY the
     # snapshot's ingests
-    with _manifest_lock(index_dir):
-        state = _load_manifest(index_dir)
+    with _manifest_lock(index_dir, fs=fs):
+        state = _load_manifest(index_dir, fs=fs)
         state["base"] = new_base
         state["base_gen"] = gen
         for ingest_id in folded_ids:
@@ -1189,11 +1236,11 @@ def compact_index(index_dir: str) -> list[str]:
         for delete_id in folded_delete_ids:
             if delete_id in state.get("deletes", {}):
                 state["deletes"][delete_id]["folded"] = True
-        _write_manifest(index_dir, state)
+        _write_manifest(index_dir, state, fs=fs)
     return out_paths
 
 
-def vacuum_index(index_dir: str, grace_seconds: float = 900.0) -> list[str]:
+def vacuum_index(index_dir: str, grace_seconds: float = 900.0, filesystem=None) -> list[str]:
     """Remove every data file the manifest does not reference:
     superseded per-ingest files after a compaction, orphaned bases
     from a crashed compaction, and ``.tmp`` leftovers. Never touches
@@ -1207,7 +1254,8 @@ def vacuum_index(index_dir: str, grace_seconds: float = 900.0) -> list[str]:
     ingest can be running."""
     import time
 
-    state = _load_manifest(index_dir)
+    fs, index_dir = _resolve_index_fs(index_dir, filesystem)
+    state = _load_manifest(index_dir, fs=fs)
     referenced = set(_committed_files(state, index_dir, "bands", None))
     referenced.update(_committed_files(state, index_dir, "sigs", None))
     # unfolded tombstone files are live probe state; folded ones were
@@ -1221,23 +1269,23 @@ def vacuum_index(index_dir: str, grace_seconds: float = 900.0) -> list[str]:
     removed = []
     for kind in ("bands", "sigs", "deletes"):
         root = os.path.join(index_dir, kind)
-        if not os.path.isdir(root):
+        if not fs_isdir(fs, root):
             continue
-        for bucket_dir in sorted(os.listdir(root)):
+        for bucket_dir in fs_listdir(fs, root):
             d = os.path.join(root, bucket_dir)
             # deletes/ is flat (no bucket subdirs); bands/sigs nest
             files = (
-                [(d, None)] if os.path.isfile(d) else [(d, f) for f in sorted(os.listdir(d))]
+                [(d, None)] if fs_isfile(fs, d) else [(d, f) for f in fs_listdir(fs, d)]
             )
             for base, fname in files:
                 path = base if fname is None else os.path.join(base, fname)
                 if path in referenced:
                     continue
                 try:
-                    if now - os.path.getmtime(path) < grace_seconds:
+                    if now - fs_mtime(fs, path) < grace_seconds:
                         continue  # possibly an in-flight ingest's file
                 except OSError:
                     continue
-                os.remove(path)
+                fs_delete(fs, path)
                 removed.append(path)
     return removed

@@ -51,6 +51,19 @@ from embulk_input_marketo_ray.stages.sig_index import (
     _dead_mask,
     _manifest_lock,
     _next_seq,
+    _resolve_index_fs,
+)
+from embulk_input_marketo_ray.state.fsio import (
+    fs_delete,
+    fs_exists,
+    fs_isdir,
+    fs_isfile,
+    fs_listdir,
+    fs_mkdirs,
+    fs_mtime,
+    fs_open_output,
+    fs_read_json,
+    fs_replace,
 )
 from embulk_input_marketo_ray.stages.similarity import (
     kmeans_centroids,
@@ -62,35 +75,39 @@ def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest.json")
 
 
-def _write_manifest(index_dir: str, state: dict) -> None:
+def _write_manifest(index_dir: str, state: dict, fs=None) -> None:
     path = _manifest_path(index_dir)
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(state, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+    with fs_open_output(fs, tmp) as f:
+        f.write(json.dumps(state, indent=1, sort_keys=True).encode())
+    fs_replace(fs, tmp, path)
 
 
-def _load_manifest(index_dir: str) -> dict:
-    return json.load(open(_manifest_path(index_dir)))
+def _load_manifest(index_dir: str, fs=None) -> dict:
+    return fs_read_json(fs, _manifest_path(index_dir))
 
 
-def _atomic_write(table: pa.Table, path: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+def _atomic_write(table: pa.Table, path: str, fs=None) -> None:
+    fs_mkdirs(fs, os.path.dirname(path))
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
+    with fs_open_output(fs, tmp) as f:
+        pq.write_table(table, f)
+    fs_replace(fs, tmp, path)
 
 
 def init_vec_index(
-    index_dir: str, n_centroids: int = 32, seed: int = 7, train_rows: int = 4096
+    index_dir: str, n_centroids: int = 32, seed: int = 7, train_rows: int = 4096,
+    filesystem=None,
 ) -> dict:
     """Create an empty index (idempotent; parameter mismatch raises —
-    cluster assignments are not comparable across quantizers)."""
-    os.makedirs(index_dir, exist_ok=True)
+    cluster assignments are not comparable across quantizers).
+    ``filesystem``: optional pyarrow.fs routing (state/fsio.py seam)."""
+    fs, index_dir = _resolve_index_fs(index_dir, filesystem)
+    fs_mkdirs(fs, index_dir)
     params = {"n_centroids": n_centroids, "seed": seed, "train_rows": train_rows}
     path = _manifest_path(index_dir)
-    if os.path.exists(path):
-        state = json.load(open(path))
+    if fs_exists(fs, path):
+        state = fs_read_json(fs, path)
         got = {k: state[k] for k in params}
         if got != params:
             raise ValueError(
@@ -99,7 +116,7 @@ def init_vec_index(
             )
         return state
     state = {**params, "trained": False, "ingests": {}}
-    _write_manifest(index_dir, state)
+    _write_manifest(index_dir, state, fs=fs)
     return state
 
 
@@ -107,12 +124,12 @@ def _centroids_path(index_dir: str) -> str:
     return os.path.join(index_dir, "centroids.parquet")
 
 
-def _load_centroids(index_dir: str) -> np.ndarray:
-    t = pq.read_table(_centroids_path(index_dir))
+def _load_centroids(index_dir: str, fs=None) -> np.ndarray:
+    t = pq.read_table(_centroids_path(index_dir), filesystem=fs)
     return list_column_matrix(t.column("centroid"))
 
 
-def delete_vectors(index_dir: str, vec_ids, delete_id: str) -> dict:
+def delete_vectors(index_dir: str, vec_ids, delete_id: str, filesystem=None) -> dict:
     """Tombstone-delete indexed vectors — the embedding-side sibling of
     ``sig_index.delete_docs`` (erasure / retraction of indexed items):
     one ``deletes/<delete_id>.parquet`` id list committed to the
@@ -123,21 +140,22 @@ def delete_vectors(index_dir: str, vec_ids, delete_id: str) -> dict:
     compaction. Queries exclude tombstoned ids at scoring;
     ``compact_vec_index`` folds tombstones into the new bases and marks
     them folded; ``vacuum_vec_index`` reclaims folded tombstone files."""
+    fs, index_dir = _resolve_index_fs(index_dir, filesystem)
     ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
-    state = _load_manifest(index_dir)
+    state = _load_manifest(index_dir, fs=fs)
     if delete_id in state.get("deletes", {}):
         return state["deletes"][delete_id]
     path = os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
-    _atomic_write(pa.table({"vec_id": pa.array(ids, type=pa.int64())}), path)
-    with _manifest_lock(index_dir):
-        state = _load_manifest(index_dir)  # re-read: no lost updates
+    _atomic_write(pa.table({"vec_id": pa.array(ids, type=pa.int64())}), path, fs=fs)
+    with _manifest_lock(index_dir, fs=fs):
+        state = _load_manifest(index_dir, fs=fs)  # re-read: no lost updates
         if delete_id in state.get("deletes", {}):
             return state["deletes"][delete_id]
         seq = _next_seq(state)
         meta = {"n": int(len(ids)), "seq": seq}
         state.setdefault("deletes", {})[delete_id] = meta
         state["next_seq"] = seq + 1
-        _write_manifest(index_dir, state)
+        _write_manifest(index_dir, state, fs=fs)
     return meta
 
 
@@ -145,7 +163,7 @@ def delete_vectors(index_dir: str, vec_ids, delete_id: str) -> dict:
 VEC_TOMBSTONE_BROADCAST_LIMIT = 10_000_000
 
 
-def _vec_tombstone_entries(state: dict, index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def _vec_tombstone_entries(state: dict, index_dir: str, fs=None) -> tuple[np.ndarray, np.ndarray]:
     """(ids, seqs): sorted unique vec_ids of committed not-yet-folded
     deletes with each id's LATEST delete seq (see sig_index's
     ``_tombstone_entries`` / ``_dead_mask`` for the scoping rule)."""
@@ -154,7 +172,9 @@ def _vec_tombstone_entries(state: dict, index_dir: str) -> tuple[np.ndarray, np.
         if meta.get("folded"):
             continue
         p = os.path.join(index_dir, "deletes", f"{delete_id}.parquet")
-        ids = np.asarray(pq.read_table(p).column("vec_id"), dtype=np.int64)
+        ids = np.asarray(
+            pq.read_table(p, filesystem=fs).column("vec_id"), dtype=np.int64
+        )
         parts.append(ids)
         seq_parts.append(
             np.full(len(ids), int(meta.get("seq", _LEGACY_DELETE_SEQ)), dtype=np.int64)
@@ -209,7 +229,7 @@ def _committed_files_by_seq(
     return sorted(groups.items())
 
 
-def ingest_vectors(index_dir: str, vecs, ingest_id: str) -> dict:
+def ingest_vectors(index_dir: str, vecs, ingest_id: str, filesystem=None) -> dict:
     """Add a batch of ``(vec_id, embedding)`` rows: train the quantizer
     if this is the first ingest (first ``train_rows`` rows, dataset
     order), assign every vector distributedly against the frozen
@@ -224,7 +244,8 @@ def ingest_vectors(index_dir: str, vecs, ingest_id: str) -> dict:
         _shuffle_width,
     )
 
-    state = _load_manifest(index_dir)
+    fs, index_dir = _resolve_index_fs(index_dir, filesystem)
+    state = _load_manifest(index_dir, fs=fs)
     if ingest_id in state["ingests"]:
         return dict(state["ingests"][ingest_id])
 
@@ -265,10 +286,11 @@ def ingest_vectors(index_dir: str, vecs, ingest_id: str) -> dict:
                 {"centroid": pa.FixedSizeListArray.from_arrays(flat, c.shape[1])}
             ),
             _centroids_path(index_dir),
+            fs=fs,
         )
         # trained flips in the SAME commit as this ingest (below); a
         # crash here leaves a deterministic centroid file to overwrite
-    centroids = _load_centroids(index_dir)
+    centroids = _load_centroids(index_dir, fs=fs)
 
     def assign(batch: pa.Table) -> pa.Table:
         x = list_column_matrix(batch.column("embedding"))
@@ -298,6 +320,7 @@ def ingest_vectors(index_dir: str, vecs, ingest_id: str) -> dict:
                 os.path.join(
                     index_dir, "vectors", f"cluster={int(c)}", f"{ingest_id}.parquet"
                 ),
+                fs=fs,
             )
             ns.append(part.num_rows)
         return pa.table(
@@ -322,18 +345,18 @@ def ingest_vectors(index_dir: str, vecs, ingest_id: str) -> dict:
 
     # commit under the shared lock (see sig_index._manifest_lock): a
     # concurrent compact's read-modify-write must not interleave here
-    with _manifest_lock(index_dir):
-        state = _load_manifest(index_dir)
+    with _manifest_lock(index_dir, fs=fs):
+        state = _load_manifest(index_dir, fs=fs)
         state["trained"] = True
         seq = _next_seq(state)
         state["ingests"][ingest_id] = {"clusters": clusters, "n": n, "seq": seq}
         state["next_seq"] = seq + 1
-        _write_manifest(index_dir, state)
+        _write_manifest(index_dir, state, fs=fs)
     return dict(state["ingests"][ingest_id])
 
 
 def ann_topk_index(
-    index_dir: str, queries: pa.Table, k: int = 5, n_probe: int = 8
+    index_dir: str, queries: pa.Table, k: int = 5, n_probe: int = 8, filesystem=None
 ) -> pa.Table:
     """Exact top-k within the probed inverted lists: per query, the
     ``n_probe`` centroids closest to it (stable argsort, oracle-equal
@@ -347,10 +370,11 @@ def ann_topk_index(
     from embulk_input_marketo_ray.pipelines.queries import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
-    state = _load_manifest(index_dir)
+    fs, index_dir = _resolve_index_fs(index_dir, filesystem)
+    state = _load_manifest(index_dir, fs=fs)
     if not state["trained"]:
         raise ValueError(f"vector index at {index_dir} has no committed ingest")
-    centroids = _load_centroids(index_dir)
+    centroids = _load_centroids(index_dir, fs=fs)
     qm = list_column_matrix(queries.column("embedding"))
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     qids = np.asarray(queries.column("vec_id"), dtype=np.int64)
@@ -372,7 +396,7 @@ def ann_topk_index(
     if not file_groups:
         return empty
     qref = ray.put((qids, qm, probes_by_cluster))
-    tomb_ids, tomb_seqs = _vec_tombstone_entries(state, index_dir)
+    tomb_ids, tomb_seqs = _vec_tombstone_entries(state, index_dir, fs=fs)
     tomb_ref = ray.put((tomb_ids, tomb_seqs)) if len(tomb_ids) else None
 
     def make_score_block(file_seq: int):
@@ -444,7 +468,8 @@ def ann_topk_index(
         ray.data.read_parquet(
             files,
             columns=["vec_id", "embedding", "cluster"],
-            override_num_blocks=_index_read_blocks(files),
+            override_num_blocks=_index_read_blocks(files, fs=fs),
+            filesystem=fs,
         ).map_batches(make_score_block(file_seq), batch_format="pyarrow")
         for file_seq, files in file_groups
     ]
@@ -481,14 +506,15 @@ def ann_topk_index(
 # ---------------------------------------------------------------------------
 
 
-def compact_vec_index(index_dir: str) -> list[str]:
+def compact_vec_index(index_dir: str, filesystem=None) -> list[str]:
     """Fold each cluster's per-ingest files into one ``base-<gen>``
     file (a probe otherwise opens one file per ingest per probed
     cluster). One Ray task per cluster; manifest commit LAST; a crash
     orphans only new bases (vacuumable). Returns new base paths."""
     import ray
 
-    state = _load_manifest(index_dir)
+    fs, index_dir = _resolve_index_fs(index_dir, filesystem)
+    state = _load_manifest(index_dir, fs=fs)
     gen = int(state.get("base_gen", 0)) + 1
     # tombstone snapshot (same rule as the ingest fold snapshot below):
     # these ids drop out of the new bases, so ONLY these delete entries
@@ -496,7 +522,7 @@ def compact_vec_index(index_dir: str) -> list[str]:
     folded_delete_ids = {
         d for d, meta in state.get("deletes", {}).items() if not meta.get("folded")
     }
-    dead_ref = ray.put(_vec_tombstone_entries(state, index_dir))
+    dead_ref = ray.put(_vec_tombstone_entries(state, index_dir, fs=fs))
 
     @ray.remote
     def _fold(cluster: int, files: list[tuple[str, int]]) -> str:
@@ -505,7 +531,7 @@ def compact_vec_index(index_dir: str) -> list[str]:
         dead_ids, dead_seqs = ray.get(dead_ref)
         parts = []
         for f, file_seq in files:
-            t = pq.read_table(f)
+            t = pq.read_table(f, filesystem=fs)
             if len(dead_ids) and t.num_rows:
                 ids = np.asarray(t.column("vec_id"), dtype=np.int64)
                 t = t.filter(pa.array(~_dead_mask(dead_ids, dead_seqs, ids, file_seq)))
@@ -514,7 +540,7 @@ def compact_vec_index(index_dir: str) -> list[str]:
         path = os.path.join(
             index_dir, "vectors", f"cluster={cluster}", f"base-{gen}.parquet"
         )
-        _atomic_write(merged, path)
+        _atomic_write(merged, path, fs=fs)
         return path
 
     by_cluster: dict[int, list[tuple[str, int]]] = {}
@@ -556,8 +582,8 @@ def compact_vec_index(index_dir: str) -> list[str]:
     # commit under the lock: an ingest committing between the re-read
     # and the write would otherwise vanish from the manifest (and
     # vacuum would later delete its committed files)
-    with _manifest_lock(index_dir):
-        state = _load_manifest(index_dir)
+    with _manifest_lock(index_dir, fs=fs):
+        state = _load_manifest(index_dir, fs=fs)
         state["base"] = new_base
         state["base_gen"] = gen
         for ingest_id in folded_ids:
@@ -566,11 +592,11 @@ def compact_vec_index(index_dir: str) -> list[str]:
         for delete_id in folded_delete_ids:
             if delete_id in state.get("deletes", {}):
                 state["deletes"][delete_id]["folded"] = True
-        _write_manifest(index_dir, state)
+        _write_manifest(index_dir, state, fs=fs)
     return out
 
 
-def vacuum_vec_index(index_dir: str, grace_seconds: float = 900.0) -> list[str]:
+def vacuum_vec_index(index_dir: str, grace_seconds: float = 900.0, filesystem=None) -> list[str]:
     """Remove every vector file the manifest does not reference
     (superseded per-ingest files, orphaned bases, .tmp leftovers).
 
@@ -581,7 +607,8 @@ def vacuum_vec_index(index_dir: str, grace_seconds: float = 900.0) -> list[str]:
     running."""
     import time
 
-    state = _load_manifest(index_dir)
+    fs, index_dir = _resolve_index_fs(index_dir, filesystem)
+    state = _load_manifest(index_dir, fs=fs)
     referenced = set(_committed_files(state, index_dir, None))
     # unfolded tombstone files are live query state; folded ones were
     # baked into the bases and are reclaimable
@@ -594,19 +621,19 @@ def vacuum_vec_index(index_dir: str, grace_seconds: float = 900.0) -> list[str]:
         (os.path.join(index_dir, "vectors"), True),
         (os.path.join(index_dir, "deletes"), False),
     ):
-        if not os.path.isdir(root):
+        if not fs_isdir(fs, root):
             continue
-        for entry in sorted(os.listdir(root)):
+        for entry in fs_listdir(fs, root):
             d = os.path.join(root, entry)
-            files = [os.path.join(d, f) for f in sorted(os.listdir(d))] if nested else [d]
+            files = [os.path.join(d, f) for f in fs_listdir(fs, d)] if nested else [d]
             for path in files:
                 if path in referenced:
                     continue
                 try:
-                    if now - os.path.getmtime(path) < grace_seconds:
+                    if now - fs_mtime(fs, path) < grace_seconds:
                         continue  # possibly an in-flight ingest's file
                 except OSError:
                     continue
-                os.remove(path)
+                fs_delete(fs, path)
                 removed.append(path)
     return removed

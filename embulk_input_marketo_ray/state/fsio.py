@@ -173,3 +173,11 @@ def fs_file_size(fs: Any, path: str) -> int:
     if fs is None:
         return os.path.getsize(path)
     return fs.get_file_info(path).size
+
+
+def fs_mtime(fs: Any, path: str) -> float:
+    """Seconds-since-epoch mtime (vacuum grace windows)."""
+    if fs is None:
+        return os.path.getmtime(path)
+    mt = fs.get_file_info(path).mtime
+    return mt.timestamp() if mt is not None else 0.0

@@ -138,3 +138,73 @@ def test_lake_lifecycle_on_subtree_filesystem(ray_session, tmp_path):
     # W5: an immediate re-run reads the routed checkpoint and skips
     r3 = replay(_cfg(events, "fs_lake", N + 50, fs=fs))
     assert r3["skipped"] is True
+
+
+def test_index_lifecycle_on_subtree_filesystem(ray_session, tmp_path):
+    """Both persisted indexes run their full lifecycle (init, ingest,
+    delete, re-ingest, probe, compact, vacuum) through an injected
+    SubTreeFileSystem, verdict-equal to the plain local path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from embulk_input_marketo_ray.pipelines.queries import _ensure_hash_shuffle
+    from embulk_input_marketo_ray.stages import sig_index as si
+    from embulk_input_marketo_ray.stages import vec_index as vi
+
+    _ensure_hash_shuffle()
+    root = tmp_path / "idx_root"
+    root.mkdir()
+    fs = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 30
+    long_b = "entirely different content about query engines " * 30
+
+    def docs(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            )
+        )
+
+    def drive_sig(idx, fskw):
+        si.init_index(idx, **fskw)
+        r1 = si.ingest(idx, docs([(10, long_a), (20, long_b)]), "w1", **fskw)
+        si.delete_docs(idx, [10], "d1", **fskw)
+        r2 = si.ingest(idx, docs([(10, long_a)]), "w2", **fskw)  # re-admit
+        si.compact_index(idx, **fskw)
+        si.vacuum_index(idx, grace_seconds=0, **fskw)
+        r3 = si.probe_docs(idx, docs([(31, long_a), (32, long_b)]), **fskw)
+        return [t.to_pylist() for t in (r1, r2, r3)]
+
+    got = drive_sig("sig_idx", {"filesystem": fs})
+    want = drive_sig(str(tmp_path / "sig_local"), {})
+    assert got == want
+    assert (root / "sig_idx" / "manifest.json").exists()
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((64, 8))
+    x[1] = x[0]
+    vecs = pa.table(
+        {
+            "vec_id": pa.array(np.arange(64), type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in x], type=pa.list_(pa.float64())),
+        }
+    )
+    q = vecs.slice(0, 1)
+
+    def drive_vec(idx, fskw):
+        vi.init_vec_index(idx, n_centroids=2, train_rows=64, **fskw)
+        vi.ingest_vectors(idx, rd.from_arrow(vecs), "w1", **fskw)
+        vi.delete_vectors(idx, [1], "d1", **fskw)
+        vi.compact_vec_index(idx, **fskw)
+        vi.vacuum_vec_index(idx, grace_seconds=0, **fskw)
+        return vi.ann_topk_index(idx, q, k=3, n_probe=2, **fskw).to_pylist()
+
+    gv = drive_vec("vec_idx", {"filesystem": fs})
+    wv = drive_vec(str(tmp_path / "vec_local"), {})
+    assert gv == wv
+    assert (root / "vec_idx" / "centroids.parquet").exists()
