@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cm_sketch": q.q_user_cm_sketch,
         "event_funnel": q.q_event_funnel,
         "event_hop_windows": q.q_event_hop_windows,
+        "part_revenue_by_nation": q.q_part_revenue_by_nation,
+        "order_laggard_suppliers": q.q_order_laggard_suppliers,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -342,6 +344,8 @@ def oracle_sql() -> dict[str, str]:
     from embulk_input_marketo_ray.pipelines.queries import (
         ANN_NUM_QUERIES,
         CHURN_TOP_K,
+        LAGGARD_TOP_K,
+        Q9_PART_SUBSTR,
         CO_CHANGE_MIN_WINDOWS,
         COMMIT_WINDOW_SECONDS,
         LOOKUP_KEYS,
@@ -1877,6 +1881,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max(codes) AS BIGINT) AS q_max,
                    CAST(list_sum(codes) AS BIGINT) AS q_sum
             FROM q
+        """,
+        "part_revenue_by_nation": f"""
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                      )::BIGINT AS revenue_c10k
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_name LIKE '%{Q9_PART_SUBSTR}%'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2
+        """,
+        "order_laggard_suppliers": f"""
+            WITH pm AS (
+              SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+              FROM lineitem GROUP BY 1, 2
+            ),
+            om AS (
+              SELECT l_orderkey, max(ms) AS mx, count(*) AS ns
+              FROM pm GROUP BY 1
+            ),
+            lag AS (
+              SELECT pm.l_orderkey, min(pm.l_suppkey) AS skey
+              FROM pm JOIN om ON pm.l_orderkey = om.l_orderkey
+              WHERE om.ns >= 2 AND pm.ms = om.mx
+              GROUP BY pm.l_orderkey HAVING count(*) = 1
+            )
+            SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS n_orders
+            FROM lag JOIN supplier s ON s.s_suppkey = lag.skey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, s.s_suppkey ASC
+            LIMIT {LAGGARD_TOP_K}
         """,
         "top_supplier_revenue": """
             WITH r AS (

@@ -11967,3 +11967,342 @@ def q_embedding_truncation_error(sf_dir: str):
         )
 
     return ds.map_batches(trunc_block, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: supplier-side dimension chain (part filter -> supplier
+# nation -> order year) — the mirror of the Q5/Q7/Q8 customer-side chain
+# ---------------------------------------------------------------------------
+
+Q9_PART_SUBSTR = "red"  # product line: parts whose name contains this
+
+
+def q_part_revenue_by_nation(sf_dir: str):
+    """TPC-H Q9 shape (product-line volume by nation x year; the
+    supplycost term is absent from this schema, so the measure is
+    revenue): for lineitems of parts whose name contains
+    ``Q9_PART_SUBSTR``, integer-exact revenue per (supplier nation,
+    order year) — the SUPPLIER-side dimension chain, mirroring the
+    customer-side Q5/Q7/Q8 backbone with three different keys.
+
+    - part filter rides tagged-union exchange #1 on the PART key (the
+      Q14 idiom): the contains-flag collapses to int8 AT THE PART SCAN,
+      the run-gather kernel drops non-matching lineitems before
+      anything else ships — at 100 TB neither part nor lineitem is
+      broadcastable, so the filter is an exchange, not a lookup;
+    - supplier nations attach via ``_attach_supplier_nation``
+      (budget-adaptive broadcast / third keyed exchange);
+    - order years ride tagged-union exchange #2 on the ORDER key; the
+      kernel folds (nation, year, revenue) partials IN-BLOCK, so each
+      block leaves <= |nations| x |years| rows;
+    - the final two-phase aggregate and the 25-row name attach finish
+      driver-side. Revenue is integer cents x (100 - disc%).
+
+    Ref: the reference joins one parent level per fetch
+    (MarketoService getListsByIds / getProgramsByIds); this is the
+    three-level generalization its users hand-roll downstream."""
+    _ensure_hash_shuffle()
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    name_of = {
+        int(k): str(v)
+        for k, v in zip(
+            np.asarray(nation.column("n_nationkey")), nation.column("n_name").to_pylist()
+        )
+    }
+
+    # ---- exchange #1: part-filter on the part key ---------------------
+    u1_schema = pa.schema(
+        [
+            ("pkey", pa.int64()),
+            ("side", pa.int8()),
+            ("flag", pa.int8()),
+            ("okey", pa.int64()),
+            ("skey", pa.int64()),
+            ("rev_c", pa.int64()),
+        ]
+    )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        flag = pc.match_substring(batch.column("p_name"), Q9_PART_SUBSTR)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "pkey": batch.column("p_partkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "flag": flag.cast(pa.int8()),
+                "okey": pa.nulls(n, type=pa.int64()),
+                "skey": pa.nulls(n, type=pa.int64()),
+                "rev_c": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u1_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(batch.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "pkey": batch.column("l_partkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "flag": pa.nulls(n, type=pa.int8()),
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "skey": batch.column("l_suppkey").cast(pa.int64()),
+                "rev_c": pa.array(cents * (100 - disc)),
+            },
+            schema=u1_schema,
+        )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    tagged1 = part.map_batches(part_rows, batch_format="pyarrow").union(
+        lineitem.map_batches(line_rows, batch_format="pyarrow")
+    )
+
+    s1_schema = pa.schema(
+        [("skey", pa.int64()), ("okey", pa.int64()), ("rev_c", pa.int64())]
+    )
+
+    def keep_flagged(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return s1_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("pkey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("pkey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        flag = np.asarray(pc.fill_null(t.column("flag"), 0), dtype=np.int8)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_flag = np.where(side[starts] == 0, flag[starts], 0)
+        keep = (side == 1) & (run_flag[run_idx] == 1)
+        if not keep.any():
+            return s1_schema.empty_table()
+        sel = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "skey": sel.column("skey"),
+                "okey": sel.column("okey"),
+                "rev_c": sel.column("rev_c"),
+            },
+            schema=s1_schema,
+        )
+
+    stage1 = _keyed_exchange_apply(tagged1, ["pkey"], keep_flagged, s1_schema)
+
+    # ---- supplier-nation attach (budget-adaptive) ---------------------
+    attached = _attach_supplier_nation(
+        sf_dir, stage1, pa.schema([("okey", pa.int64()), ("rev_c", pa.int64())])
+    )
+
+    # ---- exchange #2: order year on the order key ---------------------
+    u2_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("o_year", pa.int64()),
+            ("nation", pa.int64()),
+            ("rev_c", pa.int64()),
+        ]
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "o_year": pc.year(batch.column("o_orderdate")).cast(pa.int64()),
+                "nation": pa.nulls(n, type=pa.int64()),
+                "rev_c": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u2_schema,
+        )
+
+    def attached_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("okey"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "o_year": pa.nulls(n, type=pa.int64()),
+                "nation": batch.column("supp_nation"),
+                "rev_c": batch.column("rev_c"),
+            },
+            schema=u2_schema,
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    tagged2 = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        attached.map_batches(attached_rows, batch_format="pyarrow")
+    )
+
+    part_schema = pa.schema(
+        [("nation", pa.int64()), ("o_year", pa.int64()), ("revenue_c10k", pa.int64())]
+    )
+
+    def year_fold(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        yr = np.asarray(pc.fill_null(t.column("o_year"), -1), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_year = np.where(side[starts] == 0, yr[starts], -1)
+        row_year = run_year[run_idx]
+        keep = (side == 1) & (row_year >= 0)
+        if not keep.any():
+            return part_schema.empty_table()
+        sel = t.filter(pa.array(keep))
+        part = pa.table(
+            {
+                "nation": sel.column("nation"),
+                "o_year": pa.array(row_year[keep]),
+                "revenue_c10k": sel.column("rev_c"),
+            },
+            schema=part_schema,
+        )
+        agg = part.group_by(["nation", "o_year"]).aggregate([("revenue_c10k", "sum")])
+        return agg.rename_columns(["nation", "o_year", "revenue_c10k"]).cast(part_schema)
+
+    partial = _keyed_exchange_apply(tagged2, ["okey"], year_fold, part_schema)
+    merged = grouped_aggregate(
+        partial, ["nation", "o_year"], [("revenue_c10k", "sum", "revenue_c10k")]
+    )
+    final = pa.Table.from_pylist(merged.take_all(), schema=part_schema)
+    names = pa.array(
+        [name_of.get(int(k), "") for k in np.asarray(final.column("nation"))],
+        type=pa.string(),
+    )
+    return pa.table(
+        {
+            "n_name": names,
+            "o_year": final.column("o_year"),
+            "revenue_c10k": final.column("revenue_c10k"),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: per-order EXISTS over sibling rows (unique laggard)
+# ---------------------------------------------------------------------------
+
+LAGGARD_TOP_K = 10
+
+
+def q_order_laggard_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema (no commit/receipt dates): for every order served by
+    >= 2 distinct suppliers, the UNIQUE supplier whose latest shipment
+    is the order's latest shipment (ties disqualify — some other
+    supplier was just as late) is the order's laggard; report the
+    ``LAGGARD_TOP_K`` suppliers by laggard-order count.
+
+    Shape: (okey, skey, max shipdate) pre-folds IN-BLOCK (payload =
+    distinct (order, supplier) pairs x blocks, never lineitems), ONE
+    keyed exchange on the ORDER key co-locates each order's suppliers,
+    and the run kernel derives the order max + uniqueness test in the
+    same pass — the per-order EXISTS/NOT-EXISTS over sibling rows that
+    Q21 is famous for, as a run-slice rather than a self-join. Laggard
+    counts close through the two-phase aggregate; the driver takes the
+    top-K (count desc, suppkey asc — a total order) and attaches names
+    from the supplier dimension read."""
+    _ensure_hash_shuffle()
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    pair_schema = pa.schema(
+        [("okey", pa.int64()), ("skey", pa.int64()), ("ship_us", pa.int64())]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "skey": batch.column("l_suppkey").cast(pa.int64()),
+                "ship_us": batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+        agg = t.group_by(["okey", "skey"]).aggregate([("ship_us", "max")])
+        return agg.rename_columns(["okey", "skey", "ship_us"]).cast(pair_schema)
+
+    lag_schema = pa.schema([("skey", pa.int64()), ("n_orders", pa.int64())])
+
+    def laggard_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return lag_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("skey", "ascending")]
+        )
+        t = block.take(order)
+        okey = np.asarray(t.column("okey"), dtype=np.int64)
+        skey = np.asarray(t.column("skey"), dtype=np.int64)
+        ship = np.asarray(t.column("ship_us"), dtype=np.int64)
+        # per (okey, skey) max again: partials from different blocks meet here
+        pk = np.r_[True, (okey[1:] != okey[:-1]) | (skey[1:] != skey[:-1])]
+        pstart = np.flatnonzero(pk)
+        pidx = np.cumsum(pk) - 1
+        pmax = np.full(len(pstart), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(pmax, pidx, ship)
+        pokey = okey[pstart]
+        pskey = skey[pstart]
+        # per-order runs over the distinct-supplier rows
+        ok = np.r_[True, pokey[1:] != pokey[:-1]]
+        ostart = np.flatnonzero(ok)
+        oidx = np.cumsum(ok) - 1
+        ns = np.diff(np.r_[ostart, len(pokey)])
+        omax = np.full(len(ostart), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(omax, oidx, pmax)
+        at_max = pmax == omax[oidx]
+        n_at_max = np.zeros(len(ostart), dtype=np.int64)
+        np.add.at(n_at_max, oidx, at_max.astype(np.int64))
+        win = at_max & (ns[oidx] >= 2) & (n_at_max[oidx] == 1)
+        if not win.any():
+            return lag_schema.empty_table()
+        out = pa.table(
+            {
+                "skey": pa.array(pskey[win]),
+                "n_orders": pa.array(np.ones(int(win.sum()), dtype=np.int64)),
+            },
+            schema=lag_schema,
+        )
+        agg = out.group_by(["skey"]).aggregate([("n_orders", "sum")])
+        return agg.rename_columns(["skey", "n_orders"]).cast(lag_schema)
+
+    pairs = line.map_batches(pair_partial, batch_format="pyarrow")
+    partial = _keyed_exchange_apply(pairs, ["okey"], laggard_kernel, lag_schema)
+    merged = grouped_aggregate(partial, ["skey"], [("n_orders", "sum", "n_orders")])
+    rows = merged.take_all()  # bounded by the supplier dimension
+    rows.sort(key=lambda r: (-int(r["n_orders"]), int(r["skey"])))
+    top = rows[:LAGGARD_TOP_K]
+    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    names = {
+        int(k): str(v)
+        for k, v in zip(
+            np.asarray(sup.column("s_suppkey"), dtype=np.int64),
+            sup.column("s_name").to_pylist(),
+        )
+    }
+    keep = [r for r in top if int(r["skey"]) in names]  # inner-join semantics
+    return pa.table(
+        {
+            "s_suppkey": pa.array([int(r["skey"]) for r in keep], type=pa.int64()),
+            "s_name": pa.array([names[int(r["skey"])] for r in keep], type=pa.string()),
+            "n_orders": pa.array([int(r["n_orders"]) for r in keep], type=pa.int64()),
+        }
+    )

@@ -2820,3 +2820,84 @@ def test_jaccard_df_cap_bounds_boilerplate_fanout(ray_session, tmp_path):
     assert pairs == {(100, 101)}  # dup pair survives the cap
     uncapped = q.q_doc_jaccard_pairs(str(tmp_path)).to_pandas()
     assert set(zip(uncapped["doc_id"], uncapped["dup_of"])) == {(100, 101)}
+
+
+def test_order_laggard_unique_rule_and_ties(ray_session, tmp_path):
+    """Q21-shape rule on a hand-built fixture: single-supplier orders
+    never count; a tie at the order max disqualifies BOTH suppliers;
+    the unique latest supplier of a multi-supplier order counts."""
+    import pyarrow.parquet as pq
+
+    rows = [
+        # order 1: s1 late, s2 early -> s1 laggard
+        (1, 1, "1996-03-01"), (1, 2, "1996-01-01"),
+        # order 2: tie at the max -> nobody
+        (2, 1, "1996-05-01"), (2, 2, "1996-05-01"),
+        # order 3: single supplier -> nobody
+        (3, 1, "1996-07-01"),
+        # order 4: s2 latest among three -> s2 laggard
+        (4, 1, "1996-01-05"), (4, 2, "1996-09-01"), (4, 3, "1996-02-01"),
+    ]
+    import pandas as pd
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+                "l_suppkey": pa.array([r[1] for r in rows], type=pa.int64()),
+                "l_shipdate": pa.array(
+                    pd.to_datetime([r[2] for r in rows]), type=pa.timestamp("us")
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+                "s_name": pa.array(["sa", "sb", "sc"]),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    out = q.q_order_laggard_suppliers(str(tmp_path)).to_pandas()
+    got = dict(zip(out["s_suppkey"], out["n_orders"]))
+    assert got == {1: 1, 2: 1}
+
+
+def test_part_revenue_by_nation_filter_and_grid(ray_session):
+    """Q9 shape vs a direct DuckDB recompute at sf0.001 (full
+    four-table join with the substring part filter)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q.q_part_revenue_by_nation(sf)
+        .to_pandas()
+        .sort_values(["n_name", "o_year"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "supplier", "nation", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = con.execute(
+        f"""
+        SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+                   AS revenue_c10k
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+                   AND p.p_name LIKE '%{q.Q9_PART_SUBSTR}%'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df().reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
