@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_hop_windows": q.q_event_hop_windows,
         "part_revenue_by_nation": q.q_part_revenue_by_nation,
         "order_laggard_suppliers": q.q_order_laggard_suppliers,
+        "doc_containment_pairs": q.q_doc_containment_pairs,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -344,6 +345,8 @@ def oracle_sql() -> dict[str, str]:
     from embulk_input_marketo_ray.pipelines.queries import (
         ANN_NUM_QUERIES,
         CHURN_TOP_K,
+        CONTAIN_DEN,
+        CONTAIN_NUM,
         LAGGARD_TOP_K,
         Q9_PART_SUBSTR,
         CO_CHANGE_MIN_WINDOWS,
@@ -865,6 +868,45 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.repo = b.repo AND a.win = b.win AND a.path < b.path
             GROUP BY a.repo, a.path, b.path
             HAVING count(*) >= {CO_CHANGE_MIN_WINDOWS}
+        """,
+        "doc_containment_pairs": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+              FROM documents
+            ),
+            long AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                FROM t WHERE len(toks) >= 3
+              )
+            ),
+            short AS (
+              SELECT doc_id, array_to_string(toks, ' ') AS gram
+              FROM t WHERE len(toks) BETWEEN 1 AND 2
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, gram
+              FROM (SELECT * FROM long UNION ALL SELECT * FROM short)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            ab AS (
+              SELECT inter.a, inter.b, inter.i, sa.n AS na, sb.n AS nb
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = inter.a
+              JOIN sizes sb ON sb.doc_id = inter.b
+            )
+            SELECT a AS doc_id, b AS contained_in FROM ab
+            WHERE {CONTAIN_DEN} * i >= {CONTAIN_NUM} * na
+            UNION ALL
+            SELECT b AS doc_id, a AS contained_in FROM ab
+            WHERE {CONTAIN_DEN} * i >= {CONTAIN_NUM} * nb
         """,
         "doc_jaccard_pairs": """
             WITH t AS (

@@ -12306,3 +12306,142 @@ def q_order_laggard_suppliers(sf_dir: str):
             "n_orders": pa.array([int(r["n_orders"]) for r in keep], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# containment (asymmetric Jaccard): quote / subset detection
+# ---------------------------------------------------------------------------
+
+# keep directed pairs with |A ∩ B| / |A| >= 1/2 — integer-exact as
+# 2*i >= nA. Containment catches a SHORT doc embedded in a long one
+# (a quote, an excerpt, a boilerplate wrapper), which symmetric
+# Jaccard misses: J = i/(nA+nB-i) stays tiny when nB >> nA even at
+# full containment.
+CONTAIN_NUM = 1
+CONTAIN_DEN = 2
+
+
+def q_doc_containment_pairs(sf_dir: str, max_df: int | None = None):
+    """EXACT n-gram CONTAINMENT pairs via the gram inverted index —
+    the directed counterpart of ``q_doc_jaccard_pairs`` (Broder's
+    containment score): emit (doc_id, contained_in) whenever at least
+    ``CONTAIN_NUM/CONTAIN_DEN`` of doc_id's distinct grams also occur
+    in the other doc. The dedup story for quotes/excerpts/wrapped
+    boilerplate, where symmetric Jaccard is blind by construction.
+
+    Same counting backbone and scale shape as the Jaccard path (gram
+    exchange, per-block pair multiplicity = shared grams, one grouped
+    sum, pure-int64 judge ``2*i >= nA``), same optional stop-gram
+    ``max_df`` guard; both DIRECTIONS judge from one undirected pair
+    row (i, nA, nB), so the pair traffic does not double."""
+    from embulk_input_marketo_ray.stages.dedup import _ngram_set
+
+    max_df = JACCARD_MAX_DF if max_df is None else int(max_df)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_g: list[str] = []
+        out_n: list[int] = []
+        for i, t in zip(ids, texts):
+            gs = _ngram_set(t or "")
+            out_id.extend([i] * len(gs))
+            out_g.extend(gs)
+            out_n.extend([len(gs)] * len(gs))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "gram": pa.array(out_g, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    grams = ds.map_batches(explode_grams, batch_format="pyarrow")
+
+    def postings_to_pairs(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "i": pa.array([], pa.int64()),
+                "na": pa.array([], pa.int64()),
+                "nb": pa.array([], pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            block, sort_keys=[("gram", "ascending"), ("doc_id", "ascending")]
+        )
+        t = block.take(order)
+        gram = np.asarray(t.column("gram"), dtype=object)
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        ns = np.asarray(t.column("n"), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
+        ends = np.r_[starts[1:], len(gram)]
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            if max_df and g > max_df:
+                continue  # stop-gram guard, same rule as the Jaccard path
+            i, j = np.triu_indices(g, k=1)
+            out_a.append(ids[s:e][i])
+            out_b.append(ids[s:e][j])
+            out_na.append(ns[s:e][i])
+            out_nb.append(ns[s:e][j])
+        if not out_a:
+            return empty
+        pair_tbl = pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "na": pa.array(np.concatenate(out_na), type=pa.int64()),
+                "nb": pa.array(np.concatenate(out_nb), type=pa.int64()),
+            }
+        )
+        out = pair_tbl.group_by(["a", "b"]).aggregate(
+            [([], "count_all"), ("na", "max"), ("nb", "max")]
+        )
+        return pa.table(
+            {
+                "a": out.column("a"),
+                "b": out.column("b"),
+                "i": out.column("count_all").cast(pa.int64()),
+                "na": out.column("na_max").cast(pa.int64()),
+                "nb": out.column("nb_max").cast(pa.int64()),
+            }
+        )
+
+    cands = _keyed_repartition(grams, _shuffle_width(), ["gram"]).map_batches(
+        postings_to_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    inter = grouped_aggregate(
+        cands,
+        ["a", "b"],
+        [("i", "sum", "i"), ("na", "max", "na"), ("nb", "max", "nb")],
+    )
+
+    def judge(batch: pa.Table) -> pa.Table:
+        iv = np.asarray(batch.column("i"), dtype=np.int64)
+        na = np.asarray(batch.column("na"), dtype=np.int64)
+        nb = np.asarray(batch.column("nb"), dtype=np.int64)
+        av = np.asarray(batch.column("a"), dtype=np.int64)
+        bv = np.asarray(batch.column("b"), dtype=np.int64)
+        # direction a -> b: |A∩B|/|A| >= NUM/DEN  <=>  DEN*i >= NUM*nA
+        fwd = CONTAIN_DEN * iv >= CONTAIN_NUM * na
+        rev = CONTAIN_DEN * iv >= CONTAIN_NUM * nb
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([av[fwd], bv[rev]]), type=pa.int64()),
+                "contained_in": pa.array(
+                    np.concatenate([bv[fwd], av[rev]]), type=pa.int64()
+                ),
+            }
+        )
+
+    return inter.map_batches(judge, batch_format="pyarrow")

@@ -2901,3 +2901,27 @@ def test_part_revenue_by_nation_filter_and_grid(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_containment_catches_subset_jaccard_misses(ray_session, tmp_path):
+    """A short doc fully embedded in a long one: containment flags the
+    short->long direction while symmetric Jaccard (J ~ nA/nB) misses
+    the pair entirely — the operator's reason to exist."""
+    import pyarrow.parquet as pq
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"unrelated filler token{i} body{i} extra{i}" for i in range(40))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array([quote, quote + " " + filler]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    cont = q.q_doc_containment_pairs(str(tmp_path)).to_pandas()
+    assert (1, 2) in set(zip(cont["doc_id"], cont["contained_in"]))
+    assert (2, 1) not in set(zip(cont["doc_id"], cont["contained_in"]))
+    jac = q.q_doc_jaccard_pairs(str(tmp_path)).to_pandas()
+    assert len(jac) == 0  # symmetric Jaccard is blind to the subset
