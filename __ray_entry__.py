@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_revenue_by_nation": q.q_part_revenue_by_nation,
         "order_laggard_suppliers": q.q_order_laggard_suppliers,
         "doc_containment_pairs": q.q_doc_containment_pairs,
+        "multimodal_thumbnails": q.q_multimodal_thumbnails,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -2393,6 +2394,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_overlap_sketch": (
             f"SELECT * FROM read_parquet('{oracle_paths['token_overlap_sketch']}')"
+        ),
+        "multimodal_thumbnails": (
+            f"SELECT * FROM read_parquet('{oracle_paths['multimodal_thumbnails']}')"
         ),
         "multimodal_real_decode": (
             f"SELECT * FROM read_parquet('{oracle_paths['multimodal_real_decode']}')"

@@ -864,6 +864,51 @@ def oracle_multimodal_real_decode(sf_dir: str, n: int = 256) -> pa.Table:
     )
 
 
+def oracle_multimodal_thumbnails(sf_dir: str, n: int = 256) -> pa.Table:
+    """Ground truth for the 2x2 box-filter thumbnails via the
+    generator pixel rule alone (no container parsing): pool the same
+    deterministic pixel array with the same integer floor-mean and
+    sum channels in each container's file order (BMP i%3==0 stores
+    BGR, PNG i%3==2 stores RGB), normalized to (sum_b, sum_g,
+    sum_r). Audio rows (i%3==1) are decode_ok=False zeros."""
+    import numpy as np
+
+    from embulk_input_marketo_ray.synth import synth_real_media_table
+
+    t = synth_real_media_table(n)
+    seed = 42
+    rows = []
+    for i in range(n):
+        kind = t.column("media_type")[i].as_py()
+        if kind != "image":
+            rows.append((i, False, 0, 0, 0, 0, 0))
+            continue
+        w = int(t.column("meta_width")[i].as_py())
+        h = int(t.column("meta_height")[i].as_py())
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        th, tw = h // 2, w // 2
+        if th == 0 or tw == 0:
+            rows.append((i, False, 0, 0, 0, 0, 0))
+            continue
+        pooled = (
+            px[: th * 2, : tw * 2].astype(np.int64)
+            .reshape(th, 2, tw, 2, 3).sum(axis=(1, 3)) // 4
+        )
+        sums = pooled.reshape(-1, 3).sum(axis=0)
+        if i % 3 == 0:  # BMP: channel 0 is B
+            b, g, r = int(sums[0]), int(sums[1]), int(sums[2])
+        else:  # PNG: channel 0 is R
+            r, g, b = int(sums[0]), int(sums[1]), int(sums[2])
+        rows.append((i, True, tw, th, b, g, r))
+    cols = list(zip(*rows))
+    names = ["media_id", "decode_ok", "thumb_w", "thumb_h", "sum_b", "sum_g", "sum_r"]
+    types = [pa.int64(), pa.bool_()] + [pa.int64()] * 5
+    return pa.table(
+        {nm: pa.array(c, type=ty) for nm, c, ty in zip(names, cols, types)}
+    )
+
+
 def oracle_token_overlap_sketch(sf_dir: str, k: int = 256) -> pa.Table:
     """Pure-Python KMV-Jaccard replica: per-side distinct-token hash
     sets (same polynomial hash), union bottom-k, both-membership
@@ -958,6 +1003,7 @@ _ORACLE_BUILDERS = {
     "user_cm_sketch": oracle_user_cm_sketch,
     "token_overlap_sketch": oracle_token_overlap_sketch,
     "multimodal_real_decode": oracle_multimodal_real_decode,
+    "multimodal_thumbnails": oracle_multimodal_thumbnails,
 }
 
 

