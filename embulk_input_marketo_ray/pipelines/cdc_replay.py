@@ -815,7 +815,9 @@ def _replay_inner(cfg: ReplayConfig, ctx, t0: float) -> dict:
             filesystem=cfg.lake_filesystem,
             **split_kwargs,
         )
-    if cfg.lake_filesystem is not None and not cfg.shuffle_scratch_dir:
+    if (
+        cfg.lake_filesystem is not None or "://" in cfg.lake_dir
+    ) and not cfg.shuffle_scratch_dir:
         # fragment/scan scratch is node-local/shared-POSIX by contract
         # and is NOT routed through the lake filesystem: with a remote
         # lake, default it to a deterministic local temp dir (multi-node

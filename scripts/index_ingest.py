@@ -19,12 +19,15 @@ On a real fixed-size cluster:
     python scripts/index_ingest.py sig compact --index-dir ...
     python scripts/index_ingest.py vec vacuum  --index-dir ...
 
-``--index-dir`` must be a POSIX path on a filesystem shared by the
-driver and every Ray worker (NFS/EFS/Lustre): the index manages its
-manifest and data files with local-filesystem primitives (atomic
-``os.replace`` commits), which do not exist on ``s3://`` object
-stores. ``--input`` may be any path/URI ``ray.data.read_parquet``
-accepts, including object stores.
+``--index-dir`` may be a shared POSIX path (NFS/EFS/Lustre —
+fastest: atomic ``os.replace`` commits and the O_EXCL manifest lock)
+or, since round 5, a ``pyarrow.fs``-resolvable URI (``s3://...``):
+all index state IO routes through the filesystem seam
+(state/fsio.py). Object stores have no O_EXCL, so the manifest lock
+degrades to a no-op there and SINGLE-WRITER-PER-INDEX is the
+contract (the same caveat as the lake manifest). ``--input`` may be
+any path/URI ``ray.data.read_parquet`` accepts, including object
+stores.
 
 ``--ingest-id`` is the exactly-once key: re-submitting a committed id
 replays the recorded result; retrying after a crash rewrites the

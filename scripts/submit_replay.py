@@ -11,11 +11,16 @@ On a real fixed-size cluster:
            --num-buckets 4096 --shuffle disk --lake-layout delta
 
 ``--events-dir`` may be any path/URI ``ray.data.read_parquet``
-accepts, including object stores. ``--lake-dir`` (like the index dirs
-in ``index_ingest.py``) must be a POSIX path on a filesystem shared by
-the driver and every worker (NFS/EFS/Lustre): the sink's exactly-once
-commits use local-filesystem primitives (atomic ``os.replace``), which
-do not exist on ``s3://`` object stores.
+accepts, including object stores. ``--lake-dir`` may be a shared POSIX
+path (NFS/EFS/Lustre — fastest: atomic ``os.replace`` commits) or,
+since round 5, a ``pyarrow.fs``-resolvable URI (``s3://...``): all
+lake state IO routes through the filesystem seam (state/fsio.py).
+Object stores have no atomic rename, so the promote degrades to
+copy+delete there — exactly-once still holds because visibility comes
+from the manifest-last commit and the single-writer-per-lake
+discipline (see fsio.py for the full caveat). With a remote lake the
+"disk" shuffle scratch defaults to a node-local temp dir — set
+``shuffle_scratch_dir`` explicitly on multi-node clusters.
 
 The job is driver-light by design: the driver plans the window, builds
 the Dataset pipeline and commits the manifest; all row work (extract ->
