@@ -2777,6 +2777,7 @@ def test_supplier_attach_exchange_fallback_matches_broadcast(
         q.q_local_supplier_volume,
         q.q_nation_pair_volume,
         q.q_nation_market_share,
+        q.q_part_revenue_by_nation,
     ]
     want = [fn(sf) for fn in fns]
     want = [w if isinstance(w, pa.Table) else w.to_arrow_refs() and None for w in want]
