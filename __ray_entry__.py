@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_laggard_suppliers": q.q_order_laggard_suppliers,
         "doc_containment_pairs": q.q_doc_containment_pairs,
         "multimodal_thumbnails": q.q_multimodal_thumbnails,
+        "event_rolling_median": q.q_event_rolling_median,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         CONTAIN_NUM,
         LAGGARD_TOP_K,
         Q9_PART_SUBSTR,
+        ROLLMED_WINDOW,
         CO_CHANGE_MIN_WINDOWS,
         COMMIT_WINDOW_SECONDS,
         LOOKUP_KEYS,
@@ -908,6 +910,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT b AS doc_id, a AS contained_in FROM ab
             WHERE {CONTAIN_DEN} * i >= {CONTAIN_NUM} * nb
+        """,
+        "event_rolling_median": f"""
+            WITH d AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, n,
+                   CAST(2 * median(n) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN {ROLLMED_WINDOW - 1} PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS median7_x2
+            FROM d
         """,
         "doc_jaccard_pairs": """
             WITH t AS (

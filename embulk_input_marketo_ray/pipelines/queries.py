@@ -12472,3 +12472,88 @@ def q_multimodal_thumbnails(sf_dir: str):
         batch_size=DEFAULT_MEDIA_BATCH_SIZE,
         concurrency=(1, 4),
     )
+
+
+ROLLMED_WINDOW = 7  # trailing days in the rolling-median frame
+
+
+def q_event_rolling_median(sf_dir: str):
+    """Per-type rolling MEDIAN of daily event counts over a trailing
+    ``ROLLMED_WINDOW``-day ROWS frame — the order-statistic sibling of
+    ``event_rolling_stats``'s rolling max (robust anomaly baselines
+    use the median precisely because a single spike day drags a mean
+    but not a middle). Emitted as ``median7_x2`` (twice the median):
+    an even-width frame's median is the MEAN OF TWO INTEGERS, so the
+    doubled value stays integer-exact and bit-comparable to SQL.
+
+    Shape: the day-count grid folds through the two-phase aggregate
+    (payload = day-domain x blocks, never events), then ONE keyed
+    exchange on event_type gives each kernel its type's full day
+    series; the frame walk is over the BOUNDED day domain (a window
+    of <= W sorted ints per day), so kernel cost is days x W log W —
+    independent of event count at any scale."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    day_schema = pa.schema(
+        [("event_type", pa.string()), ("day", pa.timestamp("us")), ("n", pa.int64())]
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            }
+        )
+        out = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return out.rename_columns(["event_type", "day", "n"]).cast(day_schema)
+
+    days = grouped_aggregate(
+        ds.map_batches(day_partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("n", "sum", "n")],
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.timestamp("us")),
+            ("n", pa.int64()),
+            ("median7_x2", pa.int64()),
+        ]
+    )
+
+    def median_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("event_type", "ascending"), ("day", "ascending")]
+        )
+        t = block.take(order)
+        et = np.asarray(t.column("event_type"), dtype=object)
+        n = np.asarray(t.column("n"), dtype=np.int64)
+        new_run = np.r_[True, et[1:] != et[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        pos = np.arange(len(n)) - starts[run_idx]
+        med = np.empty(len(n), dtype=np.int64)
+        for i in range(len(n)):
+            lo = i - min(int(pos[i]), ROLLMED_WINDOW - 1)
+            w = np.sort(n[lo : i + 1])
+            m = len(w)
+            if m % 2:
+                med[i] = 2 * int(w[m // 2])
+            else:
+                med[i] = int(w[m // 2 - 1]) + int(w[m // 2])
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": t.column("day"),
+                "n": t.column("n"),
+                "median7_x2": pa.array(med),
+            },
+            schema=out_schema,
+        )
+
+    return _keyed_exchange_apply(days, ["event_type"], median_kernel, out_schema)

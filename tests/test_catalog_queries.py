@@ -2926,3 +2926,39 @@ def test_containment_catches_subset_jaccard_misses(ray_session, tmp_path):
     assert (2, 1) not in set(zip(cont["doc_id"], cont["contained_in"]))
     jac = q.q_doc_jaccard_pairs(str(tmp_path)).to_pandas()
     assert len(jac) == 0  # symmetric Jaccard is blind to the subset
+
+
+def test_event_rolling_median_window_algebra(ray_session, tmp_path):
+    """Hand-built series: warm-up frames (width < W), an even-width
+    frame's two-middle sum, and a spike day that drags the mean but
+    not the median."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    # one type, daily counts 1,3,5,100,7 (day 4 is a spike)
+    rows = []
+    counts = [1, 3, 5, 100, 7]
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append((len(rows), f"2024-03-{d+1:02d} 10:00:00", 1, "click", 0.0, "{}"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(pd.to_datetime([r[1] for r in rows]), type=pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], type=pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        q.q_event_rolling_median(str(tmp_path))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    # frames: [1] [1,3] [1,3,5] [1,3,5,100] [1,3,5,7,100]
+    assert out["median7_x2"].tolist() == [2, 4, 6, 8, 10]
