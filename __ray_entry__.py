@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment_pairs": q.q_doc_containment_pairs,
         "multimodal_thumbnails": q.q_multimodal_thumbnails,
         "event_rolling_median": q.q_event_rolling_median,
+        "doc_global_rank": q.q_doc_global_rank,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -910,6 +911,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT b AS doc_id, a AS contained_in FROM ab
             WHERE {CONTAIN_DEN} * i >= {CONTAIN_NUM} * nb
+        """,
+        "doc_global_rank": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
+            FROM documents
         """,
         "event_rolling_median": f"""
             WITH d AS (

@@ -12557,3 +12557,80 @@ def q_event_rolling_median(sf_dir: str):
         )
 
     return _keyed_exchange_apply(days, ["event_type"], median_kernel, out_schema)
+
+
+def q_doc_global_rank(sf_dir: str):
+    """EXACT GLOBAL RANK of every document by (n_chars, doc_id) — the
+    distributed ORDER-BY/TeraSort shape, done WITHOUT a global sort:
+
+    1. the n_chars value histogram folds through the two-phase
+       aggregate (payload = the bounded length domain x blocks, never
+       docs) and its cumulative counts broadcast once (``ray.put``) —
+       rank base = #docs with a strictly smaller length;
+    2. ONE keyed exchange on n_chars co-locates each length's docs;
+       the kernel sorts each value run by doc_id (the tiebreak) and
+       adds the broadcast base — rank = base + within-value ordinal.
+
+    Partitioning assumption (documented): a value group = all docs of
+    one length. The length domain is bounded and lengths spread web
+    corpora well; a degenerate corpus (every doc the same length)
+    concentrates one key — the remedy is the extra tiebreak-sampling
+    round of a full range-partition sort, deliberately out of scope
+    for the exact-histogram path. Equivalent to ``row_number() OVER
+    (ORDER BY n_chars, doc_id)`` and bit-exact against it."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    hist_schema = pa.schema([("n_chars", pa.int64()), ("cnt", pa.int64())])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        out = (
+            pa.table({"n_chars": batch.column("n_chars").cast(pa.int64())})
+            .group_by(["n_chars"])
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["n_chars", "cnt"]).cast(hist_schema)
+
+    hist_rows = grouped_aggregate(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["n_chars"],
+        [("cnt", "sum", "cnt")],
+    ).take_all()  # bounded by the length DOMAIN, not the corpus
+    vals = np.array(sorted(int(r["n_chars"]) for r in hist_rows), dtype=np.int64)
+    cnt_of = {int(r["n_chars"]): int(r["cnt"]) for r in hist_rows}
+    bases = np.zeros(len(vals), dtype=np.int64)
+    acc = 0
+    for i, v in enumerate(vals):
+        bases[i] = acc
+        acc += cnt_of[int(v)]
+    base_ref = ray.put((vals, bases))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_chars", pa.int64()), ("global_rank", pa.int64())]
+    )
+
+    def rank_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("n_chars", "ascending"), ("doc_id", "ascending")]
+        )
+        t = block.take(order)
+        nc = np.asarray(t.column("n_chars"), dtype=np.int64)
+        new_run = np.r_[True, nc[1:] != nc[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        ordinal = np.arange(len(nc)) - starts[run_idx]
+        v, b = ray.get(base_ref)
+        pos = np.searchsorted(v, nc)
+        rank = b[pos] + ordinal + 1
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_chars": pa.array(nc),
+                "global_rank": pa.array(rank),
+            },
+            schema=out_schema,
+        )
+
+    return _keyed_exchange_apply(ds, ["n_chars"], rank_kernel, out_schema)
