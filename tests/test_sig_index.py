@@ -501,3 +501,147 @@ def test_compaction_snapshot_interleaved_ingest_and_vacuum_grace(
     r = ingest(idx, _docs_ds([(31, LONG_B), (32, LONG_A)]), "w3")
     got = dict(zip(r.column("doc_id").to_pylist(), r.column("status").to_pylist()))
     assert got == {31: "dup", 32: "dup"}  # both w1 (base) and w2 rows live
+
+
+def test_randomized_lifecycle_matches_sequential_reference(ray_session, tmp_path):
+    """Model-based check of the whole index state machine: a SEEDED
+    random schedule of {ingest wave, delete admitted ids, re-ingest
+    deleted ids, compact, vacuum} runs against BOTH the engine index
+    and a dict-based sequential reference built from the ORACLE's
+    helpers (independent code path). Every wave's verdicts must match
+    exactly — pinning the seq-scoped tombstone semantics (a deleted id
+    stops matching, a re-admitted id matches again) through arbitrary
+    interleavings with compaction and vacuum."""
+    import numpy as np
+
+    from embulk_input_marketo_ray.pipelines.oracles import (
+        _band_hash,
+        _band_mult,
+        _minhash_params,
+        _minhash_signature,
+        _SIGIDX_AGREE_SLOTS,
+        _SIGIDX_NUM_BANDS,
+        _MINHASH_NUM_PERM,
+    )
+    from embulk_input_marketo_ray.stages.sig_index import (
+        compact_index,
+        delete_docs,
+        vacuum_index,
+    )
+
+    # corpus: 8 near-dup families x 6 variants; variants mutate one
+    # trailing token so family members stay above the agree threshold
+    bases = [
+        f"family {f} shares this very long repeated base sentence about "
+        f"distributed data engines and exactly once ingestion pipeline "
+        f"semantics with plenty of shingles to hash " * 3
+        for f in range(8)
+    ]
+    corpus = {}
+    for f, base in enumerate(bases):
+        for v in range(6):
+            corpus[f * 10 + v] = base + f" variant{v}"
+
+    a, b = _minhash_params()
+    mult = _band_mult()
+    r = _MINHASH_NUM_PERM // _SIGIDX_NUM_BANDS
+    sig_of = {i: _minhash_signature(t, a, b) for i, t in corpus.items()}
+    bands_of = {
+        i: [
+            (band, _band_hash(s[band * r : (band + 1) * r], mult[band * r : (band + 1) * r]))
+            for band in range(_SIGIDX_NUM_BANDS)
+        ]
+        for i, s in sig_of.items()
+    }
+
+    def ref_ingest(index_bands, index_sigs, wave_ids):
+        wave_ids = sorted(wave_ids)
+        new_buckets = {}
+        for i in wave_ids:
+            for key in bands_of[i]:
+                new_buckets.setdefault(key, []).append(i)
+        out = {}
+        admitted = []
+        for i in wave_ids:
+            best_old = best_new = None
+            for key in bands_of[i]:
+                olds = index_bands.get(key)
+                if olds:
+                    mo = min(olds)
+                    agree = sum(
+                        1 for x, y in zip(sig_of[i], index_sigs[mo]) if x == y
+                    )
+                    if agree >= _SIGIDX_AGREE_SLOTS and (best_old is None or mo < best_old):
+                        best_old = mo
+                mn = min(new_buckets[key])
+                if mn < i:
+                    agree = sum(1 for x, y in zip(sig_of[i], sig_of[mn]) if x == y)
+                    if agree >= _SIGIDX_AGREE_SLOTS and (best_new is None or mn < best_new):
+                        best_new = mn
+            if best_old is not None:
+                out[i] = ("dup", best_old)
+            elif best_new is not None:
+                out[i] = ("dup", best_new)
+            else:
+                out[i] = ("admitted", None)
+                admitted.append(i)
+        for i in admitted:
+            index_sigs[i] = sig_of[i]
+            for key in bands_of[i]:
+                index_bands.setdefault(key, []).append(i)
+        return out
+
+    def ref_delete(index_bands, index_sigs, ids):
+        for i in ids:
+            index_sigs.pop(i, None)
+            for key in bands_of[i]:
+                lst = index_bands.get(key)
+                if lst and i in lst:
+                    lst.remove(i)
+
+    idx = str(tmp_path / "idx")
+    init_index(idx)
+    index_bands, index_sigs = {}, {}
+    rng = np.random.default_rng(17)
+    never_ingested = set(corpus)
+    deleted = set()
+    admitted_live = set()
+
+    for wave in range(6):
+        pool = sorted(never_ingested | deleted)
+        if not pool:
+            break
+        take = rng.choice(pool, size=min(len(pool), int(rng.integers(4, 10))), replace=False)
+        wave_ids = sorted(int(x) for x in take)
+        never_ingested -= set(wave_ids)
+        deleted -= set(wave_ids)
+
+        got = ingest(idx, _docs_ds([(i, corpus[i]) for i in wave_ids]), f"w{wave}")
+        want = ref_ingest(index_bands, index_sigs, wave_ids)
+        got_map = {
+            int(row["doc_id"]): (row["status"], row["dup_of"])
+            for row in got.to_pylist()
+        }
+        assert got_map == want, f"wave {wave} diverged: {got_map} vs {want}"
+        admitted_live |= {i for i, (s, _) in want.items() if s == "admitted"}
+
+        # random deletes of currently-admitted docs
+        if admitted_live and rng.random() < 0.8:
+            kill = sorted(
+                int(x)
+                for x in rng.choice(
+                    sorted(admitted_live),
+                    size=min(len(admitted_live), int(rng.integers(1, 4))),
+                    replace=False,
+                )
+            )
+            delete_docs(idx, kill, f"d{wave}")
+            ref_delete(index_bands, index_sigs, kill)
+            admitted_live -= set(kill)
+            deleted |= set(kill)
+
+        # random maintenance: must never change probe semantics
+        if rng.random() < 0.5:
+            compact_index(idx)
+        if rng.random() < 0.5:
+            vacuum_index(idx, grace_seconds=0)
