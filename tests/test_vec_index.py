@@ -269,3 +269,88 @@ def test_vec_readmit_after_delete_is_live_and_survives_compaction(
     assert state["deletes"]["d1"]["folded"] is True
     r2 = ann_topk_index(idx, q, k=2, n_probe=2)
     assert 1 in r2.column("neighbor_id").to_pylist()
+
+
+def test_randomized_vec_lifecycle_matches_bruteforce(ray_session, tmp_path):
+    """Model-based check of the IVF index state machine: a seeded
+    random schedule of {ingest, delete, re-ingest, compact, vacuum}
+    against a brute-force reference over the LIVE vector set. Queries
+    restrict to vectors in the probed clusters (IVF semantics), so the
+    reference scores exactly the live members of those clusters —
+    pinning seq-scoped deletes and re-admits through maintenance."""
+    import numpy as np
+    import pyarrow as pa
+
+    from embulk_input_marketo_ray.stages.vec_index import (
+        _load_centroids,
+        ann_topk_index,
+        compact_vec_index,
+        delete_vectors,
+        ingest_vectors,
+        init_vec_index,
+        vacuum_vec_index,
+    )
+
+    rng = np.random.default_rng(23)
+    n, dim = 96, 8
+    x = rng.standard_normal((n, dim))
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+
+    idx = str(tmp_path / "vidx")
+    init_vec_index(idx, n_centroids=4, train_rows=48)
+
+    first = list(range(48))
+    ingest_vectors(idx, _vecs_ds(np.array(first), x[first]), "w0")
+    live = set(first)
+    remaining = set(range(48, n))
+    deleted = set()
+
+    centroids = _load_centroids(idx)
+    assign = np.argmax(x @ centroids.T, axis=1)
+
+    def check(k=4, n_probe=2):
+        qi = int(rng.integers(0, n))
+        q = pa.table(
+            {
+                "vec_id": pa.array([qi], type=pa.int64()),
+                "embedding": pa.array([x[qi].tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+        got = ann_topk_index(idx, q, k=k, n_probe=n_probe)
+        probe = np.argsort(-(x[qi] @ centroids.T), kind="stable")[:n_probe]
+        cands = sorted(
+            i for i in live if assign[i] in set(int(c) for c in probe)
+        )
+        if not cands:
+            assert got.num_rows == 0
+            return
+        cos = np.array([x[qi] @ x[i] for i in cands])
+        order = sorted(range(len(cands)), key=lambda j: (-cos[j], cands[j]))[:k]
+        want = [cands[j] for j in order]
+        assert got.column("neighbor_id").to_pylist() == want, (qi, want)
+
+    for wave in range(1, 6):
+        check()
+        pool = sorted(remaining | deleted)
+        if pool:
+            take = sorted(
+                int(v)
+                for v in rng.choice(pool, size=min(len(pool), 12), replace=False)
+            )
+            ingest_vectors(idx, _vecs_ds(np.array(take), x[take]), f"w{wave}")
+            live |= set(take)
+            remaining -= set(take)
+            deleted -= set(take)
+        if live and rng.random() < 0.8:
+            kill = sorted(
+                int(v)
+                for v in rng.choice(sorted(live), size=min(len(live), 5), replace=False)
+            )
+            delete_vectors(idx, kill, f"d{wave}")
+            live -= set(kill)
+            deleted |= set(kill)
+        if rng.random() < 0.5:
+            compact_vec_index(idx)
+        if rng.random() < 0.5:
+            vacuum_vec_index(idx, grace_seconds=0)
+        check()
