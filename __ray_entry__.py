@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_thumbnails": q.q_multimodal_thumbnails,
         "event_rolling_median": q.q_event_rolling_median,
         "doc_global_rank": q.q_doc_global_rank,
+        "doc_split_leakage_safe": q.q_doc_split_leakage_safe,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -353,6 +354,10 @@ def oracle_sql() -> dict[str, str]:
         LAGGARD_TOP_K,
         Q9_PART_SUBSTR,
         ROLLMED_WINDOW,
+        SPLIT_HASH_MOD,
+        SPLIT_HASH_MULT,
+        SPLIT_TRAIN_CUT,
+        SPLIT_VAL_CUT,
         CO_CHANGE_MIN_WINDOWS,
         COMMIT_WINDOW_SECONDS,
         LOOKUP_KEYS,
@@ -911,6 +916,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT b AS doc_id, a AS contained_in FROM ab
             WHERE {CONTAIN_DEN} * i >= {CONTAIN_NUM} * nb
+        """,
+        "doc_split_leakage_safe": f"""
+            WITH clusters AS (
+              SELECT * FROM read_parquet('{oracle_paths['doc_dup_clusters']}')
+            ),
+            keyed AS (
+              SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS k
+              FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN h < {SPLIT_TRAIN_CUT} THEN 'train'
+                        WHEN h < {SPLIT_VAL_CUT} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     (CAST(k % {SPLIT_HASH_MOD} AS HUGEINT) * {SPLIT_HASH_MULT})
+                       % {SPLIT_HASH_MOD} AS h
+              FROM keyed
+            )
         """,
         "doc_global_rank": """
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,

@@ -12634,3 +12634,124 @@ def q_doc_global_rank(sf_dir: str):
         )
 
     return _keyed_exchange_apply(ds, ["n_chars"], rank_kernel, out_schema)
+
+
+SPLIT_CLUSTER_BROADCAST_LIMIT = 256 << 20  # bytes of (doc_id, cluster_id) pairs
+
+
+def q_doc_split_leakage_safe(sf_dir: str, cluster_broadcast_limit: int | None = None):
+    """Cluster-aware train/val/test split — the LEAKAGE GUARD a plain
+    per-doc hash split cannot give: near-duplicate cluster members
+    always land in the SAME split (a test doc whose near-twin sits in
+    train silently inflates eval scores; Lee et al.'s dedup paper's
+    central warning). Split key = near-dup ``cluster_id`` for
+    clustered docs, own ``doc_id`` otherwise; the assignment rule is
+    the SAME multiplicative hash + cuts as ``q_doc_split``, so the
+    two splits agree everywhere except inside dup clusters.
+
+    Budget-adaptive key attach (the doc_dedup_near idiom): cluster
+    membership is ∝ the DUPLICATE count — the small side by nature —
+    so within ``SPLIT_CLUSTER_BROADCAST_LIMIT`` the sorted
+    (doc_id, cluster_id) arrays broadcast once and the split is a
+    fused streaming map (the 10^10-row corpus never shuffles); above
+    it (a 50%-duplicate crawl) the attach rides one tagged-union
+    keyed exchange on doc_id with a run-gather kernel."""
+    budget = (
+        SPLIT_CLUSTER_BROADCAST_LIMIT
+        if cluster_broadcast_limit is None
+        else int(cluster_broadcast_limit)
+    )
+    _ensure_hash_shuffle()
+    clusters_ds = q_doc_dup_clusters(sf_dir).materialize()
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_members = clusters_ds.count()
+
+    def assign_from_key(ids: np.ndarray, keys: np.ndarray) -> pa.Table:
+        h = ((keys.astype(np.uint64) % SPLIT_HASH_MOD) * SPLIT_HASH_MULT) % SPLIT_HASH_MOD
+        split = np.where(
+            h < SPLIT_TRAIN_CUT, "train", np.where(h < SPLIT_VAL_CUT, "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    if 16 * n_members <= budget:
+        if n_members:
+            t = pa.concat_tables(ray.get(clusters_ds.to_arrow_refs())).combine_chunks()
+            order = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+            t = t.take(order)
+            member_ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+            member_clusters = np.asarray(t.column("cluster_id"), dtype=np.int64)
+        else:
+            member_ids = np.empty(0, dtype=np.int64)
+            member_clusters = np.empty(0, dtype=np.int64)
+        members_ref = ray.put((member_ids, member_clusters))
+
+        def assign(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            mids, mcl = ray.get(members_ref)
+            keys = ids.copy()
+            if len(mids):
+                pos = np.minimum(np.searchsorted(mids, ids), len(mids) - 1)
+                hit = mids[pos] == ids
+                keys[hit] = mcl[pos][hit]
+            return assign_from_key(ids, keys)
+
+        return ds.map_batches(assign, batch_format="pyarrow")
+
+    # over budget: tagged-union keyed LEFT attach on doc_id
+    u_schema = pa.schema(
+        [("doc_id", pa.int64()), ("side", pa.int8()), ("cluster_id", pa.int64())]
+    )
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+            },
+            schema=u_schema,
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "cluster_id": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u_schema,
+        )
+
+    tagged = clusters_ds.map_batches(member_rows, batch_format="pyarrow").union(
+        ds.map_batches(doc_rows, batch_format="pyarrow")
+    )
+    out_schema = pa.schema([("doc_id", pa.int64()), ("split", pa.string())])
+
+    def gather_split(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("doc_id", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        cl = np.asarray(pc.fill_null(t.column("cluster_id"), -1), dtype=np.int64)
+        new_run = np.r_[True, ids[1:] != ids[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_cluster = np.where(side[starts] == 0, cl[starts], -1)
+        row_cluster = run_cluster[run_idx]
+        keep = side == 1
+        out_ids = ids[keep]
+        keys = np.where(row_cluster[keep] >= 0, row_cluster[keep], out_ids)
+        return assign_from_key(out_ids, keys).cast(out_schema)
+
+    return _keyed_exchange_apply(tagged, ["doc_id"], gather_split, out_schema)

@@ -2962,3 +2962,26 @@ def test_event_rolling_median_window_algebra(ray_session, tmp_path):
     )
     # frames: [1] [1,3] [1,3,5] [1,3,5,100] [1,3,5,7,100]
     assert out["median7_x2"].tolist() == [2, 4, 6, 8, 10]
+
+
+def test_leakage_safe_split_same_split_per_cluster_and_fallback(ray_session):
+    """Every near-dup cluster's members share ONE split (the leakage
+    guard); unclustered docs agree with the plain per-doc split; the
+    over-budget keyed-exchange fallback returns the identical table."""
+    sf = "/root/testdata/sf0.01"
+    out = q.q_doc_split_leakage_safe(sf).to_pandas()
+    clusters = q.q_doc_dup_clusters(sf).to_pandas()
+    merged = clusters.merge(out, on="doc_id")
+    assert (merged.groupby("cluster_id")["split"].nunique() == 1).all()
+    plain = q.q_doc_split(sf).to_pandas()
+    unclustered = out[~out["doc_id"].isin(set(clusters["doc_id"]))]
+    cmp = unclustered.merge(plain, on="doc_id", suffixes=("_safe", "_plain"))
+    assert (cmp["split_safe"] == cmp["split_plain"]).all()
+
+    fb = (
+        q.q_doc_split_leakage_safe(sf, cluster_broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert fb.equals(out.sort_values("doc_id").reset_index(drop=True))
