@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rolling_median": q.q_event_rolling_median,
         "doc_global_rank": q.q_doc_global_rank,
         "doc_split_leakage_safe": q.q_doc_split_leakage_safe,
+        "event_anomaly_days": q.q_event_anomaly_days,
+        "source_lang_drift": q.q_source_lang_drift,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -353,6 +355,8 @@ def oracle_sql() -> dict[str, str]:
         CONTAIN_NUM,
         LAGGARD_TOP_K,
         Q9_PART_SUBSTR,
+        ANOMALY_T_DEN,
+        ANOMALY_T_NUM,
         ROLLMED_WINDOW,
         SPLIT_HASH_MOD,
         SPLIT_HASH_MULT,
@@ -940,6 +944,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
             FROM documents
+        """,
+        "event_anomaly_days": f"""
+            WITH d AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT event_type, day, n,
+                     CAST(2 * median(n) OVER (
+                         PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN {ROLLMED_WINDOW - 1} PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS median7_x2
+              FROM d
+            )
+            SELECT * FROM m
+            WHERE 2 * {ANOMALY_T_DEN} * n > {ANOMALY_T_NUM} * median7_x2
+        """,
+        "source_lang_drift": """
+            WITH g AS (
+              SELECT source, lang, count(*)::BIGINT AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            s AS (SELECT source, sum(n)::BIGINT AS n_s FROM g GROUP BY 1),
+            l AS (SELECT lang, sum(n)::BIGINT AS n_l FROM g GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS total FROM g)
+            SELECT s.source, s.n_s AS n_docs,
+                   sum(abs(coalesce(g.n, 0) * t.total - l.n_l * s.n_s))::BIGINT
+                       AS l1_cross
+            FROM s CROSS JOIN l CROSS JOIN t
+            LEFT JOIN g ON g.source = s.source AND g.lang = l.lang
+            GROUP BY 1, 2
         """,
         "event_rolling_median": f"""
             WITH d AS (

@@ -12755,3 +12755,92 @@ def q_doc_split_leakage_safe(sf_dir: str, cluster_broadcast_limit: int | None = 
         return assign_from_key(out_ids, keys).cast(out_schema)
 
     return _keyed_exchange_apply(tagged, ["doc_id"], gather_split, out_schema)
+
+
+# flag days with count > (ANOMALY_T_NUM / ANOMALY_T_DEN) x trailing
+# median (6/5 = 1.2x — tuned so the smooth synthetic stream still
+# surfaces its heaviest days; production spikes use a higher ratio)
+ANOMALY_T_NUM = 6
+ANOMALY_T_DEN = 5
+
+
+def q_event_anomaly_days(sf_dir: str):
+    """Burst detection on the rolling-median baseline: days whose count
+    exceeds ``ANOMALY_T_NUM/ANOMALY_T_DEN`` x the trailing 7-day
+    median — the robust spike alarm (a mean baseline self-inflates
+    during the spike; the median does not). Pure integer gate on the
+    doubled median: ``n > (N/D) * median  <=>  2*D*n > N *
+    median7_x2``. Composes the ``event_rolling_median`` pipeline with
+    a streaming filter — same exchange count, bounded-domain kernel."""
+    med = q_event_rolling_median(sf_dir)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        m2 = np.asarray(batch.column("median7_x2"), dtype=np.int64)
+        keep = pa.array(2 * ANOMALY_T_DEN * n > ANOMALY_T_NUM * m2)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type").filter(keep),
+                "day": batch.column("day").filter(keep),
+                "n": batch.column("n").filter(keep),
+                "median7_x2": batch.column("median7_x2").filter(keep),
+            }
+        )
+
+    return med.map_batches(gate, batch_format="pyarrow")
+
+
+def q_source_lang_drift(sf_dir: str):
+    """Distribution-drift report: per source, the L1 distance between
+    its language mix and the corpus-wide mix, kept INTEGER-EXACT via
+    cross-products — ``sum_l | n_sl * N - n_l * N_s |`` (which equals
+    ``N * N_s`` times the usual total-variation distance x2). The
+    data-quality monitor for ingest feeds whose composition shifts.
+
+    Shape: the (source, lang) grid folds through the two-phase
+    aggregate (payload = domain x blocks); the grid is BOUNDED
+    (sources x langs), so the driver folds marginals and the distance
+    with numpy — the bounded-domain histogram idiom, no extra
+    exchange at any corpus size."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    grid_schema = pa.schema(
+        [("source", pa.string()), ("lang", pa.string()), ("n", pa.int64())]
+    )
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return out.rename_columns(["source", "lang", "n"]).cast(grid_schema)
+
+    rows = grouped_aggregate(
+        ds.map_batches(grid_partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        [("n", "sum", "n")],
+    ).take_all()  # bounded by sources x langs
+    if not rows:
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "l1_cross": pa.array([], type=pa.int64()),
+            }
+        )
+    sources = sorted({r["source"] for r in rows})
+    langs = sorted({r["lang"] for r in rows})
+    grid = np.zeros((len(sources), len(langs)), dtype=np.int64)
+    s_ix = {s: i for i, s in enumerate(sources)}
+    l_ix = {v: i for i, v in enumerate(langs)}
+    for r in rows:
+        grid[s_ix[r["source"]], l_ix[r["lang"]]] = int(r["n"])
+    n_s = grid.sum(axis=1)
+    n_l = grid.sum(axis=0)
+    total = int(grid.sum())
+    l1 = np.abs(grid * total - np.outer(n_s, n_l)).sum(axis=1)
+    return pa.table(
+        {
+            "source": pa.array(sources, type=pa.string()),
+            "n_docs": pa.array(n_s),
+            "l1_cross": pa.array(l1),
+        }
+    )
