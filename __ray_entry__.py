@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_leakage_safe": q.q_doc_split_leakage_safe,
         "event_anomaly_days": q.q_event_anomaly_days,
         "source_lang_drift": q.q_source_lang_drift,
+        "customer_pareto": q.q_customer_pareto,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         CONTAIN_DEN,
         CONTAIN_NUM,
         LAGGARD_TOP_K,
+        PARETO_TARGET_PM,
         Q9_PART_SUBSTR,
         ANOMALY_T_DEN,
         ANOMALY_T_NUM,
@@ -944,6 +946,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
             FROM documents
+        """,
+        "customer_pareto": f"""
+            WITH pc AS (
+              SELECT o.o_custkey AS ckey,
+                     sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                        )::BIGINT AS rev_c
+              FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+              GROUP BY 1
+            ),
+            walk AS (
+              SELECT rev_c,
+                     sum(rev_c) OVER (ORDER BY rev_c DESC, ckey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(rev_c) OVER () AS total,
+                     row_number() OVER (ORDER BY rev_c DESC, ckey ASC) AS rn,
+                     count(*) OVER () AS n_all
+              FROM pc
+            )
+            SELECT rn AS n_customers, n_all::BIGINT AS total_customers,
+                   (1000 * cum // total)::BIGINT AS share_pm
+            FROM walk
+            WHERE cum * 1000 >= {PARETO_TARGET_PM} * total
+            ORDER BY rn LIMIT 1
         """,
         "event_anomaly_days": f"""
             WITH d AS (

@@ -12844,3 +12844,131 @@ def q_source_lang_drift(sf_dir: str):
             "l1_cross": pa.array(l1),
         }
     )
+
+
+PARETO_TARGET_PM = 800  # the "80" of the 80/20 rule, in per-mille
+
+
+def q_customer_pareto(sf_dir: str):
+    """Pareto concentration report (the 80/20 rule, exact): the
+    SMALLEST number of customers whose summed revenue reaches
+    ``PARETO_TARGET_PM`` per-mille of total revenue, plus their exact
+    share — revenue-concentration analytics every warehouse runs.
+
+    Shape: per-customer revenue folds through the two-phase aggregate
+    (in-block partials first — the exchange moves customer-domain
+    rows, never lineitems); the cumulative walk runs driver-side over
+    the CUSTOMER-DIMENSION-bounded result sorted by (revenue desc,
+    custkey asc — a total order, so the count is deterministic);
+    integer cents everywhere, the threshold test is the cross-product
+    ``cum * 1000 >= target * total``."""
+    _ensure_hash_shuffle()
+    line = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    # lineitem revenue -> per-order partials, then the order->customer
+    # attach rides ONE tagged-union keyed exchange on the order key
+    u_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("ckey", pa.int64()),
+            ("rev_c", pa.int64()),
+        ]
+    )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(batch.column("l_extendedprice"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(batch.column("l_discount"), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "rev_c": pa.array(cents * (100 - disc)),
+            }
+        )
+        agg = t.group_by(["okey"]).aggregate([("rev_c", "sum")])
+        n = agg.num_rows
+        return pa.table(
+            {
+                "okey": agg.column("okey"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "ckey": pa.nulls(n, type=pa.int64()),
+                "rev_c": agg.column("rev_c_sum").cast(pa.int64()),
+            },
+            schema=u_schema,
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
+                "rev_c": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u_schema,
+        )
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        line.map_batches(line_rows, batch_format="pyarrow")
+    )
+    cust_schema = pa.schema([("ckey", pa.int64()), ("rev_c", pa.int64())])
+
+    def attach_customer(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return cust_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        ck = np.asarray(pc.fill_null(t.column("ckey"), -1), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_cust = np.where(side[starts] == 0, ck[starts], -1)
+        row_cust = run_cust[run_idx]
+        keep = (side == 1) & (row_cust >= 0)
+        if not keep.any():
+            return cust_schema.empty_table()
+        sel = t.filter(pa.array(keep))
+        part = pa.table(
+            {"ckey": pa.array(row_cust[keep]), "rev_c": sel.column("rev_c")},
+            schema=cust_schema,
+        )
+        agg = part.group_by(["ckey"]).aggregate([("rev_c", "sum")])
+        return agg.rename_columns(["ckey", "rev_c"]).cast(cust_schema)
+
+    partial = _keyed_exchange_apply(tagged, ["okey"], attach_customer, cust_schema)
+    per_cust = grouped_aggregate(partial, ["ckey"], [("rev_c", "sum", "rev_c")])
+    rows = per_cust.take_all()  # bounded by the customer dimension
+    if not rows:
+        return pa.table(
+            {
+                "n_customers": pa.array([], type=pa.int64()),
+                "total_customers": pa.array([], type=pa.int64()),
+                "share_pm": pa.array([], type=pa.int64()),
+            }
+        )
+    rev = np.array([int(r["rev_c"]) for r in rows], dtype=np.int64)
+    keys = np.array([int(r["ckey"]) for r in rows], dtype=np.int64)
+    order = np.lexsort((keys, -rev))  # revenue desc, custkey asc
+    rev = rev[order]
+    total = int(rev.sum())
+    cum = np.cumsum(rev)
+    k = int(np.searchsorted(cum * 1000, PARETO_TARGET_PM * total, side="left")) + 1
+    return pa.table(
+        {
+            "n_customers": pa.array([k], type=pa.int64()),
+            "total_customers": pa.array([len(rev)], type=pa.int64()),
+            "share_pm": pa.array([1000 * int(cum[k - 1]) // max(total, 1)], type=pa.int64()),
+        }
+    )
