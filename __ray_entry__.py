@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_anomaly_days": q.q_event_anomaly_days,
         "source_lang_drift": q.q_source_lang_drift,
         "customer_pareto": q.q_customer_pareto,
+        "doc_max_overlap": q.q_doc_max_overlap,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         CONTAIN_DEN,
         CONTAIN_NUM,
         LAGGARD_TOP_K,
+        OVERLAP_PACK,
         PARETO_TARGET_PM,
         Q9_PART_SUBSTR,
         ANOMALY_T_DEN,
@@ -946,6 +948,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
             FROM documents
+        """,
+        "doc_max_overlap": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+              FROM documents
+            ),
+            long AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                FROM t WHERE len(toks) >= 3
+              )
+            ),
+            short AS (
+              SELECT doc_id, array_to_string(toks, ' ') AS gram
+              FROM t WHERE len(toks) BETWEEN 1 AND 2
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, gram
+              FROM (SELECT * FROM long UNION ALL SELECT * FROM short)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS i
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            dirs AS (
+              SELECT a AS doc_id, i, b AS partner FROM inter
+              UNION ALL
+              SELECT b AS doc_id, i, a AS partner FROM inter
+            )
+            SELECT d.doc_id, s.n AS n_grams,
+                   max(d.i * {OVERLAP_PACK} + ({OVERLAP_PACK} - 1 - d.partner))
+                       // {OVERLAP_PACK} AS max_shared,
+                   {OVERLAP_PACK} - 1
+                     - max(d.i * {OVERLAP_PACK} + ({OVERLAP_PACK} - 1 - d.partner))
+                       % {OVERLAP_PACK} AS best_partner
+            FROM dirs d JOIN sizes s ON s.doc_id = d.doc_id
+            GROUP BY 1, 2
         """,
         "customer_pareto": f"""
             WITH pc AS (

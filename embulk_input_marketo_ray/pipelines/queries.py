@@ -12972,3 +12972,147 @@ def q_customer_pareto(sf_dir: str):
             "share_pm": pa.array([1000 * int(cum[k - 1]) // max(total, 1)], type=pa.int64()),
         }
     )
+
+
+# argmax packing for (intersection, partner) pairs: max picks the larger
+# intersection first, then the SMALLER partner id on ties (the 2^32
+# complement). Sound while doc ids < 2^32 and i < 2^31 (gram counts).
+OVERLAP_PACK = 1 << 32
+
+
+def q_doc_max_overlap(sf_dir: str):
+    """Corpus-diversity diagnostic (the self-BLEU proxy): for every doc
+    that shares at least one 3-gram with another doc, its MOST-similar
+    partner — (max shared-gram count, argmax partner, own gram count).
+    Low max-overlap across the corpus = diverse data; a fat tail of
+    high overlaps = templating the dedup thresholds are missing.
+
+    Shape: the exact-Jaccard counting backbone (gram inverted index,
+    per-block pair multiplicity, grouped sum) with an ARGMAX closing
+    stage instead of a threshold: (i, partner) packs into one int64
+    (``i * 2^32 + (2^32-1-partner)``) so the two-phase MAX aggregate
+    picks max-i-then-min-partner deterministically — both directions
+    of each undirected pair emitted, so every doc sees its best
+    partner. Same stop-gram caveat as the Jaccard path."""
+    from embulk_input_marketo_ray.stages.dedup import _ngram_set
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_g: list[str] = []
+        out_n: list[int] = []
+        for i, t in zip(ids, texts):
+            gs = _ngram_set(t or "")
+            out_id.extend([i] * len(gs))
+            out_g.extend(gs)
+            out_n.extend([len(gs)] * len(gs))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "gram": pa.array(out_g, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    grams = ds.map_batches(explode_grams, batch_format="pyarrow")
+
+    pair_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("i", pa.int64()), ("na", pa.int64()), ("nb", pa.int64())]
+    )
+
+    def postings_to_pairs(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pair_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("gram", "ascending"), ("doc_id", "ascending")]
+        )
+        t = block.take(order)
+        gram = np.asarray(t.column("gram"), dtype=object)
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        ns = np.asarray(t.column("n"), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
+        ends = np.r_[starts[1:], len(gram)]
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            i, j = np.triu_indices(g, k=1)
+            out_a.append(ids[s:e][i])
+            out_b.append(ids[s:e][j])
+            out_na.append(ns[s:e][i])
+            out_nb.append(ns[s:e][j])
+        if not out_a:
+            return pair_schema.empty_table()
+        pt = pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "na": pa.array(np.concatenate(out_na), type=pa.int64()),
+                "nb": pa.array(np.concatenate(out_nb), type=pa.int64()),
+            }
+        )
+        out = pt.group_by(["a", "b"]).aggregate(
+            [([], "count_all"), ("na", "max"), ("nb", "max")]
+        )
+        return pa.table(
+            {
+                "a": out.column("a"),
+                "b": out.column("b"),
+                "i": out.column("count_all").cast(pa.int64()),
+                "na": out.column("na_max").cast(pa.int64()),
+                "nb": out.column("nb_max").cast(pa.int64()),
+            }
+        )
+
+    cands = _keyed_repartition(grams, _shuffle_width(), ["gram"]).map_batches(
+        postings_to_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    inter = grouped_aggregate(
+        cands,
+        ["a", "b"],
+        [("i", "sum", "i"), ("na", "max", "na"), ("nb", "max", "nb")],
+    )
+
+    both_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("packed", pa.int64())]
+    )
+
+    def directions(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        iv = np.asarray(batch.column("i"), dtype=np.int64)
+        na = np.asarray(batch.column("na"), dtype=np.int64)
+        nb = np.asarray(batch.column("nb"), dtype=np.int64)
+        pack_ab = iv * OVERLAP_PACK + (OVERLAP_PACK - 1 - b)
+        pack_ba = iv * OVERLAP_PACK + (OVERLAP_PACK - 1 - a)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b])),
+                "n_grams": pa.array(np.concatenate([na, nb])),
+                "packed": pa.array(np.concatenate([pack_ab, pack_ba])),
+            },
+            schema=both_schema,
+        )
+
+    best = grouped_aggregate(
+        inter.map_batches(directions, batch_format="pyarrow"),
+        ["doc_id"],
+        [("n_grams", "max", "n_grams"), ("packed", "max", "packed")],
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        packed = np.asarray(batch.column("packed"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": batch.column("n_grams"),
+                "max_shared": pa.array(packed // OVERLAP_PACK),
+                "best_partner": pa.array(OVERLAP_PACK - 1 - packed % OVERLAP_PACK),
+            }
+        )
+
+    return best.map_batches(decode, batch_format="pyarrow")
