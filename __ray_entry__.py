@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_drift": q.q_source_lang_drift,
         "customer_pareto": q.q_customer_pareto,
         "doc_max_overlap": q.q_doc_max_overlap,
+        "vocab_gini": q.q_vocab_gini,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -948,6 +949,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
             FROM documents
+        """,
+        "vocab_gini": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS token
+              FROM documents
+            ),
+            c AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+            ranked AS (
+              SELECT n, row_number() OVER (ORDER BY n) AS rn,
+                     count(*) OVER () AS n_tokens,
+                     sum(n) OVER () AS total
+              FROM c
+            )
+            SELECT max(n_tokens)::BIGINT AS n_tokens,
+                   max(total)::BIGINT AS total_count,
+                   sum((2 * rn - 1 - n_tokens) * n)::BIGINT AS gini_num,
+                   (1000 * sum((2 * rn - 1 - n_tokens) * n)
+                     // greatest(max(n_tokens) * max(total), 1))::BIGINT AS gini_pm
+            FROM ranked
         """,
         "doc_max_overlap": f"""
             WITH t AS (

@@ -13116,3 +13116,80 @@ def q_doc_max_overlap(sf_dir: str):
         )
 
     return best.map_batches(decode, batch_format="pyarrow")
+
+
+def q_vocab_gini(sf_dir: str):
+    """Gini coefficient of the token-frequency distribution — the
+    vocabulary-inequality diagnostic (natural language sits high;
+    near-uniform token use signals synthetic/templated text), kept
+    INTEGER-EXACT: with tokens sorted by count ascending, the Gini
+    numerator is ``sum_i (2i + 1 - n) * c_i``; tied counts contribute
+    a permutation-invariant block sum ``v * m * (2s + m - n)``
+    (m tokens of count v starting at 0-based rank s), so the walk
+    runs over the FREQUENCY-OF-FREQUENCIES histogram — bounded by the
+    distinct count VALUES (harmonically small), never the vocabulary.
+
+    Shape: two-phase token counts (payload = vocab x blocks), then a
+    two-phase count-value histogram (payload = distinct values x
+    blocks), then the closed-form driver walk. Reported as
+    ``gini_pm = 1000 * num // (n * total)`` plus the exact integer
+    pieces."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    tok_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _explode_doc_tokens(batch)
+        out = pa.table({"token": flat}).group_by(["token"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["token", "n"]).cast(tok_schema)
+
+    counts = grouped_aggregate(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["token"],
+        [("n", "sum", "n")],
+    )
+
+    ff_schema = pa.schema([("cnt", pa.int64()), ("m", pa.int64())])
+
+    def ff_partial(batch: pa.Table) -> pa.Table:
+        out = (
+            pa.table({"cnt": batch.column("n")})
+            .group_by(["cnt"])
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["cnt", "m"]).cast(ff_schema)
+
+    ff_rows = grouped_aggregate(
+        counts.map_batches(ff_partial, batch_format="pyarrow"),
+        ["cnt"],
+        [("m", "sum", "m")],
+    ).take_all()  # bounded by distinct count VALUES
+    if not ff_rows:
+        return pa.table(
+            {
+                "n_tokens": pa.array([], type=pa.int64()),
+                "total_count": pa.array([], type=pa.int64()),
+                "gini_num": pa.array([], type=pa.int64()),
+                "gini_pm": pa.array([], type=pa.int64()),
+            }
+        )
+    vals = sorted((int(r["cnt"]), int(r["m"])) for r in ff_rows)
+    n_tokens = sum(m for _, m in vals)
+    total = sum(v * m for v, m in vals)
+    num = 0
+    s = 0
+    for v, m in vals:
+        num += v * m * (2 * s + m - n_tokens)
+        s += m
+    den = n_tokens * total
+    return pa.table(
+        {
+            "n_tokens": pa.array([n_tokens], type=pa.int64()),
+            "total_count": pa.array([total], type=pa.int64()),
+            "gini_num": pa.array([num], type=pa.int64()),
+            "gini_pm": pa.array([1000 * num // max(den, 1)], type=pa.int64()),
+        }
+    )
