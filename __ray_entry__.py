@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_pareto": q.q_customer_pareto,
         "doc_max_overlap": q.q_doc_max_overlap,
         "vocab_gini": q.q_vocab_gini,
+        "minhash_precision_report": q.q_minhash_precision_report,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -949,6 +950,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
             FROM documents
+        """,
+        "minhash_precision_report": f"""
+            WITH approx AS (
+              SELECT greatest(doc_id, dup_of) AS a, least(doc_id, dup_of) AS b
+              FROM read_parquet('{oracle_paths['doc_minhash_dup_pairs']}')
+            ),
+            t AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+              FROM documents
+            ),
+            long AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                FROM t WHERE len(toks) >= 3
+              )
+            ),
+            short AS (
+              SELECT doc_id, array_to_string(toks, ' ') AS gram
+              FROM t WHERE len(toks) BETWEEN 1 AND 2
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, gram
+              FROM (SELECT * FROM long UNION ALL SELECT * FROM short)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            exact AS (
+              SELECT greatest(inter.x, inter.y) AS a, least(inter.x, inter.y) AS b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = inter.x
+              JOIN sizes sb ON sb.doc_id = inter.y
+              WHERE 2 * inter.i >= sa.n + sb.n - inter.i
+            ),
+            m AS (
+              SELECT count(*) FILTER (WHERE e.a IS NOT NULL)::BIGINT AS tp,
+                     count(*) FILTER (WHERE e.a IS NULL)::BIGINT AS fp
+              FROM approx ap LEFT JOIN exact e ON e.a = ap.a AND e.b = ap.b
+            ),
+            fn_t AS (
+              SELECT count(*)::BIGINT AS fn
+              FROM exact e LEFT JOIN approx ap ON e.a = ap.a AND e.b = ap.b
+              WHERE ap.a IS NULL
+            )
+            SELECT m.tp, m.fp, fn_t.fn,
+                   (1000 * m.tp // greatest(m.tp + m.fp, 1))::BIGINT AS precision_pm,
+                   (1000 * m.tp // greatest(m.tp + fn_t.fn, 1))::BIGINT AS recall_pm
+            FROM m, fn_t
         """,
         "vocab_gini": r"""
             WITH tok AS (

@@ -13193,3 +13193,42 @@ def q_vocab_gini(sf_dir: str):
             "gini_pm": pa.array([1000 * num // max(den, 1)], type=pa.int64()),
         }
     )
+
+
+def q_minhash_precision_report(sf_dir: str):
+    """ESTIMATOR-QUALITY audit: the MinHash+LSH near-dup pair set
+    scored against the exact inverted-index Jaccard baseline —
+    (true_positives, false_positives, false_negatives) and integer
+    per-mille precision/recall. The health check every approximate
+    dedup deployment needs before trusting its thresholds; composes
+    two independently-verified catalog pipelines, so a drift in either
+    estimator surfaces here as a moved score.
+
+    Shape: both pair sets are DUPLICATE-bounded (tiny by nature);
+    each materializes from its own distributed pipeline and the set
+    algebra folds driver-side — the bounded-result idiom, no extra
+    exchange."""
+    _ensure_hash_shuffle()
+    approx = {
+        (int(r["doc_id"]), int(r["dup_of"]))
+        for r in q_doc_minhash_dup_pairs(sf_dir).take_all()
+    }
+    exact = {
+        (int(r["doc_id"]), int(r["dup_of"]))
+        for r in q_doc_jaccard_pairs(sf_dir).take_all()
+    }
+    # normalize orientation: unordered pairs as (max, min) on both sides
+    approx = {(max(a, b), min(a, b)) for a, b in approx}
+    exact = {(max(a, b), min(a, b)) for a, b in exact}
+    tp = len(approx & exact)
+    fp = len(approx - exact)
+    fn = len(exact - approx)
+    return pa.table(
+        {
+            "tp": pa.array([tp], type=pa.int64()),
+            "fp": pa.array([fp], type=pa.int64()),
+            "fn": pa.array([fn], type=pa.int64()),
+            "precision_pm": pa.array([1000 * tp // max(tp + fp, 1)], type=pa.int64()),
+            "recall_pm": pa.array([1000 * tp // max(tp + fn, 1)], type=pa.int64()),
+        }
+    )
