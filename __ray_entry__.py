@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_max_overlap": q.q_doc_max_overlap,
         "vocab_gini": q.q_vocab_gini,
         "minhash_precision_report": q.q_minhash_precision_report,
+        "token_coverage_curve": q.q_token_coverage_curve,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -950,6 +951,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
             FROM documents
+        """,
+        "token_coverage_curve": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS token
+              FROM documents
+            ),
+            c AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+            ranked AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rn,
+                     sum(n) OVER () AS total,
+                     count(*) OVER () AS n_types
+              FROM c
+            ),
+            ks AS (SELECT 100 AS k UNION ALL SELECT 1000 UNION ALL SELECT 10000)
+            SELECT least(ks.k, max(ranked.n_types))::BIGINT AS k,
+                   (1000 * sum(ranked.n) FILTER (WHERE ranked.rn <= ks.k)
+                      // greatest(max(ranked.total), 1))::BIGINT AS covered_pm
+            FROM ks CROSS JOIN ranked
+            GROUP BY ks.k
         """,
         "minhash_precision_report": f"""
             WITH approx AS (

@@ -13232,3 +13232,75 @@ def q_minhash_precision_report(sf_dir: str):
             "recall_pm": pa.array([1000 * tp // max(tp + fn, 1)], type=pa.int64()),
         }
     )
+
+
+COVERAGE_KS = (100, 1000, 10000)  # vocabulary budgets to report
+
+
+def q_token_coverage_curve(sf_dir: str):
+    """Tokenizer-budget curve: for each vocabulary budget K, the exact
+    per-mille of corpus TOKEN OCCURRENCES covered by the K most
+    frequent types (ties broken toward the budget: a partially
+    admitted tie value contributes exactly the remaining slots) — the
+    'how big must the vocab be' design table.
+
+    Shape: the vocab_gini backbone — two-phase token counts, two-phase
+    frequency-of-frequencies histogram, then the top-down closed-form
+    walk over distinct count VALUES driver-side (harmonically small).
+    No sort of the vocabulary anywhere."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    tok_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _explode_doc_tokens(batch)
+        out = pa.table({"token": flat}).group_by(["token"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["token", "n"]).cast(tok_schema)
+
+    counts = grouped_aggregate(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["token"],
+        [("n", "sum", "n")],
+    )
+
+    ff_schema = pa.schema([("cnt", pa.int64()), ("m", pa.int64())])
+
+    def ff_partial(batch: pa.Table) -> pa.Table:
+        out = (
+            pa.table({"cnt": batch.column("n")})
+            .group_by(["cnt"])
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["cnt", "m"]).cast(ff_schema)
+
+    ff_rows = grouped_aggregate(
+        counts.map_batches(ff_partial, batch_format="pyarrow"),
+        ["cnt"],
+        [("m", "sum", "m")],
+    ).take_all()
+    vals = sorted(
+        ((int(r["cnt"]), int(r["m"])) for r in ff_rows), reverse=True
+    )  # most frequent first
+    total = sum(v * m for v, m in vals)
+    n_types = sum(m for _, m in vals)
+    out_k, out_cov = [], []
+    for k in COVERAGE_KS:
+        covered = 0
+        left = k
+        for v, m in vals:
+            take = min(m, left)
+            covered += v * take
+            left -= take
+            if left == 0:
+                break
+        out_k.append(min(k, n_types))
+        out_cov.append(1000 * covered // max(total, 1))
+    return pa.table(
+        {
+            "k": pa.array(out_k, type=pa.int64()),
+            "covered_pm": pa.array(out_cov, type=pa.int64()),
+        }
+    )
