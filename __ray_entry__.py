@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_gini": q.q_vocab_gini,
         "minhash_precision_report": q.q_minhash_precision_report,
         "token_coverage_curve": q.q_token_coverage_curve,
+        "repo_tree_depth": q.q_repo_tree_depth,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -733,6 +734,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, lang, CAST(sum(length(content)) AS BIGINT) AS n_bytes,
                    count(*) AS n_files, max(commit_seq) AS last_seq
             FROM head GROUP BY repo, lang
+        """,
+        "repo_tree_depth": f"""
+            WITH e AS (
+              SELECT * FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              WHERE event_ts >= TIMESTAMP '2024-01-01' AND event_ts <= {cdc_to}
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+              FROM e
+            ),
+            head AS (SELECT * FROM ranked WHERE rn = 1 AND op = 'upsert')
+            SELECT repo,
+                   (length(path) - length(replace(path, '/', '')) + 1)::BIGINT AS depth,
+                   count(*)::BIGINT AS n_files
+            FROM head GROUP BY 1, 2
         """,
         "cdc_parent_seq": f"""
             SELECT repo, path, commit_seq,

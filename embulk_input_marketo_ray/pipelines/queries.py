@@ -13304,3 +13304,32 @@ def q_token_coverage_curve(sf_dir: str):
             "covered_pm": pa.array(out_cov, type=pa.int64()),
         }
     )
+
+
+def q_repo_tree_depth(sf_dir: str):
+    """Directory-depth profile of the live lake state: per (repo,
+    depth) file counts, where depth = path separator count + 1 — the
+    repo-structure health check (monorepo flattening, runaway nesting)
+    run against the MERGE-ON-READ head state, not the raw event
+    stream. Vectorized arrow kernel (count_substring), projection
+    pushed to the two key columns, two-phase grouped close."""
+    from embulk_input_marketo_ray.sinks.exactly_once import read_lake
+
+    n = CDC_QUERY_EVENTS
+    lake, _ = _replay_windows([n + 50])
+    ds = read_lake(lake, columns=["repo", "path"])
+
+    def depth_rows(batch: pa.Table) -> pa.Table:
+        depth = pc.add(
+            pc.count_substring(batch.column("path").cast(pa.string()), "/"),
+            pa.scalar(1, pa.int32()),
+        )
+        return pa.table(
+            {"repo": batch.column("repo"), "depth": depth.cast(pa.int64())}
+        )
+
+    return grouped_aggregate(
+        ds.map_batches(depth_rows, batch_format="pyarrow"),
+        ["repo", "depth"],
+        [("", "count", "n_files")],
+    )
