@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_precision_report": q.q_minhash_precision_report,
         "token_coverage_curve": q.q_token_coverage_curve,
         "repo_tree_depth": q.q_repo_tree_depth,
+        "event_seasonality": q.q_event_seasonality,
+        "cdc_op_mix": q.q_cdc_op_mix,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -734,6 +736,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, lang, CAST(sum(length(content)) AS BIGINT) AS n_bytes,
                    count(*) AS n_files, max(commit_seq) AS last_seq
             FROM head GROUP BY repo, lang
+        """,
+        "event_seasonality": """
+            SELECT event_type,
+                   isodow(ts)::BIGINT AS dow,
+                   hour(ts)::BIGINT AS hour,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "cdc_op_mix": f"""
+            WITH g AS (
+              SELECT make_timestamp(
+                       (epoch_us(event_ts) - 1704067200000000)
+                         // 604800000000 * 604800000000 + 1704067200000000
+                     ) AS window_start,
+                     op, count(*)::BIGINT AS n
+              FROM read_parquet('{_CDC_EVENTS_QUERY_DIR}/events_*.parquet')
+              GROUP BY 1, 2
+            )
+            SELECT window_start,
+                   coalesce(sum(n) FILTER (WHERE op = 'upsert'), 0)::BIGINT AS n_upserts,
+                   coalesce(sum(n) FILTER (WHERE op = 'delete'), 0)::BIGINT AS n_deletes,
+                   (1000 * coalesce(sum(n) FILTER (WHERE op = 'delete'), 0)
+                      // greatest(sum(n), 1))::BIGINT AS delete_pm
+            FROM g GROUP BY 1
         """,
         "repo_tree_depth": f"""
             WITH e AS (

@@ -13333,3 +13333,101 @@ def q_repo_tree_depth(sf_dir: str):
         ["repo", "depth"],
         [("", "count", "n_files")],
     )
+
+
+def q_event_seasonality(sf_dir: str):
+    """Seasonality heatmap grid: event counts per (event_type, day of
+    week, hour of day) — the ops-dashboard baseline behind anomaly
+    thresholds (weekday mornings vs weekend nights are different
+    normals). Bounded-domain two-phase aggregate: the exchange moves
+    (type x 7 x 24) partial rows per block, never events; ISO day
+    numbering (Monday=1) on both engines."""
+    _ensure_hash_shuffle()
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    grid_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("dow", pa.int64()),
+            ("hour", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "dow": pc.day_of_week(
+                    batch.column("ts"), count_from_zero=False, week_start=1
+                ).cast(pa.int64()),
+                "hour": pc.hour(batch.column("ts")).cast(pa.int64()),
+            }
+        )
+        out = t.group_by(["event_type", "dow", "hour"]).aggregate([([], "count_all")])
+        return out.rename_columns(["event_type", "dow", "hour", "n"]).cast(grid_schema)
+
+    return grouped_aggregate(
+        ds.map_batches(grid_partial, batch_format="pyarrow"),
+        ["event_type", "dow", "hour"],
+        [("n", "sum", "n")],
+    )
+
+
+def q_cdc_op_mix(sf_dir: str):
+    """CDC stream observability: per watermark window (7-day tumbling
+    over event_ts), upsert/delete counts and the integer per-mille
+    delete ratio — the feed-health gauge (a delete spike usually means
+    an upstream purge or a bug, either way page someone). Bounded
+    (window x op) two-phase aggregate over the change-event fixture;
+    driver-side ratio fold on the window-bounded result."""
+    _ensure_hash_shuffle()
+    ds = _read_events(columns=["event_ts", "op"])
+
+    grid_schema = pa.schema(
+        [("window_start", pa.timestamp("us")), ("op", pa.string()), ("n", pa.int64())]
+    )
+
+    # explicit epoch anchor (BASE_TS) — floor_temporal and SQL
+    # time_bucket disagree on multi-day bucket origins, so both
+    # engines share one integer formula instead
+    _W_US = 7 * 86_400_000_000
+    _ORIGIN_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in epoch us
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(
+            batch.column("event_ts").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        w = (us - _ORIGIN_US) // _W_US * _W_US + _ORIGIN_US
+        t = pa.table(
+            {
+                "window_start": pa.array(w).cast(pa.timestamp("us")),
+                "op": batch.column("op"),
+            }
+        )
+        out = t.group_by(["window_start", "op"]).aggregate([([], "count_all")])
+        return out.rename_columns(["window_start", "op", "n"]).cast(grid_schema)
+
+    rows = grouped_aggregate(
+        ds.map_batches(grid_partial, batch_format="pyarrow"),
+        ["window_start", "op"],
+        [("n", "sum", "n")],
+    ).take_all()  # bounded by windows x ops
+    acc: dict = {}
+    for r in rows:
+        w = r["window_start"]
+        acc.setdefault(w, {"upsert": 0, "delete": 0})[str(r["op"])] = int(r["n"])
+    ws = sorted(acc)
+    ups = [acc[w]["upsert"] for w in ws]
+    dels = [acc[w]["delete"] for w in ws]
+    return pa.table(
+        {
+            "window_start": pa.array(ws, type=pa.timestamp("us")),
+            "n_upserts": pa.array(ups, type=pa.int64()),
+            "n_deletes": pa.array(dels, type=pa.int64()),
+            "delete_pm": pa.array(
+                [1000 * d // max(u + d, 1) for u, d in zip(ups, dels)],
+                type=pa.int64(),
+            ),
+        }
+    )
