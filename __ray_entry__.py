@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_tree_depth": q.q_repo_tree_depth,
         "event_seasonality": q.q_event_seasonality,
         "cdc_op_mix": q.q_cdc_op_mix,
+        "ship_lag_profile": q.q_ship_lag_profile,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -743,6 +744,13 @@ def oracle_sql() -> dict[str, str]:
                    hour(ts)::BIGINT AS hour,
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2, 3
+        """,
+        "ship_lag_profile": """
+            SELECT ((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                      // 86400000000)::BIGINT AS lag_days,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
         """,
         "cdc_op_mix": f"""
             WITH g AS (

@@ -13431,3 +13431,86 @@ def q_cdc_op_mix(sf_dir: str):
             ),
         }
     )
+
+
+def q_ship_lag_profile(sf_dir: str):
+    """Order-to-ship latency histogram: lineitem count per whole-day
+    lag (l_shipdate - o_orderdate) — the fulfillment-SLA profile. The
+    order date attaches via ONE tagged-union keyed exchange on the
+    order key (the Q12 idiom); the lag folds to bounded day-domain
+    partials inside the join kernel, so the exchange moves order/line
+    keys and the aggregate moves the day domain — never a row per
+    lineitem past the kernel. Integer microsecond floor-division."""
+    _ensure_hash_shuffle()
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    u_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("odate_us", pa.int64()),
+            ("ship_us", pa.int64()),
+        ]
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "odate_us": batch.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "ship_us": pa.nulls(n, type=pa.int64()),
+            },
+            schema=u_schema,
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "odate_us": pa.nulls(n, type=pa.int64()),
+                "ship_us": batch.column("l_shipdate")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            },
+            schema=u_schema,
+        )
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        line.map_batches(line_rows, batch_format="pyarrow")
+    )
+    lag_schema = pa.schema([("lag_days", pa.int64()), ("n_items", pa.int64())])
+    _DAY_US = 86_400_000_000
+
+    def lag_kernel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return lag_schema.empty_table()
+        order = pc.sort_indices(
+            block, sort_keys=[("okey", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(order)
+        key = np.asarray(t.column("okey"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        od = np.asarray(pc.fill_null(t.column("odate_us"), -1), dtype=np.int64)
+        sh = np.asarray(pc.fill_null(t.column("ship_us"), 0), dtype=np.int64)
+        new_run = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_idx = np.cumsum(new_run) - 1
+        run_od = np.where(side[starts] == 0, od[starts], -1)
+        row_od = run_od[run_idx]
+        keep = (side == 1) & (row_od >= 0)
+        if not keep.any():
+            return lag_schema.empty_table()
+        lag = (sh[keep] - row_od[keep]) // _DAY_US
+        part = pa.table({"lag_days": pa.array(lag)})
+        agg = part.group_by(["lag_days"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lag_days", "n_items"]).cast(lag_schema)
+
+    partial = _keyed_exchange_apply(tagged, ["okey"], lag_kernel, lag_schema)
+    return grouped_aggregate(partial, ["lag_days"], [("n_items", "sum", "n_items")])
