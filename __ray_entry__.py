@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_seasonality": q.q_event_seasonality,
         "cdc_op_mix": q.q_cdc_op_mix,
         "ship_lag_profile": q.q_ship_lag_profile,
+        "cochange_kcore": q.q_cochange_kcore,
         "cochange_walk_rank": q.q_cochange_walk_rank,
         "embedding_outliers": q.q_embedding_outliers,
         "doc_novelty": q.q_doc_novelty,
@@ -745,6 +746,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2, 3
         """,
+        "cochange_kcore": (
+            f"SELECT * FROM read_parquet('{oracle_paths['cochange_kcore']}')"
+        ),
         "ship_lag_profile": """
             SELECT ((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
                       // 86400000000)::BIGINT AS lag_days,

@@ -909,6 +909,57 @@ def oracle_multimodal_thumbnails(sf_dir: str, n: int = 256) -> pa.Table:
     )
 
 
+def oracle_cochange_kcore(sf_dir: str) -> pa.Table:
+    """Sequential replica of the co-change K-core: pair mining with
+    dict/sets over the change-event fixture (same window/support/K
+    constants — the spec), then classic iterative peeling until
+    fixpoint. None of the engine's machinery."""
+    import glob
+
+    from embulk_input_marketo_ray.pipelines.queries import (
+        CO_CHANGE_MIN_WINDOWS,
+        COMMIT_WINDOW_SECONDS,
+        KCORE_K,
+        _cdc_events_dir,
+    )
+
+    files = sorted(glob.glob(f"{_cdc_events_dir()}/events_*.parquet"))
+    seen: dict[tuple, set] = {}
+    for f in files:
+        t = pq.read_table(f, columns=["repo", "path", "commit_seq"])
+        for repo, path, seq in zip(
+            t.column("repo").to_pylist(),
+            t.column("path").to_pylist(),
+            t.column("commit_seq").to_pylist(),
+        ):
+            seen.setdefault((repo, int(seq) // COMMIT_WINDOW_SECONDS), set()).add(path)
+    counts: dict[tuple, int] = {}
+    for (repo, _win), paths in seen.items():
+        ps = sorted(paths)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                counts[(repo, ps[i], ps[j])] = counts.get((repo, ps[i], ps[j]), 0) + 1
+    adj: dict[tuple, set] = {}
+    for (repo, a, b), n in counts.items():
+        if n >= CO_CHANGE_MIN_WINDOWS:
+            adj.setdefault((repo, a), set()).add((repo, b))
+            adj.setdefault((repo, b), set()).add((repo, a))
+    alive = set(adj)
+    while True:
+        dead = {v for v in alive if len(adj[v] & alive) < KCORE_K}
+        if not dead:
+            break
+        alive -= dead
+    rows = sorted((r, p, len(adj[(r, p)] & alive)) for r, p in alive)
+    return pa.table(
+        {
+            "repo": pa.array([r for r, _, _ in rows], type=pa.string()),
+            "path": pa.array([p for _, p, _ in rows], type=pa.string()),
+            "deg": pa.array([d for _, _, d in rows], type=pa.int64()),
+        }
+    )
+
+
 def oracle_token_overlap_sketch(sf_dir: str, k: int = 256) -> pa.Table:
     """Pure-Python KMV-Jaccard replica: per-side distinct-token hash
     sets (same polynomial hash), union bottom-k, both-membership
@@ -1004,6 +1055,7 @@ _ORACLE_BUILDERS = {
     "token_overlap_sketch": oracle_token_overlap_sketch,
     "multimodal_real_decode": oracle_multimodal_real_decode,
     "multimodal_thumbnails": oracle_multimodal_thumbnails,
+    "cochange_kcore": oracle_cochange_kcore,
 }
 
 

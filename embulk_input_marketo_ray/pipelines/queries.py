@@ -13514,3 +13514,118 @@ def q_ship_lag_profile(sf_dir: str):
 
     partial = _keyed_exchange_apply(tagged, ["okey"], lag_kernel, lag_schema)
     return grouped_aggregate(partial, ["lag_days"], [("n_items", "sum", "n_items")])
+
+
+KCORE_K = 3  # minimum degree retained by the peel
+
+
+def q_cochange_kcore(sf_dir: str):
+    """K-CORE decomposition of the co-change graph (K=3): iteratively
+    peel nodes with fewer than K surviving neighbors until fixpoint —
+    the maximal subgraph of genuinely entangled paths (a hub that only
+    touches leaves dies with its leaves; triangles and walks keep it).
+    The catalog's until-FIXPOINT iterative-graph template, past the
+    fixed-step walk: rounds are data-dependent, each round is ONE
+    two-phase degree aggregate plus a broadcast shrink of the edge
+    stream.
+
+    Scale shape: edges materialize once (bounded by the mined-pair
+    domain — support >= 5 pairs, not events); per round, degrees fold
+    through the two-phase aggregate and the surviving-node set ships
+    once via ``ray.put`` (bounded by the same node domain). The loop
+    terminates in at most node-count rounds; real graphs peel in a
+    handful. Returns surviving (repo, path, degree)."""
+    _ensure_hash_shuffle()
+    pairs = q_co_change_pairs(sf_dir).materialize()
+
+    edge_schema = pa.schema(
+        [("repo", pa.string()), ("a", pa.string()), ("b", pa.string())]
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "a": batch.column("path_a"),
+                "b": batch.column("path_b"),
+            },
+            schema=edge_schema,
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    deg_schema = pa.schema(
+        [("repo", pa.string()), ("node", pa.string()), ("deg", pa.int64())]
+    )
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        both = pa.table(
+            {
+                "repo": pa.concat_arrays(
+                    [batch.column("repo").combine_chunks(), batch.column("repo").combine_chunks()]
+                ),
+                "node": pa.concat_arrays(
+                    [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+                ),
+            }
+        )
+        out = both.group_by(["repo", "node"]).aggregate([([], "count_all")])
+        return out.rename_columns(["repo", "node", "deg"]).cast(deg_schema)
+
+    def degrees(edge_ds):
+        return grouped_aggregate(
+            edge_ds.map_batches(degree_partial, batch_format="pyarrow"),
+            ["repo", "node"],
+            [("deg", "sum", "deg")],
+        )
+
+    alive_rows = degrees(edges).take_all()  # bounded by the mined node domain
+    while True:
+        keep = {(r["repo"], r["node"]) for r in alive_rows if int(r["deg"]) >= KCORE_K}
+        dead = [r for r in alive_rows if (r["repo"], r["node"]) not in keep]
+        if not dead:
+            break
+        if not keep:
+            alive_rows = []
+            break
+        keep_key = sorted(f"{r}\x00{n}" for r, n in keep)
+        keep_ref = ray.put(np.array(keep_key, dtype=object))
+
+        def shrink(batch: pa.Table) -> pa.Table:
+            kk = ray.get(keep_ref)
+            ka = np.asarray(
+                pc.binary_join_element_wise(
+                    batch.column("repo"), batch.column("a"), "\x00"
+                ),
+                dtype=object,
+            )
+            kb = np.asarray(
+                pc.binary_join_element_wise(
+                    batch.column("repo"), batch.column("b"), "\x00"
+                ),
+                dtype=object,
+            )
+            from embulk_input_marketo_ray.stages.dedup import sorted_member_mask
+
+            m = sorted_member_mask(kk, ka) & sorted_member_mask(kk, kb)
+            return batch.filter(pa.array(m))
+
+        edges = edges.map_batches(shrink, batch_format="pyarrow").materialize()
+        alive_rows = degrees(edges).take_all()
+
+    if not alive_rows:
+        return pa.table(
+            {
+                "repo": pa.array([], type=pa.string()),
+                "path": pa.array([], type=pa.string()),
+                "deg": pa.array([], type=pa.int64()),
+            }
+        )
+    alive_rows.sort(key=lambda r: (r["repo"], r["node"]))
+    return pa.table(
+        {
+            "repo": pa.array([r["repo"] for r in alive_rows], type=pa.string()),
+            "path": pa.array([r["node"] for r in alive_rows], type=pa.string()),
+            "deg": pa.array([int(r["deg"]) for r in alive_rows], type=pa.int64()),
+        }
+    )
