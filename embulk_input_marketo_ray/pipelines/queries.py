@@ -12321,22 +12321,14 @@ CONTAIN_NUM = 1
 CONTAIN_DEN = 2
 
 
-def q_doc_containment_pairs(sf_dir: str, max_df: int | None = None):
-    """EXACT n-gram CONTAINMENT pairs via the gram inverted index —
-    the directed counterpart of ``q_doc_jaccard_pairs`` (Broder's
-    containment score): emit (doc_id, contained_in) whenever at least
-    ``CONTAIN_NUM/CONTAIN_DEN`` of doc_id's distinct grams also occur
-    in the other doc. The dedup story for quotes/excerpts/wrapped
-    boilerplate, where symmetric Jaccard is blind by construction.
-
-    Same counting backbone and scale shape as the Jaccard path (gram
-    exchange, per-block pair multiplicity = shared grams, one grouped
-    sum, pure-int64 judge ``2*i >= nA``), same optional stop-gram
-    ``max_df`` guard; both DIRECTIONS judge from one undirected pair
-    row (i, nA, nB), so the pair traffic does not double."""
+def _gram_pair_counts(sf_dir: str, max_df: int):
+    """Shared counting backbone of the exact gram-overlap family
+    (containment / max-overlap; q_doc_jaccard_pairs keeps its own copy
+    for the logged df-cap counter): distinct-3-gram inverted index ->
+    keyed gram exchange -> per-block pair multiplicity -> grouped sum.
+    Returns the undirected pair dataset ``(a, b, i, na, nb)`` with
+    a < b, i = |A ∩ B|, na/nb = the endpoint gram-set sizes."""
     from embulk_input_marketo_ray.stages.dedup import _ngram_set
-
-    max_df = JACCARD_MAX_DF if max_df is None else int(max_df)
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -12361,18 +12353,13 @@ def q_doc_containment_pairs(sf_dir: str, max_df: int | None = None):
 
     grams = ds.map_batches(explode_grams, batch_format="pyarrow")
 
+    pair_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("i", pa.int64()), ("na", pa.int64()), ("nb", pa.int64())]
+    )
+
     def postings_to_pairs(block: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "i": pa.array([], pa.int64()),
-                "na": pa.array([], pa.int64()),
-                "nb": pa.array([], pa.int64()),
-            }
-        )
         if block.num_rows == 0:
-            return empty
+            return pair_schema.empty_table()
         order = pc.sort_indices(
             block, sort_keys=[("gram", "ascending"), ("doc_id", "ascending")]
         )
@@ -12395,8 +12382,8 @@ def q_doc_containment_pairs(sf_dir: str, max_df: int | None = None):
             out_na.append(ns[s:e][i])
             out_nb.append(ns[s:e][j])
         if not out_a:
-            return empty
-        pair_tbl = pa.table(
+            return pair_schema.empty_table()
+        pt = pa.table(
             {
                 "a": pa.array(np.concatenate(out_a), type=pa.int64()),
                 "b": pa.array(np.concatenate(out_b), type=pa.int64()),
@@ -12404,7 +12391,7 @@ def q_doc_containment_pairs(sf_dir: str, max_df: int | None = None):
                 "nb": pa.array(np.concatenate(out_nb), type=pa.int64()),
             }
         )
-        out = pair_tbl.group_by(["a", "b"]).aggregate(
+        out = pt.group_by(["a", "b"]).aggregate(
             [([], "count_all"), ("na", "max"), ("nb", "max")]
         )
         return pa.table(
@@ -12420,10 +12407,29 @@ def q_doc_containment_pairs(sf_dir: str, max_df: int | None = None):
     cands = _keyed_repartition(grams, _shuffle_width(), ["gram"]).map_batches(
         postings_to_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
-    inter = grouped_aggregate(
+    return grouped_aggregate(
         cands,
         ["a", "b"],
         [("i", "sum", "i"), ("na", "max", "na"), ("nb", "max", "nb")],
+    )
+
+
+def q_doc_containment_pairs(sf_dir: str, max_df: int | None = None):
+    """EXACT n-gram CONTAINMENT pairs via the gram inverted index —
+    the directed counterpart of ``q_doc_jaccard_pairs`` (Broder's
+    containment score): emit (doc_id, contained_in) whenever at least
+    ``CONTAIN_NUM/CONTAIN_DEN`` of doc_id's distinct grams also occur
+    in the other doc. The dedup story for quotes/excerpts/wrapped
+    boilerplate, where symmetric Jaccard is blind by construction.
+
+    Counting backbone shared with ``q_doc_max_overlap``
+    (``_gram_pair_counts``): gram exchange, per-block pair
+    multiplicity, grouped sum; the pure-int64 judge
+    ``DEN*i >= NUM*nA`` evaluates BOTH directions from one undirected
+    pair row, so pair traffic does not double. Same optional
+    stop-gram ``max_df`` guard as the Jaccard path."""
+    inter = _gram_pair_counts(
+        sf_dir, JACCARD_MAX_DF if max_df is None else int(max_df)
     )
 
     def judge(batch: pa.Table) -> pa.Table:
@@ -12987,95 +12993,14 @@ def q_doc_max_overlap(sf_dir: str):
     Low max-overlap across the corpus = diverse data; a fat tail of
     high overlaps = templating the dedup thresholds are missing.
 
-    Shape: the exact-Jaccard counting backbone (gram inverted index,
-    per-block pair multiplicity, grouped sum) with an ARGMAX closing
-    stage instead of a threshold: (i, partner) packs into one int64
-    (``i * 2^32 + (2^32-1-partner)``) so the two-phase MAX aggregate
-    picks max-i-then-min-partner deterministically — both directions
-    of each undirected pair emitted, so every doc sees its best
-    partner. Same stop-gram caveat as the Jaccard path."""
-    from embulk_input_marketo_ray.stages.dedup import _ngram_set
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def explode_grams(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_id: list[int] = []
-        out_g: list[str] = []
-        out_n: list[int] = []
-        for i, t in zip(ids, texts):
-            gs = _ngram_set(t or "")
-            out_id.extend([i] * len(gs))
-            out_g.extend(gs)
-            out_n.extend([len(gs)] * len(gs))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "gram": pa.array(out_g, type=pa.string()),
-                "n": pa.array(out_n, type=pa.int64()),
-            }
-        )
-
-    grams = ds.map_batches(explode_grams, batch_format="pyarrow")
-
-    pair_schema = pa.schema(
-        [("a", pa.int64()), ("b", pa.int64()), ("i", pa.int64()), ("na", pa.int64()), ("nb", pa.int64())]
-    )
-
-    def postings_to_pairs(block: pa.Table) -> pa.Table:
-        if block.num_rows == 0:
-            return pair_schema.empty_table()
-        order = pc.sort_indices(
-            block, sort_keys=[("gram", "ascending"), ("doc_id", "ascending")]
-        )
-        t = block.take(order)
-        gram = np.asarray(t.column("gram"), dtype=object)
-        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
-        ns = np.asarray(t.column("n"), dtype=np.int64)
-        starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
-        ends = np.r_[starts[1:], len(gram)]
-        out_a, out_b, out_na, out_nb = [], [], [], []
-        for s, e in zip(starts, ends):
-            g = e - s
-            if g < 2:
-                continue
-            i, j = np.triu_indices(g, k=1)
-            out_a.append(ids[s:e][i])
-            out_b.append(ids[s:e][j])
-            out_na.append(ns[s:e][i])
-            out_nb.append(ns[s:e][j])
-        if not out_a:
-            return pair_schema.empty_table()
-        pt = pa.table(
-            {
-                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
-                "na": pa.array(np.concatenate(out_na), type=pa.int64()),
-                "nb": pa.array(np.concatenate(out_nb), type=pa.int64()),
-            }
-        )
-        out = pt.group_by(["a", "b"]).aggregate(
-            [([], "count_all"), ("na", "max"), ("nb", "max")]
-        )
-        return pa.table(
-            {
-                "a": out.column("a"),
-                "b": out.column("b"),
-                "i": out.column("count_all").cast(pa.int64()),
-                "na": out.column("na_max").cast(pa.int64()),
-                "nb": out.column("nb_max").cast(pa.int64()),
-            }
-        )
-
-    cands = _keyed_repartition(grams, _shuffle_width(), ["gram"]).map_batches(
-        postings_to_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
-    inter = grouped_aggregate(
-        cands,
-        ["a", "b"],
-        [("i", "sum", "i"), ("na", "max", "na"), ("nb", "max", "nb")],
-    )
+    The shared exact counting backbone (``_gram_pair_counts``) with an
+    ARGMAX closing stage instead of a threshold: (i, partner) packs
+    into one int64 (``i * 2^32 + (2^32-1-partner)``) so the two-phase
+    MAX aggregate picks max-i-then-min-partner deterministically —
+    both directions of each undirected pair emitted, so every doc
+    sees its best partner. Same stop-gram caveat as the Jaccard
+    path."""
+    inter = _gram_pair_counts(sf_dir, JACCARD_MAX_DF)
 
     both_schema = pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("packed", pa.int64())]
